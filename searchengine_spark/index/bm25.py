@@ -1,0 +1,132 @@
+"""BM25 ranking as pure Column arithmetic (no UDF in the hot path).
+
+Implements the reference's scoring exactly (SURVEY.md §2.8 X4;
+/root/reference/pyapp.py:64-70):
+
+    score(d, q) = sum_{t in q} idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*|d|/avgdl))
+    k1 = 1.2, b = 0.75, idf = log10(N / df)
+
+The reference evaluates this in a row-at-a-time Python UDF
+(pyapp.py:65-70) — here it is a Column expression, so the whole
+score pipeline runs inside whole-stage codegen. The X5 rank_bm25
+variant (k1=1.5, idf=ln((N-df+0.5)/(df+0.5)+1) with eps-floor;
+/root/reference/nltksearchv1.py:184) is available via
+``idf_variant="okapi"``.
+
+Query plan shape (at any scale):
+    tf filtered by query terms        <- pushed to the parquet scan
+      ⋈ broadcast(idf for the terms)  <- tiny dim
+      ⋈ doc_lengths on doc_id         <- shuffle or broadcast (AQE)
+      -> score expr -> groupBy(doc_id).sum -> TakeOrderedAndProject(k)
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.builder import InvertedIndex
+from searchengine_spark.text.tokenizer import tokenize_query
+
+K1_DEFAULT = 1.2
+B_DEFAULT = 0.75
+
+
+def bm25_term_score(
+    term_freq: Column,
+    doc_length: Column,
+    avgdl: Column,
+    idf: Column,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+) -> Column:
+    """Per-(doc, term) BM25 contribution; pure arithmetic."""
+    tf = term_freq.cast("double")
+    dl = doc_length.cast("double")
+    return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+
+
+def okapi_idf(n_docs: Column, doc_freq: Column) -> Column:
+    """rank_bm25-style idf: ln((N - df + 0.5)/(df + 0.5) + 1)."""
+    return F.log(
+        (n_docs.cast("double") - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0
+    )
+
+
+def search(
+    index: InvertedIndex,
+    query: str | list[str],
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    stem: bool = False,
+    idf_variant: str = "log10",
+) -> DataFrame:
+    """Top-k docs for a query -> (doc_id, total_score), score desc.
+
+    Deterministic tie-break on doc_id (the reference leaves ties to
+    partition order; SURVEY.md FIXTURES §4 flags this).
+    """
+    terms = tokenize_query(query, stem=stem) if isinstance(query, str) else list(query)
+    if not terms:
+        return index.term_frequencies.sparkSession.createDataFrame(
+            [], "doc_id bigint, total_score double"
+        )
+
+    # Manual filter-first shape (matches the reference's intent at
+    # pyapp.py:93); Catalyst pushes the isin into the parquet scan.
+    tf = index.term_frequencies.filter(F.col("word").isin(terms))
+    idf = index.idf_values.filter(F.col("word").isin(terms))
+    if idf_variant == "okapi":
+        idf = idf.join(F.broadcast(index.scoring_params.select("n_docs"))).select(
+            "word", okapi_idf(F.col("n_docs"), F.col("doc_freq")).alias("idf")
+        )
+    else:
+        idf = idf.select("word", "idf")
+
+    params = index.scoring_params.select("avgdl")
+
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(index.doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(params))
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("term_freq"),
+                F.col("doc_length"),
+                F.col("avgdl"),
+                F.col("idf"),
+                k1=k1,
+                b=b,
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("term_score").alias("total_score"))
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
+def snippets(
+    results: DataFrame, doc_text: DataFrame, *, text_col: str = "text", max_len: int = 300
+) -> DataFrame:
+    """Attach a truncated snippet to each hit with ONE join.
+
+    Fixes the reference's N+1 per-hit point lookups
+    (/root/reference/pyapp.py:110-114: one filter().collect() per
+    result row). Duplicate doc_ids in the text table (multi-opinion
+    cases) are collapsed to the first by min(text) — same
+    "take first match" semantics as pyapp.py:114.
+    """
+    txt = doc_text.groupBy("doc_id").agg(F.min(text_col).alias("_t"))
+    return (
+        results.join(txt, "doc_id", "left")
+        .withColumn("snippet", F.substring("_t", 1, max_len))
+        .drop("_t")
+    )

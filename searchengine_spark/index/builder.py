@@ -1,0 +1,161 @@
+"""Inverted-index / BM25-statistics builder.
+
+Produces the same five derived tables the reference materializes
+(SURVEY.md §1.2; /root/reference/searchenginespark.py:101-205):
+
+    flat_words        (doc_id, word)               one row per token
+    term_frequencies  (doc_id, word, term_freq)    tf(t, d)
+    doc_lengths       (doc_id, doc_length)         |d|
+    idf_values        (word, doc_freq, idf)        idf = log10(N/df)
+    inverted_index    (word, doc_ids)              sorted postings
+    scoring_params    (n_docs, avgdl)              global scalars
+
+Scale design (vs the reference's hand-tuned repartition(8, ...)):
+- Everything is lazy DataFrame lineage off one tokenized scan; no
+  .count()/.collect() driver sync points. N and avgdl are 1-row
+  DataFrames cross-joined (broadcast) where needed, so the whole
+  build is a single Spark job graph that AQE sizes at runtime.
+- The tf aggregation shuffles once on (doc_id, word) with map-side
+  partial aggregation; doc_freq/idf reuse tf (already one row per
+  (doc, word) pair) instead of re-shuffling the raw token stream —
+  at 100 TB that skips a second full-corpus shuffle.
+- `doc_lengths` is computed from the token arrays BEFORE the explode
+  (F.size on the array), so it never touches the exploded stream.
+- Writers partition/bucket by `word` so query-time term lookups
+  prune files (see write_index).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.text.tokenizer import tokens_column
+
+
+@dataclass
+class InvertedIndex:
+    """The materialized-view set a BM25 query touches."""
+
+    term_frequencies: DataFrame  # doc_id, word, term_freq
+    doc_lengths: DataFrame       # doc_id, doc_length
+    idf_values: DataFrame        # word, doc_freq, idf
+    inverted_index: DataFrame    # word, doc_ids (sorted array)
+    scoring_params: DataFrame    # n_docs, avgdl (single row)
+    flat_words: DataFrame        # doc_id, word (token stream)
+
+    def cache(self) -> "InvertedIndex":
+        for df in (
+            self.term_frequencies,
+            self.doc_lengths,
+            self.idf_values,
+            self.scoring_params,
+        ):
+            df.cache()
+        return self
+
+
+def build_index(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    stem: bool = False,
+    tokens: Column | None = None,
+) -> InvertedIndex:
+    """Build the full index lineage from a (doc_id, text) DataFrame.
+
+    ``tokens`` overrides the tokenizer with a caller-supplied
+    array<string> Column (e.g. concat of nested opinion texts for the
+    reference's CAP corpus shape — see corpus.py).
+    """
+    tok = tokens if tokens is not None else tokens_column(text_col, stem=stem)
+    tokenized = docs.select(
+        F.col(id_col).alias("doc_id"), tok.alias("words")
+    ).filter(F.size("words") > 0)
+
+    # |d| straight off the array — no explode, no shuffle beyond the
+    # (tiny) aggregate below.
+    doc_lengths = tokenized.select(
+        "doc_id", F.size("words").cast("bigint").alias("doc_length")
+    )
+
+    flat_words = tokenized.select(
+        "doc_id", F.explode("words").alias("word")
+    )
+
+    # tf: the one unavoidable full shuffle, keyed (doc_id, word),
+    # partials combined map-side by the hash aggregate.
+    term_frequencies = flat_words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).alias("term_freq")
+    )
+
+    # Postings: sorted for deterministic output (collect_list order is
+    # partition-dependent; SURVEY.md §2.5 A1).
+    inverted_index = term_frequencies.groupBy("word").agg(
+        F.sort_array(F.collect_list("doc_id")).alias("doc_ids")
+    )
+
+    # Global scalars as a 1-row DF (no .collect() — stays lazy and
+    # broadcast-joins wherever needed).
+    scoring_params = doc_lengths.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("doc_length") / F.count(F.lit(1))).alias("avgdl"),
+    )
+
+    # df(t) from tf (already deduped to one row per (doc, word)):
+    # count(*) == countDistinct(doc_id) here, without the distinct's
+    # extra pass over the raw token stream.
+    idf_values = (
+        term_frequencies.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .crossJoin(F.broadcast(scoring_params.select("n_docs")))
+        .select(
+            "word",
+            "doc_freq",
+            F.log10(F.col("n_docs") / F.col("doc_freq")).alias("idf"),
+        )
+    )
+
+    return InvertedIndex(
+        term_frequencies=term_frequencies,
+        doc_lengths=doc_lengths,
+        idf_values=idf_values,
+        inverted_index=inverted_index,
+        scoring_params=scoring_params,
+        flat_words=flat_words,
+    )
+
+
+def write_index(index: InvertedIndex, out_dir: str, *, buckets: int = 64) -> None:
+    """Persist the index; term-keyed tables bucketed by word.
+
+    Bucketing by `word` means a query's isin() filter prunes to a few
+    buckets and the tf⋈idf join needs no shuffle on reload — the
+    property the reference approximated with repartition(8, "word")
+    (/root/reference/searchenginespark.py:160).
+    """
+    (
+        index.term_frequencies.write.format("parquet")
+        .bucketBy(buckets, "word")
+        .sortBy("word")
+        .option("path", f"{out_dir}/term_frequencies")
+        .mode("overwrite")
+        .saveAsTable("se_term_frequencies")
+    )
+    index.doc_lengths.write.mode("overwrite").parquet(f"{out_dir}/doc_lengths")
+    index.idf_values.write.mode("overwrite").parquet(f"{out_dir}/idf_values")
+    index.inverted_index.write.mode("overwrite").parquet(f"{out_dir}/inverted_index")
+    index.scoring_params.write.mode("overwrite").parquet(f"{out_dir}/scoring_params")
+
+
+def read_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
+    tf = spark.read.parquet(f"{out_dir}/term_frequencies")
+    dl = spark.read.parquet(f"{out_dir}/doc_lengths")
+    idf = spark.read.parquet(f"{out_dir}/idf_values")
+    inv = spark.read.parquet(f"{out_dir}/inverted_index")
+    sp = spark.read.parquet(f"{out_dir}/scoring_params")
+    flat = tf.select("doc_id", "word")  # reconstructible view
+    return InvertedIndex(tf, dl, idf, inv, sp, flat)

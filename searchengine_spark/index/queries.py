@@ -1,0 +1,190 @@
+"""Search-engine core queries + DuckDB oracle twins.
+
+Each Spark query here is the scale-out implementation; its ORACLES
+entry is the semantically identical ANSI SQL DuckDB runs on the same
+parquet (driver contract in __spark_entry__.py). Column names/aliases
+match exactly; floats that depend on summation order are rounded to 6
+decimals on BOTH sides.
+
+The `documents` test table is flat (doc_id, text, lang, source,
+n_chars) — the reference's nested CAP corpus shape is handled by
+corpus.py; the index/query semantics are identical either way.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.builder import build_index
+from searchengine_spark.index.bm25 import bm25_term_score, search
+from searchengine_spark.io import load_table
+from searchengine_spark.text.tokenizer import sql_tokens_expr
+
+# Fixed benchmark query for the oracle-checked BM25 path (terms from
+# the synthetic corpus vocabulary, mixed document frequency).
+BM25_QUERY_TERMS = ("spark", "join", "window", "fast")
+BM25_K = 10
+K1, B = 1.2, 0.75
+
+
+def _index(spark: SparkSession, sf_dir: str):
+    return build_index(load_table(spark, sf_dir, "documents"))
+
+
+def q_flat_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).flat_words
+
+
+def q_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).doc_lengths
+
+
+def q_term_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).term_frequencies
+
+
+def q_idf_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).idf_values.select(
+        "word", "doc_freq", F.round("idf", 6).alias("idf")
+    )
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Postings emitted as a joined string: deterministic, and immune
+    # to array-representation differences between engines.
+    return _index(spark, sf_dir).inverted_index.select(
+        "word",
+        F.size("doc_ids").alias("n_docs"),
+        F.array_join("doc_ids", ",").alias("doc_ids_str"),
+    )
+
+
+def q_scoring_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _index(spark, sf_dir).scoring_params
+
+
+def q_bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All docs matching >=1 query term, with full BM25 scores."""
+    idx = _index(spark, sf_dir)
+    terms = list(BM25_QUERY_TERMS)
+    tf = idx.term_frequencies.filter(F.col("word").isin(terms))
+    scored = (
+        tf.join(F.broadcast(idx.idf_values.filter(F.col("word").isin(terms))), "word")
+        .join(idx.doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(idx.scoring_params.select("avgdl")))
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("term_freq"), F.col("doc_length"), F.col("avgdl"), F.col("idf")
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("total_score")
+    )
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k of q_bm25_scores; ordered on the ROUNDED score so the
+    cutoff is deterministic across engines."""
+    return (
+        q_bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+def q_search_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public search() entry point (same semantics as bm25_topk,
+    exercised through the user-facing API)."""
+    idx = _index(spark, sf_dir)
+    # Overfetch then re-rank on the rounded score so the top-k cutoff
+    # is deterministic across engines (raw-score ordering can differ
+    # at the last ulp).
+    res = search(idx, list(BM25_QUERY_TERMS), k=BM25_K + 20)
+    return (
+        res.select("doc_id", F.round("total_score", 6).alias("total_score"))
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
+
+
+# ---------------------------------------------------------------- oracles
+
+_TOK_CTE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({sql_tokens_expr('text')}) AS word
+  FROM documents
+)
+"""
+
+_INDEX_CTES = f"""{_TOK_CTE},
+dl AS (
+  SELECT doc_id, count(*)::BIGINT AS doc_length FROM tok GROUP BY doc_id
+),
+tf AS (
+  SELECT doc_id, word, count(*)::BIGINT AS term_freq
+  FROM tok GROUP BY doc_id, word
+),
+params AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(doc_length) / count(*) AS avgdl FROM dl
+),
+idf AS (
+  SELECT word, count(*)::BIGINT AS doc_freq,
+         log10((SELECT n_docs FROM params) / count(*)) AS idf
+  FROM tf GROUP BY word
+)
+"""
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+
+_BM25_SCORES_SQL = f"""{_INDEX_CTES},
+scored AS (
+  SELECT tf.doc_id,
+         idf.idf * (tf.term_freq * {K1 + 1.0}) /
+           (tf.term_freq + {K1} * (1.0 - {B} + {B} * dl.doc_length /
+             (SELECT avgdl FROM params))) AS term_score
+  FROM tf
+  JOIN idf ON tf.word = idf.word
+  JOIN dl ON tf.doc_id = dl.doc_id
+  WHERE tf.word IN ({_BM25_TERMS_SQL})
+)
+SELECT doc_id, round(sum(term_score), 6) AS total_score
+FROM scored GROUP BY doc_id
+"""
+
+QUERIES = {
+    "se_flat_words": q_flat_words,
+    "se_doc_lengths": q_doc_lengths,
+    "se_term_frequencies": q_term_frequencies,
+    "se_idf_values": q_idf_values,
+    "se_inverted_index": q_inverted_index,
+    "se_scoring_params": q_scoring_params,
+    "se_bm25_scores": q_bm25_scores,
+    "se_bm25_topk": q_bm25_topk,
+    "se_search_api": q_search_api,
+}
+
+ORACLES = {
+    "se_flat_words": f"{_TOK_CTE} SELECT doc_id, word FROM tok",
+    "se_doc_lengths": f"{_TOK_CTE} SELECT doc_id, count(*)::BIGINT AS doc_length FROM tok GROUP BY doc_id",
+    "se_term_frequencies": (
+        f"{_TOK_CTE} SELECT doc_id, word, count(*)::BIGINT AS term_freq "
+        "FROM tok GROUP BY doc_id, word"
+    ),
+    "se_idf_values": f"{_INDEX_CTES} SELECT word, doc_freq, round(idf, 6) AS idf FROM idf",
+    "se_inverted_index": (
+        f"{_INDEX_CTES} SELECT word, count(*)::INT AS n_docs, "
+        "string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS doc_ids_str "
+        "FROM tf GROUP BY word"
+    ),
+    "se_scoring_params": f"{_INDEX_CTES} SELECT n_docs, avgdl FROM params",
+    "se_bm25_scores": _BM25_SCORES_SQL,
+    "se_bm25_topk": (
+        f"{_BM25_SCORES_SQL} ORDER BY total_score DESC, doc_id ASC LIMIT {BM25_K}"
+    ),
+    "se_search_api": (
+        f"{_BM25_SCORES_SQL} ORDER BY total_score DESC, doc_id ASC LIMIT {BM25_K}"
+    ),
+}

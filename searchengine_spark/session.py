@@ -1,0 +1,46 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The same config works on local[N] for tests and on a multi-executor
+cluster: AQE handles partition coalescing and skew joins at runtime,
+so we do not hand-tune `repartition(8, ...)` the way the reference
+does (searchenginespark.py:136-140,160 in /root/reference).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "searchengine-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with sensible scale defaults.
+
+    - AQE on: runtime partition coalescing + skew-join splitting, so
+      the same job works at sf0.001 and at 100 TB.
+    - Arrow on: any pandas_udf (Porter stemmer, embedding kernels)
+      moves data in columnar batches, not pickled rows.
+    - Broadcast threshold left at default (10 MB): idf/doc_lengths
+      style dimension tables auto-broadcast.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(os.environ.get("SPARK_SHUFFLE_PARTITIONS", cpus))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.files.maxPartitionBytes", "128m")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+    )
+    return builder.getOrCreate()
