@@ -30,15 +30,30 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
+# Columns stored as parquet TIMESTAMP(NANOS); Spark reads them as
+# long nanos (spark.sql.legacy.parquet.nanosAsLong) and we restore a
+# microsecond TIMESTAMP here. Floor-division truncation matches what
+# a microsecond engine (DuckDB) sees.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(table_path(sf_dir, name))
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
+
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(
+                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+            )
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every known table present under ``sf_dir``."""
     out: dict[str, DataFrame] = {}
     for name in TABLES:
-        p = table_path(sf_dir, name)
-        if os.path.exists(p):
-            out[name] = spark.read.parquet(p)
+        if os.path.exists(table_path(sf_dir, name)):
+            out[name] = load_table(spark, sf_dir, name)
     return out
