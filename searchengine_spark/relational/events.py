@@ -1,0 +1,167 @@
+"""Event-stream analytics (batch form) — tumbling windows, running
+totals, sessionization.
+
+The same logical queries run under Structured Streaming in
+searchengine_spark.streaming.events; here they are expressed in batch
+form with DuckDB oracle twins. Aggregated doubles go through DECIMAL
+casts so parallel summation is order-independent (see tpch.py).
+
+Scale notes:
+- hourly rollup: shuffle keyed (window, event_type) — bounded key
+  space, trivially parallel.
+- running totals / sessions: one shuffle on user_id; within a user,
+  window functions sort locally. user_id is the natural partition key
+  at 100 TB (high cardinality, low skew).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour rollup per event_type."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+    )
+
+
+def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user cumulative spend ordered by time (analytic window)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_total"),
+        F.row_number().over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("seq"),
+    )
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30 min) via lag + cumulative flag sum.
+
+    The classic batch sessionize: new_session = gap > threshold;
+    session_id = running count of new_session flags per user.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1, None).over(w)
+            > SESSION_GAP_MIN * 60
+        ).cast("int"),
+    ).withColumn(
+        "session_id",
+        F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
+            "session_seconds"
+        ),
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("session_value"),
+    )
+
+
+def q_events_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global per-type profile incl. a JSON-extracted property."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "k", F.get_json_object("props", "$.k").cast("bigint")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.sum("k").alias("sum_k"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+_SESSION_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN (epoch_us(ts) // 1000000) - LAG((epoch_us(ts) // 1000000)) OVER w > {SESSION_GAP_MIN * 60}
+              THEN 1
+              WHEN LAG((epoch_us(ts) // 1000000)) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessioned AS (
+  SELECT *, CAST(SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  ) AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id,
+       COUNT(*) AS n_events,
+       (max(epoch_us(ts) // 1000000) - min(epoch_us(ts) // 1000000)) AS session_seconds,
+       CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+FROM sessioned
+GROUP BY user_id, session_id
+"""
+
+QUERIES = {
+    "events_hourly_rollup": q_events_hourly,
+    "events_running_total": q_events_running_total,
+    "events_sessionize": q_events_sessionize,
+    "events_type_stats": q_events_type_stats,
+}
+
+ORACLES = {
+    "events_hourly_rollup": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "events_running_total": """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS running_total,
+               ROW_NUMBER() OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+               ) AS seq
+        FROM events
+    """,
+    "events_sessionize": _SESSION_SQL,
+    "events_type_stats": """
+        SELECT event_type, COUNT(*) AS n_events,
+               MIN(value) AS min_value, MAX(value) AS max_value,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events
+        GROUP BY event_type
+    """,
+}

@@ -1,0 +1,272 @@
+"""Relational operator coverage over the TPC-H-style test tables.
+
+These queries exercise the full relational surface a 100 TB engine
+needs — multi-way joins (broadcast for dims, shuffle for facts),
+hash aggregation with map-side partials, semi/anti joins, window
+functions, top-k — each with a DuckDB oracle twin.
+
+Float determinism: monetary sums are computed over DECIMAL(18,2/4/6)
+casts (exact, order-independent) and cast back to DOUBLE, so Spark's
+parallel aggregation and DuckDB's serial one produce bit-identical
+results. Input values are 2-decimal doubles; products get wider
+scales before the cast.
+
+Scale notes per query are in the docstrings; the common pattern:
+filter first (pushdown), join facts to broadcast dims, aggregate on
+the fact's natural key, TakeOrderedAndProject for top-k.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+
+Q1_CUTOFF = "1998-09-02"
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-03-15"
+
+
+def _dec_sum(col, scale: int = 2):
+    """Order-independent sum of a money-valued double column."""
+    return F.sum(col.cast(f"decimal(28,{scale})")).cast("double")
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: scan-heavy single-pass aggregation.
+
+    At scale: one parquet scan with the shipdate predicate pushed to
+    row groups, hash-agg with 6 partials combined map-side; the final
+    shuffle moves only |returnflag x linestatus| ~ 6 rows per task.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    charge = disc_price * (1.0 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit(Q1_CUTOFF).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity")).alias("sum_qty"),
+            _dec_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dec_sum(disc_price, 4).alias("sum_disc_price"),
+            _dec_sum(charge, 6).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn(
+            "avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6)
+        )
+    )
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3: fact-to-fact join + top-k.
+
+    customer (filtered, small) broadcasts into orders; orders⋈lineitem
+    shuffles on orderkey; top-10 is TakeOrderedAndProject (no global
+    sort materialization).
+    """
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(Q3_DATE).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp")
+    )
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    return (
+        li.join(
+            orders.join(
+                F.broadcast(cust.select("c_custkey")),
+                orders.o_custkey == F.col("c_custkey"),
+            ).select("o_orderkey", "o_orderdate"),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(_dec_sum(revenue, 4).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join; all dims broadcast, one fact shuffle."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+
+    dims = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    return (
+        li.join(orders.select("o_orderkey", "o_custkey"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(dims), F.col("o_custkey") == dims.c_custkey)
+        .join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            (li.l_suppkey == F.col("s_suppkey"))
+            & (dims.c_nationkey == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(_dec_sum(revenue, 4).alias("revenue"))
+    )
+
+
+def q_order_priority_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS as a LEFT SEMI join (no row duplication)."""
+    orders = load_table(spark, sf_dir, "orders")
+    late = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("2000-01-01").cast("timestamp")
+    )
+    return (
+        orders.join(
+            late.select("l_orderkey"),
+            orders.o_orderkey == F.col("l_orderkey"),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_customers_no_orders_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: customers that never ordered."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(
+            orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left_anti"
+        )
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: rank customers by revenue within nation.
+
+    At scale: one shuffle on custkey for the agg, one on nationkey for
+    the window; both keys are low-skew.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        cust.join(spend, cust.c_custkey == spend.o_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select("n_name", "c_custkey", "revenue")
+        .withColumn("rnk", F.rank().over(w))
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping + distinct-count + min/max over the part dim."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_type").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.countDistinct("p_brand").alias("n_brands"),
+        F.min("p_retailprice").alias("min_price"),
+        F.max("p_retailprice").alias("max_price"),
+        F.sum(F.col("p_retailprice").cast("decimal(28,2)")).cast("double").alias("sum_price"),
+    )
+
+
+QUERIES = {
+    "tpch_q1_pricing_summary": q1_pricing_summary,
+    "tpch_q3_shipping_priority": q3_shipping_priority,
+    "tpch_q5_local_supplier_volume": q5_local_supplier_volume,
+    "tpch_q4_order_priority_semi": q_order_priority_semi,
+    "rel_customers_no_orders_anti": q_customers_no_orders_anti,
+    "rel_top_customers_per_nation": q_top_customers_per_nation,
+    "rel_part_type_stats": q_part_type_stats,
+}
+
+ORACLES = {
+    "tpch_q1_pricing_summary": f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+               COUNT(*) AS count_order,
+               ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+               ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "tpch_q3_shipping_priority": f"""
+        SELECT l_orderkey, o_orderdate,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        WHERE c_mktsegment = '{Q3_SEGMENT}'
+          AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+          AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+        GROUP BY l_orderkey, o_orderdate
+        ORDER BY revenue DESC, l_orderkey ASC
+        LIMIT 10
+    """,
+    "tpch_q5_local_supplier_volume": """
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        JOIN orders ON o_custkey = c_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        GROUP BY n_name
+    """,
+    "tpch_q4_order_priority_semi": """
+        SELECT o_orderpriority, COUNT(*) AS order_count
+        FROM orders
+        WHERE EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > TIMESTAMP '2000-01-01'
+        )
+        GROUP BY o_orderpriority
+    """,
+    "rel_customers_no_orders_anti": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    "rel_top_customers_per_nation": """
+        WITH spend AS (
+          SELECT o_custkey,
+                 CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS revenue
+          FROM orders GROUP BY o_custkey
+        )
+        SELECT n_name, c_custkey, revenue, rnk FROM (
+          SELECT n_name, c_custkey, revenue,
+                 RANK() OVER (PARTITION BY n_name ORDER BY revenue DESC, c_custkey ASC) AS rnk
+          FROM customer
+          JOIN spend ON c_custkey = o_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+        ) WHERE rnk <= 3
+    """,
+    "rel_part_type_stats": """
+        SELECT p_type, COUNT(*) AS n_parts,
+               COUNT(DISTINCT p_brand) AS n_brands,
+               MIN(p_retailprice) AS min_price,
+               MAX(p_retailprice) AS max_price,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        FROM part
+        GROUP BY p_type
+    """,
+}

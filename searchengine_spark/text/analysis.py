@@ -1,0 +1,133 @@
+"""Text analytics for LLM-data-pipeline curation — quality scoring,
+token statistics, language signals, document fingerprints.
+
+All computations are per-document array/string expressions (no
+explode, no shuffle except the small groupBy rollups) — at 100 TB
+this is a pure map stage over the corpus scan, which is exactly what
+you want for a quality-filter pass. Every query has a DuckDB oracle
+twin; ratios are rounded to 6 decimals on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.text.tokenizer import STOPWORDS
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _raw_tokens(col):
+    """All lowercase alpha runs (stopwords INCLUDED — raw stream)."""
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit(""))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features: token counts, stopword ratio,
+    mean token length, quality score. Pure map stage (array exprs)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _raw_tokens(F.col("text"))
+    # sum(len(token)) == count of alpha chars — avoids a fold.
+    alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
+    n_tokens = F.size(toks)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    stop_ratio = F.round(n_stop / n_tokens, 6)
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        F.round(alpha_chars / n_tokens, 6).alias("avg_token_len"),
+        # Simple curation score: longer docs with more lexical variety
+        # and fewer stopwords score higher.
+        F.round(
+            F.log(n_tokens + F.lit(1.0))
+            * (F.size(F.array_distinct(toks)) / n_tokens)
+            * (F.lit(1.0) - n_stop / n_tokens),
+            6,
+        ).alias("quality_score"),
+    ).filter(F.col("n_tokens") > 0)
+
+
+def q_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token-length histogram (explode + tiny-key agg)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(_raw_tokens(F.col("text"))).alias("word"))
+        .groupBy(F.length("word").alias("token_len"))
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("word").alias("n_distinct"))
+    )
+
+
+def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("n_chars") / F.count(F.lit(1)), 6).alias("avg_chars"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-content fingerprint: md5 of the space-joined raw
+    token stream. Whitespace/punct/case-insensitive — the first-line
+    near-exact dedup key for a crawl corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    normalized = F.array_join(_raw_tokens(F.col("text")), " ")
+    return docs.select(
+        "doc_id", F.md5(normalized.cast("binary")).alias("fingerprint")
+    )
+
+
+_RAW_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+
+QUERIES = {
+    "text_stats": q_text_stats,
+    "text_token_length_hist": q_token_length_hist,
+    "text_lang_distribution": q_lang_distribution,
+    "text_doc_fingerprint": q_doc_fingerprint,
+}
+
+ORACLES = {
+    "text_stats": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 length(text) AS n_chars,
+                 {_RAW_TOK_SQL} AS toks,
+                 length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_chars
+          FROM documents
+        )
+        SELECT doc_id, n_chars,
+               len(toks) AS n_tokens,
+               len(list_distinct(toks)) AS n_distinct_tokens,
+               len(list_filter(toks, w -> w IN ({_STOP_SQL}))) AS n_stopwords,
+               round(len(list_filter(toks, w -> w IN ({_STOP_SQL}))) / len(toks), 6) AS stopword_ratio,
+               round(alpha_chars / len(toks), 6) AS avg_token_len,
+               round(ln(len(toks) + 1.0)
+                     * (len(list_distinct(toks)) / len(toks))
+                     * (1.0 - len(list_filter(toks, w -> w IN ({_STOP_SQL}))) / len(toks)), 6)
+                 AS quality_score
+        FROM base WHERE len(toks) > 0
+    """,
+    "text_token_length_hist": f"""
+        WITH tok AS (
+          SELECT unnest({_RAW_TOK_SQL}) AS word FROM documents
+        )
+        SELECT length(word)::INT AS token_len, COUNT(*) AS n_tokens,
+               COUNT(DISTINCT word) AS n_distinct
+        FROM tok GROUP BY 1
+    """,
+    "text_lang_distribution": """
+        SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               round(SUM(n_chars) / COUNT(*), 6) AS avg_chars
+        FROM documents GROUP BY lang
+    """,
+    "text_doc_fingerprint": f"""
+        SELECT doc_id, md5(array_to_string({_RAW_TOK_SQL}, ' ')) AS fingerprint
+        FROM documents
+    """,
+}
