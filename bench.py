@@ -1,0 +1,84 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric", "value" (total sec), "unit", "queries", "sf"}.
+
+Each query is fully executed via the noop sink (no driver collect
+bottleneck); timings include plan + execution, not session startup.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+HEADLINE = [
+    "se_bm25_topk",
+    "se_term_frequencies",
+    "se_inverted_index",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "rel_top_customers_per_nation",
+    "events_hourly_rollup",
+    "events_sessionize",
+    "dedup_exact",
+    "dedup_minhash_bands",
+    "dedup_neardup_jaccard",
+    "sim_cosine_topk",
+    "text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([\d.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+
+    from searchengine_spark.registry import all_queries
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("searchengine-bench")
+    queries = all_queries()
+
+    # Warmup: absorb JIT/codegen/file-index overhead so per-query
+    # numbers reflect steady-state throughput, then time queries.
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_tables
+
+    for df in load_tables(spark, sf_dir).values():
+        df.count()
+    spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

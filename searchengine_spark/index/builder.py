@@ -64,17 +64,34 @@ def build_index(
     text_col: str = "text",
     stem: bool = False,
     tokens: Column | None = None,
+    cache_tokens: bool = True,
 ) -> InvertedIndex:
     """Build the full index lineage from a (doc_id, text) DataFrame.
 
     ``tokens`` overrides the tokenizer with a caller-supplied
     array<string> Column (e.g. concat of nested opinion texts for the
     reference's CAP corpus shape — see corpus.py).
+
+    ``cache_tokens``: the tokenized stream feeds four aggregates;
+    without caching, Spark re-tokenizes the corpus once per branch.
+    In-memory cache is right for interactive/test scale; for a
+    100 TB build, disable and instead persist the index with
+    write_index (one pass per aggregate over a disk-backed scan
+    beats caching a corpus-sized token stream in RAM).
     """
+    from searchengine_spark.io import ensure_min_partitions
+
     tok = tokens if tokens is not None else tokens_column(text_col, stem=stem)
-    tokenized = docs.select(
+    # NB: the empty-doc filter comes AFTER the (cached) projection —
+    # filtering on size(words) in the same lineage lets predicate
+    # pushdown sink the tokenizer expression into the scan stage,
+    # serializing the whole tokenize pass onto the scan's partitions.
+    tokenized = ensure_min_partitions(docs).select(
         F.col(id_col).alias("doc_id"), tok.alias("words")
-    ).filter(F.size("words") > 0)
+    )
+    if cache_tokens:
+        tokenized = tokenized.cache()
+    tokenized = tokenized.filter(F.size("words") > 0)
 
     # |d| straight off the array — no explode, no shuffle beyond the
     # (tiny) aggregate below.

@@ -50,6 +50,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
+    """Repartition ONLY if the scan produced fewer partitions than
+    cores — rescues CPU-bound map stages over small single-row-group
+    files (local test data). At real scale a 100 TB scan already has
+    thousands of splits, so this is a no-op and never forces a
+    full-corpus shuffle.
+    """
+    spark = df.sparkSession
+    target = n or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every known table present under ``sf_dir``."""
     out: dict[str, DataFrame] = {}

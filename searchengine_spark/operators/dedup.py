@@ -21,12 +21,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.io import load_table
+from searchengine_spark.io import ensure_min_partitions, load_table
 from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
 
 NUM_HASHES = 16
 BAND_SIZE = 4  # -> 4 bands
 SHINGLE_K = 3
+
+# MinHash integer-hash family: h_i(x) = (A_i * x + B_i) mod MOD over a
+# 31-bit prime field. One md5 per shingle (not per hash function) —
+# the base 60-bit integer comes from the first 15 hex chars of
+# md5(shingle), so every engine reproduces it exactly.
+MINHASH_MOD = 2_147_483_647  # 2^31 - 1 (prime)
+MINHASH_COEFFS: tuple[tuple[int, int], ...] = (
+    (1_203_077_357, 528_734_109), (1_827_450_343, 93_406_133),
+    (695_402_117, 1_442_689_063), (1_549_331_159, 320_581_723),
+    (874_113_077, 1_906_734_883), (2_011_237_231, 44_567_891),
+    (432_198_761, 765_432_109), (1_111_111_121, 987_654_323),
+    (1_777_777_783, 135_792_467), (246_813_579, 1_357_924_681),
+    (1_928_374_655, 564_738_291), (847_563_029, 1_029_384_757),
+    (1_594_268_303, 726_351_849), (369_258_147, 1_472_583_691),
+    (1_086_421_357, 217_365_409), (1_650_342_879, 838_201_567),
+)
 
 
 def exact_dedup_groups(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
@@ -53,51 +69,106 @@ def shingles_column(tokens: Column, k: int = SHINGLE_K) -> Column:
     )
 
 
-def minhash_signature_cols(shingles: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
-    """num_hashes MinHash values; hash_i(s) = md5('<i>:' || s).
+def shingle_hashes(shingles: Column) -> Column:
+    """Hash each shingle ONCE: first 60 bits of md5 -> int, reduced
+    into the 31-bit prime field. Everything downstream is integer
+    arithmetic — ~16x fewer md5 evaluations than salting md5 per
+    hash function."""
+    return F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        % MINHASH_MOD,
+    )
 
-    Salted md5 gives an independent-enough hash family and — unlike
-    xxhash/murmur seeds — is reproducible in any SQL engine.
-    """
 
-    def salted(i: int):
-        # NB: must be a ONE-argument lambda — F.transform treats a
-        # second lambda parameter as the array index.
-        return lambda s: F.md5(F.concat(F.lit(f"{i}:"), s).cast("binary"))
+def minhash_signature_cols(hashes: Column, num_hashes: int = NUM_HASHES) -> list[Column]:
+    """num_hashes MinHash values over pre-hashed shingle ints:
+    sig_i = min_x (A_i*x + B_i) mod MOD. A_i*x < 2^62 — no overflow."""
+
+    def affine(i: int):
+        a, b = MINHASH_COEFFS[i]
+        # NB: ONE-argument lambda — F.transform treats a second lambda
+        # parameter as the array index.
+        return lambda x: (F.lit(a) * x + F.lit(b)) % MINHASH_MOD
 
     return [
-        F.array_min(F.transform(shingles, salted(i))).alias(f"sig_{i}")
+        F.array_min(F.transform(hashes, affine(i))).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier between projection stages.
+
+    CollapseProject re-inlines an aliased expression into every
+    reference site of the next projection — for `shingles(tokens(x))`
+    that re-runs the tokenizer once per element_at (O(len^2) per
+    document), and for `sig_i(hashes(x))` it re-hashes every shingle
+    16x. An Exchange is a hard boundary: upstream is computed once
+    and the downstream lambda reads materialized arrays. The shuffled
+    payload here is token/int arrays (same order of size as the
+    input), so this stays cheap at any scale; a 100 TB index build
+    would persist these intermediates anyway (write_index).
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def shingle_frame(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, shingles array) for docs with >= SHINGLE_K tokens.
+
+    The min-length filter is phrased on the materialized token array
+    BETWEEN the barrier and the shingle projection. Filtering on
+    size(shingles) after the projection looks equivalent, but
+    predicate pushdown substitutes the full shingle expression into
+    the filter and sinks it to the scan stage — single-threaded AND
+    quadratic (measured 12s vs 0.7s at sf0.1).
+    """
+    toked = ensure_min_partitions(docs).select(
+        F.col("doc_id"), tokens_column(text_col).alias("toks")
+    )
+    return (
+        _barrier(toked)
+        .filter(F.size("toks") >= SHINGLE_K)
+        .select("doc_id", shingles_column(F.col("toks")).alias("shingles"))
+    )
+
+
 def minhash_bands(
-    docs: DataFrame,
+    docs: DataFrame | None = None,
     *,
     text_col: str = "text",
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) — LSH bucketing table.
 
     Docs with fewer than SHINGLE_K tokens are excluded (no shingle).
+    Pass a (cached) ``shingles`` frame to share the tokenize/shingle
+    scan with a downstream verification stage.
     """
-    toks = tokens_column(text_col)
-    with_sig = (
-        docs.select(F.col("doc_id"), shingles_column(toks).alias("shingles"))
-        .filter(F.size("shingles") > 0)
-        .select("doc_id", *minhash_signature_cols(F.col("shingles"), num_hashes))
+    sh = shingles if shingles is not None else shingle_frame(docs, text_col=text_col)
+    # Barrier again: without it the per-shingle md5 expression is
+    # inlined into all 16 signature mins (16x the hashing work).
+    hashed = _barrier(
+        sh.select("doc_id", shingle_hashes(F.col("shingles")).alias("hashes"))
+    )
+    with_sig = hashed.select(
+        "doc_id", *minhash_signature_cols(F.col("hashes"), num_hashes)
     )
     n_bands = num_hashes // band_size
+
+    def band_hash(b: int):
+        # Polynomial combine of the band's signatures: sigs < 2^31 so
+        # the 31-base polynomial stays < 2^46 — exact in any BIGINT.
+        h = F.col(f"sig_{b * band_size}")
+        for j in range(1, band_size):
+            h = h * 31 + F.col(f"sig_{b * band_size + j}")
+        return h
+
     bands = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col(f"sig_{b * band_size + j}") for j in range(band_size)]
-                ).cast("binary")
-            ).alias("band_hash"),
-        )
+        F.struct(F.lit(b).alias("band"), band_hash(b).alias("band_hash"))
         for b in range(n_bands)
     ]
     return with_sig.select(
@@ -128,17 +199,21 @@ def neardup_candidate_pairs(bands: DataFrame) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, pairs: DataFrame, *, text_col: str = "text") -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame | None,
+    pairs: DataFrame,
+    *,
+    text_col: str = "text",
+    shingles: DataFrame | None = None,
+) -> DataFrame:
     """Exact shingle-Jaccard for candidate pairs (verification stage).
 
     Joins the (small) candidate set back to per-doc shingle sets;
     array_intersect/union are per-row ops — no extra shuffle beyond
     the two joins.
     """
-    sh = docs.select(
-        "doc_id",
-        F.array_distinct(shingles_column(tokens_column(text_col))).alias("sh"),
-    )
+    base = shingles if shingles is not None else shingle_frame(docs, text_col=text_col)
+    sh = base.select("doc_id", F.array_distinct("shingles").alias("sh"))
     return (
         pairs.join(sh.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
         .join(sh.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
@@ -171,31 +246,35 @@ def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup_candidate_pairs(minhash_bands(docs))
-    return jaccard_pairs(docs, pairs)
+    # The shingle scan feeds both the LSH banding and the Jaccard
+    # verification — cache it so the corpus is tokenized once.
+    sh = shingle_frame(docs).cache()
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    return jaccard_pairs(None, pairs, shingles=sh)
 
 
 # ------------------------------------------------------------- oracles
 
 def _sig_sql_cols(num_hashes: int = NUM_HASHES) -> str:
     return ",\n         ".join(
-        "list_aggregate(list_transform(shingles, s -> md5('{i}:' || s)), 'min')"
-        " AS sig_{i}".format(i=i)
+        "list_aggregate(list_transform(hashes, x -> (({a}::BIGINT * x + {b}) % {m})), 'min')"
+        " AS sig_{i}".format(a=MINHASH_COEFFS[i][0], b=MINHASH_COEFFS[i][1], m=MINHASH_MOD, i=i)
         for i in range(num_hashes)
     )
+
+
+def _band_hash_sql(b: int, band_size: int = BAND_SIZE) -> str:
+    expr = f"sig_{b * band_size}"
+    for j in range(1, band_size):
+        expr = f"({expr} * 31 + sig_{b * band_size + j})"
+    return expr
 
 
 def _bands_sql(num_hashes: int = NUM_HASHES, band_size: int = BAND_SIZE) -> str:
     toks = sql_tokens_expr("text")
     n_bands = num_hashes // band_size
     band_rows = ",\n    ".join(
-        "({b}, md5({concat}))".format(
-            b=b,
-            concat=" || '|' || ".join(
-                f"sig_{b * band_size + j}" for j in range(band_size)
-            ),
-        )
-        for b in range(n_bands)
+        f"({b}, {_band_hash_sql(b, band_size)})" for b in range(n_bands)
     )
     return f"""
 WITH toks AS (
@@ -207,10 +286,16 @@ sh AS (
                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
   FROM toks WHERE len(t) >= {SHINGLE_K}
 ),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % {MINHASH_MOD}) AS hashes
+  FROM sh
+),
 sig AS (
   SELECT doc_id,
          {_sig_sql_cols(num_hashes)}
-  FROM sh
+  FROM hashed
 ),
 bands AS (
   SELECT doc_id, b.band, b.band_hash

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.io import load_table
+from searchengine_spark.io import ensure_min_partitions, load_table
 from searchengine_spark.text.tokenizer import STOPWORDS
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -28,25 +28,30 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality features: token counts, stopword ratio,
     mean token length, quality score. Pure map stage (array exprs)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = _raw_tokens(F.col("text"))
-    # sum(len(token)) == count of alpha chars — avoids a fold.
-    alpha_chars = F.length(F.regexp_replace(F.lower("text"), "[^a-z]", ""))
-    n_tokens = F.size(toks)
-    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
-    stop_ratio = F.round(n_stop / n_tokens, 6)
-    return docs.select(
+    # Materialize the token array once; re-using the tokenize
+    # *expression* would re-run the split per derived column.
+    base = ensure_min_partitions(docs).select(
         "doc_id",
         F.length("text").alias("n_chars"),
+        _raw_tokens(F.col("text")).alias("toks"),
+        # sum(len(token)) == count of alpha chars — avoids a fold.
+        F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("alpha_chars"),
+    )
+    n_tokens = F.size("toks")
+    n_stop = F.size(F.filter("toks", lambda w: w.isin(*STOPWORDS)))
+    return base.select(
+        "doc_id",
+        "n_chars",
         n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
         n_stop.alias("n_stopwords"),
-        stop_ratio.alias("stopword_ratio"),
-        F.round(alpha_chars / n_tokens, 6).alias("avg_token_len"),
+        F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.col("alpha_chars") / n_tokens, 6).alias("avg_token_len"),
         # Simple curation score: longer docs with more lexical variety
         # and fewer stopwords score higher.
         F.round(
             F.log(n_tokens + F.lit(1.0))
-            * (F.size(F.array_distinct(toks)) / n_tokens)
+            * (F.size(F.array_distinct("toks")) / n_tokens)
             * (F.lit(1.0) - n_stop / n_tokens),
             6,
         ).alias("quality_score"),
@@ -57,7 +62,8 @@ def q_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide token-length histogram (explode + tiny-key agg)."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(_raw_tokens(F.col("text"))).alias("word"))
+        ensure_min_partitions(docs)
+        .select(F.explode(_raw_tokens(F.col("text"))).alias("word"))
         .groupBy(F.length("word").alias("token_len"))
         .agg(F.count(F.lit(1)).alias("n_tokens"), F.countDistinct("word").alias("n_distinct"))
     )
