@@ -1,0 +1,163 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Representation: media is an opaque `binary` payload column plus a
+typed metadata struct (media_type, width/height or sample_rate,
+n_frames, ...). All heavy per-item work (decode, feature extraction,
+resizing, frame sampling) runs through `mapInPandas` — Arrow-batched
+iterator UDFs, the only sane shape for multi-MB blobs: one Python
+round trip per batch, bounded memory via the iterator protocol, and
+partition-parallel across the cluster.
+
+REAL vs STUB: the Spark-side plumbing (schemas, batching, UDF
+signatures, partitioning) is real and tested. The codec kernels are
+STUBS — image/audio libraries are not available in this container —
+implemented against a deterministic fake header format:
+
+    bytes 0:2  magic b"IM" / b"AU" / b"VI"
+    bytes 2:6  width / sample_rate / n_frames   (big-endian uint32)
+    bytes 6:10 height / n_samples / frame_size  (big-endian uint32)
+    rest       payload
+
+`decode_real_media` raises NotImplementedError with instructions, so
+swapping in Pillow/librosa/pyav later touches ONE function per
+modality and none of the dataflow.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("dim_a", IntegerType()),      # width / sample_rate / n_frames
+        StructField("dim_b", IntegerType()),      # height / n_samples / frame_size
+        StructField("n_bytes", IntegerType()),
+        StructField("mean_byte", DoubleType()),   # stand-in "feature"
+    ]
+)
+
+
+def encode_fake_media(media_type: str, dim_a: int, dim_b: int, payload: bytes) -> bytes:
+    magic = {"image": b"IM", "audio": b"AU", "video": b"VI"}[media_type]
+    return magic + struct.pack(">II", dim_a, dim_b) + payload
+
+
+def decode_real_media(payload: bytes, media_type: str):  # pragma: no cover
+    """Swap-in point for real codecs (Pillow / librosa / pyav)."""
+    raise NotImplementedError(
+        "real media decoding requires imaging/audio libraries not "
+        "present in this environment; replace this function and keep "
+        "the mapInPandas dataflow unchanged"
+    )
+
+
+def _decode_header(payload: bytes) -> tuple[int, int]:
+    if payload is None or len(payload) < 10:
+        return (0, 0)
+    return struct.unpack(">II", payload[2:10])
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Binary payloads -> typed metadata + a cheap content feature.
+
+    mapInPandas: batches arrive as pandas DataFrames (Arrow), the
+    generator yields result batches — memory stays bounded no matter
+    how large the partition is.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            dims = pdf["payload"].map(_decode_header)
+            body = pdf["payload"].map(
+                lambda p: p[10:] if p is not None and len(p) > 10 else b""
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "dim_a": dims.map(lambda d: d[0]).astype("int32"),
+                    "dim_b": dims.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": body.map(len).astype("int32"),
+                    "mean_byte": body.map(
+                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
+                    ),
+                }
+            )
+
+    return media.mapInPandas(batches, DECODED_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("frame", BinaryType()),
+    ]
+)
+
+
+def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
+    """Deterministic frame sampling for video payloads.
+
+    Fake format: header declares n_frames x frame_size; payload is
+    frames concatenated. Real decoder swap-in: replace the slicing
+    with pyav keyframe extraction; the exploded (media_id, frame_no,
+    frame) shape and sampling logic stay.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, out_nos, out_frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None or len(payload) < 10 or payload[:2] != b"VI":
+                    continue
+                n_frames, frame_size = struct.unpack(">II", payload[2:10])
+                body = payload[10:]
+                for k in range(0, n_frames, every_nth):
+                    start = k * frame_size
+                    frame = bytes(body[start : start + frame_size])
+                    if len(frame) < frame_size:
+                        break
+                    out_ids.append(mid)
+                    out_nos.append(k)
+                    out_frames.append(frame)
+            yield pd.DataFrame(
+                {"media_id": out_ids, "frame_no": out_nos, "frame": out_frames}
+            ).astype({"frame_no": "int32"}, errors="ignore")
+
+    return video.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Native (no-UDF) profile of a media table: sizes per type.
+    Shows binary columns flow through ordinary Spark exprs."""
+    return media.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.max(F.length("payload")).alias("max_bytes"),
+    )

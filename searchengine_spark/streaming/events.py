@@ -1,0 +1,108 @@
+"""Structured Streaming versions of the event analytics.
+
+The batch queries in relational/events.py are the oracle for these:
+same aggregations expressed over an unbounded stream with watermarks
+for late data. The test suite replays the events parquet through a
+file stream (maxFilesPerTrigger) into a memory sink and checks the
+result equals the batch answer — the standard "stream/batch parity"
+correctness argument for Structured Streaming jobs.
+
+Scale notes: all stateful ops key on (window x event_type) or
+user_id — bounded or high-cardinality/low-skew state, partitioned by
+key across executors. Watermarks bound state size; at 100 TB/day the
+same topology runs with kafka sources and RocksDB state store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import table_path
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table (schema from a static
+    read; ts restored from nano-longs exactly like io.load_table)."""
+    import os
+
+    path = table_path(sf_dir, "events")
+    raw_schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        # The file stream source requires a directory basePath; a
+        # trailing one-char glob class makes Spark treat the parent
+        # as basePath while matching exactly this file.
+        path = f"{path[:-1]}[{path[-1]}]"
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+    if dict(stream.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def hourly_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour rollup per event_type (streaming twin of
+    relational/events.q_events_hourly)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("window").start.alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+    """Native session windows per user (streaming sessionization).
+
+    Note: session_window merges on event-time gaps like the batch
+    lag/cumsum sessionizer; both emit (user, session) aggregates.
+    """
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            F.col("session_window").start.alias("session_start"),
+            F.col("session_window").end.alias("session_end"),
+            "user_id",
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event dedup on event_id within the watermark —
+    the streaming half of operators/dedup (exact family)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, *, output_mode: str) -> None:
+    """Execute a bounded replay to completion into a memory sink."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

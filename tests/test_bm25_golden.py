@@ -1,0 +1,78 @@
+"""Hand-computed BM25 goldens from FIXTURES.md §4 — the reference's
+exact scoring semantics (k1=1.2, b=0.75, idf=log10(N/df))."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.bm25 import search
+from searchengine_spark.index.builder import build_index
+
+
+@pytest.fixture(scope="module")
+def micro_index(spark):
+    # Pre-tokenized micro corpus (5 docs, avgdl=3.0) from FIXTURES §4.
+    rows = [
+        (1, ["murder", "trial", "court"]),
+        (2, ["contract", "breach", "court", "court"]),
+        (3, ["murder", "murder", "appeal"]),
+        (4, ["properti", "right", "court"]),
+        (5, ["appeal", "court"]),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, words array<string>")
+    return build_index(docs, tokens=F.col("words"), cache_tokens=False)
+
+
+def test_index_stats(micro_index):
+    params = micro_index.scoring_params.collect()[0]
+    assert params.n_docs == 5
+    assert params.avgdl == pytest.approx(3.0)
+    idf = {r.word: r.idf for r in micro_index.idf_values.collect()}
+    assert idf["murder"] == pytest.approx(math.log10(5 / 2), abs=1e-9)
+    assert idf["court"] == pytest.approx(math.log10(5 / 4), abs=1e-9)
+    dl = {r.doc_id: r.doc_length for r in micro_index.doc_lengths.collect()}
+    assert dl == {1: 3, 2: 4, 3: 3, 4: 3, 5: 2}
+
+
+def test_single_term_query(micro_index):
+    res = search(micro_index, ["murder"], k=10).collect()
+    assert [(r.doc_id, round(r.total_score, 6)) for r in res] == [
+        (3, 0.547168),
+        (1, 0.397940),
+    ]
+
+
+def test_multi_term_query_with_tiebreak(micro_index):
+    res = search(micro_index, ["court", "appeal"], k=10).collect()
+    got = [(r.doc_id, round(r.total_score, 6)) for r in res]
+    # Golden from FIXTURES §4 (doc 5 recomputed at full precision:
+    # the .md rounds each term's score before summing -> 0.572985;
+    # exact = 0.09691001*2.2/1.9 + 0.39794001*2.2/1.9 = 0.5729842).
+    # Docs 1 and 4 tie -> doc_id ascending.
+    assert got == [
+        (5, 0.572984),
+        (3, 0.397940),
+        (2, 0.121830),
+        (1, 0.096910),
+        (4, 0.096910),
+    ]
+
+
+def test_empty_and_unknown_queries(micro_index):
+    assert search(micro_index, [], k=5).count() == 0
+    assert search(micro_index, ["zzz"], k=5).count() == 0
+
+
+def test_topk_limit(micro_index):
+    assert search(micro_index, ["court"], k=2).count() == 2
+
+
+def test_okapi_variant_orders_differently_but_ranks(micro_index):
+    res = search(micro_index, ["murder"], k=10, idf_variant="okapi").collect()
+    # rank_bm25-style idf: ln((N-df+0.5)/(df+0.5)+1); doc 3 still first.
+    assert res[0].doc_id == 3
+    expected_idf = math.log((5 - 2 + 0.5) / (2 + 0.5) + 1)
+    # doc 1: tf=1, dl=3=avgdl -> idf * 2.2/2.2 = idf
+    doc1 = [r for r in res if r.doc_id == 1][0]
+    assert doc1.total_score == pytest.approx(expected_idf, abs=1e-9)

@@ -1,0 +1,54 @@
+"""Multimodal plumbing tests: binary columns, Arrow-batched decode,
+frame sampling, native binary stats. Codecs are deterministic fakes
+(container has no imaging libs); the dataflow is the real thing."""
+
+import pytest
+
+from searchengine_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_media,
+    decode_real_media,
+    encode_fake_media,
+    media_stats,
+    sample_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (1, "image", encode_fake_media("image", 640, 480, bytes([10, 20, 30]))),
+        (2, "image", encode_fake_media("image", 32, 32, bytes([100]))),
+        (3, "audio", encode_fake_media("audio", 16000, 48000, bytes([1, 2, 3, 4]))),
+        (4, "video", encode_fake_media("video", 5, 4, bytes(range(20)))),
+        (5, "image", None),  # null payload must not crash the batch
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+
+
+def test_decode_media(media):
+    got = {r.media_id: r for r in decode_media(media).collect()}
+    assert got[1].dim_a == 640 and got[1].dim_b == 480
+    assert got[1].n_bytes == 3 and got[1].mean_byte == pytest.approx(20.0)
+    assert got[3].dim_a == 16000 and got[3].dim_b == 48000
+    assert got[5].dim_a == 0 and got[5].n_bytes == 0
+
+
+def test_sample_frames(media):
+    frames = sample_frames(media.filter("media_type = 'video'"), every_nth=2).collect()
+    # video 4: 5 frames of 4 bytes, sampled 0,2,4
+    assert [(f.media_id, f.frame_no) for f in frames] == [(4, 0), (4, 2), (4, 4)]
+    assert frames[0].frame == bytes([0, 1, 2, 3])
+    assert frames[1].frame == bytes([8, 9, 10, 11])
+
+
+def test_media_stats_native(media):
+    stats = {r.media_type: r for r in media_stats(media).collect()}
+    assert stats["image"].n_items == 3
+    assert stats["video"].total_bytes == 10 + 20
+    assert stats["audio"].max_bytes == 14
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_real_media(b"xx", "image")

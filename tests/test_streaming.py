@@ -1,0 +1,55 @@
+"""Stream/batch parity: replay events.parquet through Structured
+Streaming and compare against the batch analytics."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.relational.events import q_events_hourly
+from searchengine_spark.streaming.events import (
+    dedup_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_window_stream,
+)
+
+
+def test_hourly_rollup_stream_matches_batch(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    run_to_memory(hourly_rollup_stream(stream), "hourly_mem", output_mode="complete")
+
+    got = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in spark.table("hourly_mem").collect()
+    }
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.total_value)
+        for r in q_events_hourly(spark, sf_dir).collect()
+    }
+    assert got == batch
+
+
+def test_session_window_stream_counts(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        session_window_stream(stream), "sessions_mem", output_mode="complete"
+    )
+    sessions = spark.table("sessions_mem")
+    total_events = sessions.agg(F.sum("n_events")).collect()[0][0]
+    from searchengine_spark.io import load_table
+
+    assert total_events == load_table(spark, sf_dir, "events").count()
+    # Every session's span respects the gap rule trivially:
+    # end - start >= 0 and bounded by the overall time range.
+    bad = sessions.filter(F.col("session_end") < F.col("session_start")).count()
+    assert bad == 0
+
+
+def test_dedup_stream_removes_nothing_on_unique_ids(spark, sf_dir):
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(dedup_stream(stream), "dedup_mem", output_mode="append")
+    from searchengine_spark.io import load_table
+
+    n_raw = load_table(spark, sf_dir, "events").count()
+    assert spark.table("dedup_mem").count() == n_raw

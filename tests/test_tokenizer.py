@@ -1,0 +1,60 @@
+"""Tokenizer + Porter stemmer goldens (FIXTURES.md §5; SURVEY.md §2.8)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.text.porter import porter_stem
+from searchengine_spark.text.tokenizer import tokenize_query, tokens_column
+
+PORTER_VECTORS = {
+    "caresses": "caress", "flies": "fli", "mules": "mule", "agreed": "agre",
+    "owned": "own", "meeting": "meet", "stating": "state", "plotted": "plot",
+    "itemization": "item", "sensational": "sensat", "reference": "refer",
+    "colonizer": "colon", "courts": "court", "running": "run",
+    "quickly": "quickli", "property": "properti", "applies": "appli",
+    "rights": "right", "electrical": "electr", "hopeful": "hope",
+    "goodness": "good", "adjustable": "adjust", "defensible": "defens",
+    "replacement": "replac", "adoption": "adopt", "communism": "commun",
+    "activate": "activ", "effective": "effect", "roll": "roll",
+}
+
+
+def test_porter_vectors():
+    for word, expect in PORTER_VECTORS.items():
+        assert porter_stem(word) == expect, word
+
+
+def test_query_tokenize_goldens():
+    assert tokenize_query("The courts were running quickly", stem=True) == [
+        "court", "run", "quickli",
+    ]
+    # isalpha parity: punctuation/number fragments dropped (FIXTURES §5)
+    assert tokenize_query("Section 42 applies; see U.S. v. Smith", stem=True) == [
+        "section", "appli", "see", "smith",
+    ]
+    assert tokenize_query("Murder") == ["murder"]
+    assert tokenize_query("the of and") == []
+
+
+def test_spark_tokens_match_driver_tokens(spark):
+    texts = [
+        "The courts were running quickly",
+        "Section 42 applies; see U.S. v. Smith",
+        "MURDER!!! trial... court?",
+        "",
+        "the of and to",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    for stem in (False, True):
+        got = [
+            r.toks
+            for r in df.select(tokens_column("text", stem=stem).alias("toks")).collect()
+        ]
+        expected = [tokenize_query(t, stem=stem) for t in texts]
+        assert got == expected, f"stem={stem}"
+
+
+def test_stopword_filter_before_stemming():
+    # "running" must survive the stopword test unstemmed, then stem.
+    # A buggy stem-first pipeline would test "run" against stopwords.
+    assert tokenize_query("running", stem=True) == ["run"]
