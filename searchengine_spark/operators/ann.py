@@ -1,0 +1,112 @@
+"""Approximate nearest neighbor: random-hyperplane LSH bucketing.
+
+The 100 TB companion to similarity.cosine_topk (exact, linear scan):
+
+1. index: assign every vector a B-bit signature — bit i is the sign
+   of <v, plane_i> for B fixed hyperplanes. Vectors land in 2^B
+   buckets; cosine-close vectors collide with high probability
+   (collision prob per bit = 1 - theta/pi).
+2. query: compute the query's signature; score ONLY vectors in
+   buckets within `probe_hamming` bits (multi-probe), then exact
+   cosine re-rank. The candidate join is an equi-join on bucket id —
+   shuffle on a uniform small key, never a cross join.
+
+Hyperplanes are deterministic: component j of plane i is the
+integer in [-8..7] taken from a hex digit of md5("plane:i:j") —
+reproducible in any engine/language, no RNG state. For unit-ish
+embedding data any fixed full-rank set of planes works; what matters
+is determinism and spread.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.similarity import cosine_expr
+
+N_PLANES = 12
+
+
+def plane_component(i: int, j: int) -> int:
+    """Deterministic pseudo-random integer in [-8, 7]."""
+    h = hashlib.md5(f"plane:{i}:{j}".encode()).hexdigest()
+    return int(h[0], 16) - 8
+
+
+def _planes(dim: int, n_planes: int) -> list[list[int]]:
+    return [[plane_component(i, j) for j in range(dim)] for i in range(n_planes)]
+
+
+def bucket_expr(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
+    """B-bit LSH bucket id for an array<float/double> column."""
+    planes = _planes(dim, n_planes)
+    bits = []
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec,
+                F.array(*[F.lit(float(c)) for c in plane]),
+                lambda x, c: x.cast("double") * c,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    return sum(bits[1:], bits[0]).cast("bigint")
+
+
+def build_ann_index(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+) -> DataFrame:
+    """(id, vec, bucket) — persist/bucket this by `bucket` at scale."""
+    return embeddings.select(
+        F.col(id_col),
+        F.col(vec_col),
+        bucket_expr(F.col(vec_col), dim, n_planes).alias("bucket"),
+    )
+
+
+def ann_search(
+    index: DataFrame,
+    query_vec: DataFrame,
+    *,
+    dim: int,
+    k: int = 10,
+    n_planes: int = N_PLANES,
+    probe_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH search: candidates from buckets within
+    `probe_hamming` bits of the query bucket, exact cosine re-rank.
+
+    The bucket filter is evaluated via bit_count(xor) against the
+    (broadcast) 1-row query — a map-side filter over the index scan;
+    with the index table bucketed/partitioned by `bucket`, partition
+    pruning makes the probe touch ~C(B, probe_hamming) buckets.
+    """
+    q = query_vec.select(
+        F.col(vec_col).alias("qvec"),
+        bucket_expr(F.col(vec_col), dim, n_planes).alias("qbucket"),
+    )
+    return (
+        index.crossJoin(F.broadcast(q))
+        .filter(
+            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
+            <= probe_hamming
+        )
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )

@@ -80,7 +80,7 @@ def q_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.size("embedding").alias("dim"),
+        F.size("embedding").cast("bigint").alias("dim"),
         F.round(norm_expr(F.col("embedding")), 6).alias("l2_norm"),
         "label",
     )

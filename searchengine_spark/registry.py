@@ -44,9 +44,21 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        from searchengine_spark.operators import simhash
+
+        modules.append(simhash)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark.text import analysis
 
         modules.append(analysis)
+    except ImportError:
+        pass
+    try:
+        from searchengine_spark.text import langid
+
+        modules.append(langid)
     except ImportError:
         pass
 

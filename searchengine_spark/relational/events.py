@@ -55,7 +55,7 @@ def q_events_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w)
         .cast("double")
         .alias("running_total"),
-        F.row_number().over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("seq"),
+        F.row_number().over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("bigint").alias("seq"),
     )
 
 

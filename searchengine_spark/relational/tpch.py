@@ -167,7 +167,7 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(spend, cust.c_custkey == spend.o_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .select("n_name", "c_custkey", "revenue")
-        .withColumn("rnk", F.rank().over(w))
+        .withColumn("rnk", F.rank().over(w).cast("bigint"))
         .filter(F.col("rnk") <= 3)
     )
 

@@ -32,7 +32,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # *expression* would re-run the split per derived column.
     base = ensure_min_partitions(docs).select(
         "doc_id",
-        F.length("text").alias("n_chars"),
+        F.length("text").cast("bigint").alias("n_chars"),
         _raw_tokens(F.col("text")).alias("toks"),
         # sum(len(token)) == count of alpha chars — avoids a fold.
         F.length(F.regexp_replace(F.lower("text"), "[^a-z]", "")).alias("alpha_chars"),
@@ -42,9 +42,9 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select(
         "doc_id",
         "n_chars",
-        n_tokens.alias("n_tokens"),
-        F.size(F.array_distinct("toks")).alias("n_distinct_tokens"),
-        n_stop.alias("n_stopwords"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct("toks")).cast("bigint").alias("n_distinct_tokens"),
+        n_stop.cast("bigint").alias("n_stopwords"),
         F.round(n_stop / n_tokens, 6).alias("stopword_ratio"),
         F.round(F.col("alpha_chars") / n_tokens, 6).alias("avg_token_len"),
         # Simple curation score: longer docs with more lexical variety

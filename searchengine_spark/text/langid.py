@@ -1,0 +1,110 @@
+"""Marker-word language identification (n-gram/stopword heuristic).
+
+The classic cheap lang-ID for corpus triage: score each language by
+distinct-overlap between the document's tokens and a small set of
+high-frequency marker words; pick the argmax (ties broken by
+language code, so results are deterministic). Pure array expressions
+(array_intersect on a literal array) — a map-only stage at any
+scale, and fully oracle-checkable.
+
+Accuracy on real multilingual text is tested in
+tests/test_langid.py with native-language fixtures; the synthetic
+`documents` table is English-ish, so its guesses mostly exercise the
+operator shape, not linguistics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import ensure_min_partitions, load_table
+
+# High-frequency function words per language (public knowledge).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine", "ich",
+           "sie", "mit", "auf", "werden", "haben", "dass", "von", "sich"),
+    "en": ("the", "and", "is", "not", "are", "was", "have", "that", "with",
+           "this", "from", "they", "will", "which", "been", "their"),
+    "es": ("el", "la", "los", "las", "es", "una", "uno", "que", "con",
+           "para", "por", "como", "pero", "esta", "este", "ser"),
+    "fr": ("le", "la", "les", "est", "une", "des", "que", "qui", "dans",
+           "pour", "pas", "avec", "sur", "ce", "sont", "vous"),
+}
+
+
+def _raw_tokens(col: Column) -> Column:
+    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit(""))
+
+
+def lang_scores(tokens: Column) -> list[Column]:
+    """Distinct-overlap count per language, as columns lang_<code>."""
+    distinct = F.array_distinct(tokens)
+    return [
+        F.size(
+            F.array_intersect(distinct, F.array(*[F.lit(w) for w in words]))
+        ).alias(f"score_{code}")
+        for code, words in sorted(LANG_MARKERS.items())
+    ]
+
+
+def guess_lang_expr() -> Column:
+    """argmax over the score_<code> columns; ties -> lexicographic
+    first (deterministic)."""
+    codes = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{c}") for c in codes])
+    expr = F.lit(None).cast("string")
+    # reversed so the FIRST code wins ties after the fold
+    for c in reversed(codes):
+        expr = F.when(F.col(f"score_{c}") == best, F.lit(c)).otherwise(expr)
+    return expr
+
+
+def identify_language(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    base = ensure_min_partitions(docs).select(
+        "doc_id", _raw_tokens(F.col(text_col)).alias("toks")
+    )
+    scored = base.select("doc_id", *lang_scores(F.col("toks")))
+    return scored.select(
+        "doc_id",
+        guess_lang_expr().alias("lang_guess"),
+        F.greatest(*[F.col(f"score_{c}") for c in sorted(LANG_MARKERS)]).cast("bigint").alias("marker_hits"),
+    )
+
+
+def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return identify_language(load_table(spark, sf_dir, "documents"))
+
+
+def _markers_sql(code: str) -> str:
+    return ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
+
+
+def _lang_sql() -> str:
+    codes = sorted(LANG_MARKERS)
+    scores = ",\n         ".join(
+        f"len(list_intersect(toks_d, [{_markers_sql(c)}])) AS score_{c}"
+        for c in codes
+    )
+    best = f"greatest({', '.join(f'score_{c}' for c in codes)})"
+    # same tie-break: first code in sorted order wins
+    case = "CASE " + " ".join(
+        f"WHEN score_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                   w -> w <> '')) AS toks_d
+  FROM documents
+),
+scored AS (
+  SELECT doc_id, {scores} FROM base
+)
+SELECT doc_id, {case} AS lang_guess, {best} AS marker_hits
+FROM scored
+"""
+
+
+QUERIES = {"text_lang_guess": q_lang_guess}
+ORACLES = {"text_lang_guess": _lang_sql()}

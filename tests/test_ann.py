@@ -1,0 +1,55 @@
+"""ANN LSH: determinism, bucket behavior, and recall vs brute force."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.operators.ann import ann_search, build_ann_index
+from searchengine_spark.operators.similarity import cosine_topk
+
+DIM = 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").cache()
+
+
+def test_bucket_deterministic(emb):
+    idx1 = build_ann_index(emb, dim=DIM).orderBy("vec_id").collect()
+    idx2 = build_ann_index(emb, dim=DIM).orderBy("vec_id").collect()
+    assert [r.bucket for r in idx1] == [r.bucket for r in idx2]
+    # buckets spread across the space, not collapsed into one
+    assert len({r.bucket for r in idx1}) > 10
+
+
+def test_query_finds_itself(emb, spark):
+    idx = build_ann_index(emb, dim=DIM)
+    qv = emb.filter(F.col("vec_id") == 7).select("embedding")
+    res = ann_search(idx, qv, dim=DIM, k=5, probe_hamming=0).collect()
+    # identical vector -> same bucket, cosine 1.0, rank 1
+    assert res[0].vec_id == 7
+    assert res[0].cosine == pytest.approx(1.0)
+
+
+def test_recall_vs_bruteforce(emb):
+    qv = emb.filter(F.col("vec_id") == 3).select(
+        F.col("embedding").alias("qvec"), F.col("embedding")
+    )
+    exact = {
+        r.vec_id
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 3), qv.select("qvec"), k=10
+        ).collect()
+    }
+    idx = build_ann_index(emb.filter(F.col("vec_id") != 3), dim=DIM)
+    approx = {
+        r.vec_id
+        for r in ann_search(
+            idx, qv.select("embedding"), dim=DIM, k=10, probe_hamming=4
+        ).collect()
+    }
+    recall = len(exact & approx) / 10
+    # Multi-probe at hamming<=4 over 12 planes must recover a
+    # meaningful fraction of the true top-10 on random data.
+    assert recall >= 0.3, f"recall {recall}"

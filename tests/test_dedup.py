@@ -1,0 +1,64 @@
+"""Dedup efficacy on synthetic duplicates: exact copies, near copies
+(small edits), and unrelated docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_bands,
+    neardup_candidate_pairs,
+    shingle_frame,
+)
+from searchengine_spark.operators.simhash import simhash_neardup_pairs, simhash_signatures
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the fence and the birds sing in the morning light over the hills "
+    "as farmers walk slowly towards the distant market carrying baskets "
+    "of fresh apples pears plums and grapes for the weekend village fair"
+)
+NEAR = BASE.replace("morning", "evening")  # one-token edit
+OTHER = (
+    "completely different content about database engines join algorithms "
+    "shuffle partitions and columnar storage formats for analytical queries"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(1, BASE), (2, BASE), (3, NEAR), (4, OTHER)]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_exact_dedup_groups(docs):
+    groups = {r.text_hash: r for r in exact_dedup_groups(docs).collect()}
+    sizes = sorted(g.n_copies for g in groups.values())
+    assert sizes == [1, 1, 2]
+    dup = [g for g in groups.values() if g.n_copies == 2][0]
+    assert dup.canonical_doc_id == 1
+
+
+def test_minhash_lsh_finds_near_duplicates(docs):
+    pairs = neardup_candidate_pairs(minhash_bands(docs)).collect()
+    got = {(p.doc_a, p.doc_b) for p in pairs}
+    assert (1, 2) in got          # exact copies always collide
+    assert (1, 3) in got or (2, 3) in got  # near copies collide
+    assert (1, 4) not in got and (2, 4) not in got and (3, 4) not in got
+
+
+def test_jaccard_verification_scores(docs):
+    sh = shingle_frame(docs)
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    scored = {(r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(None, pairs, shingles=sh).collect()}
+    assert scored[(1, 2)] == pytest.approx(1.0)
+    if (1, 3) in scored:
+        assert 0.5 < scored[(1, 3)] < 1.0
+
+
+def test_simhash_near_duplicates(docs):
+    sigs = simhash_signatures(docs)
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(sigs).collect()}
+    assert pairs.get((1, 2)) == 0          # identical text -> same simhash
+    assert (1, 4) not in pairs             # unrelated docs don't pair
