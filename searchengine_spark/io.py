@@ -44,9 +44,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
-            df = df.withColumn(
-                col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
-            )
+            # Integer `div`, NOT `/`: float division of e18-scale nanos
+            # exceeds double precision and lands ±1µs off.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
     return df
 
 

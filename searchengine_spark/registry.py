@@ -32,6 +32,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        from searchengine_spark.relational import advanced
+
+        modules.append(advanced)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark.operators import dedup
 
         modules.append(dedup)

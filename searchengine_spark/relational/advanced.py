@@ -1,0 +1,158 @@
+"""Advanced relational operators: as-of join, rollup, set ops, exact
+percentiles. Each with a DuckDB oracle twin.
+
+As-of join is the canonical "Spark lacks it natively" operator: we
+implement it as union + last-non-null window (one shuffle on the
+join key, no range explosion), and check it against DuckDB's native
+ASOF JOIN — a strong cross-engine semantic test.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+
+
+def asof_join_last_event(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str,
+    ts: str = "ts",
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """For each left row, the greatest right.ts <= left.ts per key.
+
+    Implementation: tag and union both sides, sort per key by
+    (ts, tag) with right rows first on ties, and carry the last seen
+    right timestamp forward with last(ignorenulls) — a single shuffle
+    on the key, linear state, no range-join blowup. This is the
+    scalable shape for billions of rows; a range join would explode.
+    """
+    l_tagged = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_tag"), F.col("event_id")
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "_r_ts", F.when(F.col("_tag") == 0, F.col(ts))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(ts, "_tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        unioned.withColumn(right_ts_alias, F.last("_r_ts", ignorenulls=True).over(w))
+        .filter(F.col("_tag") == 1)
+        .drop("_tag", "_r_ts")
+    )
+
+
+def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each purchase matched to the user's most recent prior signup."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    signups = ev.filter(F.col("event_type") == "signup")
+    joined = asof_join_last_event(
+        purchases, signups, key="user_id", right_ts_alias="signup_ts"
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "signup_ts",
+        F.when(
+            F.col("signup_ts").isNotNull(),
+            F.col("ts").cast("long") - F.col("signup_ts").cast("long"),
+        ).alias("gap_seconds"),
+    )
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus) — subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )
+
+
+def q_active_not_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set ops: customers ordering in the first half of the date range
+    INTERSECT second half, plus EXCEPT as churned."""
+    orders = load_table(spark, sf_dir, "orders")
+    early = orders.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        "o_custkey"
+    ).distinct()
+    late = orders.filter(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp")).select(
+        "o_custkey"
+    ).distinct()
+    retained = early.intersect(late).withColumn("status", F.lit("retained"))
+    churned = early.exceptAll(late).distinct().withColumn("status", F.lit("churned"))
+    return retained.unionByName(churned)
+
+
+def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact continuous quantiles per return flag (sort-based)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6).alias("p75"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+QUERIES = {
+    "rel_asof_purchase_signup": q_asof_purchase_signup,
+    "rel_rollup_revenue": q_rollup_revenue,
+    "rel_retained_churned": q_active_not_churned,
+    "rel_price_quartiles": q_price_quartiles,
+}
+
+ORACLES = {
+    "rel_asof_purchase_signup": """
+        SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts,
+               CASE WHEN s.ts IS NOT NULL
+                    THEN (epoch_us(p.ts) // 1000000) - (epoch_us(s.ts) // 1000000)
+               END AS gap_seconds
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "rel_rollup_revenue": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "rel_retained_churned": """
+        WITH early AS (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01'
+        ),
+        late AS (
+          SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        )
+        SELECT o_custkey, 'retained' AS status FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+        UNION ALL
+        SELECT o_custkey, 'churned' AS status FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+    """,
+    "rel_price_quartiles": """
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+               round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+               round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+               COUNT(*) AS n_items
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+}

@@ -1,0 +1,52 @@
+"""write_index/read_index roundtrip: search served from bucketed
+parquet must match search over the in-memory lineage."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.index.bm25 import search
+from searchengine_spark.index.builder import build_index, read_index, write_index
+from searchengine_spark.io import load_table
+
+
+@pytest.fixture(scope="module")
+def persisted(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    idx = build_index(docs)
+    out = tempfile.mkdtemp(prefix="se_index_")
+    write_index(idx, out, buckets=8)
+    yield idx, read_index(spark, out)
+    shutil.rmtree(out, ignore_errors=True)
+    spark.sql("DROP TABLE IF EXISTS se_term_frequencies")
+
+
+def test_roundtrip_tables_identical(persisted):
+    mem, disk = persisted
+    for name in ("term_frequencies", "doc_lengths", "idf_values", "scoring_params"):
+        a = getattr(mem, name)
+        b = getattr(disk, name)
+        assert a.count() == b.count(), name
+        assert sorted(a.columns) == sorted(b.columns), name
+        diff = a.select(*sorted(a.columns)).exceptAll(b.select(*sorted(a.columns)))
+        assert diff.count() == 0, name
+
+
+def test_search_from_disk_matches_memory(persisted):
+    mem, disk = persisted
+    for q in ("spark join window fast", "merge sort", "vector batch stream"):
+        m = [(r.doc_id, round(r.total_score, 9)) for r in search(mem, q, k=10).collect()]
+        d = [(r.doc_id, round(r.total_score, 9)) for r in search(disk, q, k=10).collect()]
+        assert m == d, q
+
+
+def test_bucketed_tf_scan_prunes(persisted, spark):
+    """The bucketed tf table must answer a term filter without a
+    shuffle when grouped by its bucket key."""
+    _, disk = persisted
+    # The saveAsTable-registered bucketed variant:
+    tf = spark.table("se_term_frequencies").filter(F.col("word") == "spark")
+    plan = tf.groupBy("word").count()._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
