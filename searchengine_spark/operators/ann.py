@@ -74,6 +74,45 @@ def build_ann_index(
     )
 
 
+def embedding_neardup_pairs(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucketing.
+
+    Candidates = pairs sharing an LSH bucket (equi-join on the bucket
+    id — the same never-O(n^2) shape as MinHash banding); verified by
+    exact cosine >= threshold. Near-identical vectors agree on every
+    hyperplane sign, so true near-dups share a bucket with
+    probability -> 1 as cos -> 1.
+    """
+    idx = build_ann_index(
+        embeddings, dim=dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+    )
+    left = idx.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = idx.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    return (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
 def ann_search(
     index: DataFrame,
     query_vec: DataFrame,

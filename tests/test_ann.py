@@ -32,6 +32,24 @@ def test_query_finds_itself(emb, spark):
     assert res[0].cosine == pytest.approx(1.0)
 
 
+def test_embedding_neardup_finds_planted_duplicates(spark, emb):
+    from searchengine_spark.operators.ann import embedding_neardup_pairs
+
+    # Plant a near-duplicate of vec 5: tiny perturbation of one component.
+    base = emb.filter(F.col("vec_id") == 5).collect()[0]
+    near = list(base.embedding)
+    near[0] = float(near[0]) + 1e-4
+    extra = spark.createDataFrame(
+        [(9001, near, base.label)], "vec_id bigint, embedding array<float>, label int"
+    )
+    pairs = embedding_neardup_pairs(
+        emb.unionByName(extra), dim=DIM, threshold=0.999
+    ).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} >= {(5, 9001)}
+    planted = [p for p in pairs if (p.id_a, p.id_b) == (5, 9001)][0]
+    assert planted.cosine >= 0.999
+
+
 def test_recall_vs_bruteforce(emb):
     qv = emb.filter(F.col("vec_id") == 3).select(
         F.col("embedding").alias("qvec"), F.col("embedding")

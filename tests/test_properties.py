@@ -1,0 +1,71 @@
+"""Property-based tests (hypothesis) for the text/scoring kernels."""
+
+import math
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from searchengine_spark.text.porter import porter_stem
+from searchengine_spark.text.tokenizer import MIN_TOKEN_LEN, STOPWORDS, tokenize_query
+
+text_strategy = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF), max_size=200
+)
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_tokens_are_normalized(text):
+    toks = tokenize_query(text)
+    for t in toks:
+        assert t == t.lower()
+        assert t.isalpha() and t.isascii()
+        assert len(t) >= MIN_TOKEN_LEN
+        assert t not in STOPWORDS
+
+
+@given(text_strategy)
+@settings(max_examples=200, deadline=None)
+def test_tokenize_deterministic(text):
+    assert tokenize_query(text) == tokenize_query(text)
+
+
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_tokenize_case_insensitive_ascii(text):
+    # ASCII only: Unicode case-folding is not involutive (hypothesis
+    # found 'ß'.upper() == 'SS', which the ASCII [a-z] tokenizer keeps
+    # while dropping 'ß'). The engine's tokenizer is ASCII-by-design.
+    assert tokenize_query(text.upper()) == tokenize_query(text)
+
+
+@given(st.text(alphabet="abcdefghijklmnopqrstuvwxyz", min_size=1, max_size=30))
+@settings(max_examples=500, deadline=None)
+def test_porter_output_sane(word):
+    stem = porter_stem(word)
+    assert stem  # never empty
+    assert len(stem) <= len(word)  # suffix stripping never grows
+    assert stem.isalpha()
+
+
+def test_bm25_monotone_in_tf():
+    """More occurrences of a query term -> higher score, all else equal."""
+    k1, b = 1.2, 0.75
+    idf, dl, avgdl = 0.5, 100.0, 100.0
+
+    def score(tf):
+        return idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    scores = [score(tf) for tf in range(1, 20)]
+    assert all(a < b_ for a, b_ in zip(scores, scores[1:]))
+    # bounded by idf*(k1+1)
+    assert all(s < idf * (k1 + 1) for s in scores)
+
+
+def test_bm25_penalizes_long_docs():
+    k1, b = 1.2, 0.75
+
+    def score(dl):
+        return 0.5 * (3 * (k1 + 1)) / (3 + k1 * (1 - b + b * dl / 100.0))
+
+    assert score(50) > score(100) > score(500)
