@@ -1,0 +1,67 @@
+"""Skew-aware aggregation: two-phase (salted) groupBy.
+
+When a groupBy key has few distinct values or a heavy-hitter (lang
+with 5 values over 100 TB, a viral doc_id, a stop-word-like term in
+tf), all rows for a hot key land on one reducer. The classic fix:
+
+    phase 1: groupBy(key, salt) — salt = hash(row) % N spreads each
+             hot key over N reducers; partial aggregates combine
+             map-side as usual.
+    phase 2: groupBy(key) over the N partials — tiny input.
+
+Only algebraic aggregates (count/sum/min/max, and avg as sum+count)
+can be split this way; the helper takes explicit partial/final specs
+so the decomposition is visible and testable. AQE's skew-join
+splitting handles JOIN skew automatically; this helper is for
+aggregation skew, which AQE does not rebalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SALTS = 16
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    partial_aggs: list[Column],
+    final_aggs: list[Column],
+    *,
+    n_salts: int = DEFAULT_SALTS,
+) -> DataFrame:
+    """Two-phase aggregation over possibly-skewed keys.
+
+    ``partial_aggs`` aggregate raw rows within (keys, salt);
+    ``final_aggs`` combine the partials per keys. Column names must
+    line up (partial output feeds final input).
+    """
+    salted = df.withColumn(
+        "_salt", (F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()) % n_salts)
+    )
+    partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
+    return partial.groupBy(*keys).agg(*final_aggs)
+
+
+def salted_count_sum(
+    df: DataFrame, keys: list[str], sum_col: str, *, n_salts: int = DEFAULT_SALTS
+) -> DataFrame:
+    """Convenience: count(*) + exact DECIMAL sum per key, skew-spread.
+
+    Output: keys..., n_rows, total (double from exact decimal sum).
+    """
+    return salted_agg(
+        df,
+        keys,
+        partial_aggs=[
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(F.col(sum_col).cast("decimal(28,2)")).alias("_s"),
+        ],
+        final_aggs=[
+            F.sum("_n").alias("n_rows"),
+            F.sum("_s").cast("double").alias("total"),
+        ],
+        n_salts=n_salts,
+    )
