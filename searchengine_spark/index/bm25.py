@@ -130,3 +130,14 @@ def snippets(
         .withColumn("snippet", F.substring("_t", 1, max_len))
         .drop("_t")
     )
+
+
+def highlight(df: DataFrame, col: str, query: str, *, tag: str = "mark") -> DataFrame:
+    """Wrap literal query matches in <tag>..</tag> (reference F6:
+    /root/reference/app.py:52 — case-sensitive literal replace)."""
+    import re
+
+    pattern = re.escape(query)
+    return df.withColumn(
+        col, F.regexp_replace(F.col(col), pattern, f"<{tag}>$0</{tag}>")
+    )

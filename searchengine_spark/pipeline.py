@@ -1,0 +1,158 @@
+"""End-to-end corpus curation pipeline — the composite operator a
+training-data run executes: quality gate -> exact dedup -> near-dup
+removal -> keep list.
+
+One oracle-checked query (`pipeline_curated_docs`) chains:
+1. quality gate: n_tokens >= MIN_TOKENS and stopword_ratio <= MAX_STOP
+   (map-only over the scan);
+2. exact dedup: keep min(doc_id) per md5(text) (one hash shuffle);
+3. near-dup removal: MinHash-LSH candidates verified at
+   jaccard >= JACCARD_CUT; drop the higher doc_id of each pair
+   (LSH equi-join + anti join).
+
+Everything is deterministic, so the whole pipeline has a DuckDB twin
+— the strongest end-to-end correctness statement in the repo: two
+engines agree on the exact final keep-list.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_bands,
+    neardup_candidate_pairs,
+    shingle_frame,
+)
+from searchengine_spark.text.tokenizer import STOPWORDS, sql_tokens_expr
+
+MIN_TOKENS = 10
+MAX_STOP_RATIO = 0.5
+JACCARD_CUT = 0.8
+
+
+def curate(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Returns the curated keep-list: (doc_id) surviving all gates."""
+    base = ensure_min_partitions(docs).select(
+        "doc_id",
+        F.col(text_col),
+        F.filter(
+            F.split(F.lower(text_col), "[^a-z]+"), lambda w: w != F.lit("")
+        ).alias("raw_toks"),
+    )
+    quality = base.select(
+        "doc_id",
+        F.col(text_col),
+        F.size("raw_toks").alias("n_tokens"),
+        F.size(F.filter("raw_toks", lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+    ).filter(
+        (F.col("n_tokens") >= MIN_TOKENS)
+        & (F.col("n_stop") / F.col("n_tokens") <= MAX_STOP_RATIO)
+    )
+
+    exact_keep = (
+        quality.select(F.md5(F.col(text_col).cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+
+    survivors = quality.join(exact_keep, "doc_id", "left_semi").select(
+        "doc_id", F.col(text_col)
+    )
+
+    sh = shingle_frame(survivors, text_col=text_col).cache()
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    near = jaccard_pairs(None, pairs, shingles=sh).filter(
+        F.col("jaccard") >= JACCARD_CUT
+    )
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
+def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate(load_table(spark, sf_dir, "documents"))
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+_RAW = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+
+_CURATE_SQL = f"""
+WITH quality AS (
+  SELECT doc_id, text
+  FROM (
+    SELECT doc_id, text,
+           len({_RAW}) AS n_tokens,
+           len(list_filter({_RAW}, w -> w IN ({_STOP_SQL}))) AS n_stop
+    FROM documents
+  )
+  WHERE n_tokens >= {MIN_TOKENS} AND n_stop / n_tokens <= {MAX_STOP_RATIO}
+),
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+survivors AS (
+  SELECT q.doc_id, q.text FROM quality q
+  WHERE EXISTS (SELECT 1 FROM exact_keep e WHERE e.doc_id = q.doc_id)
+),
+toks AS (
+  SELECT doc_id, {sql_tokens_expr('text')} AS t FROM survivors
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+  FROM toks WHERE len(t) >= 3
+),
+hashed AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647) AS hashes
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {{SIG_COLS}}
+  FROM hashed
+),
+bands AS (
+  SELECT doc_id, b.band, b.band_hash
+  FROM sig, LATERAL (VALUES
+    {{BAND_ROWS}}
+  ) AS b(band, band_hash)
+),
+pairs AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.band_hash = r.band_hash
+   AND l.doc_id < r.doc_id
+),
+shsets AS (
+  SELECT doc_id, list_distinct(shingles) AS shset FROM sh
+),
+near AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN shsets a ON a.doc_id = doc_a
+  JOIN shsets b ON b.doc_id = doc_b
+  WHERE round(len(list_intersect(a.shset, b.shset))
+              / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= {JACCARD_CUT}
+)
+SELECT doc_id FROM survivors
+WHERE doc_id NOT IN (SELECT doc_b FROM near)
+"""
+
+
+def _curate_oracle() -> str:
+    from searchengine_spark.operators.dedup import _band_hash_sql, _sig_sql_cols
+
+    return _CURATE_SQL.replace("{SIG_COLS}", _sig_sql_cols()).replace(
+        "{BAND_ROWS}",
+        ",\n    ".join(f"({b}, {_band_hash_sql(b)})" for b in range(4)),
+    )
+
+
+QUERIES = {"pipeline_curated_docs": q_curated_docs}
+ORACLES = {"pipeline_curated_docs": _curate_oracle()}

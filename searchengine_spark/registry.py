@@ -67,6 +67,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         modules.append(langid)
     except ImportError:
         pass
+    try:
+        from searchengine_spark import pipeline
+
+        modules.append(pipeline)
+    except ImportError:
+        pass
 
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
