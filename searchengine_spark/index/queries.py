@@ -165,8 +165,24 @@ SELECT doc_id, round(sum(term_score), 6) AS total_score
 FROM scored GROUP BY doc_id
 """
 
+def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stemmed-pipeline BM25 (Porter pandas_udf in the index build,
+    stemmed query terms). No oracle: Porter stemming is not
+    SQL-expressible — the driver records a rows-only check; exact
+    scoring goldens for this path live in tests/test_bm25_golden.py
+    and tests/test_tokenizer.py."""
+    key = (id(spark), sf_dir, "stemmed")
+    idx = _INDEX_CACHE.get(key)
+    if idx is None:
+        idx = build_index(load_table(spark, sf_dir, "documents"), stem=True).cache()
+        _INDEX_CACHE[key] = idx
+    res = search(idx, "sorting merges windows", k=BM25_K, stem=True)
+    return res.select("doc_id", F.round("total_score", 6).alias("total_score"))
+
+
 QUERIES = {
     "se_flat_words": q_flat_words,
+    "se_bm25_topk_stemmed": q_bm25_topk_stemmed,
     "se_doc_lengths": q_doc_lengths,
     "se_term_frequencies": q_term_frequencies,
     "se_idf_values": q_idf_values,

@@ -74,6 +74,76 @@ def build_ann_index(
     )
 
 
+def build_ivf_index(
+    embeddings: DataFrame,
+    *,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+):
+    """IVF (inverted-file) coarse quantizer: KMeans centroids, vectors
+    bucketed by nearest centroid. The recall/probe tradeoff beats
+    plane-LSH once centroids reflect the data distribution; at scale
+    the assignment table is written partitioned by centroid_id so a
+    probe reads only n_probe partitions.
+
+    Returns (assignments DF, centroids as list[list[float]]).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = embeddings.select(
+        F.col(id_col), F.col(vec_col), array_to_vector(F.col(vec_col)).alias("_fv")
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_fv").fit(feat)
+    assigned = model.transform(feat).select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.col(model.getPredictionCol()).alias("centroid_id"),
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def ivf_search(
+    assignments: DataFrame,
+    centroids: list[list[float]],
+    query_vec: DataFrame,
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Probe the n_probe centroids nearest the query (by cosine) and
+    exact-rerank within those buckets only."""
+    q = query_vec.select(F.col(vec_col).alias("qvec"))
+    cent = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    # rank centroids by cosine to the query, keep top n_probe ids
+    probes = (
+        q.select(F.posexplode(cent).alias("cid", "cvec"), "qvec")
+        .select("cid", cosine_expr(F.col("cvec"), F.col("qvec")).alias("cs"))
+        .orderBy(F.desc("cs"))
+        .limit(n_probe)
+        .select("cid")
+    )
+    return (
+        assignments.join(
+            F.broadcast(probes), assignments.centroid_id == F.col("cid")
+        )
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     *,

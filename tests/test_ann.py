@@ -12,7 +12,11 @@ DIM = 64
 
 @pytest.fixture(scope="module")
 def emb(spark, sf_dir):
-    return load_table(spark, sf_dir, "embeddings").cache()
+    df = load_table(spark, sf_dir, "embeddings").cache()
+    yield df
+    # Unpersist so later tests asserting on parquet-scan plans don't
+    # see an InMemoryTableScan for this table instead.
+    df.unpersist()
 
 
 def test_bucket_deterministic(emb):
@@ -48,6 +52,30 @@ def test_embedding_neardup_finds_planted_duplicates(spark, emb):
     assert {(p.id_a, p.id_b) for p in pairs} >= {(5, 9001)}
     planted = [p for p in pairs if (p.id_a, p.id_b) == (5, 9001)][0]
     assert planted.cosine >= 0.999
+
+
+def test_ivf_recall_beats_probe_fraction(emb):
+    from searchengine_spark.operators.ann import build_ivf_index, ivf_search
+
+    assigned, centroids = build_ivf_index(emb, n_centroids=16)
+    assigned = assigned.cache()
+    qv = emb.filter(F.col("vec_id") == 3).select("embedding")
+    exact = {
+        r.vec_id
+        for r in cosine_topk(
+            emb.filter(F.col("vec_id") != 3),
+            emb.filter(F.col("vec_id") == 3).select(F.col("embedding").alias("qvec")),
+            k=10,
+        ).collect()
+    }
+    res = ivf_search(assigned, centroids, qv, k=11, n_probe=4).collect()
+    approx = {r.vec_id for r in res if r.vec_id != 3}
+    recall = len(exact & approx) / 10
+    # probing 4/16 centroids must recover far more than 25% of the
+    # true neighbors (that's the point of IVF).
+    assert recall >= 0.5, f"recall {recall}"
+    # self-match present and perfect when probing its own bucket
+    assert any(r.vec_id == 3 and r.cosine == pytest.approx(1.0) for r in res)
 
 
 def test_recall_vs_bruteforce(emb):
