@@ -92,6 +92,18 @@ def main() -> None:
         (time.perf_counter() - t0) / len(SERVE_QUERIES), 3
     )
 
+    # Index-build throughput with the STEMMED pipeline (Porter via
+    # Arrow-batched pandas_udf) — comparable to the reference's
+    # 133 docs/s single-process NLTK build (BASELINE.md).
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    stem_idx = build_index(docs, stem=True)  # cache_tokens: 1 tokenize pass
+    for table in (stem_idx.term_frequencies, stem_idx.doc_lengths, stem_idx.idf_values):
+        table.write.format("noop").mode("overwrite").save()
+    build_sec = time.perf_counter() - t0
+    timings["se_index_build_stemmed"] = round(build_sec, 3)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -101,6 +113,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "index_build_docs_per_sec": round(n_docs / build_sec, 1),
             }
         )
     )

