@@ -172,6 +172,38 @@ def q_top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: pure scan + filter + global sum — the minimal
+    pushdown benchmark (every predicate reaches the parquet scan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                (F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(28,4)")
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all grouping-set combinations over two order dims."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(28,2)")).cast("double").alias("total"),
+    )
+
+
 def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping + distinct-count + min/max over the part dim."""
     part = load_table(spark, sf_dir, "part")
@@ -192,6 +224,8 @@ QUERIES = {
     "rel_customers_no_orders_anti": q_customers_no_orders_anti,
     "rel_top_customers_per_nation": q_top_customers_per_nation,
     "rel_part_type_stats": q_part_type_stats,
+    "tpch_q6_forecast_revenue": q6_forecast_revenue,
+    "rel_cube_status_priority": q_cube_status_priority,
 }
 
 ORACLES = {
@@ -259,6 +293,21 @@ ORACLES = {
           JOIN spend ON c_custkey = o_custkey
           JOIN nation ON c_nationkey = n_nationkey
         ) WHERE rnk <= 3
+    """,
+    "tpch_q6_forecast_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """,
+    "rel_cube_status_priority": """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
     "rel_part_type_stats": """
         SELECT p_type, COUNT(*) AS n_parts,

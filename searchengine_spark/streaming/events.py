@@ -93,6 +93,18 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def enrich_stream_with_customers(
+    events: DataFrame, customers: DataFrame
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with a (slowly
+    changing) dimension. Spark broadcasts/replans the static side per
+    micro-batch — the standard streaming enrichment shape."""
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment", "c_nationkey"
+    )
+    return events.join(dim, "user_id", "left")
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, *, output_mode: str) -> None:
     """Execute a bounded replay to completion into a memory sink."""
     q = (

@@ -46,6 +46,22 @@ def test_session_window_stream_counts(spark, sf_dir):
     assert bad == 0
 
 
+def test_stream_static_join_enrichment(spark, sf_dir):
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.events import enrich_stream_with_customers
+
+    stream = read_events_stream(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    run_to_memory(
+        enrich_stream_with_customers(stream, cust), "enriched_mem", output_mode="append"
+    )
+    enriched = spark.table("enriched_mem")
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert enriched.count() == n_events  # left join keeps every event
+    # at least some users resolve to a segment
+    assert enriched.filter(F.col("c_mktsegment").isNotNull()).count() > 0
+
+
 def test_dedup_stream_removes_nothing_on_unique_ids(spark, sf_dir):
     stream = read_events_stream(spark, sf_dir)
     run_to_memory(dedup_stream(stream), "dedup_mem", output_mode="append")
