@@ -204,6 +204,32 @@ def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts per market segment x order status.
+
+    Explicit pivot values keep the output schema static (required for
+    both cross-engine comparison and any production job — inferred
+    pivot values mean a full extra pass + nondeterministic columns).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+    )
+
+
 def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping + distinct-count + min/max over the part dim."""
     part = load_table(spark, sf_dir, "part")
@@ -226,6 +252,7 @@ QUERIES = {
     "rel_part_type_stats": q_part_type_stats,
     "tpch_q6_forecast_revenue": q6_forecast_revenue,
     "rel_cube_status_priority": q_cube_status_priority,
+    "rel_pivot_segment_status": q_pivot_segment_status,
 }
 
 ORACLES = {
@@ -293,6 +320,14 @@ ORACLES = {
           JOIN spend ON c_custkey = o_custkey
           JOIN nation ON c_nationkey = n_nationkey
         ) WHERE rnk <= 3
+    """,
+    "rel_pivot_segment_status": """
+        SELECT c_mktsegment,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT) AS n_o,
+               CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS BIGINT) AS n_p
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
     """,
     "tpch_q6_forecast_revenue": """
         SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(28,4))) AS DOUBLE) AS revenue,

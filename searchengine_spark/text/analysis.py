@@ -69,6 +69,37 @@ def q_token_length_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_top_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide bigram frequency (n-gram language-model stats).
+
+    Bigrams built from materialized token arrays (barrier pattern —
+    see operators/dedup.shingle_frame), exploded, counted; top-100 by
+    (count desc, bigram) for a deterministic cutoff.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toked = ensure_min_partitions(docs).select(_raw_tokens(F.col("text")).alias("toks"))
+    toked = toked.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    bigrams = toked.select(
+        F.explode(
+            F.when(
+                F.size("toks") >= 2,
+                F.transform(
+                    F.sequence(F.lit(0), F.size("toks") - 2),
+                    lambda i: F.concat_ws(
+                        " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(100)
+    )
+
+
 def q_lang_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
@@ -93,6 +124,7 @@ _RAW_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> 
 
 QUERIES = {
     "text_stats": q_text_stats,
+    "text_top_bigrams": q_top_bigrams,
     "text_token_length_hist": q_token_length_hist,
     "text_lang_distribution": q_lang_distribution,
     "text_doc_fingerprint": q_doc_fingerprint,
@@ -118,6 +150,22 @@ ORACLES = {
                      * (1.0 - len(list_filter(toks, w -> w IN ({_STOP_SQL}))) / len(toks)), 6)
                  AS quality_score
         FROM base WHERE len(toks) > 0
+    """,
+    "text_top_bigrams": f"""
+        WITH toked AS (
+          SELECT {_RAW_TOK_SQL} AS toks FROM documents
+        ),
+        bg AS (
+          SELECT unnest(CASE WHEN len(toks) >= 2
+                        THEN list_transform(range(1, len(toks)),
+                                            i -> toks[i] || ' ' || toks[i+1])
+                        ELSE [] END) AS bigram
+          FROM toked
+        )
+        SELECT bigram, COUNT(*) AS n
+        FROM bg GROUP BY bigram
+        ORDER BY n DESC, bigram ASC
+        LIMIT 100
     """,
     "text_token_length_hist": f"""
         WITH tok AS (
