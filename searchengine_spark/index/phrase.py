@@ -1,0 +1,154 @@
+"""Positional index + exact-phrase matching.
+
+The reference ranks bags of words only; real search needs phrases.
+We extend the index with token positions:
+
+    positional_index (doc_id, word, positions array<int>)  -- sorted
+
+Phrase match "t0 t1 .. tn": a document matches iff some p in
+pos(t0) has p+1 in pos(t1), ..., p+n in pos(tn). Evaluated as an
+n-way equi-join on doc_id over the (term-filtered) positional table
+followed by a pure array-expression existence check — no UDF, no
+explode of positions.
+
+Scale shape: the positional table is ~|flat_words| rows pre-grouping
+and |tf| rows after; the phrase join touches only the query terms'
+rows (isin filter -> scan prune, same as BM25) and the existence
+check is per-candidate-doc O(|pos|).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
+
+
+def build_positional_index(
+    docs: DataFrame, *, text_col: str = "text", stem: bool = False
+) -> DataFrame:
+    """(doc_id, word, positions) with 0-based token positions."""
+    toked = ensure_min_partitions(docs).select(
+        F.col("doc_id"), tokens_column(text_col, stem=stem).alias("words")
+    )
+    return (
+        toked.select("doc_id", F.posexplode("words").alias("pos", "word"))
+        .groupBy("doc_id", "word")
+        .agg(F.sort_array(F.collect_list("pos")).alias("positions"))
+    )
+
+
+def phrase_match(positional: DataFrame, phrase_terms: list[str]) -> DataFrame:
+    """Docs containing the exact phrase -> (doc_id, n_occurrences)."""
+    if not phrase_terms:
+        raise ValueError("empty phrase")
+    base = positional.filter(F.col("word").isin(phrase_terms))
+    sides = []
+    for i, term in enumerate(phrase_terms):
+        sides.append(
+            base.filter(F.col("word") == term).select(
+                "doc_id", F.col("positions").alias(f"p{i}")
+            )
+        )
+    joined = reduce(lambda a, b: a.join(b, "doc_id"), sides)
+
+    def occurrence_count() -> Column:
+        # p is a start position iff every following term appears at
+        # p+i. Pure array expressions over the joined pos arrays.
+        cond = lambda p: reduce(
+            lambda acc, i: acc & F.array_contains(F.col(f"p{i}"), p + i),
+            range(1, len(phrase_terms)),
+            F.lit(True),
+        )
+        return F.size(F.filter(F.col("p0"), cond))
+
+    return (
+        joined.select("doc_id", occurrence_count().alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 0)
+    )
+
+
+def suggest_terms(
+    vocabulary: DataFrame, query_term: str, *, max_distance: int = 2, k: int = 10
+) -> DataFrame:
+    """Spell-correction surface: vocabulary terms within edit distance,
+    ranked by (distance, doc_freq desc). Native levenshtein — a
+    map-only scan over the (small) vocabulary table."""
+    return (
+        vocabulary.withColumn(
+            "distance", F.levenshtein(F.col("word"), F.lit(query_term))
+        )
+        .filter(F.col("distance") <= max_distance)
+        .orderBy(F.asc("distance"), F.desc("doc_freq"), F.asc("word"))
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- queries
+
+PHRASE = ("hash", "join")
+SUGGEST_TERM = "wndow"  # deliberate misspelling of 'window'
+
+
+def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = build_positional_index(load_table(spark, sf_dir, "documents"))
+    return phrase_match(pos, list(PHRASE))
+
+
+def q_term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.index.queries import _index
+
+    vocab = _index(spark, sf_dir).idf_values.select("word", "doc_freq")
+    return suggest_terms(vocab, SUGGEST_TERM)
+
+
+_POS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {sql_tokens_expr('text')} AS words FROM documents
+),
+pos AS (
+  SELECT doc_id, unnest(words) AS word,
+         generate_subscripts(words, 1) - 1 AS p
+  FROM toked
+)
+"""
+
+QUERIES = {
+    "se_phrase_match": q_phrase_match,
+    "se_term_suggestions": q_term_suggestions,
+}
+
+ORACLES = {
+    "se_phrase_match": f"""{_POS_SQL},
+        plists AS (
+          SELECT doc_id, word, list(p ORDER BY p) AS positions
+          FROM pos WHERE word IN ({", ".join(f"'{t}'" for t in PHRASE)})
+          GROUP BY doc_id, word
+        ),
+        joined AS (
+          SELECT a.doc_id, a.positions AS p0, b.positions AS p1
+          FROM plists a JOIN plists b ON a.doc_id = b.doc_id
+          WHERE a.word = '{PHRASE[0]}' AND b.word = '{PHRASE[1]}'
+        )
+        SELECT doc_id,
+               len(list_filter(p0, p -> list_contains(p1, p + 1)))::INT AS n_occurrences
+        FROM joined
+        WHERE len(list_filter(p0, p -> list_contains(p1, p + 1))) > 0
+    """,
+    "se_term_suggestions": f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({sql_tokens_expr('text')}) AS word FROM documents
+        ),
+        tf AS (SELECT doc_id, word FROM tok GROUP BY doc_id, word),
+        vocab AS (SELECT word, count(*)::BIGINT AS doc_freq FROM tf GROUP BY word)
+        SELECT word, doc_freq, levenshtein(word, '{SUGGEST_TERM}')::INT AS distance
+        FROM vocab
+        WHERE levenshtein(word, '{SUGGEST_TERM}') <= 2
+        ORDER BY distance ASC, doc_freq DESC, word ASC
+        LIMIT 10
+    """,
+}

@@ -20,6 +20,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
 
     modules = [index_queries]
     try:
+        from searchengine_spark.index import phrase
+
+        modules.append(phrase)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark.relational import tpch
 
         modules.append(tpch)

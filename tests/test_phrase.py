@@ -1,0 +1,49 @@
+"""Phrase-match semantics on a hand-built corpus."""
+
+import pytest
+
+from searchengine_spark.index.phrase import (
+    build_positional_index,
+    phrase_match,
+    suggest_terms,
+)
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def pos(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "hash join beats merge join on small tables"),
+            (2, "join hash is reversed so no phrase here"),
+            (3, "hash join hash join twice counted"),
+            (4, "hash only"),
+        ],
+        "doc_id bigint, text string",
+    )
+    return build_positional_index(docs).cache()
+
+
+def test_positions_are_zero_based_sorted(pos):
+    rows = {(r.doc_id, r.word): r.positions for r in pos.collect()}
+    assert rows[(1, "hash")] == [0]
+    assert rows[(1, "join")] == [1, 4]
+    assert rows[(3, "join")] == [1, 3]
+
+
+def test_phrase_match_counts(pos):
+    got = {r.doc_id: r.n_occurrences for r in phrase_match(pos, ["hash", "join"]).collect()}
+    assert got == {1: 1, 3: 2}  # doc2 reversed, doc4 missing term
+
+
+def test_trigram_phrase(pos):
+    got = {r.doc_id: r.n_occurrences for r in phrase_match(pos, ["hash", "join", "beat"]).collect()}
+    assert got == {}  # 'beats' not stemmed here; no exact trigram
+    got2 = {r.doc_id: r.n_occurrences for r in phrase_match(pos, ["hash", "join", "beats"]).collect()}
+    assert got2 == {1: 1}
+
+
+def test_suggest_terms(spark, pos):
+    vocab = pos.groupBy("word").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    got = [r.word for r in suggest_terms(vocab, "jion", max_distance=2).collect()]
+    assert got[0] == "join"
