@@ -230,6 +230,28 @@ def q_pivot_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated aggregate subquery
+    (l_quantity < 0.2 * avg(l_quantity) per part), decorrelated into
+    a join against the per-part aggregate — the standard Catalyst
+    rewrite, expressed explicitly so the shuffle is keyed once on
+    partkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+    )
+    return (
+        li.join(per_part, li.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping + distinct-count + min/max over the part dim."""
     part = load_table(spark, sf_dir, "part")
@@ -253,6 +275,7 @@ QUERIES = {
     "tpch_q6_forecast_revenue": q6_forecast_revenue,
     "rel_cube_status_priority": q_cube_status_priority,
     "rel_pivot_segment_status": q_pivot_segment_status,
+    "tpch_q17_small_quantity_revenue": q17_small_quantity_revenue,
 }
 
 ORACLES = {
@@ -320,6 +343,14 @@ ORACLES = {
           JOIN spend ON c_custkey = o_custkey
           JOIN nation ON c_nationkey = n_nationkey
         ) WHERE rnk <= 3
+    """,
+    "tpch_q17_small_quantity_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_items
+        FROM lineitem l
+        WHERE l_quantity < 0.2 * (
+          SELECT SUM(l_quantity) / COUNT(*) FROM lineitem WHERE l_partkey = l.l_partkey
+        )
     """,
     "rel_pivot_segment_status": """
         SELECT c_mktsegment,

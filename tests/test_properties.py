@@ -48,7 +48,40 @@ def test_porter_output_sane(word):
     assert stem.isalpha()
 
 
-def test_bm25_monotone_in_tf():
+def test_asof_join_matches_naive_definition(spark=None):
+    """asof(left, right): matched_ts == max(right.ts <= left.ts) per
+    key — checked against a brute-force python computation on a
+    deterministic pseudo-random dataset."""
+    import itertools
+
+    from searchengine_spark.relational.advanced import asof_join_last_event
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("prop-asof", shuffle_partitions=4)
+    rng_state = 12345
+    def rng():
+        nonlocal rng_state
+        rng_state = (rng_state * 1103515245 + 12345) % (1 << 31)
+        return rng_state
+
+    lefts = [(rng() % 5, 1000 + rng() % 500, i) for i in range(80)]
+    rights = [(rng() % 5, 1000 + rng() % 500) for _ in range(60)]
+
+    left_df = spark.createDataFrame(
+        [(k, t, e) for k, t, e in lefts], "user_id bigint, ts bigint, event_id bigint"
+    ).selectExpr("user_id", "timestamp_seconds(ts) as ts", "event_id")
+    right_df = spark.createDataFrame(
+        [(k, t) for k, t in rights], "user_id bigint, ts bigint"
+    ).selectExpr("user_id", "timestamp_seconds(ts) as ts")
+
+    got = {
+        r.event_id: (None if r.matched_ts is None else int(r.matched_ts.timestamp()))
+        for r in asof_join_last_event(left_df, right_df, key="user_id").collect()
+    }
+    for k, t, e in lefts:
+        candidates = [rt for rk, rt in rights if rk == k and rt <= t]
+        expect = max(candidates) if candidates else None
+        assert got[e] == expect, (e, k, t)
     """More occurrences of a query term -> higher score, all else equal."""
     k1, b = 1.2, 0.75
     idf, dl, avgdl = 0.5, 100.0, 100.0
