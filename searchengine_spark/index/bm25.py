@@ -72,9 +72,19 @@ def search(
     """
     terms = tokenize_query(query, stem=stem) if isinstance(query, str) else list(query)
     if not terms:
-        return index.term_frequencies.sparkSession.createDataFrame(
-            [], "doc_id bigint, total_score double"
+        # Empty result with the SAME doc_id type as the index (any id
+        # type is allowed), so empty- and non-empty-query results
+        # union/join cleanly.
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_field = index.term_frequencies.schema["doc_id"]
+        schema = StructType(
+            [
+                StructField("doc_id", id_field.dataType),
+                StructField("total_score", DoubleType()),
+            ]
         )
+        return index.term_frequencies.sparkSession.createDataFrame([], schema)
 
     # Manual filter-first shape (matches the reference's intent at
     # pyapp.py:93); Catalyst pushes the isin into the parquet scan.

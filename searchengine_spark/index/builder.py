@@ -146,13 +146,24 @@ def build_index(
     )
 
 
-def write_index(index: InvertedIndex, out_dir: str, *, buckets: int = 64) -> None:
+def write_index(
+    index: InvertedIndex,
+    out_dir: str,
+    *,
+    buckets: int = 64,
+    table_name: str = "se_term_frequencies",
+) -> None:
     """Persist the index; term-keyed tables bucketed by word.
 
     Bucketing by `word` means a query's isin() filter prunes to a few
     buckets and the tf⋈idf join needs no shuffle on reload — the
     property the reference approximated with repartition(8, "word")
     (/root/reference/searchenginespark.py:160).
+
+    ``table_name`` is the catalog entry for the bucketed tf table
+    (bucketing metadata lives in the catalog, not the parquet files);
+    writing a second index must use a distinct name or it repoints
+    the first index's catalog entry.
     """
     (
         index.term_frequencies.write.format("parquet")
@@ -160,7 +171,7 @@ def write_index(index: InvertedIndex, out_dir: str, *, buckets: int = 64) -> Non
         .sortBy("word")
         .option("path", f"{out_dir}/term_frequencies")
         .mode("overwrite")
-        .saveAsTable("se_term_frequencies")
+        .saveAsTable(table_name)
     )
     index.doc_lengths.write.mode("overwrite").parquet(f"{out_dir}/doc_lengths")
     index.idf_values.write.mode("overwrite").parquet(f"{out_dir}/idf_values")
@@ -168,8 +179,21 @@ def write_index(index: InvertedIndex, out_dir: str, *, buckets: int = 64) -> Non
     index.scoring_params.write.mode("overwrite").parquet(f"{out_dir}/scoring_params")
 
 
-def read_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
-    tf = spark.read.parquet(f"{out_dir}/term_frequencies")
+def read_index(
+    spark: SparkSession, out_dir: str, *, table_name: str = "se_term_frequencies"
+) -> InvertedIndex:
+    """Reload a persisted index.
+
+    tf comes from the CATALOG table when available — a plain
+    parquet-path read would silently drop the bucketing metadata and
+    re-shuffle every word-keyed join, wasting what write_index paid
+    for. The path read is only the fallback for indexes copied
+    without a metastore.
+    """
+    if spark.catalog.tableExists(table_name):
+        tf = spark.table(table_name)
+    else:
+        tf = spark.read.parquet(f"{out_dir}/term_frequencies")
     dl = spark.read.parquet(f"{out_dir}/doc_lengths")
     idf = spark.read.parquet(f"{out_dir}/idf_values")
     inv = spark.read.parquet(f"{out_dir}/inverted_index")

@@ -46,7 +46,7 @@ def search_sql(
     """
     return spark.sql(
         f"""
-        WITH terms AS (SELECT explode(:terms) AS word),
+        WITH terms AS (SELECT DISTINCT explode(:terms) AS word),
         scored AS (
           SELECT t.doc_id,
                  i.idf * (t.term_freq * ({k1} + 1.0)) /

@@ -60,12 +60,20 @@ def exact_dedup_groups(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def shingles_column(tokens: Column, k: int = SHINGLE_K) -> Column:
-    """k-token shingles as space-joined strings (array Column)."""
-    return F.transform(
+    """k-token shingles as space-joined strings (array Column).
+
+    Total: arrays shorter than k yield an EMPTY array. Without the
+    guard, F.sequence(0, negative) produces a descending sequence and
+    element_at(tokens, 0) throws at runtime.
+    """
+    shingles = F.transform(
         F.sequence(F.lit(0), F.size(tokens) - k),
         lambda i: F.concat_ws(
             " ", *[F.element_at(tokens, i + j + 1) for j in range(k)]
         ),
+    )
+    return F.when(F.size(tokens) >= k, shingles).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -37,9 +37,14 @@ def salted_agg(
     ``partial_aggs`` aggregate raw rows within (keys, salt);
     ``final_aggs`` combine the partials per keys. Column names must
     line up (partial output feeds final input).
+
+    The salt hashes ALL row columns — deterministic per row content,
+    so a task retry re-produces the same (keys, salt) assignment and
+    no row is double-counted or lost (monotonically_increasing_id or
+    rand would break exactly this). pmod keeps it in [0, n_salts).
     """
     salted = df.withColumn(
-        "_salt", (F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()) % n_salts)
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(n_salts))
     )
     partial = salted.groupBy(*keys, "_salt").agg(*partial_aggs)
     return partial.groupBy(*keys).agg(*final_aggs)

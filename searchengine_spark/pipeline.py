@@ -27,7 +27,12 @@ from searchengine_spark.operators.dedup import (
     neardup_candidate_pairs,
     shingle_frame,
 )
-from searchengine_spark.text.tokenizer import STOPWORDS, sql_tokens_expr
+from searchengine_spark.text.tokenizer import (
+    STOPWORDS,
+    raw_tokens_column,
+    sql_raw_tokens_expr,
+    sql_tokens_expr,
+)
 
 MIN_TOKENS = 10
 MAX_STOP_RATIO = 0.5
@@ -39,9 +44,7 @@ def curate(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     base = ensure_min_partitions(docs).select(
         "doc_id",
         F.col(text_col),
-        F.filter(
-            F.split(F.lower(text_col), "[^a-z]+"), lambda w: w != F.lit("")
-        ).alias("raw_toks"),
+        raw_tokens_column(text_col).alias("raw_toks"),
     )
     quality = base.select(
         "doc_id",
@@ -78,7 +81,7 @@ def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-_RAW = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+_RAW = sql_raw_tokens_expr("text")
 
 _CURATE_SQL = f"""
 WITH quality AS (

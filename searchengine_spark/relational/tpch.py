@@ -238,7 +238,10 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     partkey."""
     li = load_table(spark, sf_dir, "lineitem")
     per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
-        (F.sum("l_quantity") / F.count(F.lit(1))).alias("avg_qty")
+        (
+            F.sum(F.col("l_quantity").cast("decimal(28,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_qty")
     )
     return (
         li.join(per_part, li.l_partkey == F.col("pk"))
@@ -349,7 +352,8 @@ ORACLES = {
                COUNT(*) AS n_items
         FROM lineitem l
         WHERE l_quantity < 0.2 * (
-          SELECT SUM(l_quantity) / COUNT(*) FROM lineitem WHERE l_partkey = l.l_partkey
+          SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*)
+          FROM lineitem WHERE l_partkey = l.l_partkey
         )
     """,
     "rel_pivot_segment_status": """

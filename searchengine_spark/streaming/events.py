@@ -89,8 +89,17 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
 
 def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Exactly-once event dedup on event_id within the watermark —
-    the streaming half of operators/dedup (exact family)."""
-    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+    the streaming half of operators/dedup (exact family).
+
+    dropDuplicatesWithinWatermark (not plain dropDuplicates): with
+    keys that exclude the event-time column, plain dropDuplicates
+    never evicts state — every id ever seen is retained forever. The
+    WithinWatermark variant expires ids once they fall behind the
+    watermark, bounding state.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
 
 
 def enrich_stream_with_customers(

@@ -40,19 +40,28 @@ def start_index_maintenance(
     """Start the maintenance query; returns the StreamingQuery."""
 
     def update_batch(batch_df: DataFrame, batch_id: int) -> None:
-        tokenized = batch_df.select(
-            F.col("doc_id"), tokens_column(text_col, stem=stem).alias("words")
-        ).filter(F.size("words") > 0)
-        tokenized.select(
-            "doc_id", F.size("words").cast("bigint").alias("doc_length")
-        ).write.mode("append").parquet(f"{out_dir}/doc_lengths")
-        (
-            tokenized.select("doc_id", F.explode("words").alias("word"))
-            .groupBy("doc_id", "word")
-            .agg(F.count(F.lit(1)).alias("term_freq"))
-            .write.mode("append")
-            .parquet(f"{out_dir}/term_frequencies")
+        # Persist: the token stream feeds two writes; without it each
+        # write re-tokenizes the batch.
+        tokenized = (
+            batch_df.select(
+                F.col("doc_id"), tokens_column(text_col, stem=stem).alias("words")
+            )
+            .filter(F.size("words") > 0)
+            .persist()
         )
+        try:
+            tokenized.select(
+                "doc_id", F.size("words").cast("bigint").alias("doc_length")
+            ).write.mode("append").parquet(f"{out_dir}/doc_lengths")
+            (
+                tokenized.select("doc_id", F.explode("words").alias("word"))
+                .groupBy("doc_id", "word")
+                .agg(F.count(F.lit(1)).alias("term_freq"))
+                .write.mode("append")
+                .parquet(f"{out_dir}/term_frequencies")
+            )
+        finally:
+            tokenized.unpersist()
 
     writer = docs_stream.writeStream.foreachBatch(update_batch).trigger(
         availableNow=True
@@ -64,9 +73,18 @@ def start_index_maintenance(
 
 def read_incremental_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
     """Assemble the queryable index: tf/dl from the appended files,
-    idf/params derived lazily (always consistent with ingested data)."""
-    tf = spark.read.parquet(f"{out_dir}/term_frequencies")
-    dl = spark.read.parquet(f"{out_dir}/doc_lengths")
+    idf/params derived lazily (always consistent with ingested data).
+
+    foreachBatch is at-least-once: a retried batch may append its
+    per-doc facts twice. The facts are IDEMPOTENT per key — tf rows
+    are identical for a re-tokenized doc, dl likewise — so read-side
+    dropDuplicates on the key restores exactly-once semantics without
+    any write-side transaction.
+    """
+    tf = spark.read.parquet(f"{out_dir}/term_frequencies").dropDuplicates(
+        ["doc_id", "word"]
+    )
+    dl = spark.read.parquet(f"{out_dir}/doc_lengths").dropDuplicates(["doc_id"])
     params = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         (F.sum("doc_length") / F.count(F.lit(1))).alias("avgdl"),

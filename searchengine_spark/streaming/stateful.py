@@ -56,7 +56,8 @@ def _update_user_state(
         # DECIMAL(28,2) running totals
         total = round(total + float(pdf["value"].sum()), 2)
         if len(pdf):
-            last = max(last, int(pdf["ts"].astype("int64").max() // 1000) * 1000)
+            # datetime64[ns] -> int64 is NANOseconds; // 1000 = micros.
+            last = max(last, int(pdf["ts"].astype("datetime64[ns]").astype("int64").max()) // 1000)
     state.update((n, total, last))
     yield pd.DataFrame(
         {

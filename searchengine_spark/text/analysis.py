@@ -14,14 +14,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.io import ensure_min_partitions, load_table
-from searchengine_spark.text.tokenizer import STOPWORDS
+from searchengine_spark.text.tokenizer import (
+    STOPWORDS,
+    raw_tokens_column as _raw_tokens,
+    sql_raw_tokens_expr,
+)
 
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
-
-
-def _raw_tokens(col):
-    """All lowercase alpha runs (stopwords INCLUDED — raw stream)."""
-    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit(""))
 
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -120,7 +119,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RAW_TOK_SQL = "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'), w -> w <> '')"
+_RAW_TOK_SQL = sql_raw_tokens_expr("text")
 
 QUERIES = {
     "text_stats": q_text_stats,

@@ -19,6 +19,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.text.tokenizer import raw_tokens_column as _raw_tokens
 
 # High-frequency function words per language (public knowledge).
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
@@ -31,10 +32,6 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "fr": ("le", "la", "les", "est", "une", "des", "que", "qui", "dans",
            "pour", "pas", "avec", "sur", "ce", "sont", "vous"),
 }
-
-
-def _raw_tokens(col: Column) -> Column:
-    return F.filter(F.split(F.lower(col), "[^a-z]+"), lambda w: w != F.lit(""))
 
 
 def lang_scores(tokens: Column) -> list[Column]:

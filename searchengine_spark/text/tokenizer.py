@@ -94,6 +94,24 @@ def tokenize_query(query: str, *, stem: bool = False) -> list[str]:
     return toks
 
 
+def raw_tokens_column(text: Column | str) -> Column:
+    """All lowercase alpha runs, stopwords INCLUDED, no length floor —
+    the raw token stream used by text analytics / quality gating.
+    Canonical definition: every module needing raw tokens must import
+    this (and its SQL twin) so Spark and the DuckDB oracles can never
+    diverge."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda w: w != F.lit(""))
+
+
+def sql_raw_tokens_expr(text_expr: str = "text") -> str:
+    """DuckDB twin of raw_tokens_column."""
+    return (
+        f"list_filter(regexp_split_to_array(lower({text_expr}), '[^a-z]+'), "
+        "w -> w <> '')"
+    )
+
+
 def sql_tokens_expr(text_expr: str) -> str:
     """ANSI-SQL (DuckDB) twin of ``tokens_column`` for oracle queries.
 
