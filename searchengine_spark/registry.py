@@ -74,6 +74,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        from searchengine_spark.text import chunking
+
+        modules.append(chunking)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark import pipeline
 
         modules.append(pipeline)

@@ -1,0 +1,94 @@
+"""Document chunking for LLM training pipelines.
+
+Splits each document into overlapping fixed-size token windows —
+the preprocessing step between curation and tokenizer/packing in a
+training-data run. Pure array expressions: token slice windows are
+computed with sequence + slice (no UDF, no per-row Python), so
+chunking is a map-only stage over the corpus scan at any scale.
+
+Chunk grid: starts at 0, stride = chunk_size - overlap; the last
+chunk is the final (possibly shorter) remainder window. Every token
+belongs to >= 1 chunk; consecutive chunks share `overlap` tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.text.tokenizer import raw_tokens_column, sql_raw_tokens_expr
+
+CHUNK_SIZE = 50
+OVERLAP = 10
+
+
+def chunk_documents(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_size: int = CHUNK_SIZE,
+    overlap: int = OVERLAP,
+) -> DataFrame:
+    """(doc_id, chunk_id, n_tokens, chunk_text) — one row per window."""
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    toked = ensure_min_partitions(docs).select(
+        F.col("doc_id"), raw_tokens_column(text_col).alias("toks")
+    )
+    # Materialized-array barrier (see operators/dedup._barrier): the
+    # slice lambda references `toks` per chunk.
+    toked = toked.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    n = F.size("toks")
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+    )
+    chunks = toked.filter(n > 0).select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts, lambda s: F.slice("toks", s + 1, chunk_size)
+            )
+        ).alias("chunk_id", "chunk_toks"),
+    )
+    # Drop degenerate trailing windows fully covered by the previous
+    # chunk (start >= n happens only when n <= overlap remainder).
+    return (
+        chunks.filter(F.size("chunk_toks") > 0)
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("chunk_toks").cast("bigint").alias("n_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+_RAW = sql_raw_tokens_expr("text")
+_STRIDE = CHUNK_SIZE - OVERLAP
+
+QUERIES = {"text_chunks": q_text_chunks}
+
+ORACLES = {
+    "text_chunks": f"""
+        WITH toked AS (
+          SELECT doc_id, {_RAW} AS toks FROM documents
+        ),
+        grid AS (
+          SELECT doc_id, toks,
+                 unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE})) AS s,
+                 generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE}), 1) - 1 AS chunk_id
+          FROM toked WHERE len(toks) > 0
+        )
+        SELECT doc_id, chunk_id::INT AS chunk_id,
+               len(toks[s + 1 : s + {CHUNK_SIZE}])::BIGINT AS n_tokens,
+               array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+        FROM grid
+        WHERE len(toks[s + 1 : s + {CHUNK_SIZE}]) > 0
+    """,
+}

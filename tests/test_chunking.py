@@ -1,0 +1,45 @@
+"""Chunking semantics: coverage, overlap, remainder windows."""
+
+import pytest
+
+from searchengine_spark.text.chunking import chunk_documents
+
+
+def test_chunk_grid(spark):
+    w26 = lambda i: "w" + chr(97 + i // 26) + chr(97 + i % 26)
+    words = " ".join(w26(i) for i in range(95))
+    docs = spark.createDataFrame([(1, words)], "doc_id bigint, text string")
+    chunks = {
+        r.chunk_id: r for r in chunk_documents(docs, chunk_size=50, overlap=10).collect()
+    }
+    # starts: 0, 40, 80 -> windows [0:50), [40:90), [80:95)
+    assert sorted(chunks) == [0, 1, 2]
+    assert chunks[0].n_tokens == 50 and chunks[0].chunk_text.startswith("waa")
+    assert chunks[1].n_tokens == 50 and chunks[1].chunk_text.startswith(w26(40))
+    assert chunks[2].n_tokens == 15 and chunks[2].chunk_text.startswith(w26(80))
+    # overlap: chunk 0's last 10 tokens == chunk 1's first 10
+    assert chunks[0].chunk_text.split()[-10:] == chunks[1].chunk_text.split()[:10]
+
+
+def test_short_doc_single_chunk(spark):
+    docs = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id bigint, text string")
+    rows = chunk_documents(docs, chunk_size=50, overlap=10).collect()
+    assert len(rows) == 1
+    assert rows[0].n_tokens == 3 and rows[0].chunk_id == 0
+
+
+def test_every_token_covered(spark):
+    w26 = lambda i: "t" + chr(97 + i // 26) + chr(97 + i % 26)
+    words = " ".join(w26(i) for i in range(123))
+    docs = spark.createDataFrame([(1, words)], "doc_id bigint, text string")
+    rows = chunk_documents(docs, chunk_size=50, overlap=10).collect()
+    covered = set()
+    for r in rows:
+        covered.update(r.chunk_text.split())
+    assert len(covered) == 123
+
+
+def test_bad_params_rejected(spark):
+    docs = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_size=10, overlap=10)
