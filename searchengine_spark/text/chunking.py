@@ -65,16 +65,97 @@ def chunk_documents(
     )
 
 
+PACK_CAPACITY = 512
+N_SHARDS = 32
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    *,
+    capacity: int = PACK_CAPACITY,
+    n_shards: int = N_SHARDS,
+) -> DataFrame:
+    """Assign chunks to training-context packs of ~`capacity` tokens.
+
+    Contiguous packing: within a shard, chunks are laid out in
+    (doc_id, chunk_id) order and pack_id = floor(preceding-token-
+    count / capacity) — deterministic, one window per shard, no
+    global sort. Sharding (pmod(doc_id, n_shards)) keeps the window
+    parallel at any scale; a pack never spans shards. Chunks may
+    straddle a pack boundary (the trainer truncates/pads) — this is
+    the standard streaming-packing tradeoff, traded for a fully
+    parallel, deterministic layout.
+    """
+    from pyspark.sql import Window
+
+    shard = F.pmod(F.col("doc_id"), F.lit(n_shards))
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id", "chunk_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        chunks.withColumn("shard", shard.cast("int"))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .select(
+            "shard",
+            "doc_id",
+            "chunk_id",
+            "n_tokens",
+            F.floor((F.col("_cum") - F.col("n_tokens")) / capacity)
+            .cast("bigint")
+            .alias("pack_id"),
+            (F.col("_cum") - F.col("n_tokens")).alias("token_offset"),
+        )
+    )
+
+
 def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+def q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return pack_chunks(chunk_documents(load_table(spark, sf_dir, "documents")))
 
 
 _RAW = sql_raw_tokens_expr("text")
 _STRIDE = CHUNK_SIZE - OVERLAP
 
-QUERIES = {"text_chunks": q_text_chunks}
+_CHUNKS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, {_RAW} AS toks FROM documents
+),
+grid AS (
+  SELECT doc_id, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE})) AS s,
+         generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE}), 1) - 1 AS chunk_id
+  FROM toked WHERE len(toks) > 0
+),
+chunks AS (
+  SELECT doc_id, chunk_id::INT AS chunk_id,
+         len(toks[s + 1 : s + {CHUNK_SIZE}])::BIGINT AS n_tokens
+  FROM grid
+  WHERE len(toks[s + 1 : s + {CHUNK_SIZE}]) > 0
+)
+"""
+
+QUERIES = {"text_chunks": q_text_chunks, "text_packed_chunks": q_packed_chunks}
 
 ORACLES = {
+    "text_packed_chunks": f"""{_CHUNKS_SQL},
+        packed AS (
+          SELECT (doc_id % {N_SHARDS})::INT AS shard, doc_id, chunk_id, n_tokens,
+                 CAST(SUM(n_tokens) OVER (
+                   PARTITION BY doc_id % {N_SHARDS} ORDER BY doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum
+          FROM chunks
+        )
+        SELECT shard, doc_id, chunk_id, n_tokens,
+               ((cum - n_tokens) // {PACK_CAPACITY})::BIGINT AS pack_id,
+               (cum - n_tokens) AS token_offset
+        FROM packed
+    """,
     "text_chunks": f"""
         WITH toked AS (
           SELECT doc_id, {_RAW} AS toks FROM documents
