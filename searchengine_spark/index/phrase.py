@@ -88,6 +88,44 @@ def suggest_terms(
     )
 
 
+def search_with_correction(
+    index,
+    query: str,
+    k: int = 10,
+    *,
+    max_distance: int = 2,
+    stem: bool = False,
+):
+    """BM25 search with spell-correction fallback: query terms absent
+    from the vocabulary are replaced by their best suggestion
+    (min edit distance, then max doc_freq). One small vocabulary scan
+    per unknown term — acceptable because queries are tiny and the
+    vocabulary table is broadcast-sized.
+
+    Returns (results DataFrame, corrections dict).
+    """
+    from searchengine_spark.index.bm25 import search
+    from searchengine_spark.text.tokenizer import tokenize_query
+
+    terms = tokenize_query(query, stem=stem)
+    vocab = index.idf_values.select("word", "doc_freq")
+    known = {
+        r.word
+        for r in vocab.filter(F.col("word").isin(terms)).select("word").collect()
+    }
+    corrections: dict[str, str] = {}
+    final_terms = []
+    for t in terms:
+        if t in known:
+            final_terms.append(t)
+            continue
+        best = suggest_terms(vocab, t, max_distance=max_distance, k=1).collect()
+        if best:
+            corrections[t] = best[0].word
+            final_terms.append(best[0].word)
+    return search(index, final_terms, k=k), corrections
+
+
 # --------------------------------------------------------------- queries
 
 PHRASE = ("hash", "join")

@@ -153,6 +153,73 @@ def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
     return video.mapInPandas(batches, FRAME_SCHEMA)
 
 
+def fake_media_from_documents(docs: DataFrame, *, body_chars: int = 16) -> DataFrame:
+    """Derive a deterministic media table from the documents table:
+    payload = fake-image header (dims = n_chars x doc_id%1000) + the
+    first `body_chars` ASCII bytes of the text. Lets the full
+    encode->decode mapInPandas plumbing run against real testdata —
+    and, because the construction is deterministic, the decoded
+    output is oracle-checkable from `documents` directly."""
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": [
+                        encode_fake_media(
+                            "image",
+                            int(n),
+                            int(d) % 1000,
+                            t[:body_chars].encode("ascii", "replace"),
+                        )
+                        for d, n, t in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"])
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "n_chars", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def q_media_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: documents -> fake media -> decode ->
+    typed stats. Exercises both mapInPandas stages end to end."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    media = fake_media_from_documents(docs)
+    decoded = decode_media(media)
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "dim_a",
+        "dim_b",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
+QUERIES = {"mm_media_decode_stats": q_media_decode_stats}
+
+# The fake payload body is the first 16 ASCII bytes of text; for the
+# synthetic corpus (pure ASCII) mean_byte == mean of the codepoints.
+ORACLES = {
+    "mm_media_decode_stats": """
+        WITH body AS (
+          SELECT doc_id, n_chars,
+                 list_transform(split(substr(text, 1, 16), ''), c -> unicode(c)) AS bytes
+          FROM documents
+        )
+        SELECT doc_id AS media_id, 'image' AS media_type,
+               n_chars::INT AS dim_a, (doc_id % 1000)::INT AS dim_b,
+               len(bytes)::INT AS n_bytes,
+               round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
+        FROM body
+    """,
+}
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Native (no-UDF) profile of a media table: sizes per type.
     Shows binary columns flow through ordinary Spark exprs."""

@@ -56,6 +56,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        from searchengine_spark.operators import multimodal
+
+        modules.append(multimodal)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark.operators import simhash
 
         modules.append(simhash)

@@ -43,6 +43,27 @@ def test_trigram_phrase(pos):
     assert got2 == {1: 1}
 
 
+def test_search_with_correction(spark):
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.phrase import search_with_correction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "murder trial court verdict"),
+            (2, "contract breach court appeal"),
+        ],
+        "doc_id bigint, text string",
+    )
+    idx = build_index(docs, cache_tokens=False)
+    res, corrections = search_with_correction(idx, "murdr trial")
+    assert corrections == {"murdr": "murder"}
+    assert [r.doc_id for r in res.collect()] == [1]
+
+    # fully-known query: no corrections, same as plain search
+    res2, corr2 = search_with_correction(idx, "court")
+    assert corr2 == {} and res2.count() == 2
+
+
 def test_suggest_terms(spark, pos):
     vocab = pos.groupBy("word").agg(F.countDistinct("doc_id").alias("doc_freq"))
     got = [r.word for r in suggest_terms(vocab, "jion", max_distance=2).collect()]
