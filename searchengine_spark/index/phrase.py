@@ -123,6 +123,10 @@ def search_with_correction(
         if best:
             corrections[t] = best[0].word
             final_terms.append(best[0].word)
+        else:
+            # Record dropped terms (None) so callers can surface that
+            # part of the query was ignored, not silently vanished.
+            corrections[t] = None
     return search(index, final_terms, k=k), corrections
 
 

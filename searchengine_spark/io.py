@@ -69,6 +69,21 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     return df
 
 
+def exchange_barrier(df: DataFrame) -> DataFrame:
+    """Materialization barrier between projection stages.
+
+    CollapseProject re-inlines an aliased expression into every
+    reference site of the next projection — for chained text ops
+    (tokenize -> shingle/chunk/hash) that re-evaluates the expensive
+    upstream expression per element. An Exchange is a hard boundary:
+    upstream computes once, downstream lambdas read materialized
+    arrays. The shuffled payload is token/int arrays (same order of
+    size as the input); a persisted intermediate (write_index) is the
+    scale alternative.
+    """
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Load every known table present under ``sf_dir``."""
     out: dict[str, DataFrame] = {}

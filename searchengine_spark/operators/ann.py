@@ -126,7 +126,7 @@ def ivf_search(
     probes = (
         q.select(F.posexplode(cent).alias("cid", "cvec"), "qvec")
         .select("cid", cosine_expr(F.col("cvec"), F.col("qvec")).alias("cs"))
-        .orderBy(F.desc("cs"))
+        .orderBy(F.desc("cs"), F.asc("cid"))  # tie-break: deterministic probe set
         .limit(n_probe)
         .select("cid")
     )
@@ -179,7 +179,8 @@ def embedding_neardup_pairs(
             F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .distinct()
+        # no distinct: each vector has exactly ONE bucket, so a pair
+        # can only be produced once (unlike multi-band MinHash).
     )
 
 
@@ -197,21 +198,31 @@ def ann_search(
     """Multi-probe LSH search: candidates from buckets within
     `probe_hamming` bits of the query bucket, exact cosine re-rank.
 
-    The bucket filter is evaluated via bit_count(xor) against the
-    (broadcast) 1-row query — a map-side filter over the index scan;
-    with the index table bucketed/partitioned by `bucket`, partition
-    pruning makes the probe touch ~C(B, probe_hamming) buckets.
+    The probe bucket set is enumerated driver-side (queries are
+    single vectors; C(B, <=h) literals) and applied as an isin()
+    filter — LITERAL predicates are what partition/file pruning can
+    act on when the index table is partitioned by `bucket`. A filter
+    phrased against a joined query row cannot prune and would scan
+    the whole index.
     """
+    from itertools import combinations
+
     q = query_vec.select(
         F.col(vec_col).alias("qvec"),
         bucket_expr(F.col(vec_col), dim, n_planes).alias("qbucket"),
     )
+    qbucket = int(q.select("qbucket").collect()[0][0])
+    probe_buckets = [qbucket]
+    for h in range(1, probe_hamming + 1):
+        for bits in combinations(range(n_planes), h):
+            flipped = qbucket
+            for b in bits:
+                flipped ^= 1 << b
+            probe_buckets.append(flipped)
+
     return (
-        index.crossJoin(F.broadcast(q))
-        .filter(
-            F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket")))
-            <= probe_hamming
-        )
+        index.filter(F.col("bucket").isin(probe_buckets))
+        .crossJoin(F.broadcast(q.select("qvec")))
         .select(
             F.col(id_col),
             F.round(cosine_expr(F.col(vec_col), F.col("qvec")), 6).alias("cosine"),

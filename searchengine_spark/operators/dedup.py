@@ -21,7 +21,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.io import (
+    ensure_min_partitions,
+    exchange_barrier as _barrier,
+    load_table,
+)
 from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
 
 NUM_HASHES = 16
@@ -106,20 +110,6 @@ def minhash_signature_cols(hashes: Column, num_hashes: int = NUM_HASHES) -> list
     ]
 
 
-def _barrier(df: DataFrame) -> DataFrame:
-    """Materialization barrier between projection stages.
-
-    CollapseProject re-inlines an aliased expression into every
-    reference site of the next projection — for `shingles(tokens(x))`
-    that re-runs the tokenizer once per element_at (O(len^2) per
-    document), and for `sig_i(hashes(x))` it re-hashes every shingle
-    16x. An Exchange is a hard boundary: upstream is computed once
-    and the downstream lambda reads materialized arrays. The shuffled
-    payload here is token/int arrays (same order of size as the
-    input), so this stays cheap at any scale; a 100 TB index build
-    would persist these intermediates anyway (write_index).
-    """
-    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
 def shingle_frame(docs: DataFrame, *, text_col: str = "text") -> DataFrame:

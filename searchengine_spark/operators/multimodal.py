@@ -91,8 +91,13 @@ def decode_media(media: DataFrame) -> DataFrame:
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        int32_max = (1 << 31) - 1
         for pdf in it:
-            dims = pdf["payload"].map(_decode_header)
+            # Header dims are uint32; clamp into the int32 output type
+            # instead of silently wrapping negative.
+            dims = pdf["payload"].map(_decode_header).map(
+                lambda d: (min(d[0], int32_max), min(d[1], int32_max))
+            )
             body = pdf["payload"].map(
                 lambda p: p[10:] if p is not None and len(p) > 10 else b""
             )
@@ -138,14 +143,17 @@ def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
                     continue
                 n_frames, frame_size = struct.unpack(">II", payload[2:10])
                 body = payload[10:]
+                if frame_size == 0:
+                    continue
+                # Clamp to what the body actually holds: a malformed
+                # header declaring billions of frames must not drive
+                # the loop past the real payload.
+                n_frames = min(n_frames, len(body) // frame_size)
                 for k in range(0, n_frames, every_nth):
                     start = k * frame_size
-                    frame = bytes(body[start : start + frame_size])
-                    if len(frame) < frame_size:
-                        break
                     out_ids.append(mid)
                     out_nos.append(k)
-                    out_frames.append(frame)
+                    out_frames.append(bytes(body[start : start + frame_size]))
             yield pd.DataFrame(
                 {"media_id": out_ids, "frame_no": out_nos, "frame": out_frames}
             ).astype({"frame_no": "int32"}, errors="ignore")

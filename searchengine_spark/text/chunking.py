@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.io import ensure_min_partitions, exchange_barrier, load_table
 from searchengine_spark.text.tokenizer import raw_tokens_column, sql_raw_tokens_expr
 
 CHUNK_SIZE = 50
@@ -34,15 +34,19 @@ def chunk_documents(
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toked = ensure_min_partitions(docs).select(
-        F.col("doc_id"), raw_tokens_column(text_col).alias("toks")
+    toked = exchange_barrier(
+        ensure_min_partitions(docs).select(
+            F.col("doc_id"), raw_tokens_column(text_col).alias("toks")
+        )
     )
-    # Materialized-array barrier (see operators/dedup._barrier): the
-    # slice lambda references `toks` per chunk.
-    toked = toked.repartition(docs.sparkSession.sparkContext.defaultParallelism)
     n = F.size("toks")
+    # A start s is useful only while the PREVIOUS window hasn't already
+    # reached end-of-document: s < n - overlap. Without the cap, any
+    # doc with n mod stride in 1..overlap (incl. n == chunk_size) gets
+    # a trailing chunk fully contained in the previous one — duplicate
+    # training text beyond the intended overlap.
     starts = F.sequence(
-        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride)
+        F.lit(0), F.greatest(n - overlap - 1, F.lit(0)), F.lit(stride)
     )
     chunks = toked.filter(n > 0).select(
         "doc_id",
@@ -52,16 +56,11 @@ def chunk_documents(
             )
         ).alias("chunk_id", "chunk_toks"),
     )
-    # Drop degenerate trailing windows fully covered by the previous
-    # chunk (start >= n happens only when n <= overlap remainder).
-    return (
-        chunks.filter(F.size("chunk_toks") > 0)
-        .select(
-            "doc_id",
-            "chunk_id",
-            F.size("chunk_toks").cast("bigint").alias("n_tokens"),
-            F.array_join("chunk_toks", " ").alias("chunk_text"),
-        )
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        F.size("chunk_toks").cast("bigint").alias("n_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
     )
 
 
@@ -127,15 +126,14 @@ WITH toked AS (
 ),
 grid AS (
   SELECT doc_id, toks,
-         unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE})) AS s,
-         generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE}), 1) - 1 AS chunk_id
+         unnest(range(0, greatest(len(toks) - {OVERLAP} - 1, 0) + 1, {_STRIDE})) AS s,
+         generate_subscripts(range(0, greatest(len(toks) - {OVERLAP} - 1, 0) + 1, {_STRIDE}), 1) - 1 AS chunk_id
   FROM toked WHERE len(toks) > 0
 ),
 chunks AS (
   SELECT doc_id, chunk_id::INT AS chunk_id,
          len(toks[s + 1 : s + {CHUNK_SIZE}])::BIGINT AS n_tokens
   FROM grid
-  WHERE len(toks[s + 1 : s + {CHUNK_SIZE}]) > 0
 )
 """
 
@@ -162,14 +160,13 @@ ORACLES = {
         ),
         grid AS (
           SELECT doc_id, toks,
-                 unnest(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE})) AS s,
-                 generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, {_STRIDE}), 1) - 1 AS chunk_id
+                 unnest(range(0, greatest(len(toks) - {OVERLAP} - 1, 0) + 1, {_STRIDE})) AS s,
+                 generate_subscripts(range(0, greatest(len(toks) - {OVERLAP} - 1, 0) + 1, {_STRIDE}), 1) - 1 AS chunk_id
           FROM toked WHERE len(toks) > 0
         )
         SELECT doc_id, chunk_id::INT AS chunk_id,
                len(toks[s + 1 : s + {CHUNK_SIZE}])::BIGINT AS n_tokens,
                array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
         FROM grid
-        WHERE len(toks[s + 1 : s + {CHUNK_SIZE}]) > 0
     """,
 }

@@ -39,6 +39,36 @@ def test_every_token_covered(spark):
     assert len(covered) == 123
 
 
+def test_no_redundant_trailing_chunk(spark):
+    # n == chunk_size: the old grid emitted a second chunk fully
+    # contained in the first (duplicate training text).
+    w26 = lambda i: "d" + chr(97 + i // 26) + chr(97 + i % 26)
+    docs = spark.createDataFrame(
+        [(1, " ".join(w26(i) for i in range(50)))], "doc_id bigint, text string"
+    )
+    rows = chunk_documents(docs, chunk_size=50, overlap=10).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 50
+    # n = 90: second chunk reaches the end; no third chunk.
+    docs2 = spark.createDataFrame(
+        [(1, " ".join(w26(i) for i in range(90)))], "doc_id bigint, text string"
+    )
+    rows2 = chunk_documents(docs2, chunk_size=50, overlap=10).collect()
+    assert [r.n_tokens for r in sorted(rows2, key=lambda r: r.chunk_id)] == [50, 50]
+
+
+def test_correction_records_dropped_terms(spark):
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.phrase import search_with_correction
+
+    docs = spark.createDataFrame(
+        [(1, "murder trial court")], "doc_id bigint, text string"
+    )
+    idx = build_index(docs, cache_tokens=False)
+    res, corr = search_with_correction(idx, "zzzqqqxxx court")
+    assert corr == {"zzzqqqxxx": None}
+    assert res.count() == 1
+
+
 def test_bad_params_rejected(spark):
     docs = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
