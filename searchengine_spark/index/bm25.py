@@ -48,6 +48,36 @@ def bm25_term_score(
     return idf * (tf * (k1 + 1.0)) / (tf + k1 * (1.0 - b + b * dl / avgdl))
 
 
+def tfidf_term_score(term_freq: Column, idf: Column) -> Column:
+    """Classic TF-IDF contribution: (1 + log10(tf)) * idf.
+
+    The sublinear-tf variant (log-scaled term frequency) — the
+    scoring family the reference's README describes alongside BM25.
+    """
+    return (1.0 + F.log10(term_freq.cast("double"))) * idf
+
+
+def tfidf_search(index: InvertedIndex, query: str | list[str], k: int = 10, *, stem: bool = False) -> DataFrame:
+    """Top-k by summed TF-IDF (no length normalization — use BM25 for
+    length-aware ranking; this is the reference's simpler scorer)."""
+    terms = tokenize_query(query, stem=stem) if isinstance(query, str) else list(query)
+    if not terms:
+        return search(index, [], k=k)  # typed empty result
+    tf = index.term_frequencies.filter(F.col("word").isin(terms))
+    idf = index.idf_values.filter(F.col("word").isin(terms)).select("word", "idf")
+    return (
+        tf.join(F.broadcast(idf), "word")
+        .select(
+            "doc_id",
+            tfidf_term_score(F.col("term_freq"), F.col("idf")).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("total_score"))
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(k)
+    )
+
+
 def okapi_idf(n_docs: Column, doc_freq: Column) -> Column:
     """rank_bm25-style idf: ln((N - df + 0.5)/(df + 0.5) + 1)."""
     return F.log(

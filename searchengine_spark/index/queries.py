@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.index.builder import build_index
-from searchengine_spark.index.bm25 import bm25_term_score, search
+from searchengine_spark.index.bm25 import bm25_term_score, search, tfidf_search
 from searchengine_spark.io import load_table
 from searchengine_spark.text.tokenizer import sql_tokens_expr
 
@@ -180,9 +180,30 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("total_score", 6).alias("total_score"))
 
 
+def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full TF-IDF score set for the benchmark terms (all matching
+    docs — no top-k boundary, fully oracle-deterministic)."""
+    idx = _index(spark, sf_dir)
+    terms = list(BM25_QUERY_TERMS)
+    tf = idx.term_frequencies.filter(F.col("word").isin(terms))
+    idf = idx.idf_values.filter(F.col("word").isin(terms)).select("word", "idf")
+    from searchengine_spark.index.bm25 import tfidf_term_score
+
+    return (
+        tf.join(F.broadcast(idf), "word")
+        .select(
+            "doc_id",
+            tfidf_term_score(F.col("term_freq"), F.col("idf")).alias("term_score"),
+        )
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("total_score"))
+    )
+
+
 QUERIES = {
     "se_flat_words": q_flat_words,
     "se_bm25_topk_stemmed": q_bm25_topk_stemmed,
+    "se_tfidf_scores": q_tfidf_scores,
     "se_doc_lengths": q_doc_lengths,
     "se_term_frequencies": q_term_frequencies,
     "se_idf_values": q_idf_values,
@@ -195,6 +216,13 @@ QUERIES = {
 
 ORACLES = {
     "se_flat_words": f"{_TOK_CTE} SELECT doc_id, word FROM tok",
+    "se_tfidf_scores": f"""{_INDEX_CTES}
+        SELECT tf.doc_id,
+               round(SUM((1.0 + log10(tf.term_freq)) * idf.idf), 6) AS total_score
+        FROM tf JOIN idf ON tf.word = idf.word
+        WHERE tf.word IN ({_BM25_TERMS_SQL})
+        GROUP BY tf.doc_id
+    """,
     "se_doc_lengths": f"{_TOK_CTE} SELECT doc_id, count(*)::BIGINT AS doc_length FROM tok GROUP BY doc_id",
     "se_term_frequencies": (
         f"{_TOK_CTE} SELECT doc_id, word, count(*)::BIGINT AS term_freq "

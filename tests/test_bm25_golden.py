@@ -68,6 +68,19 @@ def test_topk_limit(micro_index):
     assert search(micro_index, ["court"], k=2).count() == 2
 
 
+def test_tfidf_variant(micro_index):
+    from searchengine_spark.index.bm25 import tfidf_search
+
+    res = tfidf_search(micro_index, ["murder"], k=10).collect()
+    # doc 3: tf=2 -> (1+log10(2))*idf; doc 1: tf=1 -> idf
+    idf = math.log10(5 / 2)
+    assert [(r.doc_id, round(r.total_score, 9)) for r in res] == [
+        (3, round((1 + math.log10(2)) * idf, 9)),
+        (1, round(idf, 9)),
+    ]
+    assert tfidf_search(micro_index, [], k=5).count() == 0
+
+
 def test_okapi_variant_orders_differently_but_ranks(micro_index):
     res = search(micro_index, ["murder"], k=10, idf_variant="okapi").collect()
     # rank_bm25-style idf: ln((N-df+0.5)/(df+0.5)+1); doc 3 still first.
