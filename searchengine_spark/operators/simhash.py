@@ -37,21 +37,25 @@ def token_hash_expr(col):
 
 
 def simhash_signatures(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash) — one row per doc with >= 1 token."""
+    """(doc_id, simhash) — one row per doc with >= 1 token.
+
+    Single shuffle: tf-weighted bit votes equal per-OCCURRENCE +/-1
+    votes (sum over words of tf*sign == sum over occurrences of
+    sign), so the (doc_id, word) pre-aggregation the textbook
+    formulation uses is skipped entirely — explode -> hash ->
+    groupBy(doc_id) with map-side partial aggregation.
+    """
     toked = ensure_min_partitions(docs).select(
         F.col("doc_id"), tokens_column(text_col).alias("toks")
     )
-    tf = (
-        toked.select("doc_id", F.explode("toks").alias("word"))
-        .groupBy("doc_id", F.col("word"))
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .select("doc_id", token_hash_expr(F.col("word")).alias("h"), "tf")
-    )
-    votes = tf.groupBy("doc_id").agg(
+    occurrences = toked.select(
+        "doc_id", F.explode("toks").alias("word")
+    ).select("doc_id", token_hash_expr(F.col("word")).alias("h"))
+    votes = occurrences.groupBy("doc_id").agg(
         *[
             F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-                .otherwise(-F.col("tf"))
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, F.lit(1))
+                .otherwise(F.lit(-1))
             ).alias(f"v{i}")
             for i in range(N_BITS)
         ]

@@ -71,6 +71,30 @@ def start_index_maintenance(
     return writer.start()
 
 
+def compact_incremental_index(
+    spark: SparkSession,
+    out_dir: str,
+    compacted_dir: str,
+    *,
+    buckets: int = 64,
+    table_name: str = "se_tf_compacted",
+) -> InvertedIndex:
+    """Periodic compaction: fold the micro-batch appends into the
+    batch engine's bucketed layout (small-file rewrite + word
+    bucketing + materialized idf/postings/params). The streaming
+    maintenance keeps appending; compaction runs out-of-band and
+    queries move to the compacted index — the standard
+    lambda-architecture hand-off.
+    """
+    from searchengine_spark.index.builder import write_index
+
+    idx = read_incremental_index(spark, out_dir)
+    write_index(idx, compacted_dir, buckets=buckets, table_name=table_name)
+    from searchengine_spark.index.builder import read_index
+
+    return read_index(spark, compacted_dir, table_name=table_name)
+
+
 def read_incremental_index(spark: SparkSession, out_dir: str) -> InvertedIndex:
     """Assemble the queryable index: tf/dl from the appended files,
     idf/params derived lazily (always consistent with ingested data).

@@ -53,5 +53,24 @@ def test_incremental_index_matches_batch(spark, sf_dir):
             a = [(r.doc_id, round(r.total_score, 9)) for r in search(inc, query, k=10).collect()]
             b = [(r.doc_id, round(r.total_score, 9)) for r in search(batch, query, k=10).collect()]
             assert a == b, query
+
+        # Compaction: same answers from the bucketed layout.
+        from searchengine_spark.streaming.index_stream import (
+            compact_incremental_index,
+        )
+
+        compacted = compact_incremental_index(
+            spark, out, os.path.join(tmp, "compacted")
+        )
+        c = [
+            (r.doc_id, round(r.total_score, 9))
+            for r in search(compacted, "spark join window fast", k=10).collect()
+        ]
+        b2 = [
+            (r.doc_id, round(r.total_score, 9))
+            for r in search(batch, "spark join window fast", k=10).collect()
+        ]
+        assert c == b2
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        spark.sql("DROP TABLE IF EXISTS se_tf_compacted")
