@@ -57,6 +57,39 @@ def test_jaccard_verification_scores(docs):
         assert 0.5 < scored[(1, 3)] < 1.0
 
 
+def test_minhash_signature_estimates_jaccard(spark):
+    """Statistical property of the hash family: the fraction of
+    matching signature components estimates shingle-set Jaccard."""
+    from searchengine_spark.operators.dedup import (
+        NUM_HASHES,
+        minhash_signature_cols,
+        shingle_frame,
+        shingle_hashes,
+    )
+    from pyspark.sql import functions as F
+
+    # Two docs sharing ~2/3 of a long token stream.
+    w = lambda i: "t" + chr(97 + i // 26) + chr(97 + i % 26)
+    a = " ".join(w(i) for i in range(120))
+    b = " ".join(w(i) for i in range(40, 160))
+    docs = spark.createDataFrame([(1, a), (2, b)], "doc_id bigint, text string")
+
+    sh = shingle_frame(docs)
+    sigs = sh.select(
+        "doc_id", *minhash_signature_cols(shingle_hashes(F.col("shingles")))
+    ).collect()
+    s1, s2 = sorted(sigs, key=lambda r: r.doc_id)
+    matches = sum(
+        1 for i in range(NUM_HASHES) if s1[f"sig_{i}"] == s2[f"sig_{i}"]
+    )
+    est = matches / NUM_HASHES
+
+    shs = {r.doc_id: set(r.shingles) for r in sh.collect()}
+    true_j = len(shs[1] & shs[2]) / len(shs[1] | shs[2])
+    # 16 hashes -> sigma ~ sqrt(J(1-J)/16) ~ 0.12; allow 3 sigma.
+    assert abs(est - true_j) <= 0.36, (est, true_j)
+
+
 def test_simhash_near_duplicates(docs):
     sigs = simhash_signatures(docs)
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(sigs).collect()}

@@ -74,3 +74,41 @@ def test_incremental_index_matches_batch(spark, sf_dir):
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
         spark.sql("DROP TABLE IF EXISTS se_tf_compacted")
+
+
+def test_duplicate_batch_append_is_idempotent(spark, sf_dir):
+    """foreachBatch is at-least-once: appending the same batch twice
+    must not change what read_incremental_index reports."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.index.builder import build_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="se_retry_idx_")
+    try:
+        tokenized = docs.select(
+            "doc_id", F.split(F.lower("text"), "[^a-z]+").alias("w")
+        )
+        # Write the per-doc facts TWICE (simulated batch retry).
+        for _ in range(2):
+            from searchengine_spark.streaming.index_stream import (
+                start_index_maintenance,
+            )
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 100)
+                .parquet(sf_dir + "/documents.parque[t]")
+            )
+            q = start_index_maintenance(stream, tmp)  # no checkpoint -> replays
+            q.awaitTermination(60)
+
+        inc = read_incremental_index(spark, tmp)
+        batch = build_index(docs)
+        assert inc.doc_lengths.count() == batch.doc_lengths.count()
+        assert inc.term_frequencies.count() == batch.term_frequencies.count()
+        p_inc = inc.scoring_params.collect()[0]
+        p_b = batch.scoring_params.collect()[0]
+        assert p_inc.n_docs == p_b.n_docs
+        assert p_inc.avgdl == pytest.approx(p_b.avgdl)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
