@@ -112,14 +112,60 @@ def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+INTERVAL_MINUTES = 30
+
+
+def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (time-range) join: for each purchase, count the same
+    user's clicks in the preceding 30 minutes.
+
+    Executes as an equi hash join on user_id with the time bounds as a
+    residual filter — the scalable shape when the equi key has high
+    cardinality (per-user event lists are short). If there were no
+    equi key, the scale path is bucketing both sides by
+    floor(ts / interval) and joining each bucket to itself and its
+    neighbor; here user_id already bounds the blowup, so the simple
+    plan is the right one.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user_id"), F.col("ts").alias("click_ts")
+    )
+    lower = F.col("ts") - F.expr(f"INTERVAL {INTERVAL_MINUTES} MINUTES")
+    return (
+        purchases.join(
+            clicks,
+            (F.col("user_id") == F.col("c_user_id"))
+            & (F.col("click_ts") <= F.col("ts"))
+            & (F.col("click_ts") > lower),
+            "left",
+        )
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count("click_ts").alias("n_clicks"))
+    )
+
+
 QUERIES = {
     "rel_asof_purchase_signup": q_asof_purchase_signup,
+    "rel_interval_clicks_before_purchase": q_clicks_before_purchase,
     "rel_rollup_revenue": q_rollup_revenue,
     "rel_retained_churned": q_active_not_churned,
     "rel_price_quartiles": q_price_quartiles,
 }
 
 ORACLES = {
+    "rel_interval_clicks_before_purchase": f"""
+        SELECT p.event_id, p.user_id, p.ts, COUNT(c.click_ts) AS n_clicks
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click') c
+          ON p.user_id = c.user_id
+         AND c.click_ts <= p.ts
+         AND c.click_ts > p.ts - INTERVAL {INTERVAL_MINUTES} MINUTE
+        GROUP BY p.event_id, p.user_id, p.ts
+    """,
     "rel_asof_purchase_signup": """
         SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts,
                CASE WHEN s.ts IS NOT NULL

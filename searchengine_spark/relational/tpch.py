@@ -317,6 +317,176 @@ def q_part_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: order-count distribution per customer.
+
+    Two-level aggregation over a LEFT OUTER join: the outer join keeps
+    zero-order customers (c_count = 0 via COUNT of a nullable column).
+    At scale: first agg shuffles on custkey (high cardinality, even);
+    second agg's key space is tiny (~distinct order counts), so the
+    second shuffle moves one row per (task, c_count).
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders.select("o_custkey"), cust.c_custkey == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_custkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional-aggregate ratio (promo revenue %).
+
+    CASE-gated sums in one pass over the filtered fact; part joins
+    broadcast here (small dim at test SFs — at true TPC-H 100 TB part
+    is fact-sized and AQE would pick a shuffle hash join on partkey).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-03-01").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(
+            F.broadcast(part.select("p_partkey", "p_type")),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .agg(
+            _dec_sum(promo_rev, 4).alias("promo_revenue"),
+            _dec_sum(revenue, 4).alias("total_revenue"),
+        )
+        .withColumn(
+            "promo_pct",
+            F.round(100.0 * F.col("promo_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+Q18_QTY_THRESHOLD = 250
+
+
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING on an aggregate, joined back to facts.
+
+    The quantity aggregate keeps ~1% of orders (threshold at the q99),
+    so the join back to orders is small-side broadcastable after AQE
+    sees the runtime size; top-100 is TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dec_sum(F.col("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > Q18_QTY_THRESHOLD)
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(
+            F.broadcast(cust.select("c_custkey", "c_name")),
+            orders.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "total_qty"
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: disjunction of composite brand/size/quantity
+    predicates across the join (OR of ANDs).
+
+    The p_size/p_brand conjuncts prune part before the join; the
+    l_quantity bounds are fact-side scan predicates (pushed to
+    parquet); only the cross-table OR is evaluated post-join.
+    Brand/size windows adapted to the synthetic dataset's value
+    ranges (reference TPC-H constants give empty results here).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    cond = (
+        (
+            F.col("p_brand").isin("Brand#12", "Brand#13", "Brand#14")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            F.col("p_brand").isin("Brand#23", "Brand#24")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            F.col("p_brand").isin("Brand#34", "Brand#35")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        li.filter(F.col("l_quantity").between(1, 35))
+        .join(
+            F.broadcast(
+                part.select("p_partkey", "p_brand", "p_size").filter(
+                    F.col("p_size").between(1, 35)
+                )
+            ),
+            li.l_partkey == F.col("p_partkey"),
+        )
+        .filter(cond)
+        .agg(
+            _dec_sum(revenue, 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q22_CUTOFF = "1998-06-01"
+
+
+def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: uncorrelated scalar subquery (global average
+    balance) + time-windowed anti join (no recent orders), grouped by
+    market segment (stand-in for the reference's phone country code).
+
+    The 1-row average broadcasts via crossJoin; the anti join's right
+    side is pre-filtered by date so only recent orderkeys shuffle.
+    Average is computed as exact decimal sum / count, so both engines
+    agree bit-for-bit despite different summation orders.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    avg_bal = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast("decimal(28,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_bal")
+        )
+    )
+    recent = orders.filter(
+        F.col("o_orderdate") >= F.lit(Q22_CUTOFF).cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.sum(F.col("c_acctbal").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_bal"),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q3_shipping_priority": q3_shipping_priority,
@@ -331,6 +501,11 @@ QUERIES = {
     "tpch_q17_small_quantity_revenue": q17_small_quantity_revenue,
     "tpch_q7_volume_shipping": q7_volume_shipping,
     "tpch_q10_returned_items": q10_returned_items,
+    "tpch_q13_customer_distribution": q13_customer_distribution,
+    "tpch_q14_promo_revenue": q14_promo_revenue,
+    "tpch_q18_large_volume_customers": q18_large_volume_customers,
+    "tpch_q19_discounted_revenue": q19_discounted_revenue,
+    "tpch_q22_wealthy_inactive": q22_wealthy_inactive,
 }
 
 ORACLES = {
@@ -455,6 +630,67 @@ ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "tpch_q13_customer_distribution": """
+        SELECT c_count, COUNT(*) AS custdist FROM (
+          SELECT c_custkey, COUNT(o_custkey) AS c_count
+          FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+          GROUP BY c_custkey
+        ) GROUP BY c_count
+    """,
+    "tpch_q14_promo_revenue": """
+        SELECT
+          CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1.0 - l_discount)
+                             ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE) AS promo_revenue,
+          CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+          ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                             THEN l_extendedprice * (1.0 - l_discount)
+                             ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+                      / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE), 6) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate < TIMESTAMP '1997-03-01'
+    """,
+    "tpch_q18_large_volume_customers": f"""
+        WITH big AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS total_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) > {Q18_QTY_THRESHOLD}
+        )
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, total_qty
+        FROM orders
+        JOIN big ON o_orderkey = l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC
+        LIMIT 100
+    """,
+    "tpch_q19_discounted_revenue": """
+        SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand IN ('Brand#12','Brand#13','Brand#14')
+               AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 15)
+           OR (p_brand IN ('Brand#23','Brand#24')
+               AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 25)
+           OR (p_brand IN ('Brand#34','Brand#35')
+               AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 35)
+    """,
+    "tpch_q22_wealthy_inactive": f"""
+        WITH ab AS (
+          SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+          FROM customer WHERE c_acctbal > 0
+        )
+        SELECT c_mktsegment, COUNT(*) AS n_cust,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(28,2))) AS DOUBLE) AS total_bal
+        FROM customer, ab
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (
+            SELECT 1 FROM orders
+            WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '{Q22_CUTOFF}'
+          )
+        GROUP BY c_mktsegment
     """,
     "rel_part_type_stats": """
         SELECT p_type, COUNT(*) AS n_parts,
