@@ -144,6 +144,69 @@ def ivf_search(
     )
 
 
+def query_probe_ids(
+    centroids: list[list[float]], qvec: list[float], n_probe: int
+) -> list[int]:
+    """Driver-side probe selection: centroid ids ranked by cosine to
+    the query. Centroids are a tiny driver-side list (k entries), so
+    this is plain Python — which is exactly what makes the probe set
+    LITERAL in the query plan, and literals are what partition
+    pruning needs. Ties break on centroid id for determinism."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in qvec)) or 1.0
+    scored = []
+    for cid, c in enumerate(centroids):
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        cs = sum(a * b for a, b in zip(c, qvec)) / (cn * qn)
+        scored.append((-cs, cid))
+    return [cid for _, cid in sorted(scored)[:n_probe]]
+
+
+def write_ivf_index(assignments: DataFrame, path: str) -> None:
+    """Persist IVF assignments partitioned by centroid_id: each
+    centroid becomes a parquet partition directory, so a probe query
+    with literal centroid ids reads only n_probe directories —
+    partition pruning happens at file listing, before any I/O."""
+    assignments.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+
+def read_ivf_index(spark, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def ivf_search_pruned(
+    index: DataFrame,
+    centroids: list[list[float]],
+    qvec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF probe against a persisted, centroid-partitioned index.
+
+    The probe set is computed driver-side (query_probe_ids) and
+    applied as `centroid_id IN (literals)` — on the partitioned
+    layout this plans as PartitionFilters and scans only the probed
+    directories. The query vector is inlined as a literal array, so
+    the rerank is a single narrow scan-project-topk with no join at
+    all: the ideal serving plan for one query at any index size.
+    """
+    probes = query_probe_ids(centroids, qvec, n_probe)
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    return (
+        index.filter(F.col("centroid_id").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col(vec_col), qlit), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     *,
@@ -230,3 +293,25 @@ def ann_search(
         .orderBy(F.desc("cosine"), F.asc(id_col))
         .limit(k)
     )
+
+
+# --------------------------------------------------------------- queries
+
+def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
+    """IVF ANN top-10 for a fixed query vector (vec_id=3), probing
+    4/16 centroids. Rows-only driver check: KMeans training is not
+    SQL-expressible; recall and partition-pruning are covered by
+    tests/test_ann.py instead."""
+    from searchengine_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = build_ivf_index(emb, n_centroids=16)
+    qvec = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
+    ]
+    return ivf_search_pruned(assigned, centroids, qvec, k=10, n_probe=4)
+
+
+QUERIES = {"ann_ivf_topk": q_ann_ivf_topk}
+ORACLES: dict[str, str] = {}

@@ -62,6 +62,12 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        from searchengine_spark.operators import ann
+
+        modules.append(ann)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark.operators import approx
 
         modules.append(approx)

@@ -99,3 +99,62 @@ def test_recall_vs_bruteforce(emb):
     # Multi-probe at hamming<=4 over 12 planes must recover a
     # meaningful fraction of the true top-10 on random data.
     assert recall >= 0.3, f"recall {recall}"
+
+
+def test_ivf_persisted_search_prunes_partitions(emb, spark):
+    """Persisted IVF index: probe query must (a) match the in-memory
+    probe path, and (b) scan only the probed centroid partitions —
+    PartitionFilters in the plan, PartitionCount == n_probe."""
+    import shutil
+    import tempfile
+
+    from searchengine_spark.operators.ann import (
+        build_ivf_index,
+        ivf_search_pruned,
+        query_probe_ids,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    assigned, centroids = build_ivf_index(emb, n_centroids=16)
+    out = tempfile.mkdtemp(prefix="se_ivf_")
+    try:
+        write_ivf_index(assigned, out)
+        disk = read_ivf_index(spark, out)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]]
+
+        res = ivf_search_pruned(disk, centroids, qvec, k=10, n_probe=4)
+        got = [(r.vec_id, r.cosine) for r in res.collect()]
+        mem = [
+            (r.vec_id, r.cosine)
+            for r in ivf_search_pruned(assigned, centroids, qvec, k=10, n_probe=4).collect()
+        ]
+        assert got == mem
+        assert got[0][0] == 3 and got[0][1] == pytest.approx(1.0)
+
+        probes = query_probe_ids(centroids, qvec, 4)
+        assert len(set(probes)) == 4
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [centroid_id" in plan, plan
+
+        # Behavioral proof of pruning: corrupt a NON-probed partition;
+        # the pruned search must still succeed (it never opens that
+        # file), while touching the corrupted partition must fail.
+        import os
+
+        victim = next(c for c in range(16) if c not in probes)
+        with open(os.path.join(out, f"centroid_id={victim}", "part-corrupt.parquet"), "wb") as fh:
+            fh.write(b"not a parquet file")
+        fresh = read_ivf_index(spark, out)
+        again = [
+            (r.vec_id, r.cosine)
+            for r in ivf_search_pruned(fresh, centroids, qvec, k=10, n_probe=4).collect()
+        ]
+        assert again == got
+        with pytest.raises(Exception):
+            fresh.filter(F.col("centroid_id") == victim).collect()
+        # serving plan is scan -> project -> topk: no join, no exchange
+        # besides the top-k singlePartition gather
+        assert "Join" not in plan, plan
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
