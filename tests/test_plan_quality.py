@@ -49,3 +49,35 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
     ):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_q19_fact_predicates_reach_scan(spark, sf_dir):
+    """The disjunction's common l_quantity bounds and part's p_size
+    bound must be pushed to their parquet scans; part must broadcast."""
+    plan = _plan(spark, sf_dir, "tpch_q19_discounted_revenue")
+    assert "GreaterThanOrEqual(l_quantity,1" in plan, plan
+    assert "LessThanOrEqual(l_quantity,35" in plan, plan
+    assert "LessThanOrEqual(p_size,35" in plan, plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q18_topk_and_no_full_sort(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim
+
+
+def test_interval_join_is_hash_not_cartesian(spark, sf_dir):
+    """The time-range join must execute as an equi hash join on
+    user_id with the range bounds as residual condition — a
+    BroadcastNestedLoop/Cartesian here would be O(n^2) at scale."""
+    plan = _plan(spark, sf_dir, "rel_interval_clicks_before_purchase")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan
+
+
+def test_q22_anti_join_shape(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tpch_q22_wealthy_inactive")
+    assert "LeftAnti" in plan, plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan, plan  # date filter pushed
