@@ -1,0 +1,125 @@
+"""Deterministic sampling and dataset splitting.
+
+The reference's only sampling op is a head-fraction slice
+(nltksearchv1.py:41, `df.slice(int(-0.5*len(df)))`) — deterministic
+but order-dependent, which breaks on any distributed scan whose file
+order changes. A 100 TB training pipeline needs splits that are:
+
+- deterministic per RECORD (not per row position): a doc lands in the
+  same split on every run, on any cluster layout, after any
+  repartition;
+- stable under appends: new records don't reshuffle old assignments
+  (hash-based, not rank/ntile-based);
+- engine-reproducible: md5-based buckets, so the DuckDB oracle
+  computes the exact same assignment (same trick as operators/dedup).
+
+`spark.DataFrame.sample` satisfies none of these (seeded per
+partition — results change with partitioning), so it is the wrong
+tool for train/test splits; it remains the right tool for cheap
+approximate profiling where stability doesn't matter.
+
+Scale shape: pure narrow projection + filter — no shuffle, no state;
+the bucket expression pushes nothing to the scan but evaluates
+per-row in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+N_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column, *, n_buckets: int = N_BUCKETS, salt: str = "") -> Column:
+    """Deterministic bucket in [0, n_buckets) from a column's string
+    form: first 60 bits of md5, mod n_buckets. DuckDB twin:
+    ('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 15))::BIGINT % n."""
+    s = F.concat(F.lit(salt), col.cast("string"))
+    h = F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("bigint")
+    return F.pmod(h, F.lit(n_buckets))
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, *, salt: str = ""
+) -> DataFrame:
+    """Keep ~fraction of rows, chosen by record-content hash: stable
+    across runs, partitionings, and appends."""
+    cutoff = int(fraction * N_BUCKETS)
+    return df.filter(hash_bucket(F.col(id_col), salt=salt) < cutoff)
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    *,
+    val_fraction: float = 0.1,
+    test_fraction: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a `split` column ('train'/'val'/'test') by hashed id.
+
+    The salt namespaces the assignment: a different salt gives an
+    independent split without touching the data. Ranges are
+    [0, val) -> val, [val, val+test) -> test, rest -> train.
+    """
+    b = hash_bucket(F.col(id_col), salt=salt)
+    val_hi = int(val_fraction * N_BUCKETS)
+    test_hi = val_hi + int(test_fraction * N_BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def _bucket_sql(expr: str, salt: str) -> str:
+    return (
+        f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
+        f" % {N_BUCKETS})"
+    )
+
+
+def q_sample_documents(spark, sf_dir: str) -> DataFrame:
+    """10% deterministic sample of documents (ids + langs only)."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return deterministic_sample(docs, "doc_id", 0.10).select("doc_id", "lang")
+
+
+def q_split_distribution(spark, sf_dir: str) -> DataFrame:
+    """Split-assignment histogram per language: proves assignment is
+    deterministic AND close to the requested 80/10/10."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id")
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+QUERIES = {
+    "sample_documents_10pct": q_sample_documents,
+    "split_train_val_test": q_split_distribution,
+}
+
+ORACLES = {
+    "sample_documents_10pct": f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {_bucket_sql("doc_id", "")} < {int(0.10 * N_BUCKETS)}
+    """,
+    "split_train_val_test": f"""
+        SELECT CASE
+                 WHEN {_bucket_sql("doc_id", "split")} < {int(0.1 * N_BUCKETS)} THEN 'val'
+                 WHEN {_bucket_sql("doc_id", "split")} < {2 * int(0.1 * N_BUCKETS)} THEN 'test'
+                 ELSE 'train'
+               END AS split,
+               lang, COUNT(*) AS n_docs
+        FROM documents
+        GROUP BY 1, 2
+    """,
+}

@@ -70,3 +70,29 @@ def salted_count_sum(
         ],
         n_salts=n_salts,
     )
+
+
+# --------------------------------------------------------------- queries
+
+def q_skew_salted_lang_stats(spark, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation over documents.lang — a 5-value
+    key, i.e. a genuinely skewed aggregation at any scale. The result
+    is exact (algebraic decomposition + decimal sums), so it
+    hash-matches the plain GROUP BY oracle — proving the salting
+    changes the shuffle topology, not the answer."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return salted_count_sum(docs, ["lang"], "n_chars")
+
+
+QUERIES = {"skew_salted_lang_stats": q_skew_salted_lang_stats}
+
+ORACLES = {
+    "skew_salted_lang_stats": """
+        SELECT lang, COUNT(*) AS n_rows,
+               CAST(SUM(CAST(n_chars AS DECIMAL(28,2))) AS DOUBLE) AS total
+        FROM documents
+        GROUP BY lang
+    """,
+}

@@ -74,6 +74,18 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     except ImportError:
         pass
     try:
+        from searchengine_spark.operators import sampling
+
+        modules.append(sampling)
+    except ImportError:
+        pass
+    try:
+        from searchengine_spark.operators import skew
+
+        modules.append(skew)
+    except ImportError:
+        pass
+    try:
         from searchengine_spark.operators import udaf
 
         modules.append(udaf)

@@ -1,0 +1,63 @@
+"""Deterministic sampling/splitting: stability properties that
+df.sample() does NOT have (and the pipeline relies on)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.operators.sampling import (
+    deterministic_sample,
+    train_val_test_split,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents").cache()
+
+
+def test_sample_stable_under_repartition(docs):
+    base = {r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).select("doc_id").collect()}
+    repart = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(7), "doc_id", 0.2)
+        .select("doc_id")
+        .collect()
+    }
+    assert base == repart
+    n = docs.count()
+    assert 0.1 * n < len(base) < 0.3 * n
+
+
+def test_sample_stable_under_append(docs):
+    """Old records keep their assignment when new data arrives."""
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    full_sample = {
+        r.doc_id for r in deterministic_sample(docs, "doc_id", 0.2).select("doc_id").collect()
+    }
+    half_sample = {
+        r.doc_id for r in deterministic_sample(half, "doc_id", 0.2).select("doc_id").collect()
+    }
+    assert half_sample == {d for d in full_sample if d % 2 == 0}
+
+
+def test_split_partitions_everything_once(docs):
+    split = train_val_test_split(docs, "doc_id")
+    counts = {r["split"]: r["n"] for r in split.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    n = docs.count()
+    assert counts["train"] > 0.7 * n
+    assert 0.03 * n < counts.get("val", 0) < 0.2 * n
+    assert 0.03 * n < counts.get("test", 0) < 0.2 * n
+
+
+def test_split_salt_gives_independent_assignment(docs):
+    a = train_val_test_split(docs, "doc_id", salt="a")
+    b = train_val_test_split(docs, "doc_id", salt="b")
+    joined = a.select("doc_id", F.col("split").alias("sa")).join(
+        b.select("doc_id", F.col("split").alias("sb")), "doc_id"
+    )
+    agree = joined.filter(F.col("sa") == F.col("sb")).count() / joined.count()
+    # independent assignments agree ~ sum(p_i^2) = .66; identical
+    # ones agree 1.0 — assert we're nowhere near identical
+    assert agree < 0.9
