@@ -153,6 +153,85 @@ def search(
     )
 
 
+def search_many(
+    index: InvertedIndex,
+    queries: dict[str, str | list[str]],
+    k: int = 10,
+    *,
+    k1: float = K1_DEFAULT,
+    b: float = B_DEFAULT,
+    stem: bool = False,
+    round_scores: int | None = None,
+) -> DataFrame:
+    """Score MANY queries in ONE job: (query_id, doc_id, total_score,
+    rnk) with rnk <= k per query.
+
+    The serving-at-scale shape the reference's one-query-per-job loop
+    (pyapp.py:89-107) can't reach: the tf table is scanned ONCE for
+    the union of all terms (still a literal isin -> parquet pushdown),
+    a tiny broadcast (query_id, word) table fans matches out to their
+    queries, and per-query top-k is a row_number window partitioned by
+    query_id — thousands of queries amortize to one pass over the
+    index. ``round_scores`` rounds before ranking so the k-cutoff is
+    reproducible across engines (used by the oracle-checked query).
+    """
+    spark = index.term_frequencies.sparkSession
+    pairs = []
+    for qid, q in queries.items():
+        terms = tokenize_query(q, stem=stem) if isinstance(q, str) else list(q)
+        pairs.extend((qid, t) for t in dict.fromkeys(terms))
+    if not pairs:
+        from pyspark.sql.types import (
+            DoubleType,
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+
+        id_field = index.term_frequencies.schema["doc_id"]
+        return spark.createDataFrame(
+            [],
+            StructType(
+                [
+                    StructField("query_id", StringType()),
+                    StructField("doc_id", id_field.dataType),
+                    StructField("total_score", DoubleType()),
+                    StructField("rnk", LongType()),
+                ]
+            ),
+        )
+    qterms = spark.createDataFrame(pairs, "query_id string, word string")
+    words = sorted({w for _, w in pairs})
+
+    tf = index.term_frequencies.filter(F.col("word").isin(words))
+    idf = index.idf_values.filter(F.col("word").isin(words)).select("word", "idf")
+    score = F.sum(
+        bm25_term_score(
+            F.col("term_freq"), F.col("doc_length"), F.col("avgdl"), F.col("idf"),
+            k1=k1, b=b,
+        )
+    ).alias("total_score")
+    if round_scores is not None:
+        score = F.round(score, round_scores).alias("total_score")
+    totals = (
+        tf.join(F.broadcast(qterms), "word")
+        .join(F.broadcast(idf), "word")
+        .join(index.doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(index.scoring_params.select("avgdl")))
+        .groupBy("query_id", "doc_id")
+        .agg(score)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("total_score"), F.asc("doc_id")
+    )
+    return totals.withColumn(
+        "rnk", F.row_number().over(w).cast("bigint")
+    ).filter(F.col("rnk") <= k)
+
+
 def snippets(
     results: DataFrame, doc_text: DataFrame, *, text_col: str = "text", max_len: int = 300
 ) -> DataFrame:

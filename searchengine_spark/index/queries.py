@@ -180,6 +180,24 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("doc_id", F.round("total_score", 6).alias("total_score"))
 
 
+BATCH_QUERIES: dict[str, list[str]] = {
+    # Pre-tokenized term lists so the Spark path and the SQL oracle
+    # share literal terms (no tokenizer in the oracle).
+    "q_spark": ["spark", "join", "window", "fast"],
+    "q_sort": ["merge", "sort", "table"],
+    "q_hash": ["hash", "group", "filter"],
+}
+
+
+def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched serving: all BATCH_QUERIES scored in one job, top-k per
+    query via a query_id-partitioned window (see bm25.search_many)."""
+    from searchengine_spark.index.bm25 import search_many
+
+    idx = _index(spark, sf_dir)
+    return search_many(idx, dict(BATCH_QUERIES), k=BM25_K, round_scores=6)
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full TF-IDF score set for the benchmark terms (all matching
     docs — no top-k boundary, fully oracle-deterministic)."""
@@ -212,7 +230,37 @@ QUERIES = {
     "se_bm25_scores": q_bm25_scores,
     "se_bm25_topk": q_bm25_topk,
     "se_search_api": q_search_api,
+    "se_bm25_batch": q_bm25_batch,
 }
+
+_BATCH_QTERMS_SQL = ", ".join(
+    f"('{qid}', '{t}')" for qid, terms in BATCH_QUERIES.items() for t in terms
+)
+
+_BM25_BATCH_SQL = f"""{_INDEX_CTES},
+qterms(query_id, word) AS (SELECT * FROM (VALUES {_BATCH_QTERMS_SQL})),
+scored AS (
+  SELECT q.query_id, tf.doc_id,
+         idf.idf * (tf.term_freq * {K1 + 1.0}) /
+           (tf.term_freq + {K1} * (1.0 - {B} + {B} * dl.doc_length /
+             (SELECT avgdl FROM params))) AS term_score
+  FROM tf
+  JOIN qterms q ON tf.word = q.word
+  JOIN idf ON tf.word = idf.word
+  JOIN dl ON tf.doc_id = dl.doc_id
+),
+totals AS (
+  SELECT query_id, doc_id, round(sum(term_score), 6) AS total_score
+  FROM scored GROUP BY query_id, doc_id
+)
+SELECT query_id, doc_id, total_score, rnk FROM (
+  SELECT query_id, doc_id, total_score,
+         ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+         ) AS rnk
+  FROM totals
+) WHERE rnk <= {BM25_K}
+"""
 
 ORACLES = {
     "se_flat_words": f"{_TOK_CTE} SELECT doc_id, word FROM tok",
@@ -242,4 +290,5 @@ ORACLES = {
     "se_search_api": (
         f"{_BM25_SCORES_SQL} ORDER BY total_score DESC, doc_id ASC LIMIT {BM25_K}"
     ),
+    "se_bm25_batch": _BM25_BATCH_SQL,
 }

@@ -148,9 +148,30 @@ def q_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — arbitrary subtotal combinations that
+    neither ROLLUP nor CUBE express: totals by (flag, status), by
+    flag alone, and by status alone, but NO grand total. One pass;
+    Spark expands the sets with a single Expand node feeding one
+    hash aggregate (same shape as cube/rollup — no extra scans)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("_gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        FROM _gs_lineitem
+        GROUP BY GROUPING SETS (
+          (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)
+        )
+        """
+    )
+
+
 QUERIES = {
     "rel_asof_purchase_signup": q_asof_purchase_signup,
     "rel_interval_clicks_before_purchase": q_clicks_before_purchase,
+    "rel_grouping_sets_revenue": q_grouping_sets_revenue,
     "rel_rollup_revenue": q_rollup_revenue,
     "rel_retained_churned": q_active_not_churned,
     "rel_price_quartiles": q_price_quartiles,
@@ -165,6 +186,14 @@ ORACLES = {
          AND c.click_ts <= p.ts
          AND c.click_ts > p.ts - INTERVAL {INTERVAL_MINUTES} MINUTE
         GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    "rel_grouping_sets_revenue": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(28,2))) AS DOUBLE) AS sum_price
+        FROM lineitem
+        GROUP BY GROUPING SETS (
+          (l_returnflag, l_linestatus), (l_returnflag), (l_linestatus)
+        )
     """,
     "rel_asof_purchase_signup": """
         SELECT p.event_id, p.user_id, p.ts, s.ts AS signup_ts,

@@ -89,3 +89,45 @@ def test_okapi_variant_orders_differently_but_ranks(micro_index):
     # doc 1: tf=1, dl=3=avgdl -> idf * 2.2/2.2 = idf
     doc1 = [r for r in res if r.doc_id == 1][0]
     assert doc1.total_score == pytest.approx(expected_idf, abs=1e-9)
+
+
+def test_search_many_matches_single_query_search(spark, sf_dir):
+    """Batched serving must return exactly the single-query results
+    for every query in the batch."""
+    from searchengine_spark.index.bm25 import search, search_many
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.io import load_table
+
+    idx = build_index(load_table(spark, sf_dir, "documents")).cache()
+    queries = {
+        "a": ["spark", "join", "window", "fast"],
+        "b": ["merge", "sort", "table"],
+        "empty": [],
+    }
+    batch = search_many(idx, queries, k=10)
+    rows = batch.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.doc_id, round(r.total_score, 9)))
+    for qid in ("a", "b"):
+        single = [
+            (r.doc_id, round(r.total_score, 9))
+            for r in search(idx, queries[qid], k=10).collect()
+        ]
+        got = sorted(by_q[qid], key=lambda t: t[0])
+        assert sorted(single, key=lambda t: t[0]) == got, qid
+    assert "empty" not in by_q  # no-term query contributes no rows
+    # rnk is a contiguous 1..k ranking per query
+    ranks = sorted(r.rnk for r in rows if r.query_id == "a")
+    assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_search_many_empty_batch_schema(spark, sf_dir):
+    from searchengine_spark.index.bm25 import search_many
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.io import load_table
+
+    idx = build_index(load_table(spark, sf_dir, "documents"))
+    empty = search_many(idx, {}, k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "doc_id", "total_score", "rnk"]
