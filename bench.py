@@ -36,6 +36,10 @@ HEADLINE = [
     "sim_cosine_topk",
     "text_stats",
     "text_lang_guess",
+    "tpch_q18_large_volume_customers",
+    "rel_interval_clicks_before_purchase",
+    "se_bm25_batch",
+    "split_train_val_test",
 ]
 
 SERVE_QUERIES = [

@@ -168,10 +168,62 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+HIST_BIN_WIDTH = 5000.0
+
+
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram (binning) over lineitem prices —
+    the profiling primitive behind every distribution dashboard.
+    One scan + one tiny-key shuffle (bin count ~ price range / width);
+    bins are floor(x / width) so empty bins simply don't appear."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(
+            F.floor(F.col("l_extendedprice") / HIST_BIN_WIDTH).alias("bin")
+        )
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .withColumn("bin_lo", F.col("bin") * HIST_BIN_WIDTH)
+    )
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-profiling operator: one output row per profiled column
+    with null count, distinct count, min/max (as strings — one schema
+    for every column type). All columns profile in a single scan
+    (one multi-agg), then unpivot driver-free via stack()."""
+    orders = load_table(spark, sf_dir, "orders")
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    aggs = []
+    for c in cols:
+        # doubles stringify via DECIMAL so both engines render the
+        # same text (Java switches to scientific notation at 1e7)
+        sc = (
+            F.col(c).cast("decimal(18,2)").cast("string")
+            if dict(orders.dtypes)[c] == "double"
+            else F.col(c).cast("string")
+        )
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(sc).alias(f"{c}__min"),
+            F.max(sc).alias(f"{c}__max"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__nulls, {c}__distinct, {c}__min, {c}__max" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(column_name, n_nulls, n_distinct, min_str, max_str)"
+    )
+
+
 QUERIES = {
     "rel_asof_purchase_signup": q_asof_purchase_signup,
     "rel_interval_clicks_before_purchase": q_clicks_before_purchase,
     "rel_grouping_sets_revenue": q_grouping_sets_revenue,
+    "rel_price_histogram": q_price_histogram,
+    "rel_profile_orders": q_profile_orders,
     "rel_rollup_revenue": q_rollup_revenue,
     "rel_retained_churned": q_active_not_churned,
     "rel_price_quartiles": q_price_quartiles,
@@ -186,6 +238,46 @@ ORACLES = {
          AND c.click_ts <= p.ts
          AND c.click_ts > p.ts - INTERVAL {INTERVAL_MINUTES} MINUTE
         GROUP BY p.event_id, p.user_id, p.ts
+    """,
+    "rel_price_histogram": f"""
+        SELECT CAST(floor(l_extendedprice / {HIST_BIN_WIDTH}) AS BIGINT) AS bin,
+               COUNT(*) AS n_items,
+               CAST(floor(l_extendedprice / {HIST_BIN_WIDTH}) AS BIGINT) * {HIST_BIN_WIDTH} AS bin_lo
+        FROM lineitem
+        GROUP BY 1
+    """,
+    "rel_profile_orders": """
+        SELECT 'o_orderkey' AS column_name,
+               CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+               COUNT(DISTINCT o_orderkey) AS n_distinct,
+               MIN(CAST(o_orderkey AS VARCHAR)) AS min_str,
+               MAX(CAST(o_orderkey AS VARCHAR)) AS max_str
+        FROM orders
+        UNION ALL
+        SELECT 'o_custkey',
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_custkey),
+               MIN(CAST(o_custkey AS VARCHAR)), MAX(CAST(o_custkey AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderstatus',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderstatus),
+               MIN(o_orderstatus), MAX(o_orderstatus)
+        FROM orders
+        UNION ALL
+        SELECT 'o_totalprice',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_totalprice),
+               MIN(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR)),
+               MAX(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR))
+        FROM orders
+        UNION ALL
+        SELECT 'o_orderpriority',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(DISTINCT o_orderpriority),
+               MIN(o_orderpriority), MAX(o_orderpriority)
+        FROM orders
     """,
     "rel_grouping_sets_revenue": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
