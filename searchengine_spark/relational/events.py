@@ -128,7 +128,46 @@ FROM sessioned
 GROUP BY user_id, session_id
 """
 
+def q_events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding window frame: 5-event moving average per user
+    (ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) — the frame variant
+    the running-total query (unbounded frame) doesn't cover. Exact
+    decimal sum over the frame / frame row count, so both engines
+    agree bit-for-bit."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.sum(F.col("value").cast("decimal(28,2)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    ).withColumn("moving_avg", F.round("moving_avg", 6))
+
+
+def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag surface: seconds since the user's previous event and
+    until the next one (NULL at partition edges)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_s = F.col("ts").cast("long")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (ts_s - F.lag(ts_s, 1).over(w)).alias("secs_since_prev"),
+        (F.lead(ts_s, 1).over(w) - ts_s).alias("secs_until_next"),
+    )
+
+
 QUERIES = {
+    "events_moving_avg": q_events_moving_avg,
+    "events_inter_arrival": q_events_inter_arrival,
     "events_hourly_rollup": q_events_hourly,
     "events_running_total": q_events_running_total,
     "events_sessionize": q_events_sessionize,
@@ -136,6 +175,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_moving_avg": """
+        SELECT event_id, user_id,
+               ROUND(
+                 CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+                 / COUNT(*) OVER w, 6) AS moving_avg
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW
+        )
+    """,
+    "events_inter_arrival": """
+        SELECT event_id, user_id, event_type,
+               (epoch_us(ts) // 1000000) - LAG(epoch_us(ts) // 1000000) OVER w AS secs_since_prev,
+               LEAD(epoch_us(ts) // 1000000) OVER w - (epoch_us(ts) // 1000000) AS secs_until_next
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
     "events_hourly_rollup": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,

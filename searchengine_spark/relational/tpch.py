@@ -487,6 +487,41 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q8_NATION = "NATION_3"
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: per-year market share of one supplier nation —
+    a conditional-aggregate RATIO per group (vs Q14's global ratio).
+
+    All dims broadcast; the single fact shuffle is the per-year
+    aggregation. The share divides two decimal-exact sums, rounded on
+    both engines."""
+    nation = load_table(spark, sf_dir, "nation")
+    sup = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+
+    sup_nat = sup.join(
+        F.broadcast(nation), sup.s_nationkey == nation.n_nationkey
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    nat_rev = F.when(F.col("supp_nation") == Q8_NATION, revenue).otherwise(F.lit(0.0))
+    return (
+        li.join(orders.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(sup_nat), li.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            _dec_sum(nat_rev, 4).alias("nation_revenue"),
+            _dec_sum(revenue, 4).alias("total_revenue"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
 QUERIES = {
     "tpch_q1_pricing_summary": q1_pricing_summary,
     "tpch_q3_shipping_priority": q3_shipping_priority,
@@ -506,6 +541,7 @@ QUERIES = {
     "tpch_q18_large_volume_customers": q18_large_volume_customers,
     "tpch_q19_discounted_revenue": q19_discounted_revenue,
     "tpch_q22_wealthy_inactive": q22_wealthy_inactive,
+    "tpch_q8_market_share": q8_market_share,
 }
 
 ORACLES = {
@@ -630,6 +666,22 @@ ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "tpch_q8_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(SUM(CAST(CASE WHEN n_name = '{Q8_NATION}'
+                                  THEN l_extendedprice * (1.0 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE) AS nation_revenue,
+               CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue,
+               ROUND(CAST(SUM(CAST(CASE WHEN n_name = '{Q8_NATION}'
+                                  THEN l_extendedprice * (1.0 - l_discount)
+                                  ELSE 0.0 END AS DECIMAL(28,4))) AS DOUBLE)
+                     / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE), 6) AS mkt_share
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY 1
     """,
     "tpch_q13_customer_distribution": """
         SELECT c_count, COUNT(*) AS custdist FROM (
