@@ -165,7 +165,20 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-type surface: parse the props JSON into map<string,bigint>
+    and explode to (event_id, key, val) rows — the schema-on-read
+    path for semi-structured event properties (generic over whatever
+    keys appear; no per-key schema migration)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.explode(F.from_json("props", "map<string,bigint>")).alias("key", "val"),
+    )
+
+
 QUERIES = {
+    "events_props_kv": q_events_props_kv,
     "events_moving_avg": q_events_moving_avg,
     "events_inter_arrival": q_events_inter_arrival,
     "events_hourly_rollup": q_events_hourly,
@@ -175,6 +188,11 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_props_kv": """
+        SELECT event_id, k AS key,
+               CAST(json_extract(props, '$.' || k) AS BIGINT) AS val
+        FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
     "events_moving_avg": """
         SELECT event_id, user_id,
                ROUND(
