@@ -227,6 +227,65 @@ def jaccard_pairs(
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    *,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) over an undirected edge set — min-label
+    propagation, the iterative step dedup clustering needs to turn
+    pairwise matches into duplicate CLUSTERS (A~B and B~C must group
+    A,C together even though they never matched directly).
+
+    Each round: every node takes the min label among itself and its
+    neighbors; converged when nothing changes. Rounds needed = graph
+    diameter — near-dup clusters are tiny (a handful of docs), so
+    this terminates in 2-4 rounds. At 100 TB scale with adversarially
+    long chains the same loop upgrades to the large-star/small-star
+    algorithm (Kiveris et al., "Connected Components in MapReduce",
+    SoCC'14) which contracts in O(log n) rounds; the driver-side loop
+    with localCheckpoint lineage cuts is the standard Spark shape for
+    both (GraphFrames does the same internally).
+
+    Deterministic: min-label has a unique fixed point independent of
+    execution/iteration order.
+    """
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        nbr = sym.join(labels, sym.dst == labels.node).select(
+            F.col("src").alias("node"), F.col("component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 # ------------------------------------------------------------- queries
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,6 +299,17 @@ def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return neardup_candidate_pairs(minhash_bands(docs))
+
+
+def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive duplicate clusters over the LSH candidate pairs:
+    (doc_id, component) where component = min doc_id reachable
+    through the match graph."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = neardup_candidate_pairs(minhash_bands(docs))
+    return connected_components(pairs).select(
+        F.col("node").alias("doc_id"), "component"
+    )
 
 
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -311,7 +381,35 @@ QUERIES = {
     "dedup_minhash_bands": q_minhash_bands,
     "dedup_neardup_pairs": q_neardup_pairs,
     "dedup_neardup_jaccard": q_neardup_jaccard,
+    "dedup_duplicate_clusters": q_duplicate_clusters,
 }
+
+# The cluster oracle reaches the same fixed point with a recursive
+# CTE (min reachable label == connected component representative).
+_CLUSTERS_SQL = (
+    _BANDS_CTE.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    + """,
+    pairs AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM pairs
+    ),
+    reach AS (
+      SELECT src AS node, src AS lab FROM edges
+      UNION
+      SELECT e.src AS node, r.lab
+      FROM reach r JOIN edges e ON e.dst = r.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS component
+    FROM reach GROUP BY node
+"""
+)
 
 ORACLES = {
     "dedup_exact": """
@@ -320,6 +418,7 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash_bands": f"{_BANDS_CTE} SELECT doc_id, band, band_hash FROM bands",
+    "dedup_duplicate_clusters": _CLUSTERS_SQL,
     "dedup_neardup_pairs": f"""{_BANDS_CTE}
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
         FROM bands l JOIN bands r

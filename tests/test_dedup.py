@@ -95,3 +95,29 @@ def test_simhash_near_duplicates(docs):
     pairs = {(r.doc_a, r.doc_b): r.hamming for r in simhash_neardup_pairs(sigs).collect()}
     assert pairs.get((1, 2)) == 0          # identical text -> same simhash
     assert (1, 4) not in pairs             # unrelated docs don't pair
+
+
+def test_connected_components_transitive_closure(spark):
+    """A~B, B~C, D~E: {A,B,C} one cluster (despite A,C never matching
+    directly), {D,E} another; labels are the cluster-min ids."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    got = {
+        r.node: r.component for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node path graph needs diameter-many propagation rounds —
+    exercises the iteration loop well past one hop."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100, 112)], "doc_a bigint, doc_b bigint"
+    )
+    comps = {r.component for r in connected_components(edges).collect()}
+    assert comps == {100}
