@@ -177,8 +177,36 @@ def q_events_props_kv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_FRAME_SECONDS = 600
+
+
+def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, vs the row-count frame of
+    events_moving_avg): per user, total spend in the trailing 10
+    MINUTES of event time — peers are selected by timestamp
+    distance, so a burst of events contributes regardless of row
+    count. Spark range frames need a numeric sort key: order by
+    epoch seconds and bound by +/-seconds."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-RANGE_FRAME_SECONDS, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.sum(F.col("value").cast("decimal(28,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_10m_value"),
+        F.count(F.lit(1)).over(w).alias("trailing_10m_events"),
+    )
+
+
 QUERIES = {
     "events_props_kv": q_events_props_kv,
+    "events_range_frame": q_events_range_frame,
     "events_moving_avg": q_events_moving_avg,
     "events_inter_arrival": q_events_inter_arrival,
     "events_hourly_rollup": q_events_hourly,
@@ -188,6 +216,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    # RANGE frame on integer epoch SECONDS in both engines (Spark's
+    # cast-to-long truncates sub-second precision; the oracle must
+    # bucket peers identically or frame membership differs).
+    "events_range_frame": f"""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE) AS trailing_10m_value,
+               COUNT(*) OVER w AS trailing_10m_events
+        FROM events
+        WINDOW w AS (
+          PARTITION BY user_id ORDER BY (epoch_us(ts) // 1000000)
+          RANGE BETWEEN {RANGE_FRAME_SECONDS} PRECEDING AND CURRENT ROW
+        )
+    """,
     "events_props_kv": """
         SELECT event_id, k AS key,
                CAST(json_extract(props, '$.' || k) AS BIGINT) AS val

@@ -45,6 +45,38 @@ def read_events_stream(
     return stream
 
 
+def read_rate_events_stream(
+    spark: SparkSession, *, rows_per_second: int = 500, n_users: int = 50
+) -> DataFrame:
+    """Unbounded synthetic event stream from the built-in rate source
+    — the local stand-in for a Kafka topic (same unbounded-source
+    semantics: monotonically growing offsets, per-trigger batches,
+    no end). Rate rows (timestamp, value) are mapped deterministically
+    to the events schema so every downstream streaming operator
+    (rollup, sessionize, dedup, enrich) runs unchanged against it.
+
+    At 100 TB/day the only change is the source line:
+    readStream.format("kafka") + from_json(value) — the topology,
+    watermarks, and state management are identical.
+    """
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+    )
+    return rate.select(
+        F.col("value").alias("event_id"),
+        F.col("timestamp").alias("ts"),
+        F.pmod(F.col("value"), F.lit(n_users)).alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
+            (F.pmod(F.col("value"), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("value") * 7919, F.lit(10000)) / 100.0).alias("value"),
+        F.to_json(F.struct(F.pmod(F.col("value"), F.lit(100)).alias("k"))).alias("props"),
+    )
+
+
 def hourly_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour rollup per event_type (streaming twin of
     relational/events.q_events_hourly)."""

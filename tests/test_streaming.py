@@ -69,3 +69,41 @@ def test_dedup_stream_removes_nothing_on_unique_ids(spark, sf_dir):
 
     n_raw = load_table(spark, sf_dir, "events").count()
     assert spark.table("dedup_mem").count() == n_raw
+
+
+def test_rate_source_stream_flows_through_rollup(spark, sf_dir):
+    """The rate-source synthetic stream (local Kafka stand-in) must
+    (a) expose the exact events schema, so every streaming operator
+    runs unchanged on it, and (b) actually flow: a windowed rollup
+    over it produces rows within a few micro-batches."""
+    import time
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.events import read_rate_events_stream
+
+    stream = read_rate_events_stream(spark, rows_per_second=200)
+    assert stream.isStreaming
+    batch_schema = dict(load_table(spark, sf_dir, "events").dtypes)
+    assert dict(stream.dtypes) == batch_schema
+
+    rolled = hourly_rollup_stream(stream, watermark="10 minutes")
+    q = (
+        rolled.writeStream.format("memory")
+        .queryName("rate_rollup_mem")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            if spark.table("rate_rollup_mem").count() > 0:
+                break
+            time.sleep(0.5)
+        rows = spark.table("rate_rollup_mem").collect()
+        assert rows, "no micro-batch produced output within 60s"
+        assert all(r.n_events > 0 for r in rows)
+        assert {r.event_type for r in rows} <= {
+            "click", "view", "purchase", "signup", "error"
+        }
+    finally:
+        q.stop()
