@@ -39,15 +39,20 @@ def approx_user_stats(events: DataFrame) -> DataFrame:
     """Per event-type cardinality + quantile estimates, one pass,
     bounded memory. Exact twins exist in events.q_events_type_stats /
     advanced.q_price_quartiles for error measurement."""
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", RSD).alias("approx_users"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(
-            F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")[0], 6
-        ).alias("p50_value"),
-        F.round(
-            F.expr("approx_percentile(value, array(0.5, 0.95, 0.99), 10000)")[2], 6
-        ).alias("p99_value"),
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", RSD).alias("approx_users"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("approx_percentile(value, array(0.5, 0.99), 10000)").alias("_pcts"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "n_events",
+            F.round(F.col("_pcts")[0], 6).alias("p50_value"),
+            F.round(F.col("_pcts")[1], 6).alias("p99_value"),
+        )
     )
 
 

@@ -256,6 +256,11 @@ def connected_components(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
+        # materialize once: every iteration joins against sym, and
+        # without the checkpoint each round would re-run the entire
+        # upstream edge pipeline (tokenize->shingle->MinHash->LSH for
+        # the dedup caller) diameter-many times.
+        .localCheckpoint(eager=True)
     )
     labels = (
         sym.select(F.col("src").alias("node"))
@@ -283,6 +288,12 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the bound); raise "
+            "max_iterations or switch to large-star/small-star"
+        )
     return labels
 
 
