@@ -487,6 +487,34 @@ def q22_wealthy_inactive(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+Q15_START, Q15_END = "1997-01-01", "1997-04-01"
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: argmax against an aggregate — suppliers whose
+    quarterly revenue equals MAX(revenue) over all suppliers.
+
+    The revenue aggregate is computed once and reused for both the
+    per-supplier rows and the 1-row max (broadcast crossJoin); the
+    equality compare is safe cross-engine because revenue is a
+    decimal-exact sum. At scale: one fact shuffle on suppkey, the max
+    is a tiny second-stage agg."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit(Q15_START).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q15_END).cast("timestamp"))
+    )
+    revenue = F.col("l_extendedprice") * (1.0 - F.col("l_discount"))
+    rev = li.groupBy("l_suppkey").agg(_dec_sum(revenue, 4).alias("total_revenue"))
+    maxr = rev.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        sup.join(rev, sup.s_suppkey == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(maxr))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
 Q8_NATION = "NATION_3"
 
 
@@ -542,6 +570,7 @@ QUERIES = {
     "tpch_q19_discounted_revenue": q19_discounted_revenue,
     "tpch_q22_wealthy_inactive": q22_wealthy_inactive,
     "tpch_q8_market_share": q8_market_share,
+    "tpch_q15_top_supplier": q15_top_supplier,
 }
 
 ORACLES = {
@@ -666,6 +695,19 @@ ORACLES = {
                CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    "tpch_q15_top_supplier": f"""
+        WITH rev AS (
+          SELECT l_suppkey,
+                 CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(28,4))) AS DOUBLE) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '{Q15_START}'
+            AND l_shipdate < TIMESTAMP '{Q15_END}'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = l_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
     """,
     "tpch_q8_market_share": f"""
         SELECT CAST(year(o_orderdate) AS INT) AS o_year,

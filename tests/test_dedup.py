@@ -121,3 +121,17 @@ def test_connected_components_long_chain_converges(spark):
     )
     comps = {r.component for r in connected_components(edges).collect()}
     assert comps == {100}
+
+
+def test_connected_components_raises_when_not_converged(spark):
+    """Exhausting max_iterations with labels still moving must raise,
+    never silently return a wrong clustering."""
+    import pytest as _pytest
+
+    from searchengine_spark.operators.dedup import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(200, 220)], "doc_a bigint, doc_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iterations=2)
