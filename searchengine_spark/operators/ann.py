@@ -313,5 +313,52 @@ def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     return ivf_search_pruned(assigned, centroids, qvec, k=10, n_probe=4)
 
 
-QUERIES = {"ann_ivf_topk": q_ann_ivf_topk}
-ORACLES: dict[str, str] = {}
+EMB_DIM = 64  # embeddings test-table dimensionality
+NEARDUP_COS = 0.95
+
+
+def q_embedding_neardup(spark, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-duplicate pairs over the
+    embeddings table (cosine >= 0.95, candidates only from shared
+    hyperplane-sign buckets — never O(n^2))."""
+    from searchengine_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_neardup_pairs(emb, dim=EMB_DIM, threshold=NEARDUP_COS)
+
+
+def _neardup_oracle_sql() -> str:
+    """DuckDB twin: the hyperplanes are literal int lists, so the
+    bucket ids (sign bits of 12 plane dots) reproduce exactly; cosine
+    via list_dot_product matches the Spark sequential fold at 6
+    decimals (same contract as sim_cosine_topk)."""
+    planes = _planes(EMB_DIM, N_PLANES)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, {p}::DOUBLE[]) > 0 THEN {v} ELSE 0 END)".format(
+            p=[float(c) for c in plane], v=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {bits} AS bucket
+          FROM embeddings
+        )
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               round(list_dot_product(l.e, r.e)
+                     / (sqrt(list_dot_product(l.e, l.e))
+                        * sqrt(list_dot_product(r.e, r.e))), 6) AS cosine
+        FROM b l JOIN b r
+          ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        WHERE round(list_dot_product(l.e, r.e)
+                    / (sqrt(list_dot_product(l.e, l.e))
+                       * sqrt(list_dot_product(r.e, r.e))), 6) >= {NEARDUP_COS}
+    """
+
+
+QUERIES = {
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_embedding_neardup": q_embedding_neardup,
+}
+ORACLES: dict[str, str] = {"ann_embedding_neardup": _neardup_oracle_sql()}
