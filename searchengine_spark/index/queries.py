@@ -198,6 +198,41 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_many(idx, dict(BATCH_QUERIES), k=BM25_K, round_scores=6)
 
 
+OKAPI_K1 = 1.5
+
+
+def q_bm25_okapi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 variant (rank_bm25-style): k1=1.5 and idf=ln((N-df+0.5)/
+    (df+0.5)+1) — full score set for the benchmark terms, so the
+    alternate idf/constants path is oracle-checked end-to-end, not
+    just golden-tested."""
+    from searchengine_spark.index.bm25 import okapi_idf
+
+    idx = _index(spark, sf_dir)
+    terms = list(BM25_QUERY_TERMS)
+    tf = idx.term_frequencies.filter(F.col("word").isin(terms))
+    idf = (
+        idx.idf_values.filter(F.col("word").isin(terms))
+        .crossJoin(F.broadcast(idx.scoring_params.select("n_docs")))
+        .select("word", okapi_idf(F.col("n_docs"), F.col("doc_freq")).alias("idf"))
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(idx.doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(idx.scoring_params.select("avgdl")))
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("term_freq"), F.col("doc_length"), F.col("avgdl"),
+                F.col("idf"), k1=OKAPI_K1,
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("total_score")
+    )
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full TF-IDF score set for the benchmark terms (all matching
     docs — no top-k boundary, fully oracle-deterministic)."""
@@ -231,6 +266,7 @@ QUERIES = {
     "se_bm25_topk": q_bm25_topk,
     "se_search_api": q_search_api,
     "se_bm25_batch": q_bm25_batch,
+    "se_bm25_okapi_scores": q_bm25_okapi_scores,
 }
 
 _BATCH_QTERMS_SQL = ", ".join(
@@ -291,4 +327,23 @@ ORACLES = {
         f"{_BM25_SCORES_SQL} ORDER BY total_score DESC, doc_id ASC LIMIT {BM25_K}"
     ),
     "se_bm25_batch": _BM25_BATCH_SQL,
+    "se_bm25_okapi_scores": f"""{_INDEX_CTES},
+        okapi AS (
+          SELECT word,
+                 ln(((SELECT n_docs FROM params) - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0) AS idf
+          FROM idf
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 okapi.idf * (tf.term_freq * {OKAPI_K1 + 1.0}) /
+                   (tf.term_freq + {OKAPI_K1} * (1.0 - {B} + {B} * dl.doc_length /
+                     (SELECT avgdl FROM params))) AS term_score
+          FROM tf
+          JOIN okapi ON tf.word = okapi.word
+          JOIN dl ON tf.doc_id = dl.doc_id
+          WHERE tf.word IN ({_BM25_TERMS_SQL})
+        )
+        SELECT doc_id, round(sum(term_score), 6) AS total_score
+        FROM scored GROUP BY doc_id
+    """,
 }
