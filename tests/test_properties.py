@@ -102,3 +102,46 @@ def test_bm25_penalizes_long_docs():
         return 0.5 * (3 * (k1 + 1)) / (3 + k1 * (1 - b + b * dl / 100.0))
 
     assert score(50) > score(100) > score(500)
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=12, deadline=None)
+def test_connected_components_matches_union_find(spark, edge_list):
+    """Spark min-label propagation == plain union-find on random
+    graphs (self-loops and duplicate edges included)."""
+    from searchengine_spark.operators.dedup import connected_components
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edge_list:
+        union(a, b)
+    # representative = min node of each component (matches min-label)
+    comp = {}
+    for n in list(parent):
+        r = find(n)
+        comp.setdefault(r, set()).add(n)
+    expected = {n: min(members) for members in comp.values() for n in members}
+
+    edges = spark.createDataFrame(
+        edge_list, "doc_a bigint, doc_b bigint"
+    )
+    got = {r.node: r.component for r in connected_components(edges).collect()}
+    assert got == expected
