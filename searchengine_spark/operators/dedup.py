@@ -227,6 +227,39 @@ def jaccard_pairs(
     )
 
 
+def incremental_neardup_pairs(
+    new_docs: DataFrame, existing_bands: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Near-dup pairs between a NEW batch and an EXISTING corpus,
+    without re-banding the corpus: band only the new docs and
+    equi-join against the persisted band table.
+
+    This is the append-time dedup shape at 100 TB — the full self-join
+    cost is paid once at bootstrap; each incremental batch costs
+    O(|batch|) banding plus a join keyed on the uniform band hash.
+    Pairs within the new batch itself are also caught (the new bands
+    participate on both sides). Output: (doc_a < doc_b) distinct, with
+    doc_a/doc_b ordering independent of which side is 'new'.
+    """
+    new_bands = minhash_bands(new_docs, text_col=text_col)
+    all_bands = existing_bands.unionByName(new_bands)
+    new_only = new_bands.select(
+        F.col("doc_id").alias("n_id"), "band", "band_hash"
+    )
+    return (
+        new_only.join(
+            all_bands.select(F.col("doc_id").alias("o_id"), "band", "band_hash"),
+            ["band", "band_hash"],
+        )
+        .filter(F.col("n_id") != F.col("o_id"))
+        .select(
+            F.least("n_id", "o_id").alias("doc_a"),
+            F.greatest("n_id", "o_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+
+
 def connected_components(
     edges: DataFrame,
     *,

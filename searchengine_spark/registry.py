@@ -31,6 +31,7 @@ _MODULES = (
     "operators.approx",
     "operators.sampling",
     "operators.skew",
+    "operators.upsert",
     "operators.udaf",
     "operators.simhash",
     "text.analysis",

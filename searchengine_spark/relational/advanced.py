@@ -218,7 +218,26 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE: equal-count quartiles of customers by account balance
+    (deterministic tie-break on custkey), profiled per tier — the
+    window-function way to bin when bin POPULATIONS must be equal
+    (vs rel_price_histogram's equal-WIDTH bins)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.withColumn("tier", F.ntile(4).over(w).cast("bigint"))
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+    )
+
+
 QUERIES = {
+    "rel_ntile_customer_value": q_ntile_customer_value,
     "rel_asof_purchase_signup": q_asof_purchase_signup,
     "rel_interval_clicks_before_purchase": q_clicks_before_purchase,
     "rel_grouping_sets_revenue": q_grouping_sets_revenue,
@@ -230,6 +249,16 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_ntile_customer_value": """
+        SELECT tier, COUNT(*) AS n_cust,
+               MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal
+        FROM (
+          SELECT c_acctbal,
+                 NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS tier
+          FROM customer
+        )
+        GROUP BY tier
+    """,
     "rel_interval_clicks_before_purchase": f"""
         SELECT p.event_id, p.user_id, p.ts, COUNT(c.click_ts) AS n_clicks
         FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p

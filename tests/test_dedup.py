@@ -135,3 +135,35 @@ def test_connected_components_raises_when_not_converged(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, max_iterations=2)
+
+
+def test_incremental_neardup_matches_full_rebuild(spark, sf_dir):
+    """Split the corpus into 'existing' and 'new batch'; incremental
+    banding must find exactly the full-corpus pairs that involve at
+    least one new doc (and never re-band the existing corpus)."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.dedup import (
+        incremental_neardup_pairs,
+        minhash_bands,
+        neardup_candidate_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 5 != 0)
+    new_batch = docs.filter(F.col("doc_id") % 5 == 0)
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in neardup_candidate_pairs(minhash_bands(docs)).collect()
+    }
+    expected = {
+        (a, b) for a, b in full if a % 5 == 0 or b % 5 == 0
+    }
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_neardup_pairs(
+            new_batch, minhash_bands(existing)
+        ).collect()
+    }
+    assert got == expected
+    assert expected, "test corpus should contain cross-batch near-dups"
