@@ -241,7 +241,9 @@ def incremental_neardup_pairs(
     participate on both sides). Output: (doc_a < doc_b) distinct, with
     doc_a/doc_b ordering independent of which side is 'new'.
     """
-    new_bands = minhash_bands(new_docs, text_col=text_col)
+    # cache: new_bands feeds BOTH join inputs below; uncached, the
+    # tokenize->shingle->MinHash pipeline for the batch would run twice.
+    new_bands = minhash_bands(new_docs, text_col=text_col).cache()
     all_bands = existing_bands.unionByName(new_bands)
     new_only = new_bands.select(
         F.col("doc_id").alias("n_id"), "band", "band_hash"

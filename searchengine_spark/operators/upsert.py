@@ -28,23 +28,30 @@ from pyspark.sql import functions as F
 
 
 def merge_upsert(target: DataFrame, updates: DataFrame, key: str) -> DataFrame:
-    """Full-outer merge preferring `updates`; adds `_merge_action`
-    ('insert' / 'update' / 'keep') for auditability.
+    """Full-outer merge taking the update ROW wholesale when the key
+    matches (true MERGE WHEN MATCHED UPDATE semantics: a legitimate
+    NULL in an update column overwrites the target value — column
+    picks are gated on the update row's PRESENCE, never COALESCEd per
+    column). Adds `_merge_action` ('insert' / 'update' / 'keep').
 
-    Both inputs must share a schema. Duplicate keys in `updates` are
-    an error at scale (they make the merge nondeterministic) — caller
-    dedups first; this function asserts the contract cheaply via a
-    post-merge invariant test rather than an extra count job.
+    Both inputs must share a schema. Duplicate keys in `updates` make
+    the merge fan out (one output row per duplicate) — dedup the
+    batch first (e.g. keep the latest crawl per key via a row_number
+    window); tests/test_upsert.py documents the fan-out behavior.
     """
     cols = [c for c in target.columns if c != key]
     t = target.alias("t")
     u = updates.alias("u")
     merged = t.join(u, F.col(f"t.{key}") == F.col(f"u.{key}"), "full_outer")
+    has_update = F.col(f"u.{key}").isNotNull()
     pick = [
         F.coalesce(F.col(f"u.{key}"), F.col(f"t.{key}")).alias(key),
-        *[F.coalesce(F.col(f"u.{c}"), F.col(f"t.{c}")).alias(c) for c in cols],
+        *[
+            F.when(has_update, F.col(f"u.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
+            for c in cols
+        ],
         F.when(F.col(f"t.{key}").isNull(), F.lit("insert"))
-        .when(F.col(f"u.{key}").isNull(), F.lit("keep"))
+        .when(~has_update, F.lit("keep"))
         .otherwise(F.lit("update"))
         .alias("_merge_action"),
     ]
@@ -88,8 +95,8 @@ ORACLES = {
         ),
         merged AS (
           SELECT COALESCE(u.doc_id, t.doc_id) AS doc_id,
-                 COALESCE(u.text, t.text) AS text,
-                 COALESCE(u.lang, t.lang) AS lang,
+                 CASE WHEN u.doc_id IS NOT NULL THEN u.text ELSE t.text END AS text,
+                 CASE WHEN u.doc_id IS NOT NULL THEN u.lang ELSE t.lang END AS lang,
                  CASE WHEN t.doc_id IS NULL THEN 'insert'
                       WHEN u.doc_id IS NULL THEN 'keep'
                       ELSE 'update' END AS _merge_action

@@ -143,5 +143,8 @@ def test_connected_components_matches_union_find(spark, edge_list):
     edges = spark.createDataFrame(
         edge_list, "doc_a bigint, doc_b bigint"
     )
-    got = {r.node: r.component for r in connected_components(edges).collect()}
+    got = {
+        r.node: r.component
+        for r in connected_components(edges, max_iterations=40).collect()
+    }
     assert got == expected
