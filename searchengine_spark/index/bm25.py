@@ -232,6 +232,35 @@ def search_many(
     ).filter(F.col("rnk") <= k)
 
 
+def boolean_search(
+    index: InvertedIndex,
+    must: list[str],
+    must_not: list[str] | None = None,
+) -> DataFrame:
+    """Boolean retrieval over the term_frequencies posting lists:
+    docs containing ALL of `must` and NONE of `must_not`.
+
+    This honors the reference README's stated inverted-index design
+    (/root/reference/README.md:17-18 — built at
+    searchenginespark.py:114 but never queried by the app): AND is
+    posting-list intersection, expressed scalably as
+    count-distinct-terms == |must| per doc (one shuffle on doc_id,
+    no N-way self-join); NOT is a left-anti join against the excluded
+    terms' postings. Returns (doc_id, n_terms_matched)."""
+    must = list(dict.fromkeys(must))
+    tf = index.term_frequencies
+    hits = (
+        tf.filter(F.col("word").isin(must))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("word").alias("n_terms_matched"))
+        .filter(F.col("n_terms_matched") == len(must))
+    )
+    if must_not:
+        excl = tf.filter(F.col("word").isin(list(must_not))).select("doc_id").distinct()
+        hits = hits.join(excl, "doc_id", "left_anti")
+    return hits
+
+
 def snippets(
     results: DataFrame, doc_text: DataFrame, *, text_col: str = "text", max_len: int = 300
 ) -> DataFrame:

@@ -198,6 +198,20 @@ def q_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return search_many(idx, dict(BATCH_QUERIES), k=BM25_K, round_scores=6)
 
 
+BOOL_MUST = ("spark", "join", "window")
+BOOL_MUST_NOT = ("error",)
+
+
+def q_boolean_and_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean AND/NOT retrieval via posting intersection (the
+    inverted-index query path the reference README describes but
+    never wired up)."""
+    from searchengine_spark.index.bm25 import boolean_search
+
+    idx = _index(spark, sf_dir)
+    return boolean_search(idx, list(BOOL_MUST), list(BOOL_MUST_NOT))
+
+
 OKAPI_K1 = 1.5
 
 
@@ -267,7 +281,11 @@ QUERIES = {
     "se_search_api": q_search_api,
     "se_bm25_batch": q_bm25_batch,
     "se_bm25_okapi_scores": q_bm25_okapi_scores,
+    "se_boolean_and_not": q_boolean_and_not,
 }
+
+_BOOL_MUST_SQL = ", ".join(f"'{t}'" for t in BOOL_MUST)
+_BOOL_NOT_SQL = ", ".join(f"'{t}'" for t in BOOL_MUST_NOT)
 
 _BATCH_QTERMS_SQL = ", ".join(
     f"('{qid}', '{t}')" for qid, terms in BATCH_QUERIES.items() for t in terms
@@ -327,6 +345,16 @@ ORACLES = {
         f"{_BM25_SCORES_SQL} ORDER BY total_score DESC, doc_id ASC LIMIT {BM25_K}"
     ),
     "se_bm25_batch": _BM25_BATCH_SQL,
+    "se_boolean_and_not": f"""{_INDEX_CTES}
+        SELECT doc_id, COUNT(DISTINCT word) AS n_terms_matched
+        FROM tf
+        WHERE word IN ({_BOOL_MUST_SQL})
+          AND doc_id NOT IN (
+            SELECT doc_id FROM tf WHERE word IN ({_BOOL_NOT_SQL})
+          )
+        GROUP BY doc_id
+        HAVING COUNT(DISTINCT word) = {len(BOOL_MUST)}
+    """,
     "se_bm25_okapi_scores": f"""{_INDEX_CTES},
         okapi AS (
           SELECT word,
