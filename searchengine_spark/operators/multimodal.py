@@ -33,8 +33,10 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BinaryType,
     DoubleType,
+    FloatType,
     IntegerType,
     LongType,
     StringType,
@@ -159,6 +161,74 @@ def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
             ).astype({"frame_no": "int32"}, errors="ignore")
 
     return video.mapInPandas(batches, FRAME_SCHEMA)
+
+
+def resize_images(media: DataFrame, *, scale_num: int = 1, scale_den: int = 2) -> DataFrame:
+    """Resize stub over the fake format: dims scale by num/den, body
+    subsampled by keeping every (den/num)-th byte — deterministic and
+    schema-true. Real decoder swap-in: replace the byte subsample
+    with PIL `Image.resize`; the mapInPandas batch shape, the
+    (media_id, media_type, payload) contract, and the downstream
+    decode compatibility are exactly what the real kernel needs.
+    """
+    if scale_num != 1:
+        raise NotImplementedError("stub supports 1/N downscale only")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for p in pdf["payload"]:
+                w, h = _decode_header(p)
+                body = p[10:] if p is not None and len(p) > 10 else b""
+                out.append(
+                    encode_fake_media(
+                        "image", w // scale_den, h // scale_den, body[::scale_den]
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("feature", ArrayType(FloatType())),
+    ]
+)
+
+
+FEATURE_DIM = 8
+
+
+def extract_features(media: DataFrame) -> DataFrame:
+    """Feature-extraction stub: an 8-dim byte-histogram 'embedding'
+    per item (bucketed byte counts, L1-normalized) — deterministic,
+    so tests can assert exact values. Real kernel swap-in: a vision/
+    audio model forward pass per Arrow batch; the output contract
+    (media_id, array<float>) feeds the similarity/ANN operators
+    unchanged (cosine_topk, build_ann_index, build_ivf_index).
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for p in pdf["payload"]:
+                body = p[10:] if p is not None and len(p) > 10 else b""
+                hist = [0.0] * FEATURE_DIM
+                for b in body:
+                    hist[b * FEATURE_DIM // 256] += 1.0
+                total = sum(hist) or 1.0
+                feats.append([v / total for v in hist])
+            yield pd.DataFrame({"media_id": pdf["media_id"], "feature": feats})
+
+    return media.mapInPandas(batches, FEATURE_SCHEMA)
 
 
 def fake_media_from_documents(docs: DataFrame, *, body_chars: int = 16) -> DataFrame:

@@ -52,3 +52,53 @@ def test_media_stats_native(media):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_real_media(b"xx", "image")
+
+
+def test_resize_halves_dims_and_stays_decodable(spark, sf_dir):
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.multimodal import (
+        decode_media,
+        fake_media_from_documents,
+        resize_images,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    media = fake_media_from_documents(docs)
+    before = {r.media_id: r for r in decode_media(media).collect()}
+    after = {r.media_id: r for r in decode_media(resize_images(media)).collect()}
+    assert set(after) == set(before)
+    for mid, b in before.items():
+        a = after[mid]
+        assert a.dim_a == b.dim_a // 2 and a.dim_b == b.dim_b // 2
+        # subsampled body: every 2nd byte -> ceil(n/2)
+        assert a.n_bytes == (b.n_bytes + 1) // 2
+
+
+def test_extract_features_feeds_similarity_ops(spark, sf_dir):
+    """The feature output contract must plug straight into the
+    embedding operators (cosine top-k over extracted features)."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.multimodal import (
+        FEATURE_DIM,
+        extract_features,
+        fake_media_from_documents,
+    )
+    from searchengine_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    feats = extract_features(fake_media_from_documents(docs))
+    rows = feats.collect()
+    assert all(len(r.feature) == FEATURE_DIM for r in rows)
+    assert all(abs(sum(r.feature) - 1.0) < 1e-5 for r in rows)
+    # determinism
+    again = {r.media_id: r.feature for r in feats.collect()}
+    assert all(again[r.media_id] == r.feature for r in rows)
+
+    qv = feats.limit(1).select(F.col("feature").alias("qvec"))
+    top = cosine_topk(
+        feats, qv, k=5, id_col="media_id", vec_col="feature"
+    ).collect()
+    assert len(top) == 5
+    assert top[0].cosine >= top[-1].cosine
