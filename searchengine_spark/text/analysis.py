@@ -119,9 +119,38 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenization pattern (GPT-2 style, RE2/Java-compatible
+# subset: no lookarounds): contractions, space-prefixed letter runs,
+# digit runs, punctuation runs, residual whitespace.
+BPE_PATTERN = "'(?:[sdmt]|ll|ve|re)| ?[A-Za-z]+| ?[0-9]+| ?[^ A-Za-z0-9']+"
+
+
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token COUNTING the way an LLM data pipeline sizes a corpus:
+    GPT-2-style regex pre-tokenization (the split BPE merges run
+    inside), counted per language. Pure map + tiny-key agg; the
+    pattern avoids lookarounds so Java (Spark) and RE2 (DuckDB)
+    agree match-for-match."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(F.expr(f"regexp_extract_all(text, \"{BPE_PATTERN}\", 0)")).cast(
+        "bigint"
+    )
+    return (
+        docs.select("lang", n_bpe.alias("n_bpe_tokens"), F.col("n_chars"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_bpe_tokens").alias("total_tokens"),
+            F.round(
+                F.sum("n_chars") / F.sum("n_bpe_tokens"), 6
+            ).alias("chars_per_token"),
+        )
+    )
+
+
 _RAW_TOK_SQL = sql_raw_tokens_expr("text")
 
 QUERIES = {
+    "text_bpe_token_counts": q_bpe_token_counts,
     "text_stats": q_text_stats,
     "text_top_bigrams": q_top_bigrams,
     "text_token_length_hist": q_token_length_hist,
@@ -130,6 +159,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_bpe_token_counts": f"""
+        WITH t AS (
+          SELECT lang, n_chars,
+                 len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS n_bpe
+          FROM documents
+        )
+        SELECT lang,
+               CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+               round(SUM(n_chars) * 1.0 / SUM(n_bpe), 6) AS chars_per_token
+        FROM t GROUP BY lang
+    """,
     "text_stats": f"""
         WITH base AS (
           SELECT doc_id,
