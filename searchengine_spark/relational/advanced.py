@@ -222,7 +222,16 @@ def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NTILE: equal-count quartiles of customers by account balance
     (deterministic tie-break on custkey), profiled per tier — the
     window-function way to bin when bin POPULATIONS must be equal
-    (vs rel_price_histogram's equal-WIDTH bins)."""
+    (vs rel_price_histogram's equal-WIDTH bins).
+
+    Scale caveat (visible as Spark's WindowExec warning): an
+    UNPARTITIONED window moves all rows to one task — exact global
+    NTILE does not scale past one executor's memory. At 100 TB the
+    equal-count path is approx_percentile cutpoints (operators/
+    approx.py) + a histogram-style bin join; this exact form is for
+    dimension-sized inputs (customers here), kept because it is the
+    oracle-checkable ground truth the approximate path is tested
+    against."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (
