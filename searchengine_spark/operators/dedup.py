@@ -334,35 +334,46 @@ def connected_components(
 
 # ------------------------------------------------------------- queries
 
+# One cached shingle frame per (session, sf_dir): the tokenize ->
+# shingle scan is the dominant cost of every MinHash query, and the
+# dedup family (bands, pairs, jaccard) shares it — same
+# materialize-once policy as the index cache in index/queries.py.
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    sh = _SHINGLE_CACHE.get(key)
+    if sh is None:
+        sh = shingle_frame(load_table(spark, sf_dir, "documents")).cache()
+        _SHINGLE_CACHE[key] = sh
+    return sh
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_bands(load_table(spark, sf_dir, "documents"))
+    return minhash_bands(shingles=_shingles(spark, sf_dir))
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return neardup_candidate_pairs(minhash_bands(docs))
+    return neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
 
 
 def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters over the LSH candidate pairs:
     (doc_id, component) where component = min doc_id reachable
     through the match graph."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = neardup_candidate_pairs(minhash_bands(docs))
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
 
 
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # The shingle scan feeds both the LSH banding and the Jaccard
-    # verification — cache it so the corpus is tokenized once.
-    sh = shingle_frame(docs).cache()
+    sh = _shingles(spark, sf_dir)
     pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
     return jaccard_pairs(None, pairs, shingles=sh)
 
