@@ -124,8 +124,18 @@ def simhash_neardup_pairs(signatures: DataFrame, *, max_hamming: int = HAMMING_M
 
 # --------------------------------------------------------------- queries
 
+# Signatures are shared by the signature and pair queries (same
+# materialize-once policy as the dedup shingle cache).
+_SIG_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_signatures(load_table(spark, sf_dir, "documents"))
+    key = (id(spark), sf_dir)
+    sig = _SIG_CACHE.get(key)
+    if sig is None:
+        sig = simhash_signatures(load_table(spark, sf_dir, "documents")).cache()
+        _SIG_CACHE[key] = sig
+    return sig
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
