@@ -31,11 +31,13 @@ K1, B = 1.2, 0.75
 # One built index per (session, sf_dir): the reference's architecture
 # is build-once/query-many (materialized parquet artifacts); rebuilding
 # the lineage per query would re-tokenize the corpus every time.
-_INDEX_CACHE: dict[tuple[int, str], object] = {}
+_INDEX_CACHE: dict[tuple, object] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str):
-    key = (id(spark), sf_dir)
+    # applicationId (not id(spark)): a stopped session's id() can
+    # be reused by a new object, which would serve dead cached DFs.
+    key = (spark.sparkContext.applicationId, sf_dir)
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         idx = build_index(load_table(spark, sf_dir, "documents")).cache()
@@ -171,7 +173,7 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible — the driver records a rows-only check; exact
     scoring goldens for this path live in tests/test_bm25_golden.py
     and tests/test_tokenizer.py."""
-    key = (id(spark), sf_dir, "stemmed")
+    key = (spark.sparkContext.applicationId, sf_dir, "stemmed")
     idx = _INDEX_CACHE.get(key)
     if idx is None:
         idx = build_index(load_table(spark, sf_dir, "documents"), stem=True).cache()

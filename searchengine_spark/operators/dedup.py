@@ -338,11 +338,11 @@ def connected_components(
 # shingle scan is the dominant cost of every MinHash query, and the
 # dedup family (bands, pairs, jaccard) shares it — same
 # materialize-once policy as the index cache in index/queries.py.
-_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir)
     sh = _SHINGLE_CACHE.get(key)
     if sh is None:
         sh = shingle_frame(load_table(spark, sf_dir, "documents")).cache()
