@@ -245,7 +245,32 @@ def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery: each BUILDING-segment customer's
+    two largest orders — the join family for 'top-N related rows per
+    outer row'. Spark decorrelates this into a ranked join under the
+    hood; expressing it as LATERAL keeps the per-outer-row LIMIT
+    semantics explicit (and matches DuckDB's native LATERAL)."""
+    load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    ).createOrReplaceTempView("_lat_cust")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM _lat_cust c, LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM _lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+        """
+    )
+
+
 QUERIES = {
+    "rel_lateral_top2_orders": q_lateral_top2_orders,
     "rel_ntile_customer_value": q_ntile_customer_value,
     "rel_asof_purchase_signup": q_asof_purchase_signup,
     "rel_interval_clicks_before_purchase": q_clicks_before_purchase,
@@ -258,6 +283,17 @@ QUERIES = {
 }
 
 ORACLES = {
+    "rel_lateral_top2_orders": """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice
+          FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey ASC
+          LIMIT 2
+        ) t
+    """,
     "rel_ntile_customer_value": """
         SELECT tier, COUNT(*) AS n_cust,
                MIN(c_acctbal) AS min_bal, MAX(c_acctbal) AS max_bal

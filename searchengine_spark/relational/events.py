@@ -204,7 +204,22 @@ def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path for semi-structured data: parse the
+    props JSON ONCE into a variant (binary, typed-on-read) and do
+    typed extraction — at scale this beats per-access get_json_object
+    re-parsing, and the variant column is storable/shreddable."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json("props").alias("v"))
+    k = F.expr("variant_get(v, '$.k', 'bigint')")
+    return v.groupBy("event_type").agg(
+        F.sum(k).alias("sum_k"),
+        F.count(F.when(k > 50, 1)).alias("n_big_k"),
+    )
+
+
 QUERIES = {
+    "events_variant_extract": q_events_variant_extract,
     "events_props_kv": q_events_props_kv,
     "events_range_frame": q_events_range_frame,
     "events_moving_avg": q_events_moving_avg,
@@ -216,6 +231,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_variant_extract": """
+        SELECT event_type,
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+               CAST(COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+                               THEN 1 END) AS BIGINT) AS n_big_k
+        FROM events
+        GROUP BY event_type
+    """,
     # RANGE frame on integer epoch SECONDS in both engines (Spark's
     # cast-to-long truncates sub-second precision; the oracle must
     # bucket peers identically or frame membership differs).
