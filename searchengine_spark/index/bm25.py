@@ -249,12 +249,19 @@ def boolean_search(
     terms' postings. Returns (doc_id, n_terms_matched)."""
     must = list(dict.fromkeys(must))
     tf = index.term_frequencies
-    hits = (
-        tf.filter(F.col("word").isin(must))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("word").alias("n_terms_matched"))
-        .filter(F.col("n_terms_matched") == len(must))
-    )
+    if must:
+        hits = (
+            tf.filter(F.col("word").isin(must))
+            .groupBy("doc_id")
+            .agg(F.countDistinct("word").alias("n_terms_matched"))
+            .filter(F.col("n_terms_matched") == len(must))
+        )
+    else:
+        # NOT-only query: the universe is every indexed doc (an empty
+        # result here would be silently wrong, not conservative).
+        hits = index.doc_lengths.select(
+            "doc_id", F.lit(0).cast("bigint").alias("n_terms_matched")
+        )
     if must_not:
         excl = tf.filter(F.col("word").isin(list(must_not))).select("doc_id").distinct()
         hits = hits.join(excl, "doc_id", "left_anti")

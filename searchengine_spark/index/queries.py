@@ -31,18 +31,15 @@ K1, B = 1.2, 0.75
 # One built index per (session, sf_dir): the reference's architecture
 # is build-once/query-many (materialized parquet artifacts); rebuilding
 # the lineage per query would re-tokenize the corpus every time.
-_INDEX_CACHE: dict[tuple, object] = {}
 
 
 def _index(spark: SparkSession, sf_dir: str):
-    # applicationId (not id(spark)): a stopped session's id() can
-    # be reused by a new object, which would serve dead cached DFs.
-    key = (spark.sparkContext.applicationId, sf_dir)
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
-        idx = build_index(load_table(spark, sf_dir, "documents")).cache()
-        _INDEX_CACHE[key] = idx
-    return idx
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark, "index", sf_dir,
+        lambda: build_index(load_table(spark, sf_dir, "documents")).cache(),
+    )
 
 
 def q_flat_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,11 +170,14 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL-expressible — the driver records a rows-only check; exact
     scoring goldens for this path live in tests/test_bm25_golden.py
     and tests/test_tokenizer.py."""
-    key = (spark.sparkContext.applicationId, sf_dir, "stemmed")
-    idx = _INDEX_CACHE.get(key)
-    if idx is None:
-        idx = build_index(load_table(spark, sf_dir, "documents"), stem=True).cache()
-        _INDEX_CACHE[key] = idx
+    from searchengine_spark.io import session_cached
+
+    idx = session_cached(
+        spark, "index-stemmed", sf_dir,
+        lambda: build_index(
+            load_table(spark, sf_dir, "documents"), stem=True
+        ).cache(),
+    )
     res = search(idx, "sorting merges windows", k=BM25_K, stem=True)
     return res.select("doc_id", F.round("total_score", 6).alias("total_score"))
 

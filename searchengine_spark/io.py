@@ -91,3 +91,34 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         if os.path.exists(table_path(sf_dir, name)):
             out[name] = load_table(spark, sf_dir, name)
     return out
+
+
+_SESSION_CACHE: dict[tuple, object] = {}
+_SESSION_CACHE_MAX = 64
+
+
+def session_cached(spark: SparkSession, tag: str, sf_dir: str, build):
+    """Get-or-build a per-(session, dataset) memoized value (a cached
+    DataFrame lineage, typically). One shared implementation for the
+    index / shingle / signature caches.
+
+    Key = (applicationId, id(session), tag, sf_dir):
+    - applicationId separates restarted contexts (a stopped context's
+      cached DataFrames are unusable — id() alone could be reused by
+      a new session object at the same address);
+    - id(session) separates newSession() siblings sharing one context
+      (they can differ in conf/catalog); the cached value holds a
+      reference to its session, so that id cannot be recycled while
+      the entry exists.
+    The dict is cleared when it exceeds a bound — entries for dead
+    contexts are unreachable garbage, and rebuilds are lazy, so a
+    blanket clear is safe and keeps long-lived drivers bounded.
+    """
+    key = (spark.sparkContext.applicationId, id(spark), tag, sf_dir)
+    val = _SESSION_CACHE.get(key)
+    if val is None:
+        if len(_SESSION_CACHE) > _SESSION_CACHE_MAX:
+            _SESSION_CACHE.clear()
+        val = build()
+        _SESSION_CACHE[key] = val
+    return val

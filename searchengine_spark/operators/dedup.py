@@ -338,16 +338,15 @@ def connected_components(
 # shingle scan is the dominant cost of every MinHash query, and the
 # dedup family (bands, pairs, jaccard) shares it — same
 # materialize-once policy as the index cache in index/queries.py.
-_SHINGLE_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    sh = _SHINGLE_CACHE.get(key)
-    if sh is None:
-        sh = shingle_frame(load_table(spark, sf_dir, "documents")).cache()
-        _SHINGLE_CACHE[key] = sh
-    return sh
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark, "shingles", sf_dir,
+        lambda: shingle_frame(load_table(spark, sf_dir, "documents")).cache(),
+    )
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:

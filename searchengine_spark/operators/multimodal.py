@@ -177,9 +177,15 @@ def resize_images(media: DataFrame, *, scale_num: int = 1, scale_den: int = 2) -
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             out = []
-            for p in pdf["payload"]:
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                # non-image and NULL rows pass through untouched —
+                # re-encoding them with the image magic would corrupt
+                # their headers while media_type still said otherwise.
+                if mt != "image" or p is None:
+                    out.append(p)
+                    continue
                 w, h = _decode_header(p)
-                body = p[10:] if p is not None and len(p) > 10 else b""
+                body = p[10:] if len(p) > 10 else b""
                 out.append(
                     encode_fake_media(
                         "image", w // scale_den, h // scale_den, body[::scale_den]

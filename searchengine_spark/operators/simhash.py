@@ -126,16 +126,15 @@ def simhash_neardup_pairs(signatures: DataFrame, *, max_hamming: int = HAMMING_M
 
 # Signatures are shared by the signature and pair queries (same
 # materialize-once policy as the dedup shingle cache).
-_SIG_CACHE: dict[tuple[str, str], DataFrame] = {}
 
 
 def q_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (spark.sparkContext.applicationId, sf_dir)
-    sig = _SIG_CACHE.get(key)
-    if sig is None:
-        sig = simhash_signatures(load_table(spark, sf_dir, "documents")).cache()
-        _SIG_CACHE[key] = sig
-    return sig
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark, "simhash-sigs", sf_dir,
+        lambda: simhash_signatures(load_table(spark, sf_dir, "documents")).cache(),
+    )
 
 
 def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -131,3 +131,21 @@ def test_search_many_empty_batch_schema(spark, sf_dir):
     empty = search_many(idx, {}, k=5)
     assert empty.count() == 0
     assert empty.columns == ["query_id", "doc_id", "total_score", "rnk"]
+
+
+def test_boolean_not_only_query_returns_complement(spark, sf_dir):
+    from searchengine_spark.index.bm25 import boolean_search
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.io import load_table
+
+    idx = build_index(load_table(spark, sf_dir, "documents")).cache()
+    universe = {r.doc_id for r in idx.doc_lengths.select("doc_id").collect()}
+    containing = {
+        r.doc_id
+        for r in idx.term_frequencies.filter(F.col("word") == "spark")
+        .select("doc_id")
+        .collect()
+    }
+    got = {r.doc_id for r in boolean_search(idx, [], ["spark"]).collect()}
+    assert got == universe - containing
+    assert got  # non-trivial complement on the test corpus

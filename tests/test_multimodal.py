@@ -102,3 +102,28 @@ def test_extract_features_feeds_similarity_ops(spark, sf_dir):
     ).collect()
     assert len(top) == 5
     assert top[0].cosine >= top[-1].cosine
+
+
+def test_resize_passes_non_image_rows_through(spark):
+    import pandas as pd
+
+    from searchengine_spark.operators.multimodal import (
+        encode_fake_media,
+        resize_images,
+    )
+
+    rows = [
+        (1, "image", encode_fake_media("image", 8, 6, b"abcdefgh")),
+        (2, "audio", encode_fake_media("audio", 44100, 100, b"xyz")),
+        (3, "video", None),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, media_type string, payload binary"
+    )
+    got = {r.media_id: r for r in resize_images(media).collect()}
+    # image row resized
+    assert got[1].payload[:2] == b"IM" and got[1].payload != rows[0][2]
+    # audio row byte-identical, magic intact
+    assert bytes(got[2].payload) == rows[1][2]
+    # NULL stays NULL
+    assert got[3].payload is None
