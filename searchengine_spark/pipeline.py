@@ -76,6 +76,68 @@ def curate(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
+def curate_with_metrics(docs: DataFrame, *, text_col: str = "text"):
+    """curate() instrumented with `Observation` data-quality counters:
+    the per-stage survivor counts arrive as a side effect of the ONE
+    pass the pipeline already makes — no extra count() jobs, which at
+    100 TB would each be a full rescan. Returns (keep_df, get_metrics)
+    where get_metrics() is valid after any action on keep_df.
+    """
+    from pyspark.sql import Observation
+
+    obs_quality = Observation("curate_quality")
+    obs_final = Observation("curate_final")
+
+    base = ensure_min_partitions(docs).select(
+        "doc_id",
+        F.col(text_col),
+        raw_tokens_column(text_col).alias("raw_toks"),
+    )
+    quality = (
+        base.select(
+            "doc_id",
+            F.col(text_col),
+            F.size("raw_toks").alias("n_tokens"),
+            F.size(F.filter("raw_toks", lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+        )
+        .filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_stop") / F.col("n_tokens") <= MAX_STOP_RATIO)
+        )
+        .observe(
+            obs_quality,
+            F.count(F.lit(1)).alias("n_quality_pass"),
+            F.sum("n_tokens").alias("total_tokens_kept"),
+        )
+    )
+
+    exact_keep = (
+        quality.select(F.md5(F.col(text_col).cast("binary")).alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    survivors = quality.join(exact_keep, "doc_id", "left_semi").select(
+        "doc_id", F.col(text_col)
+    )
+    sh = shingle_frame(survivors, text_col=text_col).cache()
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    near = jaccard_pairs(None, pairs, shingles=sh).filter(
+        F.col("jaccard") >= JACCARD_CUT
+    )
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    keep = (
+        survivors.join(drop, "doc_id", "left_anti")
+        .select("doc_id")
+        .observe(obs_final, F.count(F.lit(1)).alias("n_curated"))
+    )
+
+    def get_metrics() -> dict:
+        return {**obs_quality.get, **obs_final.get}
+
+    return keep, get_metrics
+
+
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(load_table(spark, sf_dir, "documents"))
 

@@ -54,3 +54,20 @@ def test_null_text_rows(spark):
     )
     idx = build_index(docs, cache_tokens=False)
     assert idx.doc_lengths.count() == 1
+
+
+def test_curate_with_metrics_counts_match_reality(spark, sf_dir):
+    """Observation counters must equal independently computed counts
+    — free data-quality metrics from the pipeline's single pass."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.pipeline import curate, curate_with_metrics
+
+    docs = load_table(spark, sf_dir, "documents")
+    keep, get_metrics = curate_with_metrics(docs)
+    n_keep = keep.count()  # the action that populates the observations
+    m = get_metrics()
+    assert m["n_curated"] == n_keep
+    assert m["n_quality_pass"] >= n_keep > 0
+    assert m["total_tokens_kept"] > 0
+    # and the instrumented pipeline returns the same keep-list
+    assert n_keep == curate(docs).count()
