@@ -100,6 +100,10 @@ def search(
     Deterministic tie-break on doc_id (the reference leaves ties to
     partition order; SURVEY.md FIXTURES §4 flags this).
     """
+    if idf_variant not in ("log10", "okapi"):
+        raise ValueError(
+            f"unknown idf_variant {idf_variant!r}; expected 'log10' or 'okapi'"
+        )
     terms = tokenize_query(query, stem=stem) if isinstance(query, str) else list(query)
     if not terms:
         # Empty result with the SAME doc_id type as the index (any id

@@ -71,3 +71,10 @@ def test_curate_with_metrics_counts_match_reality(spark, sf_dir):
     assert m["total_tokens_kept"] > 0
     # and the instrumented pipeline returns the same keep-list
     assert n_keep == curate(docs).count()
+
+
+def test_search_rejects_unknown_idf_variant(spark):
+    docs = _docs(spark, [(1, "murder trial court")])
+    idx = build_index(docs, cache_tokens=False)
+    with pytest.raises(ValueError, match="idf_variant"):
+        search(idx, "murder", idf_variant="bm25plus")
