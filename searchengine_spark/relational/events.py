@@ -218,7 +218,30 @@ def q_events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in BATCH mode (same operator the
+    streaming path uses) — cross-checked against the portable
+    lag+cumsum SQL formulation, pinning down the boundary semantics:
+    an event exactly `gap` after the previous one starts a NEW
+    session (windows are [start, last_ts + gap))."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", f"{SESSION_GAP_MIN} minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
 QUERIES = {
+    "events_native_session_window": q_events_native_session_window,
     "events_variant_extract": q_events_variant_extract,
     "events_props_kv": q_events_props_kv,
     "events_range_frame": q_events_range_frame,
@@ -231,6 +254,31 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Boundary semantics: gap >= 30min starts a new session (Spark's
+    # window is [start, last_ts + gap) — an event AT the boundary is
+    # outside it), hence >= not > in the flag below.
+    "events_native_session_window": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                      WHEN ts - LAG(ts) OVER w >= INTERVAL {SESSION_GAP_MIN} MINUTE THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessioned AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS sid
+          FROM flagged
+        )
+        SELECT user_id, MIN(ts) AS session_start,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS session_value
+        FROM sessioned
+        GROUP BY user_id, sid
+    """,
     "events_variant_extract": """
         SELECT event_type,
                CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
