@@ -107,3 +107,33 @@ def test_rate_source_stream_flows_through_rollup(spark, sf_dir):
         }
     finally:
         q.stop()
+
+
+def test_session_window_stream_matches_batch_native(spark, sf_dir):
+    """Three-way agreement closes: the STREAMING session_window result
+    equals the BATCH native session_window query (which itself
+    hash-matches the portable lag+cumsum SQL oracle)."""
+    from searchengine_spark.relational.events import (
+        q_events_native_session_window,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    run_to_memory(
+        session_window_stream(stream), "sessions_parity_mem", output_mode="complete"
+    )
+    got = {
+        (r.user_id, r.session_start): (r.n_events, round(r.session_value, 6))
+        for r in spark.table("sessions_parity_mem")
+        .select(
+            "user_id",
+            F.col("session_start"),
+            "n_events",
+            "session_value",
+        )
+        .collect()
+    }
+    batch = {
+        (r.user_id, r.session_start): (r.n_events, round(r.session_value, 6))
+        for r in q_events_native_session_window(spark, sf_dir).collect()
+    }
+    assert got == batch
