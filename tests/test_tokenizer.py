@@ -16,6 +16,25 @@ PORTER_VECTORS = {
     "goodness": "good", "adjustable": "adjust", "defensible": "defens",
     "replacement": "replac", "adoption": "adopt", "communism": "commun",
     "activate": "activ", "effective": "effect", "roll": "roll",
+    # vectors from the published step examples in Porter (1980)
+    "ponies": "poni", "cats": "cat", "feed": "feed", "plastered": "plaster",
+    "bled": "bled", "motoring": "motor", "sing": "sing",
+    "conflated": "conflat", "troubled": "troubl", "sized": "size",
+    "hopping": "hop", "tanned": "tan", "falling": "fall",
+    "hissing": "hiss", "fizzed": "fizz", "failing": "fail",
+    "filing": "file", "happy": "happi", "sky": "sky",
+    "relational": "relat", "conditional": "condit", "rational": "ration",
+    "digitizer": "digit", "radically": "radic", "differently": "differ",
+    "analogously": "analog", "vietnamization": "vietnam",
+    "predication": "predic", "operator": "oper", "feudalism": "feudal",
+    "decisiveness": "decis", "hopefulness": "hope",
+    "callousness": "callous", "formality": "formal",
+    "sensitivity": "sensit", "triplicate": "triplic",
+    "formative": "form", "formalize": "formal", "electricity": "electr",
+    "revival": "reviv", "allowance": "allow", "inference": "infer",
+    "airliner": "airlin", "gyroscopic": "gyroscop", "irritant": "irrit",
+    "adjustment": "adjust", "dependent": "depend", "probate": "probat",
+    "rate": "rate", "cease": "ceas", "controlling": "control",
 }
 
 
