@@ -1,0 +1,34 @@
+"""The driver contract's smoke surface: entry() must run in any
+session and produce a stable schema."""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_entry_returns_scored_snippets(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert df.columns == ["doc_id", "total_score", "snippet"]
+    assert 0 < len(rows) <= 10
+    scores = [r.total_score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(r.snippet for r in rows)
+
+
+def test_every_query_key_has_callable_and_alias_parity(spark):
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert all(callable(fn) for fn in qs.values())
+    # at least the documented rows-only set; everything else oracle'd
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {
+        "se_bm25_topk_stemmed",
+        "ann_ivf_topk",
+        "approx_event_user_stats",
+        "approx_hll_rollup_users",
+    }
