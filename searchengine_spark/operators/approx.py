@@ -56,6 +56,28 @@ def approx_user_stats(events: DataFrame) -> DataFrame:
     )
 
 
+def equal_count_bins(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Equal-POPULATION binning at scale: approx_percentile cutpoints
+    (one sketch pass, bounded memory) + a CASE-expression bin
+    assignment (map-only second pass). This is the 100 TB replacement
+    for the exact global-NTILE window (relational/advanced.py's
+    rel_ntile_customer_value), which moves every row to one task;
+    tests/test_approx.py checks the bin populations against the exact
+    tiers. Output: input columns + `bin` in [1, n_bins].
+    """
+    fracs = [i / n_bins for i in range(1, n_bins)]
+    cuts = df.agg(
+        F.expr(
+            f"approx_percentile({col}, array({', '.join(str(f) for f in fracs)}), 10000)"
+        ).alias("cuts")
+    ).collect()[0]["cuts"]
+    bin_expr = F.lit(n_bins)
+    # descending CASE: first cut the value is <= wins
+    for i in range(n_bins - 2, -1, -1):
+        bin_expr = F.when(F.col(col) <= float(cuts[i]), F.lit(i + 1)).otherwise(bin_expr)
+    return df.withColumn("bin", bin_expr.cast("bigint"))
+
+
 def hll_partial_sketches(events: DataFrame, *, n_buckets: int = 16) -> DataFrame:
     """Stage 1 of re-aggregatable cardinality: per-(bucket, event_type)
     Datasketches HLL sketches. At scale these are the rows you persist

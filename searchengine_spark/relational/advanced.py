@@ -227,11 +227,11 @@ def q_ntile_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale caveat (visible as Spark's WindowExec warning): an
     UNPARTITIONED window moves all rows to one task — exact global
     NTILE does not scale past one executor's memory. At 100 TB the
-    equal-count path is approx_percentile cutpoints (operators/
-    approx.py) + a histogram-style bin join; this exact form is for
-    dimension-sized inputs (customers here), kept because it is the
-    oracle-checkable ground truth the approximate path is tested
-    against."""
+    equal-count path is operators/approx.equal_count_bins
+    (approx_percentile cutpoints + map-only CASE binning); this exact
+    form is for dimension-sized inputs (customers here), kept as the
+    oracle-checkable ground truth — tests/test_approx.py checks the
+    approximate bins against it."""
     cust = load_table(spark, sf_dir, "customer")
     w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
     return (

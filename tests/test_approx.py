@@ -71,3 +71,32 @@ def test_hll_rollup_matches_direct_estimate(events, exact_by_type):
     for et, ex in exact_by_type.items():
         rel_err = abs(merged[et] - ex["users"]) / ex["users"]
         assert rel_err < 0.15, (et, merged[et], ex["users"])
+
+
+def test_equal_count_bins_matches_exact_ntile(spark, sf_dir):
+    """The sketch-based equal-population binning (the 100 TB path)
+    must put nearly the same number of rows in each bin as the exact
+    global NTILE (the single-task ground truth)."""
+    from searchengine_spark.operators.approx import equal_count_bins
+
+    cust = load_table(spark, sf_dir, "customer")
+    n = cust.count()
+    binned = equal_count_bins(cust, "c_acctbal", 4)
+    counts = {
+        r.bin: r.n
+        for r in binned.groupBy("bin").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {1, 2, 3, 4}
+    assert sum(counts.values()) == n
+    for b, c in counts.items():
+        # sketch rank error is tiny at accuracy=10000; allow 5% + ties
+        assert abs(c - n / 4) <= 0.05 * n + 2, (b, c, n)
+    # bins are ordered by value: max of bin i <= min of bin i+2 region
+    stats = {
+        r.bin: (r.lo, r.hi)
+        for r in binned.groupBy("bin")
+        .agg(F.min("c_acctbal").alias("lo"), F.max("c_acctbal").alias("hi"))
+        .collect()
+    }
+    for b in (1, 2, 3):
+        assert stats[b][1] <= stats[b + 1][0] + 1e-9
