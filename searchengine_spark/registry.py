@@ -35,6 +35,7 @@ _MODULES = (
     "operators.udaf",
     "operators.simhash",
     "text.analysis",
+    "text.quality",
     "text.langid",
     "text.chunking",
     "pipeline",

@@ -1,0 +1,214 @@
+"""Gopher-style rule-based quality gating and repetition signals.
+
+The reference engine scores documents only by BM25 relevance; a
+training-data pipeline additionally needs *content-quality* filters
+before anything reaches dedup or tokenization. This module implements
+the repetition/heuristic family popularized by the Gopher data work
+(Rae et al. 2021, "Scaling Language Models", appendix A1.1): word
+count bounds, mean-word-length bounds, stopword evidence,
+adjacent-duplicate-word ratio, lexical diversity, and the
+top-n-gram-character-fraction repetition signal.
+
+Scale notes: `text_gopher_gate` is a pure map stage (array
+expressions over one scan — no shuffle, no UDF), which is exactly the
+shape a 100 TB quality pass must have. `text_top_bigram_repetition`
+needs a per-doc mode, so it explodes bigrams and aggregates on
+(doc_id, bigram) — partial aggregation applies, keys are
+near-unique so no skew, and the window that picks the argmax
+partitions by doc_id (never a global sort).
+
+Both queries have DuckDB oracle twins; every ratio is rounded to 6
+decimals on both sides, and arrays are materialized behind an
+exchange barrier before expensive reuse (see memory: Catalyst
+CollapseProject re-inlines aliased exprs into every reference site).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.text.tokenizer import (
+    STOPWORDS,
+    raw_tokens_column as _raw_tokens,
+    sql_raw_tokens_expr,
+)
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+# Gate thresholds — Gopher-shaped, calibrated so the synthetic corpus
+# (10-99 words/doc, adjacent-dup ratio 0-0.17) splits into a
+# meaningful pass/fail mix instead of all-pass.
+MIN_WORDS = 30
+MAX_WORDS = 100_000
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+MIN_STOPWORDS = 1
+MAX_ADJACENT_DUP_FRAC = 0.05
+MIN_DISTINCT_FRAC = 0.40
+
+
+def gopher_gate(docs: DataFrame) -> DataFrame:
+    """Per-document quality signals + boolean gate, one map stage.
+
+    Returns every signal (so downstream can re-threshold without a
+    rescan) plus `passes` — the conjunction of the Gopher-style
+    rules above. Input needs (doc_id, text).
+    """
+    base = ensure_min_partitions(docs).select(
+        "doc_id", _raw_tokens(F.col("text")).alias("toks")
+    )
+    n = F.size("toks")
+    # Adjacent-duplicate ratio: fraction of consecutive word pairs
+    # that are equal ("batch batch batch" -> 2 dup pairs). zip_with
+    # over the two shifted slices; guarded for 1-word docs (slice
+    # with length 0 is fine, but 0/0 is not).
+    adj_dups = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    adj_dup_frac = F.when(n >= 2, F.round(adj_dups / (n - 1), 6)).otherwise(F.lit(0.0))
+    mean_word_len = F.round(F.length(F.array_join("toks", "")) / n, 6)
+    distinct_frac = F.round(F.size(F.array_distinct("toks")) / n, 6)
+    n_stop = F.size(F.filter("toks", lambda w: w.isin(*STOPWORDS)))
+    sig = base.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        adj_dup_frac.alias("adjacent_dup_frac"),
+        distinct_frac.alias("distinct_frac"),
+    )
+    return sig.withColumn(
+        "passes",
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & F.col("mean_word_len").between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (F.col("n_stopwords") >= MIN_STOPWORDS)
+        & (F.col("adjacent_dup_frac") <= MAX_ADJACENT_DUP_FRAC)
+        & (F.col("distinct_frac") >= MIN_DISTINCT_FRAC),
+    )
+
+
+def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return gopher_gate(load_table(spark, sf_dir, "documents"))
+
+
+def top_bigram_repetition(docs: DataFrame) -> DataFrame:
+    """Per-document most-frequent word bigram and the fraction of the
+    document's word characters it accounts for (Gopher's
+    "top-2-gram character fraction").
+
+    Shape: materialize tokens (barrier), explode bigrams keyed by
+    doc_id, count, then a doc_id-partitioned window argmax with a
+    deterministic (count desc, bigram asc) tiebreak.
+    """
+    toked = ensure_min_partitions(docs).select(
+        "doc_id", _raw_tokens(F.col("text")).alias("toks")
+    )
+    # Exchange barrier: `toks` feeds both the char total and the
+    # bigram transform — without it Catalyst re-inlines the split
+    # into every element_at (quadratic per doc).
+    toked = toked.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).filter(F.size("toks") >= 2)
+    exploded = toked.select(
+        "doc_id",
+        F.length(F.array_join("toks", "")).alias("tok_chars"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - 2),
+                lambda i: F.concat_ws(
+                    " ", F.element_at("toks", i + 1), F.element_at("toks", i + 2)
+                ),
+            )
+        ).alias("bigram"),
+    )
+    counts = exploded.groupBy("doc_id", "tok_chars", "bigram").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("n_occurrences"), F.asc("bigram")
+    )
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences")
+                * (F.length("bigram") - 1)  # chars excluding the joining space
+                / F.col("tok_chars"),
+                6,
+            ).alias("top_bigram_char_frac"),
+        )
+    )
+
+
+def q_top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return top_bigram_repetition(load_table(spark, sf_dir, "documents"))
+
+
+_RAW_TOK_SQL = sql_raw_tokens_expr("text")
+
+QUERIES = {
+    "text_gopher_gate": q_gopher_gate,
+    "text_top_bigram_repetition": q_top_bigram_repetition,
+}
+
+ORACLES = {
+    "text_gopher_gate": f"""
+        WITH base AS (
+          SELECT doc_id, {_RAW_TOK_SQL} AS toks FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6) AS mean_word_len,
+                 len(list_filter(toks, w -> w IN ({_STOP_SQL}))) AS n_stopwords,
+                 CASE WHEN len(toks) >= 2 THEN
+                   round(len(list_filter(list_transform(range(1, len(toks)),
+                                                        i -> toks[i] = toks[i+1]),
+                                         b -> b)) * 1.0 / (len(toks) - 1), 6)
+                 ELSE 0.0 END AS adjacent_dup_frac,
+                 round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_frac
+          FROM base WHERE len(toks) > 0
+        )
+        SELECT *,
+               (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+                AND mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+                AND n_stopwords >= {MIN_STOPWORDS}
+                AND adjacent_dup_frac <= {MAX_ADJACENT_DUP_FRAC}
+                AND distinct_frac >= {MIN_DISTINCT_FRAC}) AS passes
+        FROM sig
+    """,
+    "text_top_bigram_repetition": f"""
+        WITH toked AS (
+          SELECT doc_id, {_RAW_TOK_SQL} AS toks FROM documents
+        ), ex AS (
+          SELECT doc_id,
+                 length(array_to_string(toks, '')) AS tok_chars,
+                 unnest(list_transform(range(1, len(toks)),
+                                       i -> toks[i] || ' ' || toks[i+1])) AS bigram
+          FROM toked WHERE len(toks) >= 2
+        ), counts AS (
+          SELECT doc_id, tok_chars, bigram, COUNT(*) AS n_occurrences
+          FROM ex GROUP BY ALL
+        ), ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY n_occurrences DESC, bigram ASC) AS rn
+          FROM counts
+        )
+        SELECT doc_id, bigram AS top_bigram, n_occurrences,
+               round(n_occurrences * (length(bigram) - 1) * 1.0 / tok_chars, 6)
+                 AS top_bigram_char_frac
+        FROM ranked WHERE rn = 1
+    """,
+}

@@ -1,0 +1,68 @@
+"""Behavioral tests for Gopher-style quality gating — planted docs
+with hand-computed signals. (Corpus-scale oracle parity is covered by
+test_oracle_parity.py.)"""
+
+from searchengine_spark.text.quality import (
+    MAX_ADJACENT_DUP_FRAC,
+    MIN_WORDS,
+    gopher_gate,
+    top_bigram_repetition,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_gate_signals_hand_computed(spark):
+    # 8 words, one adjacent dup pair ("batch batch"), 6 distinct,
+    # one stopword ("the").
+    rows = [(1, "the batch batch scan join merge sort scan")]
+    out = gopher_gate(_docs(spark, rows)).collect()[0]
+    assert out.n_words == 8
+    assert out.n_stopwords == 1
+    assert out.adjacent_dup_frac == round(1 / 7, 6)
+    assert out.distinct_frac == round(6 / 8, 6)
+    assert out.mean_word_len == round(34 / 8, 6)
+    # Fails only on the word-count floor.
+    assert not out.passes
+    assert out.n_words < MIN_WORDS
+
+
+def test_gate_rejects_repetitive_doc(spark):
+    # Enough words, but pathologically repetitive: "spam spam spam..."
+    import itertools
+
+    vocab = ["".join(t) for t in itertools.product("abcde", repeat=4)][:40]
+    good = "the " + " ".join(vocab)
+    spam = "the " + "spam " * 60
+    out = {
+        r.doc_id: r for r in gopher_gate(_docs(spark, [(1, good), (2, spam)])).collect()
+    }
+    assert out[1].passes
+    assert not out[2].passes
+    assert out[2].adjacent_dup_frac > MAX_ADJACENT_DUP_FRAC
+
+
+def test_single_word_doc_no_division_error(spark):
+    out = gopher_gate(_docs(spark, [(1, "word")])).collect()[0]
+    assert out.adjacent_dup_frac == 0.0
+    assert out.n_words == 1
+
+
+def test_top_bigram_hand_computed(spark):
+    # "a b a b a b" -> bigrams: "a b" x3, "b a" x2 -> top is "a b",
+    # char frac = 3 * 2 / 6 = 1.0
+    rows = [(1, "a b a b a b"), (2, "x y z")]
+    out = {r.doc_id: r for r in top_bigram_repetition(_docs(spark, rows)).collect()}
+    assert out[1].top_bigram == "a b"
+    assert out[1].n_occurrences == 3
+    assert out[1].top_bigram_char_frac == 1.0
+    # Tie (both bigrams occur once) broken alphabetically.
+    assert out[2].top_bigram == "x y"
+    assert out[2].n_occurrences == 1
+
+
+def test_one_word_docs_absent_from_bigram_output(spark):
+    out = top_bigram_repetition(_docs(spark, [(1, "solo"), (2, "a b")])).collect()
+    assert [r.doc_id for r in out] == [2]
