@@ -33,6 +33,7 @@ _MODULES = (
     "operators.skew",
     "operators.upsert",
     "operators.udaf",
+    "operators.quantization",
     "operators.simhash",
     "text.analysis",
     "text.quality",
