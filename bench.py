@@ -40,6 +40,8 @@ HEADLINE = [
     "rel_interval_clicks_before_purchase",
     "se_bm25_batch",
     "split_train_val_test",
+    "text_gopher_gate",
+    "emb_int8_cosine_topk",
 ]
 
 SERVE_QUERIES = [

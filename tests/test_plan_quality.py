@@ -81,3 +81,20 @@ def test_q22_anti_join_shape(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tpch_q22_wealthy_inactive")
     assert "LeftAnti" in plan, plan
     assert "GreaterThanOrEqual(o_orderdate" in plan, plan  # date filter pushed
+
+
+def test_quantization_is_map_only(spark, sf_dir):
+    """quantize -> dequantize -> error metrics must stay one map
+    stage: no Exchange anywhere (the whole point of the operator is
+    to run at scan bandwidth at 100 TB)."""
+    plan = _plan(spark, sf_dir, "emb_quantization_error")
+    assert "Exchange" not in plan, plan
+
+
+def test_gopher_gate_no_real_shuffle(spark, sf_dir):
+    """The quality gate must not shuffle beyond the conditional
+    tiny-file repartition rescue (a no-op on real multi-split data):
+    no aggregate, no join, no sort in the plan."""
+    plan = _plan(spark, sf_dir, "text_gopher_gate")
+    for op in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin", "Sort "):
+        assert op not in plan, (op, plan)
