@@ -1,0 +1,95 @@
+"""Training-mixture resampling — re-balance corpus composition to
+target domain weights (the "data mixing" stage of an LLM pipeline,
+cf. Gopher/LLaMA mixture tables).
+
+Given target weights w_g per group (source/domain/language), keep
+the LARGEST subsample whose composition matches the weights without
+replacement: scale = min_g(count_g / w_g); per-group acceptance
+rate r_g = scale * w_g / count_g (the argmin group keeps ~everything,
+over-represented groups are down-sampled).
+
+Row selection reuses the md5 hash-bucket from operators/sampling —
+per-record deterministic, stable under repartition/append, and
+bit-reproducible in DuckDB, so the exact surviving row SET (not just
+its size) is oracle-checked.
+
+Scale shape: one tiny groupBy (|groups| rows) -> scalar min ->
+broadcast the |groups|-row rate table back onto the scan -> filter.
+The corpus itself is never shuffled; the filter runs in whole-stage
+codegen at scan bandwidth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.operators.sampling import N_BUCKETS, _bucket_sql, hash_bucket
+
+# Demo mixture over the documents `source` column: three weight
+# tiers. Deterministic dict order (src0..src19).
+SOURCE_WEIGHTS: dict[str, float] = {f"src{i}": float(1 + i % 3) for i in range(20)}
+MIX_SALT = "mixture"
+
+
+def mixture_resample(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    *,
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Down-sample each group so surviving composition ~ weights.
+    Groups absent from `weights` are dropped (inner join); the
+    selection hash is salted so mixtures are independent of other
+    sampling decisions on the same ids."""
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{group_col} string, wt double"
+    )
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    joined = counts.join(wdf, group_col)
+    scale = joined.agg(F.min(F.col("n") / F.col("wt")).alias("scale"))
+    rates = joined.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.floor(F.col("scale") * F.col("wt") / F.col("n") * N_BUCKETS)
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(F.col(id_col), salt=salt) < F.col("cutoff")
+    )
+
+
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_resample(
+        docs, "source", SOURCE_WEIGHTS, "doc_id"
+    ).select("doc_id", "source")
+
+
+def _weights_values_sql() -> str:
+    return ", ".join(f"('{k}', {v})" for k, v in SOURCE_WEIGHTS.items())
+
+
+QUERIES = {"mix_resample_by_source": q_mixture_resample}
+
+ORACLES = {
+    "mix_resample_by_source": f"""
+        WITH w(source, wt) AS (VALUES {_weights_values_sql()}),
+        counts AS (
+          SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+        ),
+        j AS (SELECT c.source, c.n, w.wt FROM counts c JOIN w USING (source)),
+        s AS (SELECT MIN(n / wt) AS scale FROM j),
+        rates AS (
+          SELECT source, CAST(floor(s.scale * wt / n * {N_BUCKETS}) AS BIGINT) AS cutoff
+          FROM j, s
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r USING (source)
+        WHERE {_bucket_sql("d.doc_id", MIX_SALT)} < r.cutoff
+    """,
+}

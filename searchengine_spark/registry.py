@@ -34,6 +34,7 @@ _MODULES = (
     "operators.upsert",
     "operators.udaf",
     "operators.quantization",
+    "operators.mixture",
     "operators.simhash",
     "text.analysis",
     "text.quality",
