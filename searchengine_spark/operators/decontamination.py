@@ -1,0 +1,111 @@
+"""Benchmark decontamination — find training documents that share
+n-gram content with a held-out eval set (the overlap check every
+serious LLM data pipeline runs before training; cf. GPT-3 appendix C,
+PaLM/Llama dedup-against-eval sections).
+
+Semantics: a train doc is contaminated w.r.t. an eval doc if they
+share >= MIN_SHARED distinct token k-shingles, counting only
+DISCRIMINATIVE shingles (document frequency <= MAX_SHINGLE_DF over
+the whole corpus). The df cap is essential at scale and for meaning:
+boilerplate n-grams occur everywhere and are not contamination
+evidence, and they're exactly the keys that would explode the join
+(a shingle in f docs yields O(f^2) join rows).
+
+Shape: reuses the cached tokenize->shingle frame shared with the
+MinHash family (one scan feeds all dedup/decontam queries); the
+overlap is an equi-join on the shingle string, keyed near-uniformly
+AFTER the df cap, then a (train,eval) pair count. The eval set here
+is a deterministic hash split standing in for real benchmark text —
+swapping in an external eval corpus changes only the eval-side
+input, not the topology.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.dedup import SHINGLE_K, _shingles
+from searchengine_spark.operators.sampling import N_BUCKETS, _bucket_sql, hash_bucket
+from searchengine_spark.text.tokenizer import sql_tokens_expr
+
+EVAL_SALT = "evalset"
+EVAL_FRACTION = 0.02
+MAX_SHINGLE_DF = 10
+MIN_SHARED = 2
+
+
+def contamination_pairs(
+    shingles: DataFrame,
+    *,
+    eval_fraction: float = EVAL_FRACTION,
+    salt: str = EVAL_SALT,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """(train_doc_id, eval_doc_id, n_shared) from a (doc_id,
+    shingles) frame; eval membership by salted hash bucket."""
+    cutoff = int(eval_fraction * N_BUCKETS)
+    flat = shingles.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id"), salt=salt) < cutoff).alias("is_eval"),
+        F.explode(F.array_distinct("shingles")).alias("s"),
+    )
+    keep = (
+        flat.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+    flat = flat.join(keep, "s")
+    train = flat.filter(~F.col("is_eval")).select(
+        F.col("doc_id").alias("train_doc_id"), "s"
+    )
+    ev = flat.filter(F.col("is_eval")).select(
+        F.col("doc_id").alias("eval_doc_id"), "s"
+    )
+    return (
+        train.join(ev, "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return contamination_pairs(_shingles(spark, sf_dir))
+
+
+_TOKS = sql_tokens_expr("text")
+_EVAL_CUT = int(EVAL_FRACTION * N_BUCKETS)
+
+QUERIES = {"decontam_train_eval_overlap": q_contamination_pairs}
+
+ORACLES = {
+    "decontam_train_eval_overlap": f"""
+        WITH toks AS (
+          SELECT doc_id, {_TOKS} AS t FROM documents
+        ),
+        sh AS (
+          SELECT doc_id,
+                 unnest(list_distinct(list_transform(range(1, len(t) - {SHINGLE_K - 2}),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+          FROM toks WHERE len(t) >= {SHINGLE_K}
+        ),
+        keep AS (
+          SELECT s FROM sh GROUP BY s
+          HAVING COUNT(DISTINCT doc_id) <= {MAX_SHINGLE_DF}
+        ),
+        tagged AS (
+          SELECT doc_id, s,
+                 {_bucket_sql("doc_id", EVAL_SALT)} < {_EVAL_CUT} AS is_eval
+          FROM sh JOIN keep USING (s)
+        )
+        SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+               COUNT(*) AS n_shared
+        FROM tagged tr JOIN tagged ev USING (s)
+        WHERE NOT tr.is_eval AND ev.is_eval
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {MIN_SHARED}
+    """,
+}

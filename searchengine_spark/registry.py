@@ -35,6 +35,7 @@ _MODULES = (
     "operators.udaf",
     "operators.quantization",
     "operators.mixture",
+    "operators.decontamination",
     "operators.simhash",
     "text.analysis",
     "text.quality",
