@@ -39,22 +39,38 @@ MAX_STOP_RATIO = 0.5
 JACCARD_CUT = 0.8
 
 
-def curate(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
-    """Returns the curated keep-list: (doc_id) surviving all gates."""
+def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> DataFrame:
+    """Returns the curated keep-list: (doc_id) surviving all gates.
+
+    gate="basic": token floor + stopword-ratio cap (the minimal
+    reference-flavored filter). gate="gopher": the full Gopher-style
+    rule set from text/quality.py (word bounds, mean word length,
+    stopword evidence, adjacent-dup ratio, lexical diversity) — the
+    production-shaped quality pass; same map-only plan shape.
+    """
     base = ensure_min_partitions(docs).select(
         "doc_id",
         F.col(text_col),
         raw_tokens_column(text_col).alias("raw_toks"),
     )
-    quality = base.select(
-        "doc_id",
-        F.col(text_col),
-        F.size("raw_toks").alias("n_tokens"),
-        F.size(F.filter("raw_toks", lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
-    ).filter(
-        (F.col("n_tokens") >= MIN_TOKENS)
-        & (F.col("n_stop") / F.col("n_tokens") <= MAX_STOP_RATIO)
-    )
+    if gate == "gopher":
+        from searchengine_spark.text.quality import gate_passes_expr
+
+        quality = base.filter(
+            (F.size("raw_toks") > 0) & gate_passes_expr(F.col("raw_toks"))
+        ).select("doc_id", F.col(text_col))
+    elif gate == "basic":
+        quality = base.select(
+            "doc_id",
+            F.col(text_col),
+            F.size("raw_toks").alias("n_tokens"),
+            F.size(F.filter("raw_toks", lambda w: w.isin(*STOPWORDS))).alias("n_stop"),
+        ).filter(
+            (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_stop") / F.col("n_tokens") <= MAX_STOP_RATIO)
+        )
+    else:
+        raise ValueError(f"unknown gate {gate!r}; expected 'basic' or 'gopher'")
 
     exact_keep = (
         quality.select(F.md5(F.col(text_col).cast("binary")).alias("h"), "doc_id")
@@ -142,11 +158,14 @@ def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(load_table(spark, sf_dir, "documents"))
 
 
+def q_curated_docs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return curate(load_table(spark, sf_dir, "documents"), gate="gopher")
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _RAW = sql_raw_tokens_expr("text")
 
-_CURATE_SQL = f"""
-WITH quality AS (
+_BASIC_QUALITY_CTE = f"""quality AS (
   SELECT doc_id, text
   FROM (
     SELECT doc_id, text,
@@ -155,7 +174,21 @@ WITH quality AS (
     FROM documents
   )
   WHERE n_tokens >= {MIN_TOKENS} AND n_stop / n_tokens <= {MAX_STOP_RATIO}
-),
+)"""
+
+
+def _gopher_quality_cte() -> str:
+    from searchengine_spark.text.quality import sql_gate_predicate
+
+    return f"""quality AS (
+  SELECT doc_id, text
+  FROM (SELECT doc_id, text, {_RAW} AS rtoks FROM documents)
+  WHERE len(rtoks) > 0 AND {sql_gate_predicate("rtoks")}
+)"""
+
+
+_CURATE_SQL = f"""
+WITH {{QUALITY_CTE}},
 exact_keep AS (
   SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
 ),
@@ -210,14 +243,24 @@ WHERE doc_id NOT IN (SELECT doc_b FROM near)
 """
 
 
-def _curate_oracle() -> str:
+def _curate_oracle(quality_cte: str) -> str:
     from searchengine_spark.operators.dedup import _band_hash_sql, _sig_sql_cols
 
-    return _CURATE_SQL.replace("{SIG_COLS}", _sig_sql_cols()).replace(
-        "{BAND_ROWS}",
-        ",\n    ".join(f"({b}, {_band_hash_sql(b)})" for b in range(4)),
+    return (
+        _CURATE_SQL.replace("{QUALITY_CTE}", quality_cte)
+        .replace("{SIG_COLS}", _sig_sql_cols())
+        .replace(
+            "{BAND_ROWS}",
+            ",\n    ".join(f"({b}, {_band_hash_sql(b)})" for b in range(4)),
+        )
     )
 
 
-QUERIES = {"pipeline_curated_docs": q_curated_docs}
-ORACLES = {"pipeline_curated_docs": _curate_oracle()}
+QUERIES = {
+    "pipeline_curated_docs": q_curated_docs,
+    "pipeline_curated_docs_gopher": q_curated_docs_gopher,
+}
+ORACLES = {
+    "pipeline_curated_docs": _curate_oracle(_BASIC_QUALITY_CTE),
+    "pipeline_curated_docs_gopher": _curate_oracle(_gopher_quality_cte()),
+}

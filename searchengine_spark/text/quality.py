@@ -49,6 +49,50 @@ MAX_ADJACENT_DUP_FRAC = 0.05
 MIN_DISTINCT_FRAC = 0.40
 
 
+def gate_passes_expr(toks) -> "F.Column":
+    """The full gate as ONE boolean Column over a token-array Column
+    — lets callers (pipeline.curate) filter in place without joining
+    back to the signals frame. Signal arithmetic and rounding are
+    identical to gopher_gate's output columns (asserted in tests)."""
+    n = F.size(toks)
+    adj_dups = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1), lambda a, b: a == b
+            ),
+            lambda x: x,
+        )
+    )
+    adj_dup_frac = F.when(n >= 2, F.round(adj_dups / (n - 1), 6)).otherwise(F.lit(0.0))
+    mean_word_len = F.round(F.length(F.array_join(toks, "")) / n, 6)
+    distinct_frac = F.round(F.size(F.array_distinct(toks)) / n, 6)
+    n_stop = F.size(F.filter(toks, lambda w: w.isin(*STOPWORDS)))
+    return (
+        n.between(MIN_WORDS, MAX_WORDS)
+        & mean_word_len.between(MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN)
+        & (n_stop >= MIN_STOPWORDS)
+        & (adj_dup_frac <= MAX_ADJACENT_DUP_FRAC)
+        & (distinct_frac >= MIN_DISTINCT_FRAC)
+    )
+
+
+def sql_gate_predicate(t: str = "toks") -> str:
+    """DuckDB twin of gate_passes_expr over a token-list expression
+    alias."""
+    return f"""(
+      len({t}) BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+      AND round(length(array_to_string({t}, '')) * 1.0 / len({t}), 6)
+            BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN}
+      AND len(list_filter({t}, w -> w IN ({_STOP_SQL}))) >= {MIN_STOPWORDS}
+      AND (CASE WHEN len({t}) >= 2 THEN
+             round(len(list_filter(list_transform(range(1, len({t})),
+                                                  i -> {t}[i] = {t}[i+1]),
+                                   b -> b)) * 1.0 / (len({t}) - 1), 6)
+           ELSE 0.0 END) <= {MAX_ADJACENT_DUP_FRAC}
+      AND round(len(list_distinct({t})) * 1.0 / len({t}), 6) >= {MIN_DISTINCT_FRAC}
+    )"""
+
+
 def gopher_gate(docs: DataFrame) -> DataFrame:
     """Per-document quality signals + boolean gate, one map stage.
 

@@ -66,3 +66,25 @@ def test_top_bigram_hand_computed(spark):
 def test_one_word_docs_absent_from_bigram_output(spark):
     out = top_bigram_repetition(_docs(spark, [(1, "solo"), (2, "a b")])).collect()
     assert [r.doc_id for r in out] == [2]
+
+
+def test_gate_expr_equals_signals_passes(spark, sf_dir):
+    """The standalone boolean gate expression must agree with the
+    passes column of the signals frame on the real corpus."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.text.quality import gate_passes_expr, gopher_gate
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    via_expr = {
+        r.doc_id
+        for r in docs.select("doc_id", raw_tokens_column(F.col("text")).alias("toks"))
+        .filter((F.size("toks") > 0) & gate_passes_expr(F.col("toks")))
+        .collect()
+    }
+    via_signals = {
+        r.doc_id for r in gopher_gate(docs).filter("passes").collect()
+    }
+    assert via_expr == via_signals
