@@ -36,6 +36,7 @@ _MODULES = (
     "operators.quantization",
     "operators.mixture",
     "operators.decontamination",
+    "operators.moments",
     "operators.simhash",
     "text.analysis",
     "text.quality",
