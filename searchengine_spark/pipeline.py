@@ -56,6 +56,13 @@ def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> D
     if gate == "gopher":
         from searchengine_spark.text.quality import gate_passes_expr
 
+        # Catalyst sinks this filter into the parquet scan's
+        # DataFilters (verified via explain). That is intentional and
+        # desirable at scale: the gate is linear per row (no quadratic
+        # re-inline like the shingle chains), it prunes documents
+        # before any shuffle, and scan-stage filters run per-split
+        # parallel on real multi-split data. The known local-testdata
+        # cost (1-task scan) measured +0.3s at sf0.1.
         quality = base.filter(
             (F.size("raw_toks") > 0) & gate_passes_expr(F.col("raw_toks"))
         ).select("doc_id", F.col(text_col))
