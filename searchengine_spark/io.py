@@ -62,6 +62,11 @@ def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     thousands of splits, so this is a no-op and never forces a
     full-corpus shuffle.
     """
+    if df.isStreaming:
+        # Partition introspection (df.rdd) is illegal on a streaming
+        # frame; micro-batch sizing is the trigger's job. Map-only
+        # operators built on this helper stay streaming-compatible.
+        return df
     spark = df.sparkSession
     target = n or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:

@@ -21,14 +21,17 @@ from pyspark.sql import functions as F
 from searchengine_spark.io import table_path
 
 
-def read_events_stream(
-    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+def read_table_stream(
+    spark: SparkSession, sf_dir: str, table: str, *, max_files_per_trigger: int = 1
 ) -> DataFrame:
-    """File-source stream over the events table (schema from a static
-    read; ts restored from nano-longs exactly like io.load_table)."""
+    """File-source stream over any testdata table (schema from a
+    static read; nano-long timestamps restored exactly like
+    io.load_table). The local stand-in for any append-only table
+    feed — every map-only operator (quality gate, fingerprinting,
+    quantization) runs on it unchanged."""
     import os
 
-    path = table_path(sf_dir, "events")
+    path = table_path(sf_dir, table)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
         # The file stream source requires a directory basePath; a
@@ -43,6 +46,15 @@ def read_events_stream(
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return stream
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, *, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """File-source stream over the events table."""
+    return read_table_stream(
+        spark, sf_dir, "events", max_files_per_trigger=max_files_per_trigger
+    )
 
 
 def read_rate_events_stream(

@@ -88,3 +88,24 @@ def test_gate_expr_equals_signals_passes(spark, sf_dir):
         r.doc_id for r in gopher_gate(docs).filter("passes").collect()
     }
     assert via_expr == via_signals
+
+
+def test_gopher_gate_is_streaming_safe(spark, sf_dir):
+    """The gate is a pure map stage, so it must run unchanged on an
+    unbounded stream and emit exactly the batch survivors."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.events import read_table_stream, run_to_memory
+    from searchengine_spark.text.quality import gopher_gate
+
+    stream = read_table_stream(spark, sf_dir, "documents")
+    assert stream.isStreaming
+    gated = gopher_gate(stream).filter("passes")
+    run_to_memory(gated, "gate_stream_mem", output_mode="append")
+    got = {r.doc_id for r in spark.table("gate_stream_mem").collect()}
+    want = {
+        r.doc_id
+        for r in gopher_gate(load_table(spark, sf_dir, "documents"))
+        .filter("passes")
+        .collect()
+    }
+    assert got == want
