@@ -25,7 +25,7 @@ CollapseProject re-inlines aliased exprs into every reference site).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from searchengine_spark.io import ensure_min_partitions, load_table
@@ -49,7 +49,7 @@ MAX_ADJACENT_DUP_FRAC = 0.05
 MIN_DISTINCT_FRAC = 0.40
 
 
-def gate_passes_expr(toks) -> "F.Column":
+def gate_passes_expr(toks: Column) -> Column:
     """The full gate as ONE boolean Column over a token-array Column
     — lets callers (pipeline.curate) filter in place without joining
     back to the signals frame. Signal arithmetic and rounding are
