@@ -201,11 +201,69 @@ def q_top_bigram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_bigram_repetition(load_table(spark, sf_dir, "documents"))
 
 
+DUP_NGRAM_N = 5
+
+
+def dup_ngram_char_fraction(docs: DataFrame, *, n: int = DUP_NGRAM_N) -> DataFrame:
+    """Gopher's other repetition family: the fraction of a document's
+    word characters covered by word n-grams that occur MORE THAN ONCE
+    in the document (copy-paste/boilerplate detector; the top-bigram
+    signal catches tight loops, this catches long repeated spans).
+
+    Definition pinned here: sum over duplicated n-grams of
+    occurrences x n-gram-chars, over total word chars, capped at 1.0
+    (overlapping occurrences can over-count). Docs with >= n tokens
+    get a row (0.0 when nothing repeats).
+
+    Same explode -> (doc, ngram) count shape as top_bigram_repetition,
+    then a per-doc conditional sum instead of an argmax window.
+    """
+    toked = ensure_min_partitions(docs).select(
+        "doc_id", _raw_tokens(F.col("text")).alias("toks")
+    )
+    toked = toked.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism
+    ).filter(F.size("toks") >= n)
+    exploded = toked.select(
+        "doc_id",
+        F.length(F.array_join("toks", "")).alias("tok_chars"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("toks") - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at("toks", i + j + 1) for j in range(n)]
+                ),
+            )
+        ).alias("ngram"),
+    )
+    counts = exploded.groupBy("doc_id", "tok_chars", "ngram").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    per_doc = counts.groupBy("doc_id", "tok_chars").agg(
+        F.sum(
+            F.when(
+                F.col("c") >= 2, F.col("c") * (F.length("ngram") - (n - 1))
+            ).otherwise(F.lit(0))
+        ).alias("dup_chars")
+    )
+    return per_doc.select(
+        "doc_id",
+        F.round(
+            F.least(F.col("dup_chars") / F.col("tok_chars"), F.lit(1.0)), 6
+        ).alias("dup_ngram_char_frac"),
+    )
+
+
+def q_dup_ngram_char_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dup_ngram_char_fraction(load_table(spark, sf_dir, "documents"))
+
+
 _RAW_TOK_SQL = sql_raw_tokens_expr("text")
 
 QUERIES = {
     "text_gopher_gate": q_gopher_gate,
     "text_top_bigram_repetition": q_top_bigram_repetition,
+    "text_dup_ngram_char_frac": q_dup_ngram_char_fraction,
 }
 
 ORACLES = {
@@ -232,6 +290,29 @@ ORACLES = {
                 AND adjacent_dup_frac <= {MAX_ADJACENT_DUP_FRAC}
                 AND distinct_frac >= {MIN_DISTINCT_FRAC}) AS passes
         FROM sig
+    """,
+    "text_dup_ngram_char_frac": f"""
+        WITH toked AS (
+          SELECT doc_id, {_RAW_TOK_SQL} AS toks FROM documents
+        ), ex AS (
+          SELECT doc_id,
+                 length(array_to_string(toks, '')) AS tok_chars,
+                 unnest(list_transform(range(1, len(toks) - {DUP_NGRAM_N - 2}),
+                        i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                             || ' ' || toks[i+3] || ' ' || toks[i+4])) AS ngram
+          FROM toked WHERE len(toks) >= {DUP_NGRAM_N}
+        ), counts AS (
+          SELECT doc_id, tok_chars, ngram, COUNT(*) AS c
+          FROM ex GROUP BY ALL
+        ), per_doc AS (
+          SELECT doc_id, tok_chars,
+                 SUM(CASE WHEN c >= 2
+                     THEN c * (length(ngram) - {DUP_NGRAM_N - 1}) ELSE 0 END) AS dup_chars
+          FROM counts GROUP BY doc_id, tok_chars
+        )
+        SELECT doc_id,
+               round(least(dup_chars * 1.0 / tok_chars, 1.0), 6) AS dup_ngram_char_frac
+        FROM per_doc
     """,
     "text_top_bigram_repetition": f"""
         WITH toked AS (

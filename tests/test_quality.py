@@ -109,3 +109,34 @@ def test_gopher_gate_is_streaming_safe(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_dup_ngram_fraction_hand_computed(spark):
+    from searchengine_spark.text.quality import dup_ngram_char_fraction
+
+    # "a b c d e" repeated twice + unique tail: the 5-gram "a b c d e"
+    # appears twice (at positions 1 and 6).
+    rep = "a b c d e a b c d e zz yy xx ww vv"
+    norep = "q w e r t y u i o p"
+    out = {
+        r.doc_id: r.dup_ngram_char_frac
+        for r in dup_ngram_char_fraction(
+            spark.createDataFrame(
+                [(1, rep), (2, norep)], "doc_id bigint, text string"
+            )
+        ).collect()
+    }
+    # doc 1: dup 5-grams: "a b c d e" x2 (5 chars each) plus the
+    # overlapping window count stays 1 for others -> dup_chars=10;
+    # tok_chars = 10*1 + 5*2 = 20 -> 0.5
+    assert out[1] == 0.5
+    assert out[2] == 0.0
+
+
+def test_dup_ngram_short_docs_excluded(spark):
+    from searchengine_spark.text.quality import dup_ngram_char_fraction
+
+    out = dup_ngram_char_fraction(
+        spark.createDataFrame([(1, "only four words here")], "doc_id bigint, text string")
+    ).collect()
+    assert out == []
