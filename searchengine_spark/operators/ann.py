@@ -207,6 +207,56 @@ def ivf_search_pruned(
     )
 
 
+def write_ivf_index_int8(assignments: DataFrame, path: str) -> None:
+    """Persist the IVF index with int8-quantized vectors (composition
+    with operators/quantization): 4x less storage/scan per probe, and
+    since cosine is scale-invariant the scales aren't even stored —
+    the serving probe never touches a float vector. The partition
+    layout (and thus the pruning story) is identical to
+    write_ivf_index."""
+    from searchengine_spark.operators.quantization import quantize_int8
+
+    quantize_int8(assignments).select("vec_id", "centroid_id", "qvec").write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(path)
+
+
+def quantize_query_vec(qvec: list[float]) -> list[int]:
+    """Driver-side twin of quantize_int8 for the (tiny) query vector."""
+    import math
+
+    scale = max(abs(x) for x in qvec) / 127.0
+    if scale == 0:
+        return [0] * len(qvec)
+    return [
+        int(min(max(math.floor(x / scale + 0.5), -127), 127)) for x in qvec
+    ]
+
+
+def ivf_search_pruned_int8(
+    index: DataFrame,
+    centroids: list[list[float]],
+    qvec: list[float],
+    *,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ivf_search_pruned over an int8 index: literal probe set ->
+    PartitionFilters -> cosine over int arrays (scales cancel)."""
+    probes = query_probe_ids(centroids, qvec, n_probe)
+    qlit = F.array(*[F.lit(int(x)) for x in quantize_query_vec(qvec)])
+    return (
+        index.filter(F.col("centroid_id").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine_expr(F.col("qvec"), qlit), 6).alias("cosine_q"),
+        )
+        .orderBy(F.desc("cosine_q"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def embedding_neardup_pairs(
     embeddings: DataFrame,
     *,
