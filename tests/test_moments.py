@@ -67,3 +67,29 @@ def test_partial_sums_reaggregate(spark):
     assert (whole.n, whole.s1, whole.s2, whole.s3, whole.s4) == (
         merged.n, merged.s1, merged.s2, merged.s3, merged.s4,
     )
+
+
+def test_moment_sums_stream_equals_batch(spark, sf_dir):
+    """Power sums are associative partials, so the same aggregation
+    runs as a streaming complete-mode query and lands on identical
+    exact integers."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.events import read_table_stream, run_to_memory
+
+    stream = read_table_stream(spark, sf_dir, "events")
+    run_to_memory(
+        exact_moment_sums(stream, "event_type", "value"),
+        "moments_mem",
+        output_mode="complete",
+    )
+    got = {
+        r.event_type: (r.n, r.s1, r.s2, r.s3, r.s4)
+        for r in spark.table("moments_mem").collect()
+    }
+    want = {
+        r.event_type: (r.n, r.s1, r.s2, r.s3, r.s4)
+        for r in exact_moment_sums(
+            load_table(spark, sf_dir, "events"), "event_type", "value"
+        ).collect()
+    }
+    assert got == want
