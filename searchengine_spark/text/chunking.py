@@ -137,9 +137,66 @@ chunks AS (
 )
 """
 
-QUERIES = {"text_chunks": q_text_chunks, "text_packed_chunks": q_packed_chunks}
+def chunk_exact_dedup(chunks: DataFrame) -> DataFrame:
+    """Chunk-granularity exact dedup (RAG-corpus hygiene: identical
+    passages from different documents collapse to one). Groups by
+    md5(chunk_text); emits only groups with >= 2 copies, with the
+    lexicographically-smallest (doc_id, chunk_id) as canonical.
+
+    The canonical pair is encoded as doc_id * 1024 + chunk_id for a
+    single-column MIN (chunk_id < 1024 always: chunk_id <= n_tokens /
+    stride, and documents are orders of magnitude shorter than
+    1024 * stride tokens) — the same one-shuffle shape as doc-level
+    exact_dedup_groups, keyed by a uniform 128-bit hash.
+    """
+    enc = F.col("doc_id") * 1024 + F.col("chunk_id")
+    return (
+        chunks.select(
+            F.md5(F.col("chunk_text").cast("binary")).alias("chunk_hash"),
+            enc.alias("enc"),
+        )
+        .groupBy("chunk_hash")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("enc").alias("c"))
+        .filter(F.col("n_copies") >= 2)
+        .select(
+            "chunk_hash",
+            "n_copies",
+            F.expr("c div 1024").alias("canonical_doc_id"),
+            F.pmod("c", F.lit(1024)).cast("int").alias("canonical_chunk_id"),
+        )
+    )
+
+
+def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return chunk_exact_dedup(chunk_documents(load_table(spark, sf_dir, "documents")))
+
+
+QUERIES = {
+    "text_chunks": q_text_chunks,
+    "text_packed_chunks": q_packed_chunks,
+    "text_chunk_exact_dedup": q_chunk_exact_dedup,
+}
 
 ORACLES = {
+    "text_chunk_exact_dedup": f"""{_CHUNKS_SQL},
+        chunk_texts AS (
+          SELECT doc_id, chunk_id::INT AS chunk_id,
+                 array_to_string(toks[s + 1 : s + {CHUNK_SIZE}], ' ') AS chunk_text
+          FROM grid
+        ),
+        grouped AS (
+          SELECT md5(chunk_text) AS chunk_hash,
+                 COUNT(*) AS n_copies,
+                 MIN(doc_id * 1024 + chunk_id) AS c
+          FROM chunk_texts
+          GROUP BY md5(chunk_text)
+          HAVING COUNT(*) >= 2
+        )
+        SELECT chunk_hash, n_copies,
+               (c // 1024) AS canonical_doc_id,
+               (c % 1024)::INT AS canonical_chunk_id
+        FROM grouped
+    """,
     "text_packed_chunks": f"""{_CHUNKS_SQL},
         packed AS (
           SELECT (doc_id % {N_SHARDS})::INT AS shard, doc_id, chunk_id, n_tokens,

@@ -73,3 +73,24 @@ def test_bad_params_rejected(spark):
     docs = spark.createDataFrame([(1, "x y z")], "doc_id bigint, text string")
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_size=10, overlap=10)
+
+
+def test_chunk_exact_dedup_planted(spark):
+    """Two docs sharing an identical 50-token prefix produce one
+    duplicated chunk group with the lower (doc_id, chunk_id) canonical."""
+    from searchengine_spark.text.chunking import chunk_documents, chunk_exact_dedup
+
+    prefix = " ".join(f"tok{chr(97 + i % 26)}{chr(97 + i // 26)}" for i in range(50))
+    docs = spark.createDataFrame(
+        [
+            (7, prefix + " unique tail seven here now"),
+            (9, prefix + " different ending nine words go"),
+            (11, "completely unrelated text with no shared window at all"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = chunk_exact_dedup(chunk_documents(docs)).collect()
+    assert len(out) == 1
+    assert out[0].n_copies == 2
+    assert out[0].canonical_doc_id == 7
+    assert out[0].canonical_chunk_id == 0
