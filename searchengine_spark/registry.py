@@ -40,6 +40,7 @@ _MODULES = (
     "operators.simhash",
     "text.analysis",
     "text.quality",
+    "text.redaction",
     "text.langid",
     "text.chunking",
     "pipeline",
