@@ -37,6 +37,7 @@ _MODULES = (
     "operators.mixture",
     "operators.decontamination",
     "operators.moments",
+    "operators.heavy_hitters",
     "operators.simhash",
     "text.analysis",
     "text.quality",
