@@ -32,3 +32,23 @@ def test_every_query_key_has_callable_and_alias_parity(spark):
         "approx_event_user_stats",
         "approx_hll_rollup_users",
     }
+
+
+def test_registry_rotates_unverified_queries_to_front():
+    """The driver only runs a bounded prefix of queries() each round
+    (round 1: first 50 of 98). The registry must order queries so that
+    every name WITHOUT a CORRECTNESS_r*.json row comes before every
+    name WITH one — otherwise a silent driver cap leaves the tail
+    permanently unverified while looking like full coverage."""
+    from searchengine_spark.registry import all_queries, driver_verified_names
+
+    names = list(all_queries())
+    seen = driver_verified_names()
+    if not seen:  # fresh clone without round files: nothing to rotate
+        return
+    flags = [n in seen for n in names]
+    # flags must be monotone: all False (unseen) before all True (seen)
+    assert flags == sorted(flags), (
+        "driver-verified queries appear before unverified ones: "
+        f"{[n for n, f in zip(names, flags) if f][:5]}..."
+    )
