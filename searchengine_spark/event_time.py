@@ -1,0 +1,84 @@
+"""Deterministic event-time conversions (TIMESTAMP_NTZ <-> instant).
+
+Canonical event time in this engine is TIMESTAMP_NTZ — "naive UTC"
+wall-clock, which is what the testdata parquet carries
+(isAdjustedToUTC=false) and exactly what a naive-timestamp engine
+(DuckDB) sees, so oracle comparisons never depend on a session time
+zone.
+
+Spark's event-time machinery (withWatermark, unix_micros) demands
+TIMESTAMP_LTZ, and every built-in NTZ->LTZ route (`cast`,
+`to_utc_timestamp`, even `timestampdiff` against an NTZ epoch)
+interprets the wall clock in the SESSION time zone — nondeterministic
+across sessions, and lossy inside DST gaps (2024-03-10 02:30 does not
+exist in America/New_York). The converters here use calendar-component
+arithmetic only, so the mapping wall-clock <-> micros-since-epoch is
+the UTC one in every session.
+
+All expressions are pure Column arithmetic — whole-stage codegen,
+no UDFs, streaming-safe.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_US_PER_DAY = 86_400_000_000
+_US_PER_HOUR = 3_600_000_000
+_US_PER_MIN = 60_000_000
+
+
+def ntz_to_epoch_micros(col: Column | str) -> Column:
+    """TIMESTAMP_NTZ wall clock -> micros since 1970-01-01 00:00:00,
+    treating the wall clock as UTC. Component arithmetic only — never
+    touches a time zone."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.unix_date(c.cast("date")) * F.lit(_US_PER_DAY).cast("bigint")
+        + F.hour(c).cast("bigint") * _US_PER_HOUR
+        + F.minute(c).cast("bigint") * _US_PER_MIN
+        # extract(SECOND) is decimal(8,6): whole seconds + micros.
+        + (F.date_part(F.lit("SECOND"), c) * 1_000_000).cast("bigint")
+    )
+
+
+def epoch_micros_to_ntz(col: Column) -> Column:
+    """Micros since epoch -> TIMESTAMP_NTZ (UTC wall clock), via
+    make_timestamp_ntz on computed components. Inverse of
+    :func:`ntz_to_epoch_micros` for any session time zone."""
+    day = F.floor(col / _US_PER_DAY).cast("int")
+    rem = col - day.cast("bigint") * _US_PER_DAY
+    d = F.date_add(F.lit("1970-01-01").cast("date"), day)
+    return F.make_timestamp_ntz(
+        F.year(d),
+        F.month(d),
+        F.dayofmonth(d),
+        (rem / _US_PER_HOUR).cast("int"),
+        F.pmod((rem / _US_PER_MIN).cast("bigint"), F.lit(60)).cast("int"),
+        F.pmod(rem, F.lit(_US_PER_MIN)).cast("decimal(16,6)") / 1_000_000,
+    )
+
+
+def instant_to_ntz(col: Column | str) -> Column:
+    """TIMESTAMP_LTZ instant -> the TIMESTAMP_NTZ holding its UTC wall
+    clock. unix_micros on an instant is exact and tz-free."""
+    c = F.col(col) if isinstance(col, str) else col
+    return epoch_micros_to_ntz(F.unix_micros(c))
+
+
+def event_time_micros(df: DataFrame, col: str = "ts") -> Column:
+    """Micros-since-epoch for a timestamp column of either flavor
+    (NTZ read as UTC wall clock, LTZ as the instant)."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return ntz_to_epoch_micros(col)
+    return F.unix_micros(col)
+
+
+def with_instant_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Replace an NTZ event-time column with the equivalent
+    TIMESTAMP_LTZ instant (UTC interpretation) so watermarks and
+    window/session_window state work; LTZ input passes through."""
+    if dict(df.dtypes).get(col) == "timestamp_ntz":
+        return df.withColumn(col, F.timestamp_micros(ntz_to_epoch_micros(col)))
+    return df
