@@ -71,17 +71,29 @@ def main() -> None:
     from searchengine_spark.io import load_tables
 
     for df in load_tables(spark, sf_dir).values():
-        df.count()
+        try:
+            df.count()
+        except Exception:  # noqa: BLE001 — warmup must never kill the bench
+            pass
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
 
+    # One broken query must never zero the whole bench: every section
+    # is try/except'd; failures land in "errors" and the rest still
+    # report timings.
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = queries.get(name)
         if fn is None:
+            errors[name] = "not_registered"
             continue
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # Serving-path latency: build+cache the index ONCE (the
@@ -91,40 +103,48 @@ def main() -> None:
     from searchengine_spark.index.builder import build_index
     from searchengine_spark.io import load_table
 
-    idx = build_index(load_table(spark, sf_dir, "documents")).cache()
-    search(idx, SERVE_QUERIES[0], k=10).collect()  # populate caches
-    t0 = time.perf_counter()
-    for q in SERVE_QUERIES:
-        search(idx, q, k=10).collect()
-    timings["se_query_latency_avg"] = round(
-        (time.perf_counter() - t0) / len(SERVE_QUERIES), 3
-    )
+    try:
+        idx = build_index(load_table(spark, sf_dir, "documents")).cache()
+        search(idx, SERVE_QUERIES[0], k=10).collect()  # populate caches
+        t0 = time.perf_counter()
+        for q in SERVE_QUERIES:
+            search(idx, q, k=10).collect()
+        timings["se_query_latency_avg"] = round(
+            (time.perf_counter() - t0) / len(SERVE_QUERIES), 3
+        )
+    except Exception as exc:  # noqa: BLE001
+        errors["se_query_latency_avg"] = f"{type(exc).__name__}: {exc}"[:200]
 
     # Index-build throughput with the STEMMED pipeline (Porter via
     # Arrow-batched pandas_udf) — comparable to the reference's
     # 133 docs/s single-process NLTK build (BASELINE.md).
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    t0 = time.perf_counter()
-    stem_idx = build_index(docs, stem=True)  # cache_tokens: 1 tokenize pass
-    for table in (stem_idx.term_frequencies, stem_idx.doc_lengths, stem_idx.idf_values):
-        table.write.format("noop").mode("overwrite").save()
-    build_sec = time.perf_counter() - t0
-    timings["se_index_build_stemmed"] = round(build_sec, 3)
+    build_rate = None
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        stem_idx = build_index(docs, stem=True)  # cache_tokens: 1 tokenize pass
+        for table in (stem_idx.term_frequencies, stem_idx.doc_lengths, stem_idx.idf_values):
+            table.write.format("noop").mode("overwrite").save()
+        build_sec = time.perf_counter() - t0
+        timings["se_index_build_stemmed"] = round(build_sec, 3)
+        build_rate = round(n_docs / build_sec, 1)
+    except Exception as exc:  # noqa: BLE001
+        errors["se_index_build_stemmed"] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "index_build_docs_per_sec": round(n_docs / build_sec, 1),
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if build_rate is not None:
+        out["index_build_docs_per_sec"] = build_rate
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -29,6 +29,14 @@ _US_PER_HOUR = 3_600_000_000
 _US_PER_MIN = 60_000_000
 
 
+def _exact_floor_div(col: Column, divisor: int) -> Column:
+    """Floor division exact over the full bigint range: subtract the
+    positive remainder first, then divide via decimal so the quotient
+    never rounds through a double's 53-bit mantissa."""
+    rem = F.pmod(col, F.lit(divisor))
+    return ((col - rem).cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+
+
 def ntz_to_epoch_micros(col: Column | str) -> Column:
     """TIMESTAMP_NTZ wall clock -> micros since 1970-01-01 00:00:00,
     treating the wall clock as UTC. Component arithmetic only — never
@@ -47,15 +55,15 @@ def epoch_micros_to_ntz(col: Column) -> Column:
     """Micros since epoch -> TIMESTAMP_NTZ (UTC wall clock), via
     make_timestamp_ntz on computed components. Inverse of
     :func:`ntz_to_epoch_micros` for any session time zone."""
-    day = F.floor(col / _US_PER_DAY).cast("int")
+    day = _exact_floor_div(col, _US_PER_DAY).cast("int")
     rem = col - day.cast("bigint") * _US_PER_DAY
     d = F.date_add(F.lit("1970-01-01").cast("date"), day)
     return F.make_timestamp_ntz(
         F.year(d),
         F.month(d),
         F.dayofmonth(d),
-        (rem / _US_PER_HOUR).cast("int"),
-        F.pmod((rem / _US_PER_MIN).cast("bigint"), F.lit(60)).cast("int"),
+        _exact_floor_div(rem, _US_PER_HOUR).cast("int"),
+        F.pmod(_exact_floor_div(rem, _US_PER_MIN), F.lit(60)).cast("int"),
         F.pmod(rem, F.lit(_US_PER_MIN)).cast("decimal(16,6)") / 1_000_000,
     )
 
@@ -73,6 +81,13 @@ def event_time_micros(df: DataFrame, col: str = "ts") -> Column:
     if dict(df.dtypes).get(col) == "timestamp_ntz":
         return ntz_to_epoch_micros(col)
     return F.unix_micros(col)
+
+
+def event_time_seconds(df: DataFrame, col: str = "ts") -> Column:
+    """Floor epoch-seconds for a timestamp column of either flavor —
+    bit-identical to DuckDB's ``epoch_us(ts) // 1000000`` (floor, not
+    truncate, so pre-epoch times agree too)."""
+    return _exact_floor_div(event_time_micros(df, col), 1_000_000)
 
 
 def with_instant_ts(df: DataFrame, col: str = "ts") -> DataFrame:

@@ -73,6 +73,28 @@ def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
     return seen
 
 
+def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
+    """Names force-pinned to the FRONT of the registry ordering even
+    though a past round verified them.
+
+    driver_verified_names treats any historical CORRECTNESS row as
+    forever-green, but environment drift (e.g. the events.ts testdata
+    switching nanos-long -> TIMESTAMP_NTZ between rounds 1 and 2) can
+    silently invalidate old rows. When tests/test_oracle_parity.py
+    catches such a regression, add the names to REVERIFY.json at the
+    repo root; they re-enter the driver's bounded window next round
+    and can be removed once a fresh green row lands.
+    """
+    path = os.path.join(repo_root, "REVERIFY.json")
+    try:
+        with open(path) as fh:
+            data = json.load(fh)
+    except (OSError, ValueError):
+        return []
+    names = data.get("names", []) if isinstance(data, dict) else data
+    return [n for n in names if isinstance(n, str)]
+
+
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
     queries: dict[str, QueryFn] = {}
     oracles: dict[str, str] = {}
@@ -80,11 +102,16 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         mod = importlib.import_module(f"searchengine_spark.{name}")
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
-    # Rotate never-driver-verified queries to the front (stable within
-    # each group) so each round's bounded correctness window lands on
-    # queries that still lack a hard driver-side row.
+    # Ordering: (1) regressed names pinned for re-verification, then
+    # (2) never-driver-verified queries, then (3) the verified tail —
+    # stable within each group — so each round's bounded correctness
+    # window lands on the queries that most need a hard driver row.
     seen = driver_verified_names()
-    ordered = sorted(queries, key=lambda name: name in seen)
+    pinned = {n: i for i, n in enumerate(reverify_names()) if n in queries}
+    ordered = sorted(
+        queries,
+        key=lambda name: (0, pinned[name]) if name in pinned else (1 + (name in seen), 0),
+    )
     return {name: queries[name] for name in ordered}, oracles
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from searchengine_spark.event_time import event_time_seconds
 from searchengine_spark.io import load_table
 
 
@@ -70,7 +71,7 @@ def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "signup_ts",
         F.when(
             F.col("signup_ts").isNotNull(),
-            F.col("ts").cast("long") - F.col("signup_ts").cast("long"),
+            event_time_seconds(joined, "ts") - event_time_seconds(joined, "signup_ts"),
         ).alias("gap_seconds"),
     )
 

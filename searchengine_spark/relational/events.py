@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from searchengine_spark.event_time import event_time_seconds
 from searchengine_spark.io import load_table
 
 SESSION_GAP_MIN = 30
@@ -66,14 +67,11 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     session_id = running count of new_session flags per user.
     """
     ev = load_table(spark, sf_dir, "events")
+    ts_s = event_time_seconds(ev, "ts")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     flagged = ev.withColumn(
         "new_session",
-        (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1, None).over(w)
-            > SESSION_GAP_MIN * 60
-        ).cast("int"),
+        (ts_s - F.lag(ts_s, 1, None).over(w) > SESSION_GAP_MIN * 60).cast("int"),
     ).withColumn(
         "session_id",
         F.sum(F.coalesce(F.col("new_session"), F.lit(1))).over(
@@ -82,9 +80,7 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return flagged.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias(
-            "session_seconds"
-        ),
+        (F.max(ts_s) - F.min(ts_s)).alias("session_seconds"),
         F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("session_value"),
     )
 
@@ -155,7 +151,7 @@ def q_events_inter_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     until the next one (NULL at partition edges)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ts_s = F.col("ts").cast("long")
+    ts_s = event_time_seconds(ev, "ts")
     return ev.select(
         "event_id",
         "user_id",
@@ -190,7 +186,7 @@ def q_events_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(event_time_seconds(ev, "ts"))
         .rangeBetween(-RANGE_FRAME_SECONDS, 0)
     )
     return ev.select(

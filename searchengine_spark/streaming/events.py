@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchengine_spark.event_time import instant_to_ntz, with_instant_ts
 from searchengine_spark.io import table_path
 
 
@@ -78,7 +79,9 @@ def read_rate_events_stream(
     )
     return rate.select(
         F.col("value").alias("event_id"),
-        F.col("timestamp").alias("ts"),
+        # Canonical event time is TIMESTAMP_NTZ (naive UTC) — matches
+        # the batch events schema so operators run unchanged.
+        instant_to_ntz(F.col("timestamp")).alias("ts"),
         F.pmod(F.col("value"), F.lit(n_users)).alias("user_id"),
         F.element_at(
             F.array(*[F.lit(t) for t in ("click", "view", "purchase", "signup", "error")]),
@@ -91,16 +94,22 @@ def read_rate_events_stream(
 
 def hourly_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour rollup per event_type (streaming twin of
-    relational/events.q_events_hourly)."""
+    relational/events.q_events_hourly).
+
+    Watermarks demand TIMESTAMP_LTZ, so the canonical NTZ event time
+    is lifted to the UTC instant first and window bounds are lowered
+    back to NTZ on output — batch/stream results stay bit-identical
+    in every session time zone."""
     return (
-        events.withWatermark("ts", watermark)
+        with_instant_ts(events, "ts")
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
         )
         .select(
-            F.col("window").start.alias("window_start"),
+            instant_to_ntz(F.col("window").start).alias("window_start"),
             "event_type",
             "n_events",
             "total_value",
@@ -115,15 +124,16 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
     lag/cumsum sessionizer; both emit (user, session) aggregates.
     """
     return (
-        events.withWatermark("ts", "2 hours")
+        with_instant_ts(events, "ts")
+        .withWatermark("ts", "2 hours")
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("session_value"),
         )
         .select(
-            F.col("session_window").start.alias("session_start"),
-            F.col("session_window").end.alias("session_end"),
+            instant_to_ntz(F.col("session_window").start).alias("session_start"),
+            instant_to_ntz(F.col("session_window").end).alias("session_end"),
             "user_id",
             "n_events",
             "session_value",
@@ -141,9 +151,14 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     WithinWatermark variant expires ids once they fall behind the
     watermark, bounding state.
     """
-    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
-        ["event_id"]
+    deduped = (
+        with_instant_ts(events, "ts")
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["event_id"])
     )
+    if dict(events.dtypes).get("ts") == "timestamp_ntz":
+        deduped = deduped.withColumn("ts", instant_to_ntz(F.col("ts")))
+    return deduped
 
 
 def enrich_stream_with_customers(

@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from searchengine_spark.event_time import epoch_micros_to_ntz, event_time_micros
+
 # What spark.readStream.format("kafka") returns, column for column.
 KAFKA_WIRE_SCHEMA = (
     "key binary, value binary, topic string, partition int, "
@@ -44,62 +46,12 @@ EVENT_VALUE_SCHEMA = (
 )
 
 
-def _ntz_to_epoch_micros(col: str) -> "F.Column":
-    """TIMESTAMP_NTZ wall-clock -> micros since 1970-01-01 00:00:00,
-    computed from calendar components only.
-
-    `unix_micros` rejects NTZ, and every conversion that routes
-    through TIMESTAMP_LTZ (`cast`, `to_utc_timestamp`, even
-    `timestampdiff`) interprets the wall clock in the SESSION time
-    zone — nondeterministic, and lossy in DST gaps (2024-03-10
-    02:30 does not exist in America/New_York). Date + time-part
-    arithmetic never touches a time zone.
-    """
-    c = F.col(col)
-    return (
-        F.unix_date(c.cast("date")) * F.lit(86_400_000_000).cast("bigint")
-        + F.hour(c).cast("bigint") * 3_600_000_000
-        + F.minute(c).cast("bigint") * 60_000_000
-        # extract(SECOND) is decimal(8,6): whole seconds + micros.
-        + (F.expr(f"extract(SECOND FROM `{col}`)") * 1_000_000).cast("bigint")
-    )
-
-
-def _epoch_micros_to_ntz(col: "F.Column") -> "F.Column":
-    """Inverse of :func:`_ntz_to_epoch_micros`: micros since epoch ->
-    TIMESTAMP_NTZ via make_timestamp_ntz on computed components.
-    Deterministic for any session time zone."""
-    day = F.floor(col / 86_400_000_000).cast("int")
-    rem = col - day.cast("bigint") * 86_400_000_000
-    d = F.date_add(F.lit("1970-01-01").cast("date"), day)
-    return F.make_timestamp_ntz(
-        F.year(d),
-        F.month(d),
-        F.dayofmonth(d),
-        (rem / 3_600_000_000).cast("int"),
-        F.pmod((rem / 60_000_000).cast("bigint"), F.lit(60)).cast("int"),
-        F.pmod(rem, F.lit(60_000_000)).cast("decimal(16,6)") / 1_000_000,
-    )
-
-
-def _event_time_micros(events: DataFrame) -> "F.Column":
-    """Micros-since-epoch for the `ts` column, whatever its flavor.
-
-    Canonical event time in this engine is TIMESTAMP_NTZ ("naive UTC"
-    — what the testdata parquet carries and what DuckDB sees); LTZ
-    input is accepted and read as an instant.
-    """
-    if dict(events.dtypes).get("ts") == "timestamp_ntz":
-        return _ntz_to_epoch_micros("ts")
-    return F.unix_micros("ts")
-
-
 def events_to_kafka_records(
     events: DataFrame, *, topic: str = "events", n_partitions: int = 8
 ) -> DataFrame:
     """Encode an events DataFrame as Kafka wire records (the
     "producer" half of the simulation)."""
-    ts_us = _event_time_micros(events)
+    ts_us = event_time_micros(events, "ts")
     keyed = events.select(
         F.col("user_id").cast("string").cast("binary").alias("key"),
         F.to_json(
@@ -168,7 +120,7 @@ def parse_events_from_kafka(records: DataFrame) -> DataFrame:
         F.col("e").isNotNull() & F.col("e._corrupt").isNull()
     ).select(
         F.col("e.event_id").alias("event_id"),
-        _epoch_micros_to_ntz(F.col("e.ts_us")).alias("ts"),
+        epoch_micros_to_ntz(F.col("e.ts_us")).alias("ts"),
         F.col("e.user_id").alias("user_id"),
         F.col("e.event_type").alias("event_type"),
         F.col("e.value").alias("value"),

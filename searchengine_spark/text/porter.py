@@ -5,10 +5,21 @@ M.F. Porter, "An algorithm for suffix stripping", Program 14(3),
 1980. The reference engine stems with NLTK's PorterStemmer
 (/root/reference/searchenginespark.py:57-62); NLTK is not available
 in this environment, so we implement the published algorithm
-directly. NLTK's default mode has a few extensions; the core
-algorithm here matches the original paper, which is sufficient for
-parity on regular English inflection (courts->court, running->run,
-quickly->quickli — the cases the reference corpus exercises).
+directly.
+
+Two modes:
+
+- ``porter_stem(word)`` — the original published algorithm; the
+  engine default (oracle-friendly, matches the paper's test vectors).
+- ``porter_stem(word, mode="nltk")`` — reproduces NLTK's
+  PorterStemmer default (NLTK_EXTENSIONS) behavior, used by the
+  NLTK-parity tokenizer (text/nltk_parity.py). The extensions are
+  enumerated in NLTK's public source (nltk/stem/porter.py): an
+  irregular-forms pool (skies->sky, dying->die, ...), ies/ied
+  handling for 4-letter words (dies->die not di), a
+  consonant-before-y condition in step 1c (enjoy->enjoy, happy->
+  happi), apply-ALLI-first recursion and a FULLI->FUL rule in
+  step 2.
 
 This module is driver-side pure Python; at scale it only ever runs
 inside an Arrow-batched pandas_udf (see tokenizer.stem_tokens_udf),
@@ -18,6 +29,19 @@ never as a row-at-a-time UDF.
 from __future__ import annotations
 
 VOWELS = "aeiou"
+
+# NLTK_EXTENSIONS irregular-forms pool (nltk/stem/porter.py): these
+# words bypass the algorithm entirely.
+_NLTK_POOL = {
+    "sky": "sky", "skies": "sky",
+    "dying": "die", "lying": "lie", "tying": "tie",
+    "news": "news",
+    "innings": "inning", "inning": "inning",
+    "outings": "outing", "outing": "outing",
+    "cannings": "canning", "canning": "canning",
+    "howe": "howe",
+    "proceed": "proceed", "exceed": "exceed", "succeed": "succeed",
+}
 
 
 def _is_consonant(word: str, i: int) -> bool:
