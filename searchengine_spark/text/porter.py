@@ -92,7 +92,9 @@ def _replace_suffix(word: str, suffix: str, replacement: str) -> str:
     return word[: len(word) - len(suffix)] + replacement
 
 
-def _step1a(word: str) -> str:
+def _step1a(word: str, nltk: bool = False) -> str:
+    if nltk and word.endswith("ies") and len(word) == 4:
+        return word[:-3] + "ie"  # dies->die, ties->tie (not di/ti)
     if word.endswith("sses"):
         return word[:-2]
     if word.endswith("ies"):
@@ -104,7 +106,9 @@ def _step1a(word: str) -> str:
     return word
 
 
-def _step1b(word: str) -> str:
+def _step1b(word: str, nltk: bool = False) -> str:
+    if nltk and word.endswith("ied"):
+        return word[:-3] + ("ie" if len(word) == 4 else "i")  # died->die, denied->deni
     if word.endswith("eed"):
         stem = word[:-3]
         return word[:-1] if _m(stem) > 0 else word
@@ -127,9 +131,17 @@ def _step1b(word: str) -> str:
     return word
 
 
-def _step1c(word: str) -> str:
-    if word.endswith("y") and _contains_vowel(word[:-1]):
-        return word[:-1] + "i"
+def _step1c(word: str, nltk: bool = False) -> str:
+    if word.endswith("y"):
+        stem = word[:-1]
+        if nltk:
+            # NLTK condition: y preceded by a consonant that is not
+            # the word's only other letter (happy->happi, enjoy->enjoy,
+            # by->by) — replaces the original contains-vowel test.
+            if len(stem) > 1 and _is_consonant(stem, len(stem) - 1):
+                return stem + "i"
+        elif _contains_vowel(stem):
+            return stem + "i"
     return word
 
 
@@ -192,20 +204,40 @@ def _step5b(word: str) -> str:
 from functools import lru_cache
 
 
+_STEP2_NLTK = _STEP2 + (("fulli", "ful"),)
+
+
+def _step2(word: str, nltk: bool = False) -> str:
+    if nltk and word.endswith("alli") and _m(word[:-4]) > 0:
+        # NLTK applies ALLI->AL first and re-runs step 2 on the result
+        # (ationalli -> ational -> ate).
+        return _step2(word[:-4] + "al", nltk=True)
+    return _apply_rules(word, _STEP2_NLTK if nltk else _STEP2, 1)
+
+
 @lru_cache(maxsize=1 << 18)
-def porter_stem(word: str) -> str:
-    """Stem one lowercase word with the classic Porter algorithm.
+def porter_stem(word: str, mode: str = "original") -> str:
+    """Stem one lowercase word with the Porter algorithm.
+
+    ``mode="original"`` follows the 1980 paper; ``mode="nltk"``
+    reproduces NLTK PorterStemmer's default NLTK_EXTENSIONS behavior
+    (see module docstring) for reference token-for-token parity.
 
     Memoized: corpora repeat a small vocabulary across a huge token
     stream, so the per-executor cache turns stemming into a dict hit
     for all but the first occurrence of each word.
     """
+    nltk = mode == "nltk"
+    if nltk:
+        pooled = _NLTK_POOL.get(word)
+        if pooled is not None:
+            return pooled
     if len(word) <= 2:
         return word
-    word = _step1a(word)
-    word = _step1b(word)
-    word = _step1c(word)
-    word = _apply_rules(word, _STEP2, 1)
+    word = _step1a(word, nltk)
+    word = _step1b(word, nltk)
+    word = _step1c(word, nltk)
+    word = _step2(word, nltk)
     word = _apply_rules(word, _STEP3, 1)
     word = _step4(word)
     word = _step5a(word)
