@@ -9,19 +9,23 @@ iterator UDFs, the only sane shape for multi-MB blobs: one Python
 round trip per batch, bounded memory via the iterator protocol, and
 partition-parallel across the cluster.
 
-REAL vs STUB: the Spark-side plumbing (schemas, batching, UDF
-signatures, partitioning) is real and tested. The codec kernels are
-STUBS — image/audio libraries are not available in this container —
-implemented against a deterministic fake header format:
+REAL vs FAKE formats: decode_media sniffs magic bytes per item.
+Real PNG images and RIFF/WAVE audio decode through the stdlib-only
+codecs in operators/codecs.py (zlib+struct+numpy against the
+published specs; Pillow is used instead when importable, adding
+JPEG). Payloads in the deterministic fake header format below (used
+by tests and the video path, where no stdlib codec exists) take the
+header fast path:
 
     bytes 0:2  magic b"IM" / b"AU" / b"VI"
     bytes 2:6  width / sample_rate / n_frames   (big-endian uint32)
     bytes 6:10 height / n_samples / frame_size  (big-endian uint32)
     rest       payload
 
-`decode_real_media` raises NotImplementedError with instructions, so
-swapping in Pillow/librosa/pyav later touches ONE function per
-modality and none of the dataflow.
+Video frame extraction (sample_frames) remains format-stubbed: a
+real container demuxer (pyav) is not implementable stdlib-only; the
+slicing runs against the fake format and the swap-in point is the
+body of that one function.
 """
 
 from __future__ import annotations
@@ -69,13 +73,19 @@ def encode_fake_media(media_type: str, dim_a: int, dim_b: int, payload: bytes) -
     return magic + struct.pack(">II", dim_a, dim_b) + payload
 
 
-def decode_real_media(payload: bytes, media_type: str):  # pragma: no cover
-    """Swap-in point for real codecs (Pillow / librosa / pyav)."""
-    raise NotImplementedError(
-        "real media decoding requires imaging/audio libraries not "
-        "present in this environment; replace this function and keep "
-        "the mapInPandas dataflow unchanged"
-    )
+def decode_real_media(payload: bytes, media_type: str) -> dict:
+    """Decode a REAL media payload (PNG image / WAV audio; JPEG too
+    when Pillow is importable) into the DECODED_SCHEMA fields."""
+    from searchengine_spark.operators.codecs import decode_any
+
+    out = decode_any(payload)
+    if out is None:
+        raise NotImplementedError(
+            f"unrecognized {media_type} payload; built-in codecs cover "
+            "PNG and RIFF/WAVE (PCM16) — install pillow/pyav for "
+            "JPEG/video and keep the mapInPandas dataflow unchanged"
+        )
+    return out
 
 
 def _decode_header(payload: bytes) -> tuple[int, int]:
@@ -87,32 +97,52 @@ def _decode_header(payload: bytes) -> tuple[int, int]:
 def decode_media(media: DataFrame) -> DataFrame:
     """Binary payloads -> typed metadata + a cheap content feature.
 
+    Per item: sniff magic bytes; real PNG/WAV payloads go through the
+    stdlib codecs (operators/codecs.py), fake-header payloads through
+    the header fast path. A malformed payload yields a (0,0,0,0.0)
+    row instead of failing the batch — at 100 TB a poison blob must
+    never kill the job.
+
     mapInPandas: batches arrive as pandas DataFrames (Arrow), the
     generator yields result batches — memory stays bounded no matter
     how large the partition is.
     """
+    from searchengine_spark.operators.codecs import decode_any
+
+    int32_max = (1 << 31) - 1
+
+    def decode_one(payload) -> tuple[int, int, int, float]:
+        try:
+            real = decode_any(payload)
+        except ValueError:
+            return (0, 0, 0, 0.0)
+        if real is not None:
+            return (
+                min(real["dim_a"], int32_max),
+                min(real["dim_b"], int32_max),
+                min(real["n_bytes"], int32_max),
+                real["mean_byte"],
+            )
+        a, b = _decode_header(payload)
+        body = payload[10:] if payload is not None and len(payload) > 10 else b""
+        return (
+            min(a, int32_max),
+            min(b, int32_max),
+            len(body),
+            float(sum(body)) / len(body) if len(body) else 0.0,
+        )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        int32_max = (1 << 31) - 1
         for pdf in it:
-            # Header dims are uint32; clamp into the int32 output type
-            # instead of silently wrapping negative.
-            dims = pdf["payload"].map(_decode_header).map(
-                lambda d: (min(d[0], int32_max), min(d[1], int32_max))
-            )
-            body = pdf["payload"].map(
-                lambda p: p[10:] if p is not None and len(p) > 10 else b""
-            )
+            decoded = pdf["payload"].map(decode_one)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": pdf["media_type"],
-                    "dim_a": dims.map(lambda d: d[0]).astype("int32"),
-                    "dim_b": dims.map(lambda d: d[1]).astype("int32"),
-                    "n_bytes": body.map(len).astype("int32"),
-                    "mean_byte": body.map(
-                        lambda b: float(sum(b)) / len(b) if len(b) else 0.0
-                    ),
+                    "dim_a": decoded.map(lambda d: d[0]).astype("int32"),
+                    "dim_b": decoded.map(lambda d: d[1]).astype("int32"),
+                    "n_bytes": decoded.map(lambda d: d[2]).astype("int32"),
+                    "mean_byte": decoded.map(lambda d: d[3]),
                 }
             )
 
@@ -266,6 +296,54 @@ def fake_media_from_documents(docs: DataFrame, *, body_chars: int = 16) -> DataF
     return docs.select("doc_id", "n_chars", "text").mapInPandas(encode, MEDIA_SCHEMA)
 
 
+def png_media_from_documents(docs: DataFrame, *, body_chars: int = 16) -> DataFrame:
+    """Derive REAL PNG payloads from the documents table: each doc's
+    first `body_chars` ASCII bytes become a 1 x N 8-bit greyscale
+    image written by the stdlib PNG encoder. Deterministic, so the
+    decoded output is oracle-checkable from `documents` directly —
+    proving the real compress -> decompress -> unfilter codec path
+    end to end, not just the dataflow."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import encode_png
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                body = (t or "")[:body_chars].encode("ascii", "replace") or b"?"
+                payloads.append(
+                    encode_png(np.frombuffer(body, dtype=np.uint8).reshape(1, -1))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def q_png_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query over the REAL codec: documents -> PNG
+    encode (zlib/DEFLATE) -> decode_media sniffs the PNG magic and
+    runs the spec decoder -> typed stats."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(png_media_from_documents(docs))
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "dim_a",
+        "dim_b",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 def q_media_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query: documents -> fake media -> decode ->
     typed stats. Exercises both mapInPandas stages end to end."""
@@ -284,7 +362,10 @@ def q_media_decode_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"mm_media_decode_stats": q_media_decode_stats}
+QUERIES = {
+    "mm_media_decode_stats": q_media_decode_stats,
+    "mm_png_decode_stats": q_png_decode_stats,
+}
 
 # The fake payload body is the first 16 ASCII bytes of text; for the
 # synthetic corpus (pure ASCII) mean_byte == mean of the codepoints.
@@ -297,6 +378,23 @@ ORACLES = {
         )
         SELECT doc_id AS media_id, 'image' AS media_type,
                n_chars::INT AS dim_a, (doc_id % 1000)::INT AS dim_b,
+               len(bytes)::INT AS n_bytes,
+               round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
+        FROM body
+    """,
+    # Real-PNG twin: 1 x N greyscale image of the first 16 ASCII
+    # bytes; width == n_bytes == len, height == 1, mean pixel ==
+    # mean codepoint. Empty text encodes as the single byte '?' (63).
+    "mm_png_decode_stats": """
+        WITH body AS (
+          SELECT doc_id,
+                 CASE WHEN length(substr(text, 1, 16)) = 0 THEN [63]
+                      ELSE list_transform(split(substr(text, 1, 16), ''), c -> unicode(c))
+                 END AS bytes
+          FROM documents
+        )
+        SELECT doc_id AS media_id, 'image' AS media_type,
+               len(bytes)::INT AS dim_a, CAST(1 AS INT) AS dim_b,
                len(bytes)::INT AS n_bytes,
                round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
         FROM body
