@@ -262,6 +262,74 @@ def incremental_neardup_pairs(
     )
 
 
+def _star_components(sym: DataFrame, *, max_rounds: int = 50) -> DataFrame:
+    """Large-star/small-star connected components (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    converges in O(log^2 n) rounds on ANY graph, including the
+    adversarial long-chain case where per-round min-label propagation
+    needs diameter-many rounds.
+
+    Each round: large-star points every node's larger neighbors at
+    the minimum of its closed neighborhood; small-star then contracts
+    each node and its smaller neighbors onto their minimum. The fixed
+    point is a set of stars (node -> component root).
+
+    Input ``sym``: symmetric (src,dst) edge set. Output: (node,
+    component) for every node appearing in sym.
+    """
+    edges = (
+        sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    all_nodes = sym.select(F.col("src").alias("node")).distinct()
+    for _ in range(max_rounds):
+        # Large-star: neighborhoods in both directions; m(u) = min of
+        # the closed neighborhood; every LARGER neighbor re-points at m.
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        lm = both.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("m"))
+        large = (
+            both.join(lm, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # Small-star: edges now point large -> small; contract each
+        # node and all its smaller neighbors onto their minimum.
+        sm = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(sm, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(sm.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)  # cut lineage each round
+        )
+        # Fixed point: the edge set stopped changing (set equality via
+        # two anti-joins; both sides are checkpointed and tiny relative
+        # to the corpus).
+        if (
+            small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(small).limit(1).count() == 0
+        ):
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_rounds} rounds"
+        )
+    # Stars: u -> root v; roots and singletons label themselves.
+    roots = edges.groupBy("u").agg(F.min("v").alias("component"))
+    return all_nodes.join(
+        roots.select(F.col("u").alias("node"), "component"), "node", "left"
+    ).select("node", F.coalesce("component", F.col("node")).alias("component"))
+
+
 def connected_components(
     edges: DataFrame,
     *,
@@ -277,15 +345,15 @@ def connected_components(
     Each round: every node takes the min label among itself and its
     neighbors; converged when nothing changes. Rounds needed = graph
     diameter — near-dup clusters are tiny (a handful of docs), so
-    this terminates in 2-4 rounds. At 100 TB scale with adversarially
-    long chains the same loop upgrades to the large-star/small-star
-    algorithm (Kiveris et al., "Connected Components in MapReduce",
-    SoCC'14) which contracts in O(log n) rounds; the driver-side loop
-    with localCheckpoint lineage cuts is the standard Spark shape for
-    both (GraphFrames does the same internally).
+    this terminates in 2-4 rounds. If the diameter exceeds
+    ``max_iterations`` (adversarial chains), the loop hands off to
+    the large-star/small-star contraction (:func:`_star_components`),
+    which converges in O(log^2 n) rounds on any graph instead of
+    aborting.
 
     Deterministic: min-label has a unique fixed point independent of
-    execution/iteration order.
+    execution/iteration order (and star contraction reaches the same
+    min-root labeling).
     """
     sym = (
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
@@ -324,11 +392,9 @@ def connected_components(
         if changed == 0:
             break
     else:
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iterations} "
-            "iterations (graph diameter exceeds the bound); raise "
-            "max_iterations or switch to large-star/small-star"
-        )
+        # Diameter exceeds the bound: switch to star contraction
+        # rather than aborting (same fixed point, O(log^2 n) rounds).
+        return _star_components(sym)
     return labels
 
 

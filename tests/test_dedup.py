@@ -123,18 +123,74 @@ def test_connected_components_long_chain_converges(spark):
     assert comps == {100}
 
 
-def test_connected_components_raises_when_not_converged(spark):
-    """Exhausting max_iterations with labels still moving must raise,
-    never silently return a wrong clustering."""
-    import pytest as _pytest
-
+def test_connected_components_star_handoff_on_long_chain(spark):
+    """Exhausting max_iterations hands off to large-star/small-star
+    contraction and still returns the CORRECT clustering — an
+    adversarial chain can no longer abort the job."""
     from searchengine_spark.operators.dedup import connected_components
 
     chain = spark.createDataFrame(
-        [(i, i + 1) for i in range(200, 220)], "doc_a bigint, doc_b bigint"
+        [(i, i + 1) for i in range(200, 230)], "doc_a bigint, doc_b bigint"
     )
-    with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iterations=2)
+    got = {r.node: r.component for r in connected_components(chain, max_iterations=2).collect()}
+    assert set(got) == set(range(200, 231))
+    assert set(got.values()) == {200}
+
+
+def test_star_components_10k_node_path(spark):
+    """Property from the SoCC'14 paper: star contraction converges in
+    O(log^2 n) rounds on a PATH graph — the worst case for per-round
+    label propagation (diameter = n). 10k nodes, one component."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.dedup import _star_components
+
+    n = 10_000
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    sym = edges.unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels = _star_components(sym, max_rounds=30)
+    rows = labels.groupBy("component").count().collect()
+    assert len(rows) == 1
+    assert rows[0].component == 0 and rows[0]["count"] == n
+
+
+def test_star_components_matches_union_find(spark):
+    """Randomized cross-check: star labels == Python union-find
+    ground truth on an arbitrary small graph."""
+    import random
+
+    from searchengine_spark.operators.dedup import connected_components
+
+    rnd = random.Random(13)
+    nodes = list(range(60))
+    edge_list = [
+        (rnd.choice(nodes), rnd.choice(nodes)) for _ in range(70)
+    ]
+    edge_list = [(a, b) for a, b in edge_list if a != b]
+
+    parent = {v: v for v in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_list:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth = {}
+    for a, b in edge_list:
+        for v in (a, b):
+            truth[v] = find(v)
+
+    edges = spark.createDataFrame(edge_list, "doc_a bigint, doc_b bigint")
+    # max_iterations=1 forces the star path on any non-trivial graph
+    got = {r.node: r.component for r in connected_components(edges, max_iterations=1).collect()}
+    assert got == truth
 
 
 def test_incremental_neardup_matches_full_rebuild(spark, sf_dir):
