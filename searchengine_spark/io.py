@@ -83,10 +83,45 @@ def exchange_barrier(df: DataFrame) -> DataFrame:
     upstream expression per element. An Exchange is a hard boundary:
     upstream computes once, downstream lambdas read materialized
     arrays. The shuffled payload is token/int arrays (same order of
-    size as the input); a persisted intermediate (write_index) is the
-    scale alternative.
+    size as the input) — fine at interactive scale; for build-scale
+    runs use :func:`materialize_barrier` with a persist_dir, which
+    achieves the same boundary with a map-only parquet write + scan
+    instead of an all-to-all shuffle of the token stream.
     """
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
+def default_persist_dir() -> str | None:
+    """Build-scale opt-in: when $SPARK_GRAFT_PERSIST_DIR is set, the
+    shingle/text family routes its stage barriers through persisted
+    parquet intermediates instead of full shuffles."""
+    return os.environ.get("SPARK_GRAFT_PERSIST_DIR") or None
+
+
+def materialize_barrier(
+    df: DataFrame, persist_dir: str | None = None, *, tag: str = "stage"
+) -> DataFrame:
+    """Stage barrier with a scale-safe materialization strategy.
+
+    With ``persist_dir``: write the stage output to
+    ``persist_dir/tag`` (map-only — each task writes its own
+    partitions, NO corpus-wide Exchange) and return a fresh scan of
+    it. The intermediate is also reusable across queries in the same
+    family (tokenize once, shingle/band/verify many), which is the
+    right shape for a 100 TB curation run.
+
+    Without ``persist_dir``: fall back to :func:`exchange_barrier`
+    (in-memory shuffle barrier) — right for interactive/test scale
+    where writing a temp table per query would dominate.
+
+    ``tag`` must be unique per (persist_dir, logical stage); callers
+    pass stage names like "tokens"/"shingle_hashes".
+    """
+    if persist_dir is None:
+        return exchange_barrier(df)
+    path = os.path.join(persist_dir, tag)
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

@@ -22,9 +22,10 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.io import (
+    default_persist_dir,
     ensure_min_partitions,
-    exchange_barrier as _barrier,
     load_table,
+    materialize_barrier as _barrier,
 )
 from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
 
@@ -112,7 +113,9 @@ def minhash_signature_cols(hashes: Column, num_hashes: int = NUM_HASHES) -> list
 
 
 
-def shingle_frame(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+def shingle_frame(
+    docs: DataFrame, *, text_col: str = "text", persist_dir: str | None = None
+) -> DataFrame:
     """(doc_id, shingles array) for docs with >= SHINGLE_K tokens.
 
     The min-length filter is phrased on the materialized token array
@@ -121,12 +124,18 @@ def shingle_frame(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     predicate pushdown substitutes the full shingle expression into
     the filter and sinks it to the scan stage — single-threaded AND
     quadratic (measured 12s vs 0.7s at sf0.1).
+
+    ``persist_dir`` (default $SPARK_GRAFT_PERSIST_DIR): route the
+    barrier through a persisted parquet intermediate — map-only write
+    + scan, no corpus-wide Exchange — the build-scale default for a
+    100 TB token stream.
     """
+    persist_dir = persist_dir if persist_dir is not None else default_persist_dir()
     toked = ensure_min_partitions(docs).select(
         F.col("doc_id"), tokens_column(text_col).alias("toks")
     )
     return (
-        _barrier(toked)
+        _barrier(toked, persist_dir, tag="tokens")
         .filter(F.size("toks") >= SHINGLE_K)
         .select("doc_id", shingles_column(F.col("toks")).alias("shingles"))
     )
@@ -139,18 +148,28 @@ def minhash_bands(
     num_hashes: int = NUM_HASHES,
     band_size: int = BAND_SIZE,
     shingles: DataFrame | None = None,
+    persist_dir: str | None = None,
 ) -> DataFrame:
     """(doc_id, band, band_hash) — LSH bucketing table.
 
     Docs with fewer than SHINGLE_K tokens are excluded (no shingle).
     Pass a (cached) ``shingles`` frame to share the tokenize/shingle
-    scan with a downstream verification stage.
+    scan with a downstream verification stage. ``persist_dir``: see
+    :func:`shingle_frame` — with it set, the whole band build has NO
+    corpus-wide Exchange (scan -> write, scan -> write, scan).
     """
-    sh = shingles if shingles is not None else shingle_frame(docs, text_col=text_col)
+    persist_dir = persist_dir if persist_dir is not None else default_persist_dir()
+    sh = (
+        shingles
+        if shingles is not None
+        else shingle_frame(docs, text_col=text_col, persist_dir=persist_dir)
+    )
     # Barrier again: without it the per-shingle md5 expression is
     # inlined into all 16 signature mins (16x the hashing work).
     hashed = _barrier(
-        sh.select("doc_id", shingle_hashes(F.col("shingles")).alias("hashes"))
+        sh.select("doc_id", shingle_hashes(F.col("shingles")).alias("hashes")),
+        persist_dir,
+        tag="shingle_hashes",
     )
     with_sig = hashed.select(
         "doc_id", *minhash_signature_cols(F.col("hashes"), num_hashes)

@@ -16,7 +16,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.io import ensure_min_partitions, exchange_barrier, load_table
+from searchengine_spark.io import (
+    default_persist_dir,
+    ensure_min_partitions,
+    load_table,
+    materialize_barrier,
+)
 from searchengine_spark.text.tokenizer import raw_tokens_column, sql_raw_tokens_expr
 
 CHUNK_SIZE = 50
@@ -29,15 +34,24 @@ def chunk_documents(
     text_col: str = "text",
     chunk_size: int = CHUNK_SIZE,
     overlap: int = OVERLAP,
+    persist_dir: str | None = None,
 ) -> DataFrame:
-    """(doc_id, chunk_id, n_tokens, chunk_text) — one row per window."""
+    """(doc_id, chunk_id, n_tokens, chunk_text) — one row per window.
+
+    ``persist_dir`` (default $SPARK_GRAFT_PERSIST_DIR): stage barrier
+    via persisted parquet instead of a full shuffle (see
+    io.materialize_barrier) — the build-scale default.
+    """
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
     stride = chunk_size - overlap
-    toked = exchange_barrier(
+    persist_dir = persist_dir if persist_dir is not None else default_persist_dir()
+    toked = materialize_barrier(
         ensure_min_partitions(docs).select(
             F.col("doc_id"), raw_tokens_column(text_col).alias("toks")
-        )
+        ),
+        persist_dir,
+        tag="chunk_tokens",
     )
     n = F.size("toks")
     # A start s is useful only while the PREVIOUS window hasn't already

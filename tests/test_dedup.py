@@ -223,3 +223,28 @@ def test_incremental_neardup_matches_full_rebuild(spark, sf_dir):
     }
     assert got == expected
     assert expected, "test corpus should contain cross-batch near-dups"
+
+
+def test_persisted_barrier_same_results_no_exchange(spark, sf_dir, tmp_path):
+    """Build-scale path: minhash banding through persisted parquet
+    intermediates must (a) produce byte-identical band tables and
+    (b) plan with NO corpus-wide Exchange — the shuffle of the token
+    stream is replaced by map-only writes + scans."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.dedup import minhash_bands
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = {tuple(r) for r in minhash_bands(docs).collect()}
+    persisted_df = minhash_bands(docs, persist_dir=str(tmp_path))
+    got = {tuple(r) for r in persisted_df.collect()}
+    assert got == base
+
+    plan = persisted_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # the intermediates landed where promised and are reusable
+    import os
+
+    assert os.path.isdir(tmp_path / "tokens")
+    assert os.path.isdir(tmp_path / "shingle_hashes")
