@@ -48,6 +48,7 @@ _MODULES = (
     "text.redaction",
     "text.langid",
     "text.chunking",
+    "streaming.replay",
     "pipeline",
 )
 

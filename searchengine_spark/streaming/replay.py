@@ -1,0 +1,129 @@
+"""Driver-checkable streaming replays (stream == batch, hash-proved).
+
+Each registry query here replays the events table through a REAL
+Structured Streaming topology (file source -> watermarked stateful
+operator -> memory sink, availableNow trigger) and returns
+the sink contents as a DataFrame. The DuckDB oracle states the batch
+semantics — so the driver's hash compare IS the stream/batch parity
+argument, upgraded from pytest-only to a hard CORRECTNESS row.
+
+Determinism: availableNow drains the bounded input completely; the
+watermark never drops rows on a bounded replay (it only bounds state
+eviction), and every aggregate here is keyed, so the final complete/
+append output is input-determined.
+
+Scale: the topologies are exactly the production ones
+(streaming/events.py) — swapping the file source for Kafka changes
+one line; state is keyed on (window x type) or user_id as described
+there.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.streaming.events import (
+    dedup_stream,
+    hourly_rollup_stream,
+    read_events_stream,
+    run_to_memory,
+    session_window_stream,
+)
+
+# Memory-sink names must be unique per invocation within a session.
+_SINK_SEQ = itertools.count()
+
+
+def _sink_name(tag: str) -> str:
+    return f"replay_{tag}_{next(_SINK_SEQ)}"
+
+
+def q_stream_hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window rollup, replayed to completion."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    name = _sink_name("hourly")
+    run_to_memory(hourly_rollup_stream(stream), name, output_mode="complete")
+    return spark.table(name)
+
+
+def q_stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session_window (30 min gap), replayed."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    name = _sink_name("sessions")
+    run_to_memory(session_window_stream(stream), name, output_mode="complete")
+    return spark.table(name).select(
+        "user_id",
+        "session_start",
+        "session_end",
+        "n_events",
+        F.round("session_value", 6).alias("session_value"),
+    )
+
+
+def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark on event_id; the testdata ids are
+    unique, so the replay must reproduce the events table EXACTLY —
+    any row the watermark machinery dropped or duplicated flips the
+    hash."""
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    name = _sink_name("dedup")
+    run_to_memory(dedup_stream(stream), name, output_mode="append")
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+
+
+QUERIES = {
+    "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
+    "stream_session_window_replay": q_stream_session_window_replay,
+    "stream_dedup_replay": q_stream_dedup_replay,
+}
+
+ORACLES = {
+    # Batch semantics of the tumbling rollup — identical to the
+    # events_hourly_rollup oracle minus n_users (the streaming twin
+    # does not countDistinct: exact distinct aggregation is
+    # unsupported in an incremental windowed agg; HLL sketches are
+    # the streaming answer, covered by operators/approx).
+    "stream_hourly_rollup_replay": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # Gap-based sessions: an event exactly `gap` after the previous
+    # one opens a NEW session (windows are [start, last_ts + gap)),
+    # hence >=. session_end = last event + gap, per session_window.
+    "stream_session_window_replay": f"""
+        WITH flagged AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN LAG(ts) OVER w IS NULL THEN 1
+                      WHEN ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE THEN 1
+                      ELSE 0 END AS new_session
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ),
+        sessioned AS (
+          SELECT *, SUM(new_session) OVER (
+            PARTITION BY user_id ORDER BY ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+          ) AS sid
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 6) AS session_value
+        FROM sessioned
+        GROUP BY user_id, sid
+    """,
+    "stream_dedup_replay": """
+        SELECT event_id, ts, user_id, event_type, value, props
+        FROM events
+    """,
+}
