@@ -79,9 +79,54 @@ def tfidf_search(index: InvertedIndex, query: str | list[str], k: int = 10, *, s
 
 
 def okapi_idf(n_docs: Column, doc_freq: Column) -> Column:
-    """rank_bm25-style idf: ln((N - df + 0.5)/(df + 0.5) + 1)."""
+    """Lucene/ATIRE-style smoothed idf: ln((N - df + 0.5)/(df + 0.5) + 1).
+
+    The `+1` keeps idf positive for every df, so rank_bm25's ε-floor
+    is unreachable in this form; the exact rank_bm25 semantics are
+    :func:`rank_bm25_idf_table`.
+    """
     return F.log(
         (n_docs.cast("double") - doc_freq + 0.5) / (doc_freq + 0.5) + 1.0
+    )
+
+
+RANK_BM25_EPSILON = 0.25
+
+
+def rank_bm25_idf_table(index: InvertedIndex, *, epsilon: float = RANK_BM25_EPSILON) -> DataFrame:
+    """(word, idf) with the EXACT published rank_bm25 BM25Okapi
+    semantics (X5 fidelity): raw idf = ln((N - df + 0.5)/(df + 0.5))
+    — no `+1`, so terms in more than half the corpus go NEGATIVE —
+    and every negative idf is floored to ε * mean(raw idf), the mean
+    taken over the FULL vocabulary before flooring.
+
+    The global mean is a 1-row broadcast aggregate over the (small)
+    idf table — no extra pass over the corpus.
+
+    Reproducing BASELINE.md's published "property rights" top-10
+    (3.5183…3.4497) additionally requires the 91k-doc CAP Illinois
+    corpus (nltksearchv1.ipynb cell 18), which is not shipped with
+    the reference — impossible to replay here by construction. The
+    golden test (tests/test_bm25_golden.py) instead proves formula
+    fidelity against an independent pure-Python evaluation of the
+    published algorithm on a fixture where the ε-floor is ACTIVE.
+    """
+    raw = index.idf_values.crossJoin(
+        F.broadcast(index.scoring_params.select("n_docs"))
+    ).select(
+        "word",
+        "doc_freq",
+        F.log(
+            (F.col("n_docs").cast("double") - F.col("doc_freq") + 0.5)
+            / (F.col("doc_freq") + 0.5)
+        ).alias("raw_idf"),
+    )
+    mean = raw.agg(F.avg("raw_idf").alias("avg_idf"))
+    return raw.crossJoin(F.broadcast(mean)).select(
+        "word",
+        F.when(F.col("raw_idf") < 0, F.lit(epsilon) * F.col("avg_idf"))
+        .otherwise(F.col("raw_idf"))
+        .alias("idf"),
     )
 
 
@@ -100,9 +145,10 @@ def search(
     Deterministic tie-break on doc_id (the reference leaves ties to
     partition order; SURVEY.md FIXTURES §4 flags this).
     """
-    if idf_variant not in ("log10", "okapi"):
+    if idf_variant not in ("log10", "okapi", "rank_bm25"):
         raise ValueError(
-            f"unknown idf_variant {idf_variant!r}; expected 'log10' or 'okapi'"
+            f"unknown idf_variant {idf_variant!r}; expected 'log10', "
+            "'okapi' or 'rank_bm25'"
         )
     terms = tokenize_query(query, stem=stem) if isinstance(query, str) else list(query)
     if not terms:
@@ -123,13 +169,18 @@ def search(
     # Manual filter-first shape (matches the reference's intent at
     # pyapp.py:93); Catalyst pushes the isin into the parquet scan.
     tf = index.term_frequencies.filter(F.col("word").isin(terms))
-    idf = index.idf_values.filter(F.col("word").isin(terms))
-    if idf_variant == "okapi":
-        idf = idf.join(F.broadcast(index.scoring_params.select("n_docs"))).select(
-            "word", okapi_idf(F.col("n_docs"), F.col("doc_freq")).alias("idf")
-        )
+    if idf_variant == "rank_bm25":
+        # ε-floor needs the FULL-vocab mean raw idf, so filter AFTER
+        # the table build (the mean is a broadcast scalar either way).
+        idf = rank_bm25_idf_table(index).filter(F.col("word").isin(terms))
     else:
-        idf = idf.select("word", "idf")
+        idf = index.idf_values.filter(F.col("word").isin(terms))
+        if idf_variant == "okapi":
+            idf = idf.join(F.broadcast(index.scoring_params.select("n_docs"))).select(
+                "word", okapi_idf(F.col("n_docs"), F.col("doc_freq")).alias("idf")
+            )
+        else:
+            idf = idf.select("word", "idf")
 
     params = index.scoring_params.select("avgdl")
 

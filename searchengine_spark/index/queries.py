@@ -249,6 +249,34 @@ def q_bm25_okapi_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bm25_rank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 EXACT fidelity (rank_bm25 BM25Okapi): raw ln idf without the
+    +1 smoothing, negatives floored to eps*mean(raw idf over the full
+    vocab), k1=1.5 — the published library algorithm, oracle-checked
+    end-to-end (the ε-floor arithmetic included)."""
+    from searchengine_spark.index.bm25 import rank_bm25_idf_table
+
+    idx = _index(spark, sf_dir)
+    terms = list(BM25_QUERY_TERMS)
+    tf = idx.term_frequencies.filter(F.col("word").isin(terms))
+    idf = rank_bm25_idf_table(idx).filter(F.col("word").isin(terms))
+    scored = (
+        tf.join(F.broadcast(idf), "word")
+        .join(idx.doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(idx.scoring_params.select("avgdl")))
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("term_freq"), F.col("doc_length"), F.col("avgdl"),
+                F.col("idf"), k1=OKAPI_K1,
+            ).alias("term_score"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(F.sum("term_score"), 6).alias("total_score")
+    )
+
+
 def q_tfidf_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full TF-IDF score set for the benchmark terms (all matching
     docs — no top-k boundary, fully oracle-deterministic)."""
@@ -283,6 +311,7 @@ QUERIES = {
     "se_search_api": q_search_api,
     "se_bm25_batch": q_bm25_batch,
     "se_bm25_okapi_scores": q_bm25_okapi_scores,
+    "se_bm25_rank_scores": q_bm25_rank_scores,
     "se_boolean_and_not": q_boolean_and_not,
 }
 
@@ -370,6 +399,34 @@ ORACLES = {
                      (SELECT avgdl FROM params))) AS term_score
           FROM tf
           JOIN okapi ON tf.word = okapi.word
+          JOIN dl ON tf.doc_id = dl.doc_id
+          WHERE tf.word IN ({_BM25_TERMS_SQL})
+        )
+        SELECT doc_id, round(sum(term_score), 6) AS total_score
+        FROM scored GROUP BY doc_id
+    """,
+    # Exact rank_bm25 semantics: raw ln idf (no +1) and ε-floor at
+    # 0.25 * mean(raw idf over the FULL vocabulary, pre-floor).
+    "se_bm25_rank_scores": f"""{_INDEX_CTES},
+        raw AS (
+          SELECT word,
+                 ln(((SELECT n_docs FROM params) - doc_freq + 0.5) / (doc_freq + 0.5)) AS raw_idf
+          FROM idf
+        ),
+        floored AS (
+          SELECT word,
+                 CASE WHEN raw_idf < 0
+                      THEN 0.25 * (SELECT AVG(raw_idf) FROM raw)
+                      ELSE raw_idf END AS idf
+          FROM raw
+        ),
+        scored AS (
+          SELECT tf.doc_id,
+                 floored.idf * (tf.term_freq * {OKAPI_K1 + 1.0}) /
+                   (tf.term_freq + {OKAPI_K1} * (1.0 - {B} + {B} * dl.doc_length /
+                     (SELECT avgdl FROM params))) AS term_score
+          FROM tf
+          JOIN floored ON tf.word = floored.word
           JOIN dl ON tf.doc_id = dl.doc_id
           WHERE tf.word IN ({_BM25_TERMS_SQL})
         )
