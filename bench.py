@@ -42,6 +42,12 @@ HEADLINE = [
     "split_train_val_test",
     "text_gopher_gate",
     "emb_int8_cosine_topk",
+    # round-3 additions: rank_bm25 eps-floor scoring, real PNG codec
+    # path, and a watermarked streaming replay (throughput signal for
+    # the Structured Streaming half).
+    "se_bm25_rank_scores",
+    "mm_png_decode_stats",
+    "stream_hourly_rollup_replay",
 ]
 
 SERVE_QUERIES = [

@@ -462,6 +462,26 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(None, pairs, shingles=sh)
 
 
+INCR_NEW_FRACTION = 0.10
+
+
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Append-time dedup, driver-checked: a deterministic 10% of docs
+    plays the 'new batch', the rest the persisted corpus. Bands are
+    built for the batch ONLY and equi-joined against the corpus band
+    table — O(batch) work. The oracle states the correctness
+    contract: exactly the full-corpus LSH pairs touching >= 1 new
+    doc, nothing else."""
+    from searchengine_spark.operators.sampling import N_BUCKETS, hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = hash_bucket(F.col("doc_id"), salt="incr") < int(
+        INCR_NEW_FRACTION * N_BUCKETS
+    )
+    existing_bands = minhash_bands(docs.filter(~is_new))
+    return incremental_neardup_pairs(docs.filter(is_new), existing_bands)
+
+
 # ------------------------------------------------------------- oracles
 
 def _sig_sql_cols(num_hashes: int = NUM_HASHES) -> str:
@@ -523,6 +543,7 @@ QUERIES = {
     "dedup_neardup_pairs": q_neardup_pairs,
     "dedup_neardup_jaccard": q_neardup_jaccard,
     "dedup_duplicate_clusters": q_duplicate_clusters,
+    "dedup_incremental_pairs": q_incremental_neardup,
 }
 
 # The cluster oracle reaches the same fixed point with a recursive
@@ -559,6 +580,17 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash_bands": f"{_BANDS_CTE} SELECT doc_id, band, band_hash FROM bands",
+    # incremental contract: full-corpus LSH pairs with >= 1 side in
+    # the deterministic 10% "new batch" (same md5 bucket rule as
+    # operators/sampling).
+    "dedup_incremental_pairs": f"""{_BANDS_CTE}
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM bands l JOIN bands r
+          ON l.band = r.band AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+        WHERE (('0x' || substr(md5('incr' || CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
+           OR (('0x' || substr(md5('incr' || CAST(r.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
+    """,
     "dedup_duplicate_clusters": _CLUSTERS_SQL,
     "dedup_neardup_pairs": f"""{_BANDS_CTE}
         SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
