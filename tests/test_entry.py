@@ -24,10 +24,11 @@ def test_every_query_key_has_callable_and_alias_parity(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(fn) for fn in qs.values())
-    # at least the documented rows-only set; everything else oracle'd
+    # exactly the documented rows-only set; everything else oracle'd
     rows_only = set(qs) - set(os_)
     assert rows_only == {
         "se_bm25_topk_stemmed",
+        "se_flat_words_nltk_parity",  # Treebank/Porter not SQL-expressible
         "ann_ivf_topk",
         "approx_event_user_stats",
         "approx_hll_rollup_users",
@@ -37,18 +38,26 @@ def test_every_query_key_has_callable_and_alias_parity(spark):
 def test_registry_rotates_unverified_queries_to_front():
     """The driver only runs a bounded prefix of queries() each round
     (round 1: first 50 of 98). The registry must order queries so that
-    every name WITHOUT a CORRECTNESS_r*.json row comes before every
-    name WITH one — otherwise a silent driver cap leaves the tail
+    (1) REVERIFY.json-pinned regressions come absolutely first, then
+    (2) every name WITHOUT a CORRECTNESS_r*.json row before every name
+    WITH one — otherwise a silent driver cap leaves the tail
     permanently unverified while looking like full coverage."""
-    from searchengine_spark.registry import all_queries, driver_verified_names
+    from searchengine_spark.registry import (
+        all_queries,
+        driver_verified_names,
+        reverify_names,
+    )
 
     names = list(all_queries())
+    pinned = [n for n in reverify_names() if n in set(names)]
+    assert names[: len(pinned)] == pinned, "pinned names must lead the ordering"
     seen = driver_verified_names()
     if not seen:  # fresh clone without round files: nothing to rotate
         return
-    flags = [n in seen for n in names]
+    rest = names[len(pinned):]
+    flags = [n in seen for n in rest]
     # flags must be monotone: all False (unseen) before all True (seen)
     assert flags == sorted(flags), (
         "driver-verified queries appear before unverified ones: "
-        f"{[n for n, f in zip(names, flags) if f][:5]}..."
+        f"{[n for n, f in zip(rest, flags) if f][:5]}..."
     )
