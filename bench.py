@@ -82,6 +82,12 @@ def main() -> None:
         except Exception:  # noqa: BLE001 — warmup must never kill the bench
             pass
     spark.range(1_000_000).groupBy(F.col("id") % 7).count().collect()
+    # Warm the Python/Arrow worker pool too (mapInPandas/pandas_udf
+    # queries otherwise pay ~32 worker spawns + numpy/pandas imports
+    # inside their first timed query).
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     # One broken query must never zero the whole bench: every section
     # is try/except'd; failures land in "errors" and the rest still
@@ -125,6 +131,7 @@ def main() -> None:
     # Arrow-batched pandas_udf) — comparable to the reference's
     # 133 docs/s single-process NLTK build (BASELINE.md).
     build_rate = None
+    nltk_rate = None
     try:
         docs = load_table(spark, sf_dir, "documents")
         n_docs = docs.count()
@@ -138,6 +145,25 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["se_index_build_stemmed"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # NLTK-parity build: the apples-to-apples against the reference's
+    # published 133.10 docs/s single-process NLTK tokenization
+    # (BASELINE.md) — same tokenizer semantics (Treebank + full
+    # stopword list + NLTK-mode Porter), Arrow-batched across cores.
+    try:
+        from searchengine_spark.text.nltk_parity import nltk_tokens_column
+
+        docs = load_table(spark, sf_dir, "documents")
+        n_docs = docs.count()
+        t0 = time.perf_counter()
+        np_idx = build_index(docs, tokens=nltk_tokens_column("text"))
+        for table in (np_idx.term_frequencies, np_idx.doc_lengths, np_idx.idf_values):
+            table.write.format("noop").mode("overwrite").save()
+        nltk_sec = time.perf_counter() - t0
+        timings["se_index_build_nltk_parity"] = round(nltk_sec, 3)
+        nltk_rate = round(n_docs / nltk_sec, 1)
+    except Exception as exc:  # noqa: BLE001
+        errors["se_index_build_nltk_parity"] = f"{type(exc).__name__}: {exc}"[:200]
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -148,6 +174,8 @@ def main() -> None:
     }
     if build_rate is not None:
         out["index_build_docs_per_sec"] = build_rate
+    if nltk_rate is not None:
+        out["nltk_parity_build_docs_per_sec"] = nltk_rate
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

@@ -32,6 +32,11 @@ def read_table_stream(
     quantization) runs on it unchanged."""
     import os
 
+    # Same flavor tolerance as io.load_table: if the testdata ever
+    # carries TIMESTAMP(NANOS) again (it did in driver round 1), read
+    # as long-nanos and restore micros below — in ANY session, not
+    # just ones built by our session factory.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     path = table_path(sf_dir, table)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):
