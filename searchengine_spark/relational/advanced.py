@@ -102,6 +102,24 @@ def q_active_not_churned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retained.unionByName(churned)
 
 
+_UNPIVOT_MEASURES = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+
+def q_unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long): the four lineitem measures melted to
+    (key, measure, value) rows — the missing half of the pivot pair
+    (rel_pivot_segment_status is the wide direction). Map-only: the
+    4x row expansion happens per input row with no shuffle, so it
+    runs at scan bandwidth at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ids=["l_orderkey", "l_linenumber"],
+        values=list(_UNPIVOT_MEASURES),
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
+
+
 def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact continuous quantiles per return flag (sort-based)."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -281,9 +299,17 @@ QUERIES = {
     "rel_rollup_revenue": q_rollup_revenue,
     "rel_retained_churned": q_active_not_churned,
     "rel_price_quartiles": q_price_quartiles,
+    "rel_unpivot_lineitem": q_unpivot_lineitem_measures,
 }
 
+_UNPIVOT_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT l_orderkey, l_linenumber, '{m}' AS measure, "
+    f"CAST({m} AS DOUBLE) AS value FROM lineitem"
+    for m in _UNPIVOT_MEASURES
+)
+
 ORACLES = {
+    "rel_unpivot_lineitem": _UNPIVOT_ORACLE,
     "rel_lateral_top2_orders": """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c,

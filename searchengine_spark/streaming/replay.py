@@ -76,10 +76,36 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom keyed state (applyInPandasWithState) replayed to
+    completion. Update mode emits one row per (user, micro-batch);
+    n_events is strictly increasing per user, so the lexicographic
+    max struct per user IS the final state — independent of how the
+    replay was micro-batched — and must equal the batch per-user
+    totals the oracle states."""
+    from searchengine_spark.streaming.stateful import user_running_totals
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    name = _sink_name("stateful")
+    run_to_memory(user_running_totals(stream), name, output_mode="update")
+    final = (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value", "last_seen_us")).alias("s"))
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total_value", 2).alias("total_value"),
+        F.col("s.last_seen_us").alias("last_seen_us"),
+    )
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
     "stream_session_window_replay": q_stream_session_window_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
+    "stream_stateful_user_totals": q_stream_stateful_user_totals,
 }
 
 ORACLES = {
@@ -125,5 +151,16 @@ ORACLES = {
     "stream_dedup_replay": """
         SELECT event_id, ts, user_id, event_type, value, props
         FROM events
+    """,
+    # Final keyed state == batch totals. total_value is cents-exact in
+    # both engines (2-decimal inputs; the state accumulator rounds to
+    # cents per micro-batch).
+    "stream_stateful_user_totals": """
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE), 2) AS total_value,
+               MAX(epoch_us(ts)) AS last_seen_us
+        FROM events
+        GROUP BY user_id
     """,
 }
