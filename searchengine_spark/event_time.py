@@ -84,9 +84,15 @@ def event_time_micros(df: DataFrame, col: str = "ts") -> Column:
 
 
 def event_time_seconds(df: DataFrame, col: str = "ts") -> Column:
-    """Floor epoch-seconds for a timestamp column of either flavor —
-    bit-identical to DuckDB's ``epoch_us(ts) // 1000000`` (floor, not
-    truncate, so pre-epoch times agree too)."""
+    """Floor epoch-seconds for a timestamp column of either flavor.
+
+    FLOOR division — the semantics of Spark's native timestamp ->
+    long cast (Math.floorDiv), which this helper replaces. For
+    post-epoch timestamps (all real event data) it is bit-identical
+    to the DuckDB oracles' ``epoch_us(ts) // 1000000``; note DuckDB's
+    integer ``//`` truncates toward zero, so the two diverge on
+    PRE-epoch sub-second times only (floor(-0.5s) = -1 vs trunc = 0).
+    """
     return _exact_floor_div(event_time_micros(df, col), 1_000_000)
 
 
