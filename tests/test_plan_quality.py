@@ -98,3 +98,35 @@ def test_gopher_gate_no_real_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_gopher_gate")
     for op in ("HashAggregate", "SortMergeJoin", "BroadcastHashJoin", "Sort "):
         assert op not in plan, (op, plan)
+
+
+def test_unpivot_is_map_only(spark, sf_dir):
+    """wide->long expansion must run at scan bandwidth: no Exchange,
+    no join, no aggregate — just scan -> expand/generate -> project."""
+    plan = _plan(spark, sf_dir, "rel_unpivot_lineitem")
+    for op in ("Exchange", "HashAggregate", "Join"):
+        assert op not in plan, (op, plan)
+
+
+def test_png_decode_is_map_only(spark, sf_dir):
+    """documents -> PNG encode -> decode is two chained mapInPandas
+    stages over the scan — any Exchange besides the conditional
+    tiny-file rescue repartition would be wrong."""
+    plan = _plan(spark, sf_dir, "mm_png_decode_stats")
+    for op in ("HashAggregate", "Join", "Sort "):
+        assert op not in plan, (op, plan)
+
+
+def test_rank_bm25_uses_broadcast_mean_not_corpus_rescan(spark, sf_dir):
+    """The eps-floor's full-vocab mean must come from the (cached)
+    idf table via broadcast — the documents corpus itself must appear
+    in the plan ONCE at most (through the shared cached index), and
+    the mean side must broadcast."""
+    plan = _plan(spark, sf_dir, "se_bm25_rank_scores")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "dedup_incremental_pairs")
+    assert "CartesianProduct" not in plan, plan
