@@ -31,10 +31,12 @@ _US_PER_MIN = 60_000_000
 
 def _exact_floor_div(col: Column, divisor: int) -> Column:
     """Floor division exact over the full bigint range: subtract the
-    positive remainder first, then divide via decimal so the quotient
-    never rounds through a double's 53-bit mantissa."""
+    positive remainder AFTER widening to decimal (floor(MIN/d)*d can
+    undershoot Long.MIN, so bigint subtraction would wrap), then
+    divide in decimal so the quotient never rounds through a double's
+    53-bit mantissa."""
     rem = F.pmod(col, F.lit(divisor))
-    return ((col - rem).cast("decimal(38,0)") / F.lit(divisor)).cast("bigint")
+    return ((col.cast("decimal(38,0)") - rem) / F.lit(divisor)).cast("bigint")
 
 
 def ntz_to_epoch_micros(col: Column | str) -> Column:

@@ -98,28 +98,35 @@ def default_persist_dir() -> str | None:
     return os.environ.get("SPARK_GRAFT_PERSIST_DIR") or None
 
 
+_BARRIER_SEQ = __import__("itertools").count()
+
+
 def materialize_barrier(
     df: DataFrame, persist_dir: str | None = None, *, tag: str = "stage"
 ) -> DataFrame:
     """Stage barrier with a scale-safe materialization strategy.
 
     With ``persist_dir``: write the stage output to
-    ``persist_dir/tag`` (map-only — each task writes its own
+    ``persist_dir/<tag>-<n>`` (map-only — each task writes its own
     partitions, NO corpus-wide Exchange) and return a fresh scan of
-    it. The intermediate is also reusable across queries in the same
-    family (tokenize once, shingle/band/verify many), which is the
-    right shape for a 100 TB curation run.
+    it. Treat persist_dir as a per-run scratch workspace; to REUSE an
+    intermediate across queries, pass the returned frame along (e.g.
+    the ``shingles=`` parameter of the dedup family) rather than
+    relying on paths.
 
     Without ``persist_dir``: fall back to :func:`exchange_barrier`
     (in-memory shuffle barrier) — right for interactive/test scale
     where writing a temp table per query would dominate.
 
-    ``tag`` must be unique per (persist_dir, logical stage); callers
-    pass stage names like "tokens"/"shingle_hashes".
+    The ``<n>`` suffix is a session-unique counter: the returned
+    frame is a LAZY scan, so two barrier calls sharing a path would
+    let the second call's overwrite silently corrupt the first's
+    pending reads (e.g. the incremental-dedup query banding the
+    corpus and then the new batch).
     """
     if persist_dir is None:
         return exchange_barrier(df)
-    path = os.path.join(persist_dir, tag)
+    path = os.path.join(persist_dir, f"{tag}-{next(_BARRIER_SEQ)}")
     df.write.mode("overwrite").parquet(path)
     return df.sparkSession.read.parquet(path)
 

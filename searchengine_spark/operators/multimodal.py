@@ -114,7 +114,10 @@ def decode_media(media: DataFrame) -> DataFrame:
     def decode_one(payload) -> tuple[int, int, int, float]:
         try:
             real = decode_any(payload)
-        except ValueError:
+        except Exception:  # noqa: BLE001 — corrupt real-format payloads
+            # raise zlib.error / struct.error / ValueError depending on
+            # where they're malformed; ANY decode failure must yield a
+            # zero row, never kill the task.
             return (0, 0, 0, 0.0)
         if real is not None:
             return (

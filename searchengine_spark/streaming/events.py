@@ -122,7 +122,9 @@ def hourly_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> Da
     )
 
 
-def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> DataFrame:
+def session_window_stream(
+    events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
     """Native session windows per user (streaming sessionization).
 
     Note: session_window merges on event-time gaps like the batch
@@ -130,7 +132,7 @@ def session_window_stream(events: DataFrame, *, gap: str = "30 minutes") -> Data
     """
     return (
         with_instant_ts(events, "ts")
-        .withWatermark("ts", "2 hours")
+        .withWatermark("ts", watermark)
         .groupBy(F.session_window("ts", gap), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),

@@ -7,10 +7,16 @@ the sink contents as a DataFrame. The DuckDB oracle states the batch
 semantics — so the driver's hash compare IS the stream/batch parity
 argument, upgraded from pytest-only to a hard CORRECTNESS row.
 
-Determinism: availableNow drains the bounded input completely; the
-watermark never drops rows on a bounded replay (it only bounds state
-eviction), and every aggregate here is keyed, so the final complete/
-append output is input-determined.
+Determinism: availableNow drains the bounded input completely, and
+every replay passes a watermark WIDER than the dataset's event-time
+span. That matters: a watermark lagging only hours behind max event
+time DOES drop late input rows once the replay spans multiple
+micro-batches (e.g. a multi-file events table whose files interleave
+in time) — stateful ops filter rows older than the watermark, not
+just evict state. With the replay-wide horizon nothing is ever late,
+so the final output is input-determined regardless of how the source
+was micro-batched; the production defaults in streaming/events.py
+keep their tight horizons.
 
 Scale: the topologies are exactly the production ones
 (streaming/events.py) — swapping the file source for Kafka changes
@@ -41,11 +47,20 @@ def _sink_name(tag: str) -> str:
     return f"replay_{tag}_{next(_SINK_SEQ)}"
 
 
+# Wider than any testdata time span: no input row can ever be "late"
+# during a replay, whatever the file/micro-batch layout.
+REPLAY_WATERMARK = "3650 days"
+
+
 def q_stream_hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup, replayed to completion."""
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
     name = _sink_name("hourly")
-    run_to_memory(hourly_rollup_stream(stream), name, output_mode="complete")
+    run_to_memory(
+        hourly_rollup_stream(stream, watermark=REPLAY_WATERMARK),
+        name,
+        output_mode="complete",
+    )
     return spark.table(name)
 
 
@@ -53,7 +68,11 @@ def q_stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFram
     """Native streaming session_window (30 min gap), replayed."""
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
     name = _sink_name("sessions")
-    run_to_memory(session_window_stream(stream), name, output_mode="complete")
+    run_to_memory(
+        session_window_stream(stream, watermark=REPLAY_WATERMARK),
+        name,
+        output_mode="complete",
+    )
     return spark.table(name).select(
         "user_id",
         "session_start",
@@ -67,10 +86,13 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark on event_id; the testdata ids are
     unique, so the replay must reproduce the events table EXACTLY —
     any row the watermark machinery dropped or duplicated flips the
-    hash."""
+    hash. The replay-wide watermark is what makes that claim hold for
+    ANY micro-batching of the source (see module docstring)."""
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
     name = _sink_name("dedup")
-    run_to_memory(dedup_stream(stream), name, output_mode="append")
+    run_to_memory(
+        dedup_stream(stream, watermark=REPLAY_WATERMARK), name, output_mode="append"
+    )
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
     )

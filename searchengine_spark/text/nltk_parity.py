@@ -153,9 +153,15 @@ def treebank_tokenize(sentence: str) -> list[str]:
     return text.split()
 
 
-# Sentence-boundary approximation of Punkt: break after [.!?] runs
-# (optionally followed by closing quotes/brackets) and whitespace.
-_SENT_BOUNDARY = re.compile(r"(?<=[.!?])[\]\)}>\"']*\s+")
+# Sentence-boundary approximation of Punkt: break at whitespace
+# following [.!?], optionally with up to two closing quote/bracket
+# chars in between. The separator is ONLY the whitespace (fixed-width
+# lookbehinds) — closing quotes stay in the sentence so the Treebank
+# rules can emit them as tokens, matching NLTK.
+_CLOSE = r"[\]\)}>\"']"
+_SENT_BOUNDARY = re.compile(
+    rf"(?:(?<=[.!?])|(?<=[.!?]{_CLOSE})|(?<=[.!?]{_CLOSE}{_CLOSE}))\s+"
+)
 
 
 def sent_tokenize_approx(text: str) -> list[str]:

@@ -18,8 +18,8 @@ Two modes:
   irregular-forms pool (skies->sky, dying->die, ...), ies/ied
   handling for 4-letter words (dies->die not di), a
   consonant-before-y condition in step 1c (enjoy->enjoy, happy->
-  happi), apply-ALLI-first recursion and a FULLI->FUL rule in
-  step 2.
+  happi), apply-ALLI-first recursion, the BLI->BLE departure
+  (possibly->possibl) and a FULLI->FUL rule in step 2.
 
 This module is driver-side pure Python; at scale it only ever runs
 inside an Arrow-batched pandas_udf (see tokenizer.stem_tokens_udf),
@@ -204,7 +204,12 @@ def _step5b(word: str) -> str:
 from functools import lru_cache
 
 
-_STEP2_NLTK = _STEP2 + (("fulli", "ful"),)
+# NLTK's default mode replaces the paper's ABLI->ABLE rule with the
+# Porter-website departure BLI->BLE (possibly->possibl like NLTK, not
+# possibli), and appends FULLI->FUL.
+_STEP2_NLTK = tuple(
+    ("bli", "ble") if rule == ("abli", "able") else rule for rule in _STEP2
+) + (("fulli", "ful"),)
 
 
 def _step2(word: str, nltk: bool = False) -> str:

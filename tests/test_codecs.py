@@ -150,18 +150,28 @@ def test_decode_media_real_and_fake_mixed(spark):
     payloads — decode_media routes each correctly."""
     from searchengine_spark.operators.multimodal import decode_media, encode_fake_media
 
+    from searchengine_spark.operators.codecs import PNG_MAGIC
+
+    good_png = encode_png(np.full((2, 2), 10, dtype=np.uint8))
     rows = [
-        (1, "image", bytearray(encode_png(np.full((2, 2), 10, dtype=np.uint8)))),
+        (1, "image", bytearray(good_png)),
         (2, "audio", bytearray(encode_wav(np.array([4, -4], dtype=np.int16), sample_rate=16000))),
         (3, "image", bytearray(encode_fake_media("image", 5, 7, b"abcd"))),
         (4, "image", bytearray(b"junk")),
+        # poison blobs: valid magic, corrupt body — decode raises
+        # zlib.error/struct.error internally; the row must become
+        # zeros, never kill the task (the 100 TB contract)
+        (5, "image", bytearray(PNG_MAGIC + b"\x00\x00\x00\x0dIHDR" + b"\xff" * 17)),
+        (6, "image", bytearray(good_png[:30] + good_png[-12:])),
+        (7, "audio", bytearray(b"RIFF\x10\x00\x00\x00WAVEfmt \x02\x00\x00\x00\x01\x00")),
     ]
     df = spark.createDataFrame(rows, "media_id long, media_type string, payload binary")
     got = {r.media_id: r for r in decode_media(df).collect()}
     assert (got[1].dim_a, got[1].dim_b, got[1].n_bytes, got[1].mean_byte) == (2, 2, 4, 10.0)
     assert (got[2].dim_a, got[2].dim_b, got[2].mean_byte) == (16000, 2, 4.0)
     assert (got[3].dim_a, got[3].dim_b, got[3].n_bytes) == (5, 7, 4)
-    assert (got[4].dim_a, got[4].dim_b, got[4].n_bytes) == (0, 0, 0)
+    for bad in (4, 5, 6, 7):
+        assert (got[bad].dim_a, got[bad].dim_b, got[bad].n_bytes) == (0, 0, 0), bad
 
 
 def test_png_decode_stats_matches_oracle(spark, sf_dir):

@@ -243,8 +243,23 @@ def test_persisted_barrier_same_results_no_exchange(spark, sf_dir, tmp_path):
 
     plan = persisted_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
-    # the intermediates landed where promised and are reusable
+    # the intermediates landed where promised (session-unique suffixes)
+    import glob
     import os
 
-    assert os.path.isdir(tmp_path / "tokens")
-    assert os.path.isdir(tmp_path / "shingle_hashes")
+    assert glob.glob(os.path.join(str(tmp_path), "tokens-*"))
+    assert glob.glob(os.path.join(str(tmp_path), "shingle_hashes-*"))
+
+
+def test_incremental_pairs_correct_under_persist_dir(spark, sf_dir, tmp_path, monkeypatch):
+    """Regression: the incremental query bands the corpus and then the
+    batch; with a shared persist_dir the second banding must NOT
+    overwrite intermediates the first's lazy scan still needs (paths
+    are call-unique now)."""
+    from searchengine_spark.registry import all_queries
+
+    q = all_queries()["dedup_incremental_pairs"]
+    base = {tuple(r) for r in q(spark, sf_dir).collect()}
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_DIR", str(tmp_path))
+    got = {tuple(r) for r in q(spark, sf_dir).collect()}
+    assert got == base

@@ -122,6 +122,9 @@ def test_exact_floor_div_far_beyond_double_mantissa(spark):
         2**62 + 123_456,          # ~146k years of micros
         -(2**62) - 1,
         9_007_199_254_740_993,    # 2^53 + 1: first double-unrepresentable int
+        2**63 - 1,                # Long.MAX
+        -(2**63),                 # Long.MIN: floor(MIN/d)*d < MIN — the
+        -(2**63) + 1,             # wrap hazard block for bigint subtraction
     ]
     df = spark.createDataFrame([(v,) for v in vals], "us long")
     got = [r.q for r in df.select(_exact_floor_div(F.col("us"), 1_000_000).alias("q")).collect()]

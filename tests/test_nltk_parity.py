@@ -51,6 +51,9 @@ PORTER_NLTK_GOLDENS = {
     # step1c consonant-before-y condition
     "happy": "happi", "enjoy": "enjoy", "by": "by", "say": "say",
     "crying": "cri",
+    # BLI->BLE departure (NLTK mode replaces the paper's ABLI->ABLE)
+    "possibly": "possibl", "terribly": "terribl", "visibly": "visibl",
+    "remarkably": "remark",
     # ies/ied on 4-letter words
     "ties": "tie",
     # ordinary inflection
@@ -99,6 +102,22 @@ TREEBANK_GOLDENS = [
 @pytest.mark.parametrize("text,expected", TREEBANK_GOLDENS)
 def test_word_tokenize_goldens(text, expected):
     assert word_tokenize(text) == expected
+
+
+def test_closing_quote_after_sentence_final_period_is_kept():
+    # the sentence splitter must not swallow closing quotes/brackets:
+    # NLTK emits them as '' / ) tokens
+    assert word_tokenize('he said "stop." next one came.') == [
+        "he", "said", "``", "stop", ".", "''", "next", "one", "came", ".",
+    ]
+    from searchengine_spark.text import nltk_parity
+
+    if not nltk_parity._NLTK_AVAILABLE:
+        # approximation-specific: real Punkt may treat "fig." as an
+        # abbreviation and not split there
+        assert word_tokenize("(see fig. 2.) done.") == [
+            "(", "see", "fig", ".", "2", ".", ")", "done", ".",
+        ]
 
 
 def test_treebank_final_period_split_needs_sentence_boundaries():
