@@ -75,6 +75,34 @@ def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
     return seen
 
 
+def _latest_round_green(repo_root: str = _REPO_ROOT) -> set[str]:
+    """Names with a PASSING row (hash-match, or rows-only with no
+    error) in the highest-numbered CORRECTNESS file."""
+    import re
+
+    best_num, best_path = -1, None
+    for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if m and int(m.group(1)) > best_num:
+            best_num, best_path = int(m.group(1)), path
+    if best_path is None:
+        return set()
+    try:
+        with open(best_path) as fh:
+            rows = json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    green: set[str] = set()
+    for name, row in rows.items():
+        if not isinstance(row, dict):
+            continue
+        if row.get("hash_match") is True or (
+            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
+        ):
+            green.add(name)
+    return green
+
+
 def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
     """Names force-pinned to the FRONT of the registry ordering even
     though a past round verified them.
@@ -84,8 +112,12 @@ def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
     switching nanos-long -> TIMESTAMP_NTZ between rounds 1 and 2) can
     silently invalidate old rows. When tests/test_oracle_parity.py
     catches such a regression, add the names to REVERIFY.json at the
-    repo root; they re-enter the driver's bounded window next round
-    and can be removed once a fresh green row lands.
+    repo root; they re-enter the driver's bounded window next round.
+
+    Pins self-retire: a pinned name that is green again in the
+    LATEST round's CORRECTNESS file has served its purpose and stops
+    occupying window slots (the file entry can then be deleted at
+    leisure).
     """
     path = os.path.join(repo_root, "REVERIFY.json")
     try:
@@ -94,7 +126,8 @@ def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
     except (OSError, ValueError):
         return []
     names = data.get("names", []) if isinstance(data, dict) else data
-    return [n for n in names if isinstance(n, str)]
+    healed = _latest_round_green(repo_root)
+    return [n for n in names if isinstance(n, str) and n not in healed]
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

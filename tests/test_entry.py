@@ -61,3 +61,39 @@ def test_registry_rotates_unverified_queries_to_front():
         "driver-verified queries appear before unverified ones: "
         f"{[n for n, f in zip(rest, flags) if f][:5]}..."
     )
+
+
+def test_reverify_pins_self_retire(tmp_path):
+    """A pinned name green in the LATEST round's CORRECTNESS file
+    stops being pinned; still-broken or not-rerun names stay pinned."""
+    import json
+
+    from searchengine_spark.registry import reverify_names
+
+    (tmp_path / "REVERIFY.json").write_text(
+        json.dumps({"names": ["q_healed", "q_still_broken", "q_not_rerun"]})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_healed": {"hash_match": False, "err": "boom"}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "q_healed": {"hash_match": True, "err": None},
+                "q_still_broken": {"hash_match": False, "err": "AnalysisException"},
+            }
+        )
+    )
+    assert reverify_names(str(tmp_path)) == ["q_still_broken", "q_not_rerun"]
+
+
+def test_reverify_current_pins_active_before_r03(tmp_path):
+    """With only r02 on disk (no row for the pinned names), pins stay
+    active — mirrors the real repo state this round."""
+    import json
+
+    from searchengine_spark.registry import reverify_names
+
+    (tmp_path / "REVERIFY.json").write_text(json.dumps({"names": ["a", "b"]}))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"other": {"hash_match": True}}))
+    assert reverify_names(str(tmp_path)) == ["a", "b"]
