@@ -236,7 +236,67 @@ def q_events_native_session_window(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal regularization: per user, an hourly grid spanning the
+    user's [first, last] active hour, with that hour's summed value
+    (0 where absent) and a forward-filled last-observed value — the
+    resample/ffill step feature pipelines need before windowed model
+    features.
+
+    Scale shape: hour buckets are INTEGER epoch-hour indexes (exact,
+    flavor-agnostic); the grid explodes map-side from one (user, span)
+    row each, the join is keyed (user_id, hour) — uniform, and the
+    ffill window partitions by user. No global ordering anywhere.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    h = event_time_seconds(ev, "ts")  # exact epoch seconds
+    hourly = ev.groupBy(
+        "user_id", F.floor(h / 3600).cast("bigint").alias("hour_idx")
+    ).agg(
+        F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("v")
+    )
+    spans = hourly.groupBy("user_id").agg(
+        F.min("hour_idx").alias("h0"), F.max("hour_idx").alias("h1")
+    )
+    grid = spans.select(
+        "user_id", F.explode(F.sequence("h0", "h1")).alias("hour_idx")
+    )
+    joined = grid.join(hourly, ["user_id", "hour_idx"], "left")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "hour_idx",
+        F.coalesce(F.col("v"), F.lit(0.0)).alias("hour_value"),
+        F.last("v", ignorenulls=True).over(w).alias("ffill_value"),
+    )
+
+
+def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct users, in the scalable shape: distinct-count
+    windows don't exist, and a global per-event cumulative would force
+    a single-task window. Instead: first-seen day per user (keyed
+    agg), new users per day, then the cumulative over DAY-grain rows
+    — the unpartitioned window touches only ~tens of rows at any
+    corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(event_time_seconds(ev, "ts") / 86400).cast("bigint")
+    first_day = ev.groupBy("user_id").agg(F.min(day).alias("day_idx"))
+    per_day = first_day.groupBy("day_idx").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day_idx").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_day.select(
+        "day_idx", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )
+
+
 QUERIES = {
+    "events_gap_fill_hourly": q_events_gap_fill_hourly,
+    "events_user_growth": q_events_user_growth,
     "events_native_session_window": q_events_native_session_window,
     "events_variant_extract": q_events_variant_extract,
     "events_props_kv": q_events_props_kv,
@@ -250,6 +310,45 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Integer epoch-hour buckets; DuckDB's // truncates but all event
+    # times are post-epoch so it agrees with the Spark floor.
+    "events_gap_fill_hourly": """
+        WITH hourly AS (
+          SELECT user_id, (epoch_us(ts) // 1000000) // 3600 AS hour_idx,
+                 CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS v
+          FROM events GROUP BY 1, 2
+        ),
+        spans AS (
+          SELECT user_id, MIN(hour_idx) AS h0, MAX(hour_idx) AS h1
+          FROM hourly GROUP BY user_id
+        ),
+        grid AS (
+          SELECT user_id, unnest(generate_series(h0, h1)) AS hour_idx FROM spans
+        )
+        SELECT g.user_id, g.hour_idx,
+               COALESCE(h.v, 0) AS hour_value,
+               LAST_VALUE(h.v IGNORE NULLS) OVER (
+                 PARTITION BY g.user_id ORDER BY g.hour_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS ffill_value
+        FROM grid g LEFT JOIN hourly h
+          ON g.user_id = h.user_id AND g.hour_idx = h.hour_idx
+    """,
+    "events_user_growth": """
+        WITH first_day AS (
+          SELECT user_id, MIN((epoch_us(ts) // 1000000) // 86400) AS day_idx
+          FROM events GROUP BY user_id
+        ),
+        per_day AS (
+          SELECT day_idx, COUNT(*) AS new_users FROM first_day GROUP BY day_idx
+        )
+        SELECT day_idx, new_users,
+               CAST(SUM(new_users) OVER (
+                 ORDER BY day_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cumulative_users
+        FROM per_day
+    """,
     # Boundary semantics: gap >= 30min starts a new session (Spark's
     # window is [start, last_ts + gap) — an event AT the boundary is
     # outside it), hence >= not > in the flag below.
