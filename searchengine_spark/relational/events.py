@@ -294,7 +294,73 @@ def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen day
+    (cohort), counted distinct-active per days-since-cohort offset —
+    the standard product-analytics triangle.
+
+    Scale shape: (user, day) distinct is one shuffle on user_id+day;
+    cohort assignment is a keyed agg + equi join on user_id; the
+    final agg keys on the tiny (cohort_day, days_since) domain.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    day = F.floor(event_time_seconds(ev, "ts") / 86400).cast("bigint")
+    user_days = ev.select("user_id", day.alias("day_idx")).distinct()
+    cohorts = user_days.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    return (
+        user_days.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            (F.col("day_idx") - F.col("cohort_day")).alias("days_since"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+FUNNEL_STEPS = ("signup", "click", "purchase")
+FUNNEL_WINDOW_S = 86400  # each step must convert within 24h of the prior
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered funnel: users completing each prefix of
+    signup -> click -> purchase, where each step must occur within
+    FUNNEL_WINDOW_S seconds at-or-after the user's completion of the
+    previous step (earliest qualifying event — strict conversion-
+    window funnel semantics).
+
+    Scale shape: one conditional-min agg per user per step, computed
+    in TWO keyed aggregations with an equi self-join on user_id in
+    between — no windows over the raw stream, no event explosion.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = event_time_seconds(ev, "ts")
+    s1, s2, s3 = FUNNEL_STEPS
+    w = FUNNEL_WINDOW_S
+    base = ev.select("user_id", "event_type", ts_s.alias("ts_s"))
+    t1 = base.filter(F.col("event_type") == s1).groupBy("user_id").agg(
+        F.min("ts_s").alias("t1")
+    )
+    # step-2/3 candidate events joined to the user's t1, then
+    # conditional mins relative to the prior step's completion
+    later = base.filter(F.col("event_type").isin(s2, s3)).join(t1, "user_id")
+    in_w = lambda t0: (F.col("ts_s") >= F.col(t0)) & (F.col("ts_s") <= F.col(t0) + w)
+    t2 = later.groupBy("user_id", "t1").agg(
+        F.min(F.when((F.col("event_type") == s2) & in_w("t1"), F.col("ts_s"))).alias("t2")
+    )
+    t3_src = later.join(t2.select("user_id", "t2"), "user_id")
+    per_user = t3_src.groupBy("user_id", "t1", "t2").agg(
+        F.min(F.when((F.col("event_type") == s3) & in_w("t2"), F.col("ts_s"))).alias("t3")
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias(f"n_{s1}"),
+        F.count("t2").alias(f"n_{s1}_{s2}"),
+        F.count("t3").alias(f"n_{s1}_{s2}_{s3}"),
+    )
+
+
 QUERIES = {
+    "events_retention_cohorts": q_events_retention_cohorts,
+    "events_funnel": q_events_funnel,
     "events_gap_fill_hourly": q_events_gap_fill_hourly,
     "events_user_growth": q_events_user_growth,
     "events_native_session_window": q_events_native_session_window,
@@ -310,6 +376,50 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_retention_cohorts": """
+        WITH user_days AS (
+          SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 86400 AS day_idx
+          FROM events
+        ),
+        cohorts AS (
+          SELECT user_id, MIN(day_idx) AS cohort_day FROM user_days GROUP BY user_id
+        )
+        SELECT c.cohort_day, u.day_idx - c.cohort_day AS days_since,
+               COUNT(DISTINCT u.user_id) AS active_users
+        FROM user_days u JOIN cohorts c ON u.user_id = c.user_id
+        GROUP BY 1, 2
+    """,
+    "events_funnel": """
+        WITH base AS (
+          SELECT user_id, event_type, (epoch_us(ts) // 1000000) AS ts_s FROM events
+        ),
+        t1 AS (
+          SELECT user_id, MIN(ts_s) AS t1 FROM base
+          WHERE event_type = 'signup' GROUP BY user_id
+        ),
+        t2 AS (
+          SELECT b.user_id, t1.t1,
+                 MIN(CASE WHEN b.event_type = 'click'
+                           AND b.ts_s >= t1.t1 AND b.ts_s <= t1.t1 + 86400
+                          THEN b.ts_s END) AS t2
+          FROM base b JOIN t1 ON b.user_id = t1.user_id
+          WHERE b.event_type IN ('click', 'purchase')
+          GROUP BY b.user_id, t1.t1
+        ),
+        per_user AS (
+          SELECT b.user_id, t2.t1, t2.t2,
+                 MIN(CASE WHEN b.event_type = 'purchase'
+                           AND b.ts_s >= t2.t2 AND b.ts_s <= t2.t2 + 86400
+                          THEN b.ts_s END) AS t3
+          FROM base b JOIN t2 ON b.user_id = t2.user_id
+          WHERE b.event_type IN ('click', 'purchase')
+          GROUP BY b.user_id, t2.t1, t2.t2
+        )
+        SELECT COUNT(*) AS n_signup,
+               COUNT(t2) AS n_signup_click,
+               COUNT(t3) AS n_signup_click_purchase
+        FROM per_user
+    """,
     # Integer epoch-hour buckets; DuckDB's // truncates but all event
     # times are post-epoch so it agrees with the Spark floor.
     "events_gap_fill_hourly": """
