@@ -358,7 +358,34 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence/path analysis: first-order transition matrix over
+    each user's time-ordered event stream — count and probability of
+    event type B immediately following A.
+
+    Scale shape: one user-partitioned lead window (the same shuffle
+    every per-user analytic here pays), then a keyed agg onto the
+    tiny (from_type, to_type) domain; the row-probability window
+    partitions that 5x5 result, not the stream.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type", 1).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    row_total = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(row_total), 6).alias("p"),
+    )
+
+
 QUERIES = {
+    "events_transitions": q_events_transitions,
     "events_retention_cohorts": q_events_retention_cohorts,
     "events_funnel": q_events_funnel,
     "events_gap_fill_hourly": q_events_gap_fill_hourly,
@@ -376,6 +403,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_transitions": """
+        WITH seq AS (
+          SELECT event_type AS from_type,
+                 LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                 ) AS to_type
+          FROM events
+        )
+        SELECT from_type, to_type, COUNT(*) AS n,
+               ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (PARTITION BY from_type), 6) AS p
+        FROM seq WHERE to_type IS NOT NULL
+        GROUP BY 1, 2
+    """,
     "events_retention_cohorts": """
         WITH user_days AS (
           SELECT DISTINCT user_id, (epoch_us(ts) // 1000000) // 86400 AS day_idx
