@@ -48,6 +48,10 @@ HEADLINE = [
     "se_bm25_rank_scores",
     "mm_png_decode_stats",
     "stream_hourly_rollup_replay",
+    "events_gap_fill_hourly",
+    "events_retention_cohorts",
+    "events_funnel",
+    "events_transitions",
 ]
 
 SERVE_QUERIES = [
