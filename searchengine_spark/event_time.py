@@ -85,6 +85,12 @@ def event_time_micros(df: DataFrame, col: str = "ts") -> Column:
     return F.unix_micros(col)
 
 
+# Public alias: the repo's one blessed floor-division path (callers
+# bucketing epoch seconds into hours/days must not fork a weaker
+# double-division variant).
+exact_floor_div = _exact_floor_div
+
+
 def event_time_seconds(df: DataFrame, col: str = "ts") -> Column:
     """Floor epoch-seconds for a timestamp column of either flavor.
 

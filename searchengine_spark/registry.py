@@ -75,9 +75,10 @@ def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
     return seen
 
 
-def _latest_round_green(repo_root: str = _REPO_ROOT) -> set[str]:
-    """Names with a PASSING row (hash-match, or rows-only with no
-    error) in the highest-numbered CORRECTNESS file."""
+def _latest_round_green(repo_root: str = _REPO_ROOT) -> tuple[int, set[str]]:
+    """(round number, names with a PASSING row) for the
+    highest-numbered CORRECTNESS file — hash-match, or rows-only with
+    no error."""
     import re
 
     best_num, best_path = -1, None
@@ -86,12 +87,12 @@ def _latest_round_green(repo_root: str = _REPO_ROOT) -> set[str]:
         if m and int(m.group(1)) > best_num:
             best_num, best_path = int(m.group(1)), path
     if best_path is None:
-        return set()
+        return (-1, set())
     try:
         with open(best_path) as fh:
             rows = json.load(fh)
     except (OSError, ValueError):
-        return set()
+        return (-1, set())
     green: set[str] = set()
     for name, row in rows.items():
         if not isinstance(row, dict):
@@ -100,7 +101,7 @@ def _latest_round_green(repo_root: str = _REPO_ROOT) -> set[str]:
             row.get("err") == "no_oracle" and row.get("spark_rows") is not None
         ):
             green.add(name)
-    return green
+    return (best_num, green)
 
 
 def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
@@ -111,13 +112,16 @@ def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
     forever-green, but environment drift (e.g. the events.ts testdata
     switching nanos-long -> TIMESTAMP_NTZ between rounds 1 and 2) can
     silently invalidate old rows. When tests/test_oracle_parity.py
-    catches such a regression, add the names to REVERIFY.json at the
-    repo root; they re-enter the driver's bounded window next round.
+    catches such a regression, add the names to REVERIFY.json with
+    ``since_round`` = the latest round number on disk at that moment;
+    they re-enter the driver's bounded window next round.
 
-    Pins self-retire: a pinned name that is green again in the
-    LATEST round's CORRECTNESS file has served its purpose and stops
-    occupying window slots (the file entry can then be deleted at
-    leisure).
+    Pins self-retire only on a green row from a round STRICTLY LATER
+    than ``since_round`` — the latest file at pin time is exactly the
+    stale record the pin overrides (all four round-3 pins were green
+    in round 1's file when they broke), so a green row there must
+    never count as healed. Without ``since_round`` a pin is permanent
+    until manually removed (the safe default).
     """
     path = os.path.join(repo_root, "REVERIFY.json")
     try:
@@ -126,8 +130,14 @@ def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
     except (OSError, ValueError):
         return []
     names = data.get("names", []) if isinstance(data, dict) else data
-    healed = _latest_round_green(repo_root)
-    return [n for n in names if isinstance(n, str) and n not in healed]
+    since = data.get("since_round") if isinstance(data, dict) else None
+    names = [n for n in names if isinstance(n, str)]
+    if not isinstance(since, int):
+        return names  # no creation round recorded: never auto-retire
+    latest, green = _latest_round_green(repo_root)
+    if latest <= since:
+        return names  # no newer round has run yet
+    return [n for n in names if n not in green]
 
 
 def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from searchengine_spark.event_time import event_time_seconds
+from searchengine_spark.event_time import event_time_seconds, exact_floor_div
 from searchengine_spark.io import load_table
 
 SESSION_GAP_MIN = 30
@@ -251,7 +251,7 @@ def q_events_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     h = event_time_seconds(ev, "ts")  # exact epoch seconds
     hourly = ev.groupBy(
-        "user_id", F.floor(h / 3600).cast("bigint").alias("hour_idx")
+        "user_id", exact_floor_div(h, 3600).alias("hour_idx")
     ).agg(
         F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("v")
     )
@@ -283,7 +283,7 @@ def q_events_user_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the unpartitioned window touches only ~tens of rows at any
     corpus size."""
     ev = load_table(spark, sf_dir, "events")
-    day = F.floor(event_time_seconds(ev, "ts") / 86400).cast("bigint")
+    day = exact_floor_div(event_time_seconds(ev, "ts"), 86400)
     first_day = ev.groupBy("user_id").agg(F.min(day).alias("day_idx"))
     per_day = first_day.groupBy("day_idx").agg(
         F.count(F.lit(1)).alias("new_users")
@@ -304,7 +304,7 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg keys on the tiny (cohort_day, days_since) domain.
     """
     ev = load_table(spark, sf_dir, "events")
-    day = F.floor(event_time_seconds(ev, "ts") / 86400).cast("bigint")
+    day = exact_floor_div(event_time_seconds(ev, "ts"), 86400)
     user_days = ev.select("user_id", day.alias("day_idx")).distinct()
     cohorts = user_days.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
     return (
@@ -313,7 +313,10 @@ def q_events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_day",
             (F.col("day_idx") - F.col("cohort_day")).alias("days_since"),
         )
-        .agg(F.countDistinct("user_id").alias("active_users"))
+        # plain count: user_days is distinct on (user_id, day_idx) and
+        # day_idx is fixed within a group, so each user appears once —
+        # countDistinct would add an Expand + dedup pass for nothing.
+        .agg(F.count(F.lit(1)).alias("active_users"))
     )
 
 
@@ -337,20 +340,29 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     s1, s2, s3 = FUNNEL_STEPS
     w = FUNNEL_WINDOW_S
     base = ev.select("user_id", "event_type", ts_s.alias("ts_s"))
+    # t1 is the DRIVING table: every user who signed up counts toward
+    # n_signup, including users with no later-step events at all —
+    # inner-joining through step-2/3 events would silently drop them.
     t1 = base.filter(F.col("event_type") == s1).groupBy("user_id").agg(
         F.min("ts_s").alias("t1")
     )
-    # step-2/3 candidate events joined to the user's t1, then
-    # conditional mins relative to the prior step's completion
-    later = base.filter(F.col("event_type").isin(s2, s3)).join(t1, "user_id")
     in_w = lambda t0: (F.col("ts_s") >= F.col(t0)) & (F.col("ts_s") <= F.col(t0) + w)
-    t2 = later.groupBy("user_id", "t1").agg(
-        F.min(F.when((F.col("event_type") == s2) & in_w("t1"), F.col("ts_s"))).alias("t2")
+    t2 = (
+        base.filter(F.col("event_type") == s2)
+        .join(t1, "user_id")
+        .filter(in_w("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t2"))
     )
-    t3_src = later.join(t2.select("user_id", "t2"), "user_id")
-    per_user = t3_src.groupBy("user_id", "t1", "t2").agg(
-        F.min(F.when((F.col("event_type") == s3) & in_w("t2"), F.col("ts_s"))).alias("t3")
+    t12 = t1.join(t2, "user_id", "left")
+    t3 = (
+        base.filter(F.col("event_type") == s3)
+        .join(t12.filter(F.col("t2").isNotNull()).select("user_id", "t2"), "user_id")
+        .filter(in_w("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts_s").alias("t3"))
     )
+    per_user = t12.join(t3, "user_id", "left")
     return per_user.agg(
         F.count(F.lit(1)).alias(f"n_{s1}"),
         F.count("t2").alias(f"n_{s1}_{s2}"),
@@ -438,27 +450,25 @@ ORACLES = {
           WHERE event_type = 'signup' GROUP BY user_id
         ),
         t2 AS (
-          SELECT b.user_id, t1.t1,
-                 MIN(CASE WHEN b.event_type = 'click'
-                           AND b.ts_s >= t1.t1 AND b.ts_s <= t1.t1 + 86400
-                          THEN b.ts_s END) AS t2
+          SELECT b.user_id, MIN(b.ts_s) AS t2
           FROM base b JOIN t1 ON b.user_id = t1.user_id
-          WHERE b.event_type IN ('click', 'purchase')
-          GROUP BY b.user_id, t1.t1
+          WHERE b.event_type = 'click'
+            AND b.ts_s >= t1.t1 AND b.ts_s <= t1.t1 + 86400
+          GROUP BY b.user_id
         ),
-        per_user AS (
-          SELECT b.user_id, t2.t1, t2.t2,
-                 MIN(CASE WHEN b.event_type = 'purchase'
-                           AND b.ts_s >= t2.t2 AND b.ts_s <= t2.t2 + 86400
-                          THEN b.ts_s END) AS t3
+        t3 AS (
+          SELECT b.user_id, MIN(b.ts_s) AS t3
           FROM base b JOIN t2 ON b.user_id = t2.user_id
-          WHERE b.event_type IN ('click', 'purchase')
-          GROUP BY b.user_id, t2.t1, t2.t2
+          WHERE b.event_type = 'purchase'
+            AND b.ts_s >= t2.t2 AND b.ts_s <= t2.t2 + 86400
+          GROUP BY b.user_id
         )
         SELECT COUNT(*) AS n_signup,
-               COUNT(t2) AS n_signup_click,
-               COUNT(t3) AS n_signup_click_purchase
-        FROM per_user
+               COUNT(t2.t2) AS n_signup_click,
+               COUNT(t3.t3) AS n_signup_click_purchase
+        FROM t1
+        LEFT JOIN t2 ON t1.user_id = t2.user_id
+        LEFT JOIN t3 ON t1.user_id = t3.user_id
     """,
     # Integer epoch-hour buckets; DuckDB's // truncates but all event
     # times are post-epoch so it agrees with the Spark floor.

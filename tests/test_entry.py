@@ -63,15 +63,17 @@ def test_registry_rotates_unverified_queries_to_front():
     )
 
 
-def test_reverify_pins_self_retire(tmp_path):
-    """A pinned name green in the LATEST round's CORRECTNESS file
-    stops being pinned; still-broken or not-rerun names stay pinned."""
+def test_reverify_pins_self_retire_only_on_later_round(tmp_path):
+    """A pinned name green in a round STRICTLY LATER than since_round
+    retires; still-broken or not-rerun names stay pinned."""
     import json
 
     from searchengine_spark.registry import reverify_names
 
     (tmp_path / "REVERIFY.json").write_text(
-        json.dumps({"names": ["q_healed", "q_still_broken", "q_not_rerun"]})
+        json.dumps(
+            {"names": ["q_healed", "q_still_broken", "q_not_rerun"], "since_round": 2}
+        )
     )
     (tmp_path / "CORRECTNESS_r02.json").write_text(
         json.dumps({"q_healed": {"hash_match": False, "err": "boom"}})
@@ -87,13 +89,33 @@ def test_reverify_pins_self_retire(tmp_path):
     assert reverify_names(str(tmp_path)) == ["q_still_broken", "q_not_rerun"]
 
 
-def test_reverify_current_pins_active_before_r03(tmp_path):
-    """With only r02 on disk (no row for the pinned names), pins stay
-    active — mirrors the real repo state this round."""
+def test_reverify_green_at_pin_time_round_never_retires(tmp_path):
+    """The DOA scenario the mechanism must survive: the pinned name
+    IS green in the latest file on disk — because that file predates
+    the drift (the repo's own round-1-to-2 history). The pin must
+    stay active until a STRICTLY LATER round reruns it."""
+    import json
+
+    from searchengine_spark.registry import reverify_names
+
+    (tmp_path / "REVERIFY.json").write_text(
+        json.dumps({"names": ["q_drifted"], "since_round": 2})
+    )
+    (tmp_path / "CORRECTNESS_r02.json").write_text(
+        json.dumps({"q_drifted": {"hash_match": True, "err": None}})
+    )
+    assert reverify_names(str(tmp_path)) == ["q_drifted"]
+
+
+def test_reverify_without_since_round_is_permanent(tmp_path):
+    """Legacy/omitted since_round: pins never auto-retire (safe
+    default) even when the latest round shows them green."""
     import json
 
     from searchengine_spark.registry import reverify_names
 
     (tmp_path / "REVERIFY.json").write_text(json.dumps({"names": ["a", "b"]}))
-    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({"other": {"hash_match": True}}))
+    (tmp_path / "CORRECTNESS_r09.json").write_text(
+        json.dumps({"a": {"hash_match": True, "err": None}})
+    )
     assert reverify_names(str(tmp_path)) == ["a", "b"]
