@@ -56,29 +56,53 @@ _MODULES = (
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
-    """Names the grading driver has already run, from CORRECTNESS_r*.json.
+def latest_verified_round(repo_root: str = _REPO_ROOT) -> dict[str, int]:
+    """name -> highest round number whose CORRECTNESS file contains it.
 
     The driver only checks a bounded window of the registry (round 1:
     the first 50 entries in iteration order), so a fixed ordering would
     leave the tail permanently unverified. Any key present in any past
     round's CORRECTNESS file counts as 'seen' — including rows-only
-    (no_oracle) entries, since the driver did execute those.
+    (no_oracle) entries, since the driver did execute those. The round
+    number feeds least-recently-verified rotation: environment drift
+    (the round-1→2 events.ts nanos→NTZ switch) silently invalidates old
+    green rows, so names whose latest row is oldest must re-enter the
+    driver's bounded window first.
     """
-    seen: set[str] = set()
+    import re
+
+    latest: dict[str, int] = {}
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
-                seen.update(json.load(fh).keys())
-        except (OSError, ValueError):
+                names = json.load(fh).keys()
+        except (OSError, ValueError, AttributeError):
             continue  # a malformed round file must not break the registry
-    return seen
+        for name in names:
+            if latest.get(name, -1) < rnd:
+                latest[name] = rnd
+    return latest
+
+
+def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
+    """Names the grading driver has already run, from CORRECTNESS_r*.json."""
+    return set(latest_verified_round(repo_root))
 
 
 def _latest_round_green(repo_root: str = _REPO_ROOT) -> tuple[int, set[str]]:
-    """(round number, names with a PASSING row) for the
-    highest-numbered CORRECTNESS file — hash-match, or rows-only with
-    no error."""
+    """(round number, names with a HASH-PASSING row) for the
+    highest-numbered CORRECTNESS file.
+
+    Pin retirement demands ``hash_match is True`` — a rows-only row
+    (err == 'no_oracle') proves only that the query executed, not that
+    the pinned regression is fixed, so it must never self-retire a pin.
+    Oracle-less pins therefore stay until manually removed (the safe
+    default for queries the driver can't hash-check).
+    """
     import re
 
     best_num, best_path = -1, None
@@ -93,14 +117,11 @@ def _latest_round_green(repo_root: str = _REPO_ROOT) -> tuple[int, set[str]]:
             rows = json.load(fh)
     except (OSError, ValueError):
         return (-1, set())
-    green: set[str] = set()
-    for name, row in rows.items():
-        if not isinstance(row, dict):
-            continue
-        if row.get("hash_match") is True or (
-            row.get("err") == "no_oracle" and row.get("spark_rows") is not None
-        ):
-            green.add(name)
+    green: set[str] = {
+        name
+        for name, row in rows.items()
+        if isinstance(row, dict) and row.get("hash_match") is True
+    }
     return (best_num, green)
 
 
@@ -148,15 +169,24 @@ def _collect() -> tuple[dict[str, QueryFn], dict[str, str]]:
         queries.update(getattr(mod, "QUERIES", {}))
         oracles.update(getattr(mod, "ORACLES", {}))
     # Ordering: (1) regressed names pinned for re-verification, then
-    # (2) never-driver-verified queries, then (3) the verified tail —
-    # stable within each group — so each round's bounded correctness
-    # window lands on the queries that most need a hard driver row.
-    seen = driver_verified_names()
+    # (2) never-driver-verified queries, then (3) the verified tail
+    # sorted least-recently-verified first (ascending latest round,
+    # stable module order within a round) — so each round's bounded
+    # correctness window lands on the queries that most need a hard
+    # driver row, and once every name has been seen the window keeps
+    # rotating through the oldest rows instead of freezing on a fixed
+    # prefix (testdata drift invalidates old green rows silently).
+    latest = latest_verified_round()
     pinned = {n: i for i, n in enumerate(reverify_names()) if n in queries}
-    ordered = sorted(
-        queries,
-        key=lambda name: (0, pinned[name]) if name in pinned else (1 + (name in seen), 0),
-    )
+
+    def _key(name: str) -> tuple[int, int]:
+        if name in pinned:
+            return (0, pinned[name])
+        if name not in latest:
+            return (1, 0)
+        return (2, latest[name])
+
+    ordered = sorted(queries, key=_key)
     return {name: queries[name] for name in ordered}, oracles
 
 

@@ -63,6 +63,42 @@ def test_registry_rotates_unverified_queries_to_front():
     )
 
 
+def test_registry_verified_tail_rotates_least_recently_verified_first():
+    """Once every name has a historical row, the bounded driver window
+    must keep rotating: the verified tail is ordered by ascending
+    latest-CORRECTNESS round, so r1-era rows (oldest, most exposed to
+    testdata drift) re-enter the window before freshly-green ones."""
+    from searchengine_spark.registry import (
+        all_queries,
+        latest_verified_round,
+        reverify_names,
+    )
+
+    latest = latest_verified_round()
+    if not latest:  # fresh clone without round files: nothing to rotate
+        return
+    names = list(all_queries())
+    pinned = set(reverify_names())
+    tail_rounds = [latest[n] for n in names if n in latest and n not in pinned]
+    assert tail_rounds == sorted(tail_rounds), (
+        "verified tail is not least-recently-verified-first"
+    )
+
+
+def test_latest_verified_round_tracks_max_round(tmp_path):
+    import json
+
+    from searchengine_spark.registry import latest_verified_round
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(
+        json.dumps({"a": {"hash_match": True}, "b": {"hash_match": True}})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"b": {"hash_match": False, "err": "x"}, "c": {"hash_match": True}})
+    )
+    assert latest_verified_round(str(tmp_path)) == {"a": 1, "b": 3, "c": 3}
+
+
 def test_reverify_pins_self_retire_only_on_later_round(tmp_path):
     """A pinned name green in a round STRICTLY LATER than since_round
     retires; still-broken or not-rerun names stay pinned."""
@@ -105,6 +141,24 @@ def test_reverify_green_at_pin_time_round_never_retires(tmp_path):
         json.dumps({"q_drifted": {"hash_match": True, "err": None}})
     )
     assert reverify_names(str(tmp_path)) == ["q_drifted"]
+
+
+def test_reverify_rows_only_row_never_retires_pin(tmp_path):
+    """A rows-only row (err == 'no_oracle') proves execution, not
+    correctness — it must NOT self-retire a pin; only hash_match does."""
+    import json
+
+    from searchengine_spark.registry import reverify_names
+
+    (tmp_path / "REVERIFY.json").write_text(
+        json.dumps({"names": ["q_rows_only"], "since_round": 2})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {"q_rows_only": {"hash_match": None, "err": "no_oracle", "spark_rows": 7}}
+        )
+    )
+    assert reverify_names(str(tmp_path)) == ["q_rows_only"]
 
 
 def test_reverify_without_since_round_is_permanent(tmp_path):
