@@ -287,9 +287,9 @@ def fake_media_from_documents(docs: DataFrame, *, body_chars: int = 16) -> DataF
                     "payload": [
                         encode_fake_media(
                             "image",
-                            int(n),
+                            0 if pd.isna(n) else int(n),
                             int(d) % 1000,
-                            t[:body_chars].encode("ascii", "replace"),
+                            (t or "")[:body_chars].encode("ascii", "replace"),
                         )
                         for d, n, t in zip(pdf["doc_id"], pdf["n_chars"], pdf["text"])
                     ],
@@ -370,29 +370,45 @@ QUERIES = {
     "mm_png_decode_stats": q_png_decode_stats,
 }
 
-# The fake payload body is the first 16 ASCII bytes of text; for the
-# synthetic corpus (pure ASCII) mean_byte == mean of the codepoints.
+# The fake payload body is the first 16 bytes of text encoded with
+# Python's ascii/'replace' (each non-ASCII character -> one '?' = 63;
+# NULL text -> empty body). The oracles mirror those replacement
+# semantics exactly — the synthetic corpus is pure-ASCII non-NULL
+# today, but testdata has drifted between driver rounds before, and
+# an oracle that silently assumes ASCII would break with it.
 ORACLES = {
     "mm_media_decode_stats": """
         WITH body AS (
+          -- split('', '') is [''] in DuckDB, not []: guard empty text
           SELECT doc_id, n_chars,
-                 list_transform(split(substr(text, 1, 16), ''), c -> unicode(c)) AS bytes
+                 CASE WHEN length(substr(COALESCE(text, ''), 1, 16)) = 0
+                      THEN []::INT[]
+                      ELSE list_transform(
+                             split(substr(COALESCE(text, ''), 1, 16), ''),
+                             c -> CASE WHEN unicode(c) > 127 THEN 63 ELSE unicode(c) END
+                           )
+                 END AS bytes
           FROM documents
         )
         SELECT doc_id AS media_id, 'image' AS media_type,
-               n_chars::INT AS dim_a, (doc_id % 1000)::INT AS dim_b,
+               COALESCE(n_chars, 0)::INT AS dim_a, (doc_id % 1000)::INT AS dim_b,
                len(bytes)::INT AS n_bytes,
-               round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
+               round(COALESCE(list_sum(bytes) * 1.0 / NULLIF(len(bytes), 0), 0.0), 6)
+                 AS mean_byte
         FROM body
     """,
-    # Real-PNG twin: 1 x N greyscale image of the first 16 ASCII
-    # bytes; width == n_bytes == len, height == 1, mean pixel ==
-    # mean codepoint. Empty text encodes as the single byte '?' (63).
+    # Real-PNG twin: 1 x N greyscale image of the first 16
+    # ascii/'replace' bytes; width == n_bytes == len, height == 1,
+    # mean pixel == mean byte. Empty/NULL text encodes as the single
+    # byte '?' (63).
     "mm_png_decode_stats": """
         WITH body AS (
           SELECT doc_id,
-                 CASE WHEN length(substr(text, 1, 16)) = 0 THEN [63]
-                      ELSE list_transform(split(substr(text, 1, 16), ''), c -> unicode(c))
+                 CASE WHEN length(substr(COALESCE(text, ''), 1, 16)) = 0 THEN [63]
+                      ELSE list_transform(
+                             split(substr(COALESCE(text, ''), 1, 16), ''),
+                             c -> CASE WHEN unicode(c) > 127 THEN 63 ELSE unicode(c) END
+                           )
                  END AS bytes
           FROM documents
         )

@@ -32,11 +32,15 @@ def read_table_stream(
     quantization) runs on it unchanged."""
     import os
 
+    from searchengine_spark.io import _NANOS_TS_COLS, enable_nanos_long_compat
+
     # Same flavor tolerance as io.load_table: if the testdata ever
     # carries TIMESTAMP(NANOS) again (it did in driver round 1), read
-    # as long-nanos and restore micros below — in ANY session, not
-    # just ones built by our session factory.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # as long-nanos and restore micros below. Only tables with a
+    # known nanos-flavored column need the (documented, deliberately
+    # session-global) compat flag.
+    if table in _NANOS_TS_COLS:
+        enable_nanos_long_compat(spark)
     path = table_path(sf_dir, table)
     raw_schema = spark.read.parquet(path).schema
     if os.path.isfile(path):

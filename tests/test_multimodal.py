@@ -127,3 +127,29 @@ def test_resize_passes_non_image_rows_through(spark):
     assert bytes(got[2].payload) == rows[1][2]
     # NULL stays NULL
     assert got[3].payload is None
+
+
+def test_decode_oracles_survive_non_ascii_and_null_text(spark, tmp_path):
+    """The ascii/'replace' encode (non-ASCII char -> '?' = 63, NULL
+    text -> empty body) must be mirrored byte-for-byte by the DuckDB
+    oracles — planted fixture with exactly the rows current testdata
+    lacks, so a future drift can't silently split Spark and oracle."""
+    import pandas as pd
+
+    from searchengine_spark.operators.multimodal import ORACLES, QUERIES
+    from tests.helpers import assert_matches_oracle
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["plain ascii text", "café naïve 中文!", None, ""],
+            "lang": ["en"] * 4,
+            "source": ["planted"] * 4,
+            "n_chars": [16, 12, 0, 0],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    for name in ("mm_media_decode_stats", "mm_png_decode_stats"):
+        assert_matches_oracle(
+            QUERIES[name](spark, str(tmp_path)), ORACLES[name], str(tmp_path), name
+        )
