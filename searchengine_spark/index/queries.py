@@ -18,8 +18,9 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.index.builder import build_index
 from searchengine_spark.index.bm25 import bm25_term_score, search, tfidf_search
-from searchengine_spark.io import load_table
-from searchengine_spark.text.tokenizer import sql_tokens_expr
+from searchengine_spark.io import TESTDATA_DOC_VOCAB, load_table
+from searchengine_spark.text.porter import sql_stem_case_expr
+from searchengine_spark.text.tokenizer import sql_tokens_expr, tokenize_query
 
 # Fixed benchmark query for the oracle-checked BM25 path (terms from
 # the synthetic corpus vocabulary, mixed document frequency).
@@ -129,7 +130,23 @@ WITH tok AS (
 )
 """
 
-_INDEX_CTES = f"""{_TOK_CTE},
+# Stemmed twin of _TOK_CTE: same tokenizer, then each token through a
+# stem dictionary generated from the golden-tested porter_stem over
+# the closed corpus vocabulary (loud error() on drift — see
+# porter.sql_stem_case_expr). Downstream index CTEs are shared: the
+# stemmed index IS the plain index over a stemmed token stream.
+_STEM_TOK_CTE = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           {sql_tokens_expr('text')},
+           w -> {sql_stem_case_expr(TESTDATA_DOC_VOCAB, var='w')}
+         )) AS word
+  FROM documents
+)
+"""
+
+_INDEX_BODY = """,
 dl AS (
   SELECT doc_id, count(*)::BIGINT AS doc_length FROM tok GROUP BY doc_id
 ),
@@ -146,6 +163,9 @@ idf AS (
   FROM tf GROUP BY word
 )
 """
+
+_INDEX_CTES = _TOK_CTE + _INDEX_BODY
+_STEM_INDEX_CTES = _STEM_TOK_CTE + _INDEX_BODY
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
@@ -164,12 +184,18 @@ SELECT doc_id, round(sum(term_score), 6) AS total_score
 FROM scored GROUP BY doc_id
 """
 
+STEMMED_QUERY = "sorting merges windows"
+
+
 def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stemmed-pipeline BM25 (Porter pandas_udf in the index build,
-    stemmed query terms). No oracle: Porter stemming is not
-    SQL-expressible — the driver records a rows-only check; exact
-    scoring goldens for this path live in tests/test_bm25_golden.py
-    and tests/test_tokenizer.py."""
+    stemmed query terms). Oracle: the stem step is a dictionary
+    lookup generated from the golden-tested porter_stem over the
+    closed corpus vocabulary (_STEM_INDEX_CTES), so DuckDB replays
+    tokenize -> stem -> index -> score end-to-end; exact scoring
+    goldens additionally live in tests/test_bm25_golden.py and
+    tests/test_tokenizer.py. Overfetch + re-rank on the ROUNDED
+    score so the top-k cutoff is deterministic across engines."""
     from searchengine_spark.io import session_cached
 
     idx = session_cached(
@@ -178,8 +204,12 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"), stem=True
         ).cache(),
     )
-    res = search(idx, "sorting merges windows", k=BM25_K, stem=True)
-    return res.select("doc_id", F.round("total_score", 6).alias("total_score"))
+    res = search(idx, STEMMED_QUERY, k=BM25_K + 20, stem=True)
+    return (
+        res.select("doc_id", F.round("total_score", 6).alias("total_score"))
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(BM25_K)
+    )
 
 
 BATCH_QUERIES: dict[str, list[str]] = {
@@ -347,8 +377,27 @@ SELECT query_id, doc_id, total_score, rnk FROM (
 ) WHERE rnk <= {BM25_K}
 """
 
+_STEMMED_TERMS_SQL = ", ".join(
+    f"'{t}'" for t in tokenize_query(STEMMED_QUERY, stem=True)
+)
+
 ORACLES = {
     "se_flat_words": f"{_TOK_CTE} SELECT doc_id, word FROM tok",
+    "se_bm25_topk_stemmed": f"""{_STEM_INDEX_CTES},
+        scored AS (
+          SELECT tf.doc_id,
+                 idf.idf * (tf.term_freq * {K1 + 1.0}) /
+                   (tf.term_freq + {K1} * (1.0 - {B} + {B} * dl.doc_length /
+                     (SELECT avgdl FROM params))) AS term_score
+          FROM tf
+          JOIN idf ON tf.word = idf.word
+          JOIN dl ON tf.doc_id = dl.doc_id
+          WHERE tf.word IN ({_STEMMED_TERMS_SQL})
+        )
+        SELECT doc_id, round(sum(term_score), 6) AS total_score
+        FROM scored GROUP BY doc_id
+        ORDER BY total_score DESC, doc_id ASC LIMIT {BM25_K}
+    """,
     "se_tfidf_scores": f"""{_INDEX_CTES}
         SELECT tf.doc_id,
                round(SUM((1.0 + log10(tf.term_freq)) * idf.idf), 6) AS total_score

@@ -25,6 +25,19 @@ TABLES = (
     "embeddings",
 )
 
+# The synthetic documents corpus draws from this closed 31-word
+# vocabulary at every scale factor (verified identical across
+# sf0.001/0.01/0.1). Stem-dictionary oracles are generated from it;
+# they fail LOUDLY (DuckDB error()) on any word outside the list, so
+# a vocabulary drift in regenerated testdata surfaces as an oracle
+# error, never a silent pass (see porter.sql_stem_case_expr).
+TESTDATA_DOC_VOCAB: tuple[str, ...] = (
+    "a", "agg", "batch", "big", "column", "customer", "data", "dup",
+    "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+    "order", "part", "query", "row", "scan", "slow", "small", "sort",
+    "spark", "stream", "table", "the", "value", "vector", "window",
+)
+
 
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")

@@ -230,13 +230,45 @@ def nltk_tokens_column(text: Column | str) -> Column:
 
 
 QUERIES = {
-    # Rows-only by design: Punkt/Treebank/Porter are not expressible
-    # in ANSI SQL, so no DuckDB oracle exists; correctness is pinned
-    # by the golden tests in tests/test_nltk_parity.py instead.
     "se_flat_words_nltk_parity": lambda spark, sf_dir: _q_flat_words_nltk(spark, sf_dir),
 }
 
-ORACLES: dict[str, str] = {}
+
+def _nltk_oracle_sql() -> str:
+    """DuckDB twin of the X1 parity pipeline FOR THE CLOSED TESTDATA
+    CORPUS: whitespace-only text over a fixed 31-word vocabulary, so
+    word_tokenize degenerates to a whitespace split and the
+    NLTK-mode Porter stem becomes a dictionary generated from the
+    golden-tested porter_stem (tests/test_nltk_parity.py pins the
+    stemmer itself against published NLTK behavior). Punkt/Treebank
+    are NOT SQL-expressible in general — on any drifted text with
+    punctuation the whitespace assumption breaks visibly (hash
+    mismatch), and any out-of-vocabulary word raises via error()
+    (see porter.sql_stem_case_expr), so this oracle can only fail
+    loudly, never silently pass."""
+    from searchengine_spark.io import TESTDATA_DOC_VOCAB
+    from searchengine_spark.text.porter import sql_stem_case_expr
+
+    # NLTK stopwords include apostrophe forms ("don't", "shan't"):
+    # double the quotes for SQL literals.
+    stop = ", ".join("'{}'".format(w.replace("'", "''")) for w in sorted(NLTK_STOPWORDS))
+    stem_case = sql_stem_case_expr(TESTDATA_DOC_VOCAB, var="w", mode="nltk")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\\s+'),
+                   w -> w <> '' AND regexp_matches(w, '^[a-z]+$')
+                        AND w NOT IN ({stop})
+                 )) AS w
+          FROM documents
+          WHERE text IS NOT NULL
+        )
+        SELECT doc_id, {stem_case} AS word FROM tok
+    """
+
+
+ORACLES: dict[str, str] = {"se_flat_words_nltk_parity": _nltk_oracle_sql()}
 
 
 def _q_flat_words_nltk(spark, sf_dir):

@@ -248,3 +248,29 @@ def porter_stem(word: str, mode: str = "original") -> str:
     word = _step5a(word)
     word = _step5b(word)
     return word
+
+
+def sql_stem_case_expr(
+    words, var: str = "w", *, mode: str = "original"
+) -> str:
+    """DuckDB CASE expression mapping each known word to its Porter
+    stem — the SQL-side stand-in for ``porter_stem``, which is not
+    ANSI-SQL-expressible (and DuckDB's fts `stem()` can't load
+    offline).
+
+    The dictionary is generated FROM this module's golden-tested
+    stemmer over a closed vocabulary, so the oracle checks the whole
+    distributed pipeline (tokenize -> stem -> index -> score) against
+    an independent engine, with only the per-word stem mapping shared.
+    Any word outside the dictionary raises via DuckDB ``error()``:
+    testdata vocabulary drift fails LOUDLY as an oracle error instead
+    of silently hash-matching or mismatching.
+    """
+    cases = " ".join(
+        f"WHEN '{w}' THEN '{porter_stem(w, mode=mode)}'"
+        for w in sorted(set(words))
+    )
+    return (
+        f"CASE {var} {cases} "
+        f"ELSE error('no stem dictionary entry for: ' || {var}) END"
+    )

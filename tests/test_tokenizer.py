@@ -77,3 +77,29 @@ def test_stopword_filter_before_stemming():
     # "running" must survive the stopword test unstemmed, then stem.
     # A buggy stem-first pipeline would test "run" against stopwords.
     assert tokenize_query("running", stem=True) == ["run"]
+
+
+def test_sql_stem_case_expr_maps_and_fails_loudly():
+    """The stem-dictionary oracle helper: known words map through the
+    golden-tested porter_stem; any out-of-dictionary word (testdata
+    vocabulary drift) must raise via DuckDB error(), never pass."""
+    import duckdb
+    import pytest
+
+    from searchengine_spark.text.porter import porter_stem, sql_stem_case_expr
+
+    expr = sql_stem_case_expr(("merges", "sorting", "key"), var="w")
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT {expr} FROM (VALUES ('merges'), ('sorting'), ('key')) t(w)"
+    ).fetchall()
+    assert [r[0] for r in got] == [
+        porter_stem("merges"), porter_stem("sorting"), porter_stem("key")
+    ]
+    with pytest.raises(Exception, match="no stem dictionary entry"):
+        con.execute(f"SELECT {expr} FROM (VALUES ('unseen')) t(w)").fetchall()
+    # nltk mode diverges from the 1980 paper on e.g. 'key' -> 'key'
+    nltk_expr = sql_stem_case_expr(("key",), var="w", mode="nltk")
+    assert con.execute(
+        f"SELECT {nltk_expr} FROM (VALUES ('key')) t(w)"
+    ).fetchone()[0] == porter_stem("key", mode="nltk")
