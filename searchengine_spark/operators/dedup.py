@@ -27,7 +27,11 @@ from searchengine_spark.io import (
     load_table,
     materialize_barrier as _barrier,
 )
-from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
+from searchengine_spark.text.tokenizer import (
+    sql_raw_tokens_expr,
+    sql_tokens_expr,
+    tokens_column,
+)
 
 NUM_HASHES = 16
 BAND_SIZE = 4  # -> 4 bands
@@ -278,6 +282,95 @@ def incremental_neardup_pairs(
             F.greatest("n_id", "o_id").alias("doc_b"),
         )
         .distinct()
+    )
+
+
+CROSS_DOC_SHINGLE_K = 10  # tokens per positional shingle (Lee et al. use
+#                           50 BPE tokens; scaled to the short synthetic docs)
+CROSS_DOC_DF_CAP = 20     # drop shingles present in more docs (boilerplate)
+
+
+def cross_doc_spans(
+    docs: DataFrame,
+    *,
+    k: int = CROSS_DOC_SHINGLE_K,
+    df_cap: int = CROSS_DOC_DF_CAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-document verbatim-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"):
+    every maximal run of >= k consecutive tokens shared verbatim
+    BETWEEN two documents, with its position in each. Complements
+    the within-doc dup_ngram fraction (text/quality.py) and the
+    train-vs-eval decontamination join (decontamination.py).
+
+    Output: (doc_a < doc_b, start_a, start_b, span_tokens) — one row
+    per maximal shared span occurrence pair.
+
+    Scale shape (100 TB):
+    - positional k-shingles are built MAP-SIDE from each doc's token
+      array (transform over sequence — no explode-then-window, no
+      shuffle to form shingles);
+    - a df-cap drops boilerplate shingles appearing in more than
+      df_cap docs BEFORE the pair join (the same blowup control as
+      decontamination.py); candidates come from an equi-join on a
+      uniform 128-bit hash, never an all-pairs comparison;
+    - matching positions chain into maximal spans with one shuffle
+      keyed by (doc_a, doc_b, diagonal): consecutive positions on a
+      diagonal are one verbatim span (gaps-and-islands via
+      pos - row_number). A df-capped interior shingle can split a
+      boilerplate-crossing span in two — the documented trade for
+      killing the hot-shingle join blowup.
+    """
+    from pyspark.sql.window import Window
+
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    toks = docs.select(
+        "doc_id", raw_tokens_column(text_col).alias("toks")
+    ).filter(F.size("toks") >= k)
+    sh = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(toks) - {k}), i -> "
+                f"struct(i AS pos, concat_ws(' ', slice(toks, i + 1, {k})) AS shingle))"
+            )
+        ).alias("s"),
+    ).select(
+        "doc_id",
+        F.col("s.pos").cast("long").alias("pos"),
+        F.md5(F.col("s.shingle").cast("binary")).alias("sh_hash"),
+    )
+    shared = (
+        sh.groupBy("sh_hash")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
+        .select("sh_hash")
+    )
+    cand = sh.join(shared, "sh_hash")
+    pairs = (
+        cand.alias("a")
+        .join(cand.alias("b"), "sh_hash")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pos_a"),
+            F.col("b.pos").alias("pos_b"),
+        )
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    return (
+        pairs.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+        .withColumn("island", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "island")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            F.min("pos_b").alias("start_b"),
+            (F.max("pos_a") - F.min("pos_a") + F.lit(k)).cast("long").alias("span_tokens"),
+        )
+        .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
 
 
@@ -537,6 +630,10 @@ bands AS (
 
 _BANDS_CTE = _bands_sql()
 
+def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cross_doc_spans(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
@@ -544,6 +641,7 @@ QUERIES = {
     "dedup_neardup_jaccard": q_neardup_jaccard,
     "dedup_duplicate_clusters": q_duplicate_clusters,
     "dedup_incremental_pairs": q_incremental_neardup,
+    "dedup_cross_doc_spans": q_cross_doc_spans,
 }
 
 # The cluster oracle reaches the same fixed point with a recursive
@@ -573,7 +671,49 @@ _CLUSTERS_SQL = (
 """
 )
 
+# DuckDB twin of cross_doc_spans: same positional shingles, df-cap,
+# hash equi-join, and gaps-and-islands chaining.
+_CROSS_DOC_SPANS_SQL = f"""
+WITH raw AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text')} AS toks FROM documents
+),
+filt AS (SELECT * FROM raw WHERE len(toks) >= {CROSS_DOC_SHINGLE_K}),
+sh0 AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(0, len(toks) - {CROSS_DOC_SHINGLE_K}),
+           i -> struct_pack(
+             pos := i,
+             h := md5(array_to_string(
+                    list_slice(toks, i + 1, i + {CROSS_DOC_SHINGLE_K}), ' '))
+           )
+         )) AS s
+  FROM filt
+),
+sh AS (SELECT doc_id, s.pos AS pos, s.h AS sh_hash FROM sh0),
+dfc AS (
+  SELECT sh_hash FROM sh GROUP BY sh_hash
+  HAVING count(DISTINCT doc_id) BETWEEN 2 AND {CROSS_DOC_DF_CAP}
+),
+cand AS (SELECT sh.* FROM sh JOIN dfc USING (sh_hash)),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+  FROM cand a JOIN cand b ON a.sh_hash = b.sh_hash AND a.doc_id < b.doc_id
+),
+isl AS (
+  SELECT doc_a, doc_b, pos_a - pos_b AS diag, pos_a, pos_b,
+         pos_a - ROW_NUMBER() OVER (
+           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a
+         ) AS island
+  FROM pairs
+)
+SELECT doc_a, doc_b, min(pos_a)::BIGINT AS start_a, min(pos_b)::BIGINT AS start_b,
+       (max(pos_a) - min(pos_a) + {CROSS_DOC_SHINGLE_K})::BIGINT AS span_tokens
+FROM isl GROUP BY doc_a, doc_b, diag, island
+"""
+
 ORACLES = {
+    "dedup_cross_doc_spans": _CROSS_DOC_SPANS_SQL,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
                MIN(doc_id) AS canonical_doc_id

@@ -263,3 +263,71 @@ def test_incremental_pairs_correct_under_persist_dir(spark, sf_dir, tmp_path, mo
     monkeypatch.setenv("SPARK_GRAFT_PERSIST_DIR", str(tmp_path))
     got = {tuple(r) for r in q(spark, sf_dir).collect()}
     assert got == base
+
+
+class TestCrossDocSpans:
+    """cross_doc_spans: Lee et al.-style verbatim overlap detection."""
+
+    @staticmethod
+    def _w(i):
+        # pure-alpha synthetic words (raw tokens split on non-alpha)
+        return "w" + chr(97 + i // 26) + chr(97 + i % 26)
+
+    def test_planted_overlap_found_with_exact_positions(self, spark):
+        from searchengine_spark.operators.dedup import cross_doc_spans
+
+        common = " ".join(self._w(i) for i in range(15))
+        pre_a = " ".join(self._w(100 + i) for i in range(5))
+        pre_b = " ".join(self._w(200 + i) for i in range(3))
+        suf = " ".join(self._w(300 + i) for i in range(4))
+        docs = spark.createDataFrame(
+            [
+                (1, f"{pre_a} {common} {suf}"),
+                (2, f"{pre_b} {common}"),
+                (3, " ".join(self._w(400 + i) for i in range(30))),  # disjoint
+            ],
+            "doc_id long, text string",
+        )
+        rows = cross_doc_spans(docs, k=10).collect()
+        assert [
+            (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens) for r in rows
+        ] == [(1, 2, 5, 3, 15)]
+
+    def test_overlap_shorter_than_k_not_reported(self, spark):
+        from searchengine_spark.operators.dedup import cross_doc_spans
+
+        common = " ".join(self._w(i) for i in range(9))  # 9 < k=10
+        docs = spark.createDataFrame(
+            [
+                (1, common + " " + " ".join(self._w(100 + i) for i in range(6))),
+                (2, common + " " + " ".join(self._w(200 + i) for i in range(6))),
+            ],
+            "doc_id long, text string",
+        )
+        assert cross_doc_spans(docs, k=10).count() == 0
+
+    def test_df_cap_suppresses_boilerplate(self, spark):
+        from searchengine_spark.operators.dedup import cross_doc_spans
+
+        boiler = " ".join(self._w(i) for i in range(10))
+        docs = spark.createDataFrame(
+            [(i, boiler) for i in range(1, 23)],  # 22 docs > df_cap=20
+            "doc_id long, text string",
+        )
+        assert cross_doc_spans(docs, k=10, df_cap=20).count() == 0
+        # under the cap the same corpus reports all pairs
+        under = cross_doc_spans(docs.filter("doc_id <= 5"), k=10, df_cap=20)
+        assert under.count() == 10  # C(5,2) pairs x 1 span
+
+    def test_repeated_phrase_yields_one_span_per_occurrence_pair(self, spark):
+        from searchengine_spark.operators.dedup import cross_doc_spans
+
+        phrase = " ".join(self._w(i) for i in range(10))
+        filler = " ".join(self._w(100 + i) for i in range(10))
+        docs = spark.createDataFrame(
+            [(1, f"{phrase} {filler} {phrase}"), (2, phrase)],
+            "doc_id long, text string",
+        )
+        rows = cross_doc_spans(docs, k=10).collect()
+        got = sorted((r.start_a, r.start_b, r.span_tokens) for r in rows)
+        assert got == [(0, 0, 10), (20, 0, 10)]
