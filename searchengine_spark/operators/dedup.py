@@ -285,6 +285,30 @@ def incremental_neardup_pairs(
     )
 
 
+def _cut_lineage(df: DataFrame) -> DataFrame:
+    """Lineage cut for iterative loops (star contraction / min-label
+    propagation re-derive a frame every round; without a cut each
+    round replays the whole upstream pipeline).
+
+    Default: ``localCheckpoint`` — memory-only, fast, correct on
+    local[N], but NOT fault-tolerant: on a real cluster an executor
+    loss mid-iteration loses blocks with no lineage to rebuild them.
+    With $SPARK_GRAFT_PERSIST_DIR set (the same build-scale opt-in
+    the shingle barriers use), a RELIABLE ``checkpoint`` to
+    ``<dir>/cc-checkpoints`` is used instead — survives executor
+    loss, the cluster-grade path for 100 TB runs.
+    """
+    persist = default_persist_dir()
+    if persist:
+        import os
+
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(os.path.join(persist, "cc-checkpoints"))
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 CROSS_DOC_SHINGLE_K = 10  # tokens per positional shingle (Lee et al. use
 #                           50 BPE tokens; scaled to the short synthetic docs)
 CROSS_DOC_DF_CAP = 20     # drop shingles present in more docs (boilerplate)
@@ -389,11 +413,10 @@ def _star_components(sym: DataFrame, *, max_rounds: int = 50) -> DataFrame:
     Input ``sym``: symmetric (src,dst) edge set. Output: (node,
     component) for every node appearing in sym.
     """
-    edges = (
+    edges = _cut_lineage(
         sym.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     all_nodes = sym.select(F.col("src").alias("node")).distinct()
     for _ in range(max_rounds):
@@ -413,13 +436,12 @@ def _star_components(sym: DataFrame, *, max_rounds: int = 50) -> DataFrame:
         # Small-star: edges now point large -> small; contract each
         # node and all its smaller neighbors onto their minimum.
         sm = large.groupBy("u").agg(F.min("v").alias("m"))
-        small = (
+        small = _cut_lineage(  # cut lineage each round
             large.join(sm, "u")
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(sm.select("u", F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)  # cut lineage each round
         )
         # Fixed point: the edge set stopped changing (set equality via
         # two anti-joins; both sides are checkpointed and tiny relative
@@ -467,7 +489,7 @@ def connected_components(
     execution/iteration order (and star contraction reaches the same
     min-root labeling).
     """
-    sym = (
+    sym = _cut_lineage(
         edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
         .distinct()
@@ -475,23 +497,20 @@ def connected_components(
         # without the checkpoint each round would re-run the entire
         # upstream edge pipeline (tokenize->shingle->MinHash->LSH for
         # the dedup caller) diameter-many times.
-        .localCheckpoint(eager=True)
     )
-    labels = (
+    labels = _cut_lineage(
         sym.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
         nbr = sym.join(labels, sym.dst == labels.node).select(
             F.col("src").alias("node"), F.col("component")
         )
-        new_labels = (
+        new_labels = _cut_lineage(  # cut lineage each round
             labels.unionByName(nbr)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)  # cut lineage each round
         )
         changed = (
             new_labels.alias("n")

@@ -331,3 +331,32 @@ class TestCrossDocSpans:
         rows = cross_doc_spans(docs, k=10).collect()
         got = sorted((r.start_a, r.start_b, r.span_tokens) for r in rows)
         assert got == [(0, 0, 10), (20, 0, 10)]
+
+
+def test_reliable_checkpoint_path_identical_components(spark, tmp_path, monkeypatch):
+    """With $SPARK_GRAFT_PERSIST_DIR set, the iterative CC loops cut
+    lineage via RELIABLE checkpoint() (survives executor loss on a
+    cluster) and must reach exactly the same fixed point as the
+    localCheckpoint default."""
+    import glob
+    import os
+
+    from searchengine_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "doc_a long, doc_b long",
+    )
+    baseline = sorted(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    monkeypatch.setenv("SPARK_GRAFT_PERSIST_DIR", str(tmp_path))
+    reliable = sorted(
+        (r.node, r.component) for r in connected_components(edges).collect()
+    )
+    assert reliable == baseline
+    ckpt_dir = spark.sparkContext.getCheckpointDir()
+    assert ckpt_dir is not None
+    # reliable checkpoints actually hit storage (rdd-* block dirs
+    # under the session's <dir>/<uuid> checkpoint root)
+    assert glob.glob(os.path.join(ckpt_dir.replace("file:", ""), "rdd-*"))
