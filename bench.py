@@ -52,6 +52,12 @@ HEADLINE = [
     "events_retention_cohorts",
     "events_funnel",
     "events_transitions",
+    # round-4 additions: the two most structurally complex plans (the
+    # iterative star-contraction clustering and the full curation
+    # chain) plus the new cross-doc verbatim-span dedup.
+    "dedup_duplicate_clusters",
+    "pipeline_curated_docs_gopher",
+    "dedup_cross_doc_spans",
 ]
 
 SERVE_QUERIES = [
