@@ -1,0 +1,131 @@
+#!/usr/bin/env python
+"""Scale soak beyond the driver's sf0.1: replicate the sf0.1 tables
+with shifted keys to 2x and 5x volume, run the structurally riskiest
+query families at each scale, and record per-query wall times +
+growth ratios in SOAK.json.
+
+Why replication (not a new generator): shifting doc_id/user_id by a
+disjoint offset per copy preserves exactly the distributions that
+stress the operators — duplicate-group structure for the dedup family
+(each copy adds whole new dup clusters), per-user event-time spans for
+gap-fill (the grid explosion risk grows with USERS, not rows-per-user),
+and per-user funnel paths. Every copy is new key mass, so work should
+scale ~linearly; a superlinear ratio is the red flag this soak exists
+to catch.
+
+Usage: python scripts/soak.py          # writes /root/repo/SOAK.json
+Scratch parquet goes under /tmp/spark_graft_soak (not the repo).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+BASE = "/root/testdata/sf0.1"
+SCRATCH = "/tmp/spark_graft_soak"
+FACTORS = (1, 2, 5)
+# the shapes the round-3 verdict flagged to watch: gap-fill grid
+# explosion per user span, funnel join fan-out, dedup banding/joins,
+# iterative clustering, cross-doc span chaining.
+QUERIES = (
+    "dedup_minhash_bands",
+    "dedup_neardup_jaccard",
+    "dedup_duplicate_clusters",
+    "dedup_cross_doc_spans",
+    "events_gap_fill_hourly",
+    "events_funnel",
+    "events_retention_cohorts",
+    "events_user_growth",
+)
+KEY_OFFSET = 10_000_000  # disjoint id space per copy
+
+
+def build_scaled(spark, factor: int) -> str:
+    """Materialize a factor-x copy of documents+events under SCRATCH."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+
+    out = os.path.join(SCRATCH, f"x{factor}")
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, BASE, "documents")
+    events = load_table(spark, BASE, "events")
+    shifted_docs = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
+        for i in range(factor)
+    ]
+    shifted_events = [
+        events.withColumn("event_id", F.col("event_id") + F.lit(i * KEY_OFFSET))
+        .withColumn("user_id", F.col("user_id") + F.lit(i * KEY_OFFSET))
+        for i in range(factor)
+    ]
+    d = shifted_docs[0]
+    for s in shifted_docs[1:]:
+        d = d.unionByName(s)
+    e = shifted_events[0]
+    for s in shifted_events[1:]:
+        e = e.unionByName(s)
+    d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
+    e.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
+def main() -> None:
+    from searchengine_spark.registry import all_queries
+    from searchengine_spark.session import get_spark
+
+    spark = get_spark("searchengine-soak")
+    queries = all_queries()
+    # warm the worker pool so x1 doesn't eat the spawn cost
+    spark.range(64).repartition(64).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
+    for factor in FACTORS:
+        sf_dir = build_scaled(spark, factor)
+        for name in QUERIES:
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                results[name][f"x{factor}"] = round(time.perf_counter() - t0, 3)
+            except Exception as exc:  # noqa: BLE001 — record, keep soaking
+                results[name][f"x{factor}"] = -1.0
+                results[name][f"x{factor}_err"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    report = {
+        "base": BASE,
+        "factors": list(FACTORS),
+        "note": (
+            "sf0.1 replicated with disjoint key offsets; sec per query per "
+            "scale. ratio_x5 = t(x5)/t(x1); linear work => ratio ~<= 5 "
+            "(sub-5 is common: fixed per-query overhead amortizes)."
+        ),
+        "queries": {},
+    }
+    for name, r in results.items():
+        entry = dict(r)
+        t1, t5 = r.get("x1"), r.get("x5")
+        if t1 and t5 and t1 > 0 and t5 > 0:
+            entry["ratio_x5"] = round(t5 / t1, 2)
+        report["queries"][name] = entry
+    with open("/root/repo/SOAK.json", "w") as fh:
+        json.dump(report, fh, indent=2)
+    print(json.dumps(report))
+    spark.stop()
+    shutil.rmtree(SCRATCH, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
