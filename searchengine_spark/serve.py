@@ -1,0 +1,161 @@
+"""Long-lived interactive serving over the cached index.
+
+The reference is, end to end, a served app: a Streamlit loop that
+takes a query, scores it against pre-built index frames, and prints
+top-10 results with truncated document text
+(/root/reference/pyapp.py:82-121; devcontainer runs
+`streamlit run pyapp.py`). This module is that user experience on the
+Spark engine without the Streamlit dependency: build + cache the
+index ONCE at startup (the reference's offline-build /
+interactive-query architecture), then answer queries from the warm
+cache — as a stdlib-only HTTP JSON endpoint and/or a terminal REPL.
+
+Serving path per query: tokenize driver-side (tiny), prune the tf
+scan with an IN-list filter, 3-way join + broadcast params, top-k via
+TakeOrderedAndProject, ONE snippet join (not the reference's N+1
+per-hit collect loop — pyapp.py:110-114), literal highlight. All
+reused from index/bm25.py; nothing here adds plan surface.
+
+Usage:
+    python -m searchengine_spark.serve --sf-dir /root/testdata/sf0.01 --port 8765
+    python -m searchengine_spark.serve --sf-dir ... --repl
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+
+class SearchService:
+    """Build-once/query-many façade over the index + serving helpers."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        sf_dir: str,
+        *,
+        stem: bool = False,
+        snippet_len: int = 200,
+    ) -> None:
+        from searchengine_spark.index.builder import build_index
+        from searchengine_spark.io import load_table
+
+        self._spark = spark
+        self._stem = stem
+        self._snippet_len = snippet_len
+        self._docs = load_table(spark, sf_dir, "documents")
+        self._index = build_index(self._docs, stem=stem).cache()
+        # Materialize the cache before the first user query so first-hit
+        # latency is query cost, not index build (the reference pays its
+        # 1-2 min cold start inside the first Streamlit interaction).
+        self._index.scoring_params.collect()
+
+    def query(self, q: str, k: int = 10) -> list[dict[str, Any]]:
+        """Top-k hits with highlighted snippets, as plain dicts."""
+        from searchengine_spark.index.bm25 import highlight, search, snippets
+
+        hits = search(self._index, q, k=k, stem=self._stem)
+        rows = (
+            highlight(
+                snippets(hits, self._docs, max_len=self._snippet_len),
+                "snippet",
+                q,
+            )
+            .collect()  # k rows, post-limit — the only driver collect
+        )
+        return [
+            {
+                "doc_id": r["doc_id"],
+                "total_score": round(float(r["total_score"]), 6),
+                "snippet": r["snippet"],
+            }
+            for r in rows
+        ]
+
+
+def make_http_server(service: SearchService, port: int = 0):
+    """stdlib ThreadingHTTPServer: GET /search?q=...&k=10 -> JSON hits;
+    GET /healthz -> ok. Returns the (not yet serving) server object so
+    callers control the serve_forever lifecycle (tests run it in a
+    thread; __main__ blocks on it)."""
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+    from urllib.parse import parse_qs, urlparse
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_GET(self) -> None:  # noqa: N802 — http.server API
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._reply(200, {"status": "ok"})
+                return
+            if url.path != "/search":
+                self._reply(404, {"error": "unknown path; use /search?q=..."})
+                return
+            params = parse_qs(url.query)
+            q = (params.get("q") or [""])[0]
+            try:
+                k = int((params.get("k") or ["10"])[0])
+            except ValueError:
+                self._reply(400, {"error": "k must be an integer"})
+                return
+            if not q:
+                self._reply(400, {"error": "missing query parameter q"})
+                return
+            try:
+                self._reply(200, {"query": q, "results": service.query(q, k=k)})
+            except Exception as exc:  # noqa: BLE001 — a bad query must not kill the server
+                self._reply(500, {"error": f"{type(exc).__name__}: {exc}"[:300]})
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *args) -> None:  # quiet test output
+            pass
+
+    return ThreadingHTTPServer(("127.0.0.1", port), Handler)
+
+
+def repl(service: SearchService) -> None:
+    """Terminal loop mirroring the Streamlit input->results flow."""
+    while True:
+        try:
+            q = input("search> ").strip()
+        except EOFError:
+            return
+        if q in ("", ":q", "exit", "quit"):
+            return
+        for hit in service.query(q):
+            print(f"doc {hit['doc_id']:>8}  score {hit['total_score']:.4f}  {hit['snippet'][:120]}")
+
+
+def main() -> None:
+    import argparse
+
+    from searchengine_spark.session import get_spark
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--port", type=int, default=8765)
+    ap.add_argument("--stem", action="store_true")
+    ap.add_argument("--repl", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("searchengine-serve")
+    service = SearchService(spark, args.sf_dir, stem=args.stem)
+    if args.repl:
+        repl(service)
+    else:
+        server = make_http_server(service, port=args.port)
+        print(f"serving on http://127.0.0.1:{server.server_address[1]}/search?q=...")
+        server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,63 @@
+"""The serving entry point: start the HTTP loop, query it, check a
+highlighted snippet comes back — the reference's end-to-end user
+experience (pyapp.py input -> results -> text) on the Spark engine."""
+
+import json
+import sys
+import threading
+import urllib.request
+
+sys.path.insert(0, "/root/repo")
+
+
+def _get(port, path):
+    import urllib.error
+
+    try:
+        with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}", timeout=60) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:  # 4xx/5xx still carry JSON bodies
+        return e.code, json.loads(e.read())
+
+
+def test_http_serving_loop_end_to_end(spark, sf_dir):
+    from searchengine_spark.serve import SearchService, make_http_server
+
+    service = SearchService(spark, sf_dir)
+    server = make_http_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, health = _get(port, "/healthz")
+        assert (status, health) == (200, {"status": "ok"})
+
+        status, payload = _get(port, "/search?q=spark&k=3")
+        assert status == 200
+        results = payload["results"]
+        assert 0 < len(results) <= 3
+        top = results[0]
+        assert set(top) == {"doc_id", "total_score", "snippet"}
+        # snippet text present and the literal query highlighted
+        assert top["snippet"]
+        assert "<mark>spark</mark>" in top["snippet"]
+        scores = [r["total_score"] for r in results]
+        assert scores == sorted(scores, reverse=True)
+
+        # warm-cache serving: repeated queries reuse the index (no error,
+        # same answer)
+        status2, payload2 = _get(port, "/search?q=spark&k=3")
+        assert status2 == 200 and payload2["results"] == results
+
+        assert _get(port, "/search?k=3")[0] == 400  # missing q
+    finally:
+        server.shutdown()
+        server.server_close()
+
+
+def test_service_query_empty_and_unknown_terms(spark, sf_dir):
+    from searchengine_spark.serve import SearchService
+
+    service = SearchService(spark, sf_dir)
+    assert service.query("the a") == []  # stopword-only
+    assert service.query("zzzzunknown") == []  # out-of-vocab
