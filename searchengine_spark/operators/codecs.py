@@ -235,4 +235,122 @@ def decode_any(payload: bytes) -> dict | None:
             "n_bytes": int(frames.size * 2),
             "mean_byte": float(np.abs(frames.astype(np.int32)).mean()) if n else 0.0,
         }
+    if payload[:4] == RIFF_MAGIC and payload[8:12] == b"AVI ":
+        out = demux_avi(payload)
+        total = sum(len(f) for f in out["frames"])
+        all_bytes = b"".join(out["frames"])
+        return {
+            "media_type": "video",
+            "dim_a": out["n_frames"],
+            "dim_b": max((len(f) for f in out["frames"]), default=0),
+            "n_bytes": total,
+            "mean_byte": float(np.frombuffer(all_bytes, dtype=np.uint8).mean())
+            if total
+            else 0.0,
+        }
     return None
+
+
+# ----------------------------------------------------------------- AVI
+# AVI is a RIFF form (Microsoft "AVI RIFF File Reference"): a 'hdrl'
+# LIST with the main header ('avih') and one stream LIST per stream,
+# then a 'movi' LIST whose '##dc'/'##db' chunks carry the encoded
+# frames, then an optional 'idx1' index. Demuxing — walking the
+# container and handing back per-frame byte payloads — needs only
+# struct; FRAME PIXEL decode would need a video codec (pyav), which
+# frame-sampling pipelines don't require.
+
+
+def encode_avi(
+    frames: list[bytes], *, width: int = 16, height: int = 16, fps: int = 30
+) -> bytes:
+    """Minimal spec-conformant single-video-stream AVI writer
+    (MJPG-tagged frame chunks, idx1 index). The frame payloads are
+    opaque bytes — real JPEGs or test vectors alike."""
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        pad = b"\x00" if len(payload) & 1 else b""  # word alignment
+        return tag + struct.pack("<I", len(payload)) + payload + pad
+
+    def lst(four_cc: bytes, payload: bytes) -> bytes:
+        return chunk(b"LIST", four_cc + payload)
+
+    max_bytes = max((len(f) for f in frames), default=0)
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
+        max_bytes * fps,           # dwMaxBytesPerSec
+        0,                         # dwPaddingGranularity
+        0x10,                      # dwFlags: AVIF_HASINDEX
+        len(frames),               # dwTotalFrames
+        0, 1,                      # dwInitialFrames, dwStreams
+        max_bytes,                 # dwSuggestedBufferSize
+        width, height,
+        0, 0, 0, 0,                # dwReserved
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, len(frames), max_bytes, 0xFFFFFFFF, 0)
+        + struct.pack("<4h", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<I2i2H2I2i2I", 40, width, height, 1, 24, 0x47504A4D,  # 'MJPG'
+        width * height * 3, 0, 0, 0, 0,
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_chunks, idx, offset = [], [], 4  # offsets are relative to 'movi'
+    for f in frames:
+        movi_chunks.append(chunk(b"00dc", f))
+        idx.append(b"00dc" + struct.pack("<3I", 0x10, offset, len(f)))
+        offset += 8 + len(f) + (len(f) & 1)
+    movi = lst(b"movi", b"".join(movi_chunks))
+    idx1 = chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def demux_avi(data: bytes) -> dict:
+    """AVI bytes -> {width, height, n_frames, frames: [bytes, ...]}.
+
+    Chunk-walks the RIFF tree; collects every video frame chunk
+    ('##dc' compressed / '##db' uncompressed) from the 'movi' LIST in
+    stream order. Tolerates missing idx1 and unknown chunks (skipped
+    by length, like the WAV walker)."""
+    if not (data[:4] == RIFF_MAGIC and data[8:12] == b"AVI "):
+        raise ValueError("not a RIFF/AVI file")
+    width = height = declared = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
+        nonlocal width, height, declared
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (length,) = struct.unpack_from("<I", buf, pos + 4)
+            start = pos + 8
+            stop = min(start + length, end)
+            if tag == b"LIST":
+                four_cc = buf[start : start + 4]
+                walk(buf, start + 4, stop, in_movi or four_cc == b"movi")
+            elif tag == b"avih":
+                (_, _, _, _, declared, _, _, _, width, height) = struct.unpack_from(
+                    "<10I", buf, start
+                )
+            elif (
+                in_movi
+                and len(tag) == 4
+                and tag[:2].isdigit()
+                and tag[2:4] in (b"dc", b"db")
+            ):
+                frames.append(bytes(buf[start:stop]))
+            pos = start + length + (length & 1)
+
+    walk(data, 12, len(data), False)
+    if width is None:
+        raise ValueError("AVI missing avih header")
+    return {
+        "width": width,
+        "height": height,
+        "n_frames": len(frames),
+        "declared_frames": declared,
+        "frames": frames,
+    }

@@ -22,10 +22,11 @@ header fast path:
     bytes 6:10 height / n_samples / frame_size  (big-endian uint32)
     rest       payload
 
-Video frame extraction (sample_frames) remains format-stubbed: a
-real container demuxer (pyav) is not implementable stdlib-only; the
-slicing runs against the fake format and the swap-in point is the
-body of that one function.
+Video: the CONTAINER layer is real — sample_frames demuxes RIFF/AVI
+payloads with codecs.demux_avi (chunk-walk per the published AVI
+RIFF spec) and decode_media reports typed stats for them. Per-frame
+pixel decode (H.264 etc.) still needs a codec library (pyav) and
+stays behind the decode_real_media guard.
 """
 
 from __future__ import annotations
@@ -164,17 +165,38 @@ FRAME_SCHEMA = StructType(
 def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
     """Deterministic frame sampling for video payloads.
 
-    Fake format: header declares n_frames x frame_size; payload is
-    frames concatenated. Real decoder swap-in: replace the slicing
-    with pyav keyframe extraction; the exploded (media_id, frame_no,
-    frame) shape and sampling logic stay.
+    RIFF/AVI payloads go through the REAL container demuxer
+    (codecs.demux_avi — chunk-walks hdrl/movi per the published AVI
+    RIFF spec and returns per-frame byte payloads); fake 'VI'-header
+    payloads take the header fast path. Frame-sampling needs the
+    container layer only — per-frame PIXEL decode (a video codec,
+    e.g. pyav for H.264) is the one remaining swap-in, and the
+    exploded (media_id, frame_no, frame) shape already matches it.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from searchengine_spark.operators.codecs import demux_avi
+
         for pdf in it:
             out_ids, out_nos, out_frames = [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                if payload is None or len(payload) < 10 or payload[:2] != b"VI":
+                if payload is None or len(payload) < 10:
+                    continue
+                if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+                    # REAL container demux (codecs.demux_avi): every
+                    # '##dc'/'##db' chunk of the movi LIST in stream
+                    # order. A corrupt container must skip the row,
+                    # never kill the task.
+                    try:
+                        avi_frames = demux_avi(payload)["frames"]
+                    except Exception:  # noqa: BLE001
+                        continue
+                    for k in range(0, len(avi_frames), every_nth):
+                        out_ids.append(mid)
+                        out_nos.append(k)
+                        out_frames.append(avi_frames[k])
+                    continue
+                if payload[:2] != b"VI":
                     continue
                 n_frames, frame_size = struct.unpack(">II", payload[2:10])
                 body = payload[10:]

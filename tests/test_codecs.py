@@ -184,3 +184,38 @@ def test_png_decode_stats_matches_oracle(spark, sf_dir):
         sf_dir,
         "mm_png_decode_stats",
     )
+
+
+class TestAvi:
+    def test_round_trip_demux(self):
+        from searchengine_spark.operators.codecs import demux_avi, encode_avi
+
+        frames = [b"jpeg-ish-frame-0", b"f1", b"\x00" * 31]
+        out = demux_avi(encode_avi(frames, width=64, height=48, fps=24))
+        assert out["frames"] == frames
+        assert (out["width"], out["height"], out["n_frames"]) == (64, 48, 3)
+        assert out["declared_frames"] == 3
+
+    def test_demux_rejects_non_avi(self):
+        import pytest
+
+        from searchengine_spark.operators.codecs import demux_avi, encode_wav
+        import numpy as np
+
+        with pytest.raises(ValueError):
+            demux_avi(b"RIFF\x00\x00\x00\x00WAVE")
+        with pytest.raises(ValueError):
+            demux_avi(encode_wav(np.zeros(8, dtype=np.int16)))
+
+    def test_decode_any_reports_video_stats(self):
+        from searchengine_spark.operators.codecs import decode_any, encode_avi
+
+        frames = [bytes([10, 20]), bytes([30, 40, 50, 60])]
+        got = decode_any(encode_avi(frames, width=8, height=8))
+        assert got == {
+            "media_type": "video",
+            "dim_a": 2,       # n_frames
+            "dim_b": 4,       # largest frame payload
+            "n_bytes": 6,
+            "mean_byte": 35.0,
+        }

@@ -153,3 +153,31 @@ def test_decode_oracles_survive_non_ascii_and_null_text(spark, tmp_path):
         assert_matches_oracle(
             QUERIES[name](spark, str(tmp_path)), ORACLES[name], str(tmp_path), name
         )
+
+
+def test_sample_frames_real_avi_container(spark):
+    """sample_frames demuxes REAL RIFF/AVI payloads (codecs.demux_avi)
+    and samples every_nth frame; corrupt containers are skipped, fake
+    'VI'-header payloads still work side by side."""
+    from searchengine_spark.operators.codecs import encode_avi
+    from searchengine_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_fake_media,
+        sample_frames,
+    )
+
+    frames = [f"frame-{i}".encode() for i in range(6)]
+    avi = encode_avi(frames, width=32, height=32)
+    fake = encode_fake_media("video", 4, 3, b"abcdefghijkl")  # 4 frames x 3 bytes
+    corrupt = b"RIFF\x08\x00\x00\x00AVI " + b"\xff" * 4
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi)), (2, "video", bytearray(fake)),
+         (3, "video", bytearray(corrupt))],
+        MEDIA_SCHEMA,
+    )
+    rows = sample_frames(media, every_nth=2).collect()
+    got = sorted((r.media_id, r.frame_no, bytes(r.frame)) for r in rows)
+    assert got == [
+        (1, 0, b"frame-0"), (1, 2, b"frame-2"), (1, 4, b"frame-4"),
+        (2, 0, b"abc"), (2, 2, b"ghi"),
+    ]
