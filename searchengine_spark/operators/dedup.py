@@ -398,6 +398,76 @@ def cross_doc_spans(
     )
 
 
+def remove_cross_doc_spans(
+    docs: DataFrame,
+    spans: DataFrame | None = None,
+    *,
+    k: int = CROSS_DOC_SHINGLE_K,
+    df_cap: int = CROSS_DOC_DF_CAP,
+    text_col: str = "text",
+) -> DataFrame:
+    """Excise cross-document verbatim spans from the corpus (the
+    second half of Lee et al. 2022: detection finds the shared spans,
+    removal keeps ONE occurrence). Policy: canonical-keep-lowest —
+    for every matched pair the span text survives in the lower
+    doc_id and is cut from the higher one.
+
+    Output: (doc_id, clean_text, n_tokens, n_removed_tokens) for
+    every input document (clean_text '' when everything was cut or
+    the doc had no tokens).
+
+    Scale shape: cut ranges come from the span table keyed by the
+    victim doc_id; the membership test is an equi-join on doc_id
+    with a positional range residual (the same interval-join shape
+    as rel_interval_clicks_before_purchase — never a cartesian), a
+    distinct to collapse overlapping ranges, one anti-join, and one
+    ordered re-assembly agg. Everything is per-doc keyed; no
+    corpus-wide fan-out.
+    """
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    if spans is None:
+        spans = cross_doc_spans(docs, k=k, df_cap=df_cap, text_col=text_col)
+    cuts = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("cut_start"),
+        (F.col("start_b") + F.col("span_tokens")).alias("cut_end"),
+    )
+    toks = docs.select(
+        "doc_id", F.posexplode(raw_tokens_column(text_col)).alias("pos", "w")
+    )
+    removed = (
+        toks.join(cuts, "doc_id")
+        .filter((F.col("pos") >= F.col("cut_start")) & (F.col("pos") < F.col("cut_end")))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = toks.join(removed, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "w"))), lambda s: s["w"]
+            ),
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+    n_cut = removed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed_tokens")
+    )
+    return (
+        docs.select("doc_id")
+        .join(rebuilt, "doc_id", "left")
+        .join(n_cut, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("n_removed_tokens", F.lit(0)).cast("long").alias("n_removed_tokens"),
+        )
+    )
+
+
 def _star_components(sym: DataFrame, *, max_rounds: int = 50) -> DataFrame:
     """Large-star/small-star connected components (Kiveris et al.,
     "Connected Components in MapReduce and Beyond", SoCC'14) —
@@ -653,6 +723,10 @@ def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross_doc_spans(load_table(spark, sf_dir, "documents"))
 
 
+def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return remove_cross_doc_spans(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
@@ -661,6 +735,7 @@ QUERIES = {
     "dedup_duplicate_clusters": q_duplicate_clusters,
     "dedup_incremental_pairs": q_incremental_neardup,
     "dedup_cross_doc_spans": q_cross_doc_spans,
+    "dedup_span_scrubbed_docs": q_span_scrubbed_docs,
 }
 
 # The cluster oracle reaches the same fixed point with a recursive
@@ -731,8 +806,51 @@ SELECT doc_a, doc_b, min(pos_a)::BIGINT AS start_a, min(pos_b)::BIGINT AS start_
 FROM isl GROUP BY doc_a, doc_b, diag, island
 """
 
+# Removal twin: same spans CTE, positional range join for membership,
+# anti-join, ordered string_agg re-assembly.
+_SPAN_SCRUB_SQL = f"""
+WITH spans AS (
+  SELECT * FROM ({_CROSS_DOC_SPANS_SQL})
+),
+cuts AS (
+  SELECT doc_b AS doc_id, start_b AS cut_start,
+         start_b + span_tokens AS cut_end
+  FROM spans
+),
+toks AS (
+  SELECT doc_id, w, pos - 1 AS pos FROM (
+    SELECT doc_id, unnest(raw_toks) AS w,
+           generate_subscripts(raw_toks, 1) AS pos
+    FROM (SELECT doc_id, {sql_raw_tokens_expr('text')} AS raw_toks FROM documents)
+  )
+),
+removed AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN cuts c
+    ON t.doc_id = c.doc_id AND t.pos >= c.cut_start AND t.pos < c.cut_end
+),
+kept AS (
+  SELECT t.* FROM toks t
+  ANTI JOIN removed r ON t.doc_id = r.doc_id AND t.pos = r.pos
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS clean_text,
+         count(*) AS n_tokens
+  FROM kept GROUP BY doc_id
+),
+ncut AS (SELECT doc_id, count(*) AS n_removed_tokens FROM removed GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(rebuilt.clean_text, '') AS clean_text,
+       COALESCE(rebuilt.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(ncut.n_removed_tokens, 0)::BIGINT AS n_removed_tokens
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN rebuilt USING (doc_id)
+LEFT JOIN ncut USING (doc_id)
+"""
+
 ORACLES = {
     "dedup_cross_doc_spans": _CROSS_DOC_SPANS_SQL,
+    "dedup_span_scrubbed_docs": _SPAN_SCRUB_SQL,
     "dedup_exact": """
         SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
                MIN(doc_id) AS canonical_doc_id

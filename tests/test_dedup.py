@@ -360,3 +360,66 @@ def test_reliable_checkpoint_path_identical_components(spark, tmp_path, monkeypa
     # reliable checkpoints actually hit storage (rdd-* block dirs
     # under the session's <dir>/<uuid> checkpoint root)
     assert glob.glob(os.path.join(ckpt_dir.replace("file:", ""), "rdd-*"))
+
+
+class TestSpanRemoval:
+    """remove_cross_doc_spans: keep-lowest excision (Lee et al. pt 2)."""
+
+    @staticmethod
+    def _w(i):
+        return "w" + chr(97 + i // 26) + chr(97 + i % 26)
+
+    def _docs(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_higher_doc_loses_span_lower_keeps(self, spark):
+        from searchengine_spark.operators.dedup import remove_cross_doc_spans
+
+        common = " ".join(self._w(i) for i in range(12))
+        pre = " ".join(self._w(100 + i) for i in range(3))
+        suf = " ".join(self._w(200 + i) for i in range(3))
+        docs = self._docs(
+            spark,
+            [(1, f"{pre} {common}"), (2, f"{common} {suf}"),
+             (3, " ".join(self._w(300 + i) for i in range(15)))],
+        )
+        out = {r.doc_id: r for r in remove_cross_doc_spans(docs, k=10).collect()}
+        assert out[1].clean_text == f"{pre} {common}"      # keeper untouched
+        assert out[1].n_removed_tokens == 0
+        assert out[2].clean_text == suf                     # span excised
+        assert out[2].n_removed_tokens == 12
+        assert out[3].n_removed_tokens == 0                 # bystander
+
+    def test_triple_copy_leaves_exactly_one_occurrence(self, spark):
+        from searchengine_spark.operators.dedup import (
+            cross_doc_spans,
+            remove_cross_doc_spans,
+        )
+
+        span = " ".join(self._w(i) for i in range(10))
+        docs = self._docs(spark, [(1, span), (2, span), (3, span)])
+        out = {r.doc_id: r.clean_text for r in
+               remove_cross_doc_spans(docs, k=10).collect()}
+        assert out == {1: span, 2: "", 3: ""}
+        # idempotence: nothing left to find on the scrubbed corpus
+        rescrubbed = self._docs(spark, [(i, t) for i, t in out.items()])
+        assert cross_doc_spans(rescrubbed, k=10).count() == 0
+
+    def test_overlapping_cut_ranges_collapse(self, spark):
+        from searchengine_spark.operators.dedup import remove_cross_doc_spans
+
+        # doc 3 shares one long span with doc 1 and a shifted sub-span
+        # with doc 2 — the two cut ranges overlap and must not
+        # double-count removed tokens.
+        long_span = " ".join(self._w(i) for i in range(14))
+        sub_span = " ".join(self._w(i) for i in range(2, 13))  # 11 toks inside
+        docs = self._docs(
+            spark,
+            [(1, long_span), (2, sub_span), (3, long_span)],
+        )
+        out = {r.doc_id: r for r in remove_cross_doc_spans(docs, k=10).collect()}
+        assert out[3].clean_text == ""
+        assert out[3].n_removed_tokens == 14  # union of ranges, not 14+11
+        assert out[1].n_removed_tokens == 0   # lowest id keeps
+        # doc 2 loses its whole text to doc 1 (1 < 2)
+        assert out[2].clean_text == "" and out[2].n_removed_tokens == 11
