@@ -719,12 +719,26 @@ bands AS (
 
 _BANDS_CTE = _bands_sql()
 
+def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one cached span table per (session, sf_dir): detection feeds both
+    # the span query and the removal query (same policy as the index /
+    # shingle caches).
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark, "cross-doc-spans", sf_dir,
+        lambda: cross_doc_spans(load_table(spark, sf_dir, "documents")).cache(),
+    )
+
+
 def q_cross_doc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cross_doc_spans(load_table(spark, sf_dir, "documents"))
+    return _spans(spark, sf_dir)
 
 
 def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return remove_cross_doc_spans(load_table(spark, sf_dir, "documents"))
+    return remove_cross_doc_spans(
+        load_table(spark, sf_dir, "documents"), _spans(spark, sf_dir)
+    )
 
 
 QUERIES = {
