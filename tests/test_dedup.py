@@ -423,3 +423,55 @@ class TestSpanRemoval:
         assert out[1].n_removed_tokens == 0   # lowest id keeps
         # doc 2 loses its whole text to doc 1 (1 < 2)
         assert out[2].clean_text == "" and out[2].n_removed_tokens == 11
+
+
+def test_cross_doc_spans_matches_bruteforce_reference(spark):
+    """Randomized cross-check: the distributed shingle/diagonal/island
+    pipeline must equal a direct O(pairs x positions) Python reference
+    on corpora engineered for heavy k-gram collision (3-word vocab)."""
+    import random
+
+    from searchengine_spark.operators.dedup import cross_doc_spans
+
+    rnd = random.Random(42)
+    vocab = ["aa", "bb", "cc"]
+    k = 3
+    docs_py = {
+        d: [rnd.choice(vocab) for _ in range(rnd.randint(k, 14))]
+        for d in range(1, 9)
+    }
+
+    expected = set()
+    for a in docs_py:
+        for b in docs_py:
+            if a >= b:
+                continue
+            ta, tb = docs_py[a], docs_py[b]
+            matches = {
+                (i, j)
+                for i in range(len(ta) - k + 1)
+                for j in range(len(tb) - k + 1)
+                if ta[i : i + k] == tb[j : j + k]
+            }
+            by_diag = {}
+            for i, j in matches:
+                by_diag.setdefault(i - j, []).append(i)
+            for d, pos in by_diag.items():
+                pos.sort()
+                run = [pos[0]]
+                for p in pos[1:]:
+                    if p == run[-1] + 1:
+                        run.append(p)
+                    else:
+                        expected.add((a, b, run[0], run[0] - d, run[-1] - run[0] + k))
+                        run = [p]
+                expected.add((a, b, run[0], run[0] - d, run[-1] - run[0] + k))
+
+    docs = spark.createDataFrame(
+        [(d, " ".join(t)) for d, t in docs_py.items()], "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.start_a, r.start_b, r.span_tokens)
+        for r in cross_doc_spans(docs, k=k, df_cap=10_000).collect()
+    }
+    assert got == expected
