@@ -43,6 +43,7 @@ _MODULES = (
     "operators.heavy_hitters",
     "operators.simhash",
     "text.analysis",
+    "text.lm",
     "text.nltk_parity",
     "text.quality",
     "text.redaction",

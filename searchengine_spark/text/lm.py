@@ -1,0 +1,176 @@
+"""Corpus bigram language model + per-document perplexity scoring —
+the CCNet-style quality signal (Wenzek et al. 2020, "CCNet:
+Extracting High Quality Monolingual Datasets from Web Crawl Data"
+train a KenLM and keep low-perplexity documents; the same shape with
+a self-trained bigram model is the SQL-expressible, dependency-free
+variant).
+
+Two stages, both pure DataFrame ops:
+
+- TRAIN: bigram counts c(v,w) and context counts c(v) over the raw
+  token stream (stopwords included — an LM needs them), plus the
+  vocabulary size V for add-alpha smoothing. Two shuffles keyed by
+  (v,w) / v — uniform-ish keys, partial aggregation absorbs the
+  Zipf head.
+- SCORE: join each document's bigrams against the smoothed model
+  P(w|v) = (c(v,w) + a) / (c(v) + a*V), then per-doc
+  ppl = exp(-avg ln P). The model table is vocabulary-bounded
+  (<< corpus at scale); Spark broadcasts it when small and falls
+  back to a shuffle hash join on the uniform bigram key when not.
+
+At 100 TB: train once, persist the model table, score any corpus
+against it (the CCNet deployment shape — the Wikipedia-trained model
+scores Common Crawl). `bigram_lm` / `score_perplexity` are split so
+exactly that works; the registry query self-scores the test corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.text.tokenizer import raw_tokens_column, sql_raw_tokens_expr
+
+SMOOTH_ALPHA = 0.5  # add-alpha smoothing mass per unseen continuation
+
+
+def _doc_bigrams(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(doc_id, v, w) for each adjacent token pair — built MAP-SIDE
+    from the token array (transform over sequence, no shuffle)."""
+    toks = docs.select(
+        "doc_id", raw_tokens_column(text_col).alias("toks")
+    ).filter(F.size("toks") >= 2)
+    return toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2), "
+                "i -> struct(toks[i] AS v, toks[i + 1] AS w))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
+
+
+def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """Smoothed bigram model: (v, w, logp) with
+    P(w|v) = (c(v,w) + a) / (c(v) + a*V).
+
+    Only OBSERVED bigrams are materialized (the full V^2 table never
+    exists); scoring handles unseen pairs with the closed-form
+    unseen-probability a / (c(v) + a*V)."""
+    bg = _doc_bigrams(docs, text_col=text_col)
+    pair_counts = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx_counts = pair_counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    vocab_size = (
+        docs.select(F.explode(raw_tokens_column(text_col)).alias("t"))
+        .agg(F.countDistinct("t").alias("vsize"))
+    )
+    return (
+        pair_counts.join(ctx_counts, "v")
+        .crossJoin(F.broadcast(vocab_size))
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            "c_v",
+            "vsize",
+            F.log(
+                (F.col("c_vw") + F.lit(SMOOTH_ALPHA))
+                / (F.col("c_v") + F.lit(SMOOTH_ALPHA) * F.col("vsize"))
+            ).alias("logp"),
+        )
+    )
+
+
+def score_perplexity(
+    docs: DataFrame, model: DataFrame | None = None, *, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, ppl): per-document bigram perplexity under
+    ``model`` (default: a model trained on ``docs`` itself — the
+    self-scored quality signal).
+
+    Unseen transitions: a context v present in the model scores
+    a / (c(v) + a*V); a context absent entirely scores the uniform
+    1 / V. Both come from left joins + coalesce — no V^2 blowup.
+    """
+    if model is None:
+        model = bigram_lm(docs, text_col=text_col)
+    ctx = model.select("v", "c_v", "vsize").distinct()
+    vsize = model.select(F.max("vsize").alias("vsize"))
+    bg = _doc_bigrams(docs, text_col=text_col)
+    scored = (
+        bg.join(model.select("v", "w", "logp"), ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .crossJoin(F.broadcast(vsize).select(F.col("vsize").alias("vsize_g")))
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.col("logp"),
+                F.log(
+                    F.lit(SMOOTH_ALPHA)
+                    / (F.col("c_v") + F.lit(SMOOTH_ALPHA) * F.col("vsize"))
+                ),
+                F.log(F.lit(1.0) / F.col("vsize_g")),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("ppl"),
+    )
+
+
+# ------------------------------------------------------------- queries
+
+
+def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import load_table
+
+    return score_perplexity(load_table(spark, sf_dir, "documents"))
+
+
+QUERIES = {"text_lm_perplexity": q_lm_perplexity}
+
+# DuckDB twin: identical train + score over the same raw tokens.
+_LM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text')} AS toks FROM documents
+),
+bg AS (
+  SELECT doc_id, s.v AS v, s.w AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, len(toks) - 2),
+             i -> struct_pack(v := toks[i + 1], w := toks[i + 2])
+           )) AS s
+    FROM toks WHERE len(toks) >= 2
+  )
+),
+pair_counts AS (SELECT v, w, count(*) AS c_vw FROM bg GROUP BY v, w),
+ctx_counts AS (SELECT v, sum(c_vw) AS c_v FROM pair_counts GROUP BY v),
+vocab AS (
+  SELECT count(DISTINCT t) AS vsize
+  FROM (SELECT unnest(toks) AS t FROM toks)
+),
+model AS (
+  SELECT p.v, p.w,
+         ln((p.c_vw + {SMOOTH_ALPHA}) / (c.c_v + {SMOOTH_ALPHA} * (SELECT vsize FROM vocab))) AS logp
+  FROM pair_counts p JOIN ctx_counts c ON p.v = c.v
+),
+scored AS (
+  SELECT bg.doc_id,
+         COALESCE(
+           m.logp,
+           ln({SMOOTH_ALPHA} / (c.c_v + {SMOOTH_ALPHA} * (SELECT vsize FROM vocab))),
+           ln(1.0 / (SELECT vsize FROM vocab))
+         ) AS lp
+  FROM bg
+  LEFT JOIN model m ON bg.v = m.v AND bg.w = m.w
+  LEFT JOIN ctx_counts c ON bg.v = c.v
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       round(exp(-avg(lp)), 6) AS ppl
+FROM scored GROUP BY doc_id
+"""
+
+ORACLES = {"text_lm_perplexity": _LM_SQL}

@@ -1,0 +1,65 @@
+"""Bigram-LM perplexity (CCNet-style quality signal): hand-computed
+goldens + the unseen-transition branches."""
+
+import math
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from searchengine_spark.text.lm import SMOOTH_ALPHA, bigram_lm, score_perplexity
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_self_scored_perplexity_hand_computed(spark):
+    # corpus: c(aa,bb)=2, c(bb,aa)=1, c(bb,cc)=1; c(aa)=2, c(bb)=2; V=3
+    docs = _docs(spark, [(1, "aa bb aa"), (2, "aa bb cc")])
+    out = {r.doc_id: r for r in score_perplexity(docs).collect()}
+    a = SMOOTH_ALPHA
+    p_bb_aa = (2 + a) / (2 + a * 3)   # P(bb|aa)
+    p_aa_bb = (1 + a) / (2 + a * 3)   # P(aa|bb)
+    p_cc_bb = (1 + a) / (2 + a * 3)   # P(cc|bb)
+    ppl1 = math.exp(-(math.log(p_bb_aa) + math.log(p_aa_bb)) / 2)
+    ppl2 = math.exp(-(math.log(p_bb_aa) + math.log(p_cc_bb)) / 2)
+    assert out[1].n_bigrams == 2 and out[1].ppl == pytest.approx(ppl1, abs=1e-6)
+    assert out[2].n_bigrams == 2 and out[2].ppl == pytest.approx(ppl2, abs=1e-6)
+
+
+def test_cross_corpus_scoring_unseen_branches(spark):
+    """Score a foreign corpus: pair-unseen-in-known-context uses the
+    smoothed floor a/(c_v + a*V); context-unseen uses uniform 1/V."""
+    train = _docs(spark, [(1, "aa bb aa"), (2, "aa bb cc")])
+    model = bigram_lm(train)
+    a = SMOOTH_ALPHA
+    out = {
+        r.doc_id: r
+        for r in score_perplexity(
+            _docs(spark, [(10, "bb bb"), (11, "cc aa"), (12, "aa bb")]),
+            model,
+        ).collect()
+    }
+    assert out[10].ppl == pytest.approx(1 / (a / (2 + a * 3)), abs=1e-6)
+    assert out[11].ppl == pytest.approx(3.0, abs=1e-6)  # uniform 1/V, V=3
+    assert out[12].ppl == pytest.approx((2 + a * 3) / (2 + a), abs=1e-6)
+
+
+def test_short_docs_excluded(spark):
+    # docs with < 2 tokens have no bigrams and no perplexity row
+    docs = _docs(spark, [(1, "aa"), (2, ""), (3, "aa bb")])
+    assert [r.doc_id for r in score_perplexity(docs).collect()] == [3]
+
+
+def test_low_perplexity_flags_repetitive_text(spark):
+    """The quality-filter property: text matching the corpus's
+    dominant transitions scores lower ppl than shuffled text."""
+    repetitive = " ".join(["aa bb"] * 30)
+    docs = _docs(
+        spark,
+        [(1, repetitive), (2, repetitive), (3, "bb aa cc aa bb cc cc bb")],
+    )
+    out = {r.doc_id: r.ppl for r in score_perplexity(docs).collect()}
+    assert out[1] < out[3]
