@@ -58,6 +58,7 @@ HEADLINE = [
     "dedup_duplicate_clusters",
     "pipeline_curated_docs_gopher",
     "dedup_cross_doc_spans",
+    "text_lm_perplexity",
 ]
 
 SERVE_QUERIES = [
