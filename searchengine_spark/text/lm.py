@@ -51,14 +51,17 @@ def _doc_bigrams(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
     ).select("doc_id", F.col("bg.v").alias("v"), F.col("bg.w").alias("w"))
 
 
-def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+def bigram_lm(
+    docs: DataFrame, *, text_col: str = "text", bigrams: DataFrame | None = None
+) -> DataFrame:
     """Smoothed bigram model: (v, w, logp) with
     P(w|v) = (c(v,w) + a) / (c(v) + a*V).
 
     Only OBSERVED bigrams are materialized (the full V^2 table never
     exists); scoring handles unseen pairs with the closed-form
-    unseen-probability a / (c(v) + a*V)."""
-    bg = _doc_bigrams(docs, text_col=text_col)
+    unseen-probability a / (c(v) + a*V). Pass a (cached) ``bigrams``
+    frame to share the tokenize scan with a scoring stage."""
+    bg = bigrams if bigrams is not None else _doc_bigrams(docs, text_col=text_col)
     pair_counts = bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
     ctx_counts = pair_counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
     vocab_size = (
@@ -83,21 +86,26 @@ def bigram_lm(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
 
 
 def score_perplexity(
-    docs: DataFrame, model: DataFrame | None = None, *, text_col: str = "text"
+    docs: DataFrame,
+    model: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    bigrams: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, n_bigrams, ppl): per-document bigram perplexity under
     ``model`` (default: a model trained on ``docs`` itself — the
-    self-scored quality signal).
+    self-scored quality signal). Pass a (cached) ``bigrams`` frame to
+    share the tokenize scan between training and scoring.
 
     Unseen transitions: a context v present in the model scores
     a / (c(v) + a*V); a context absent entirely scores the uniform
     1 / V. Both come from left joins + coalesce — no V^2 blowup.
     """
+    bg = bigrams if bigrams is not None else _doc_bigrams(docs, text_col=text_col)
     if model is None:
-        model = bigram_lm(docs, text_col=text_col)
+        model = bigram_lm(docs, text_col=text_col, bigrams=bg)
     ctx = model.select("v", "c_v", "vsize").distinct()
     vsize = model.select(F.max("vsize").alias("vsize"))
-    bg = _doc_bigrams(docs, text_col=text_col)
     scored = (
         bg.join(model.select("v", "w", "logp"), ["v", "w"], "left")
         .join(ctx, "v", "left")
@@ -124,9 +132,16 @@ def score_perplexity(
 
 
 def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from searchengine_spark.io import load_table
+    from searchengine_spark.io import load_table, session_cached
 
-    return score_perplexity(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
+    # one cached bigram frame per (session, sf_dir): feeds BOTH the
+    # model lineage and the scoring lineage (same bounded-cache policy
+    # as the index / shingle / span caches — no per-call cache leak).
+    bg = session_cached(
+        spark, "lm-bigrams", sf_dir, lambda: _doc_bigrams(docs).cache()
+    )
+    return score_perplexity(docs, bigrams=bg)
 
 
 QUERIES = {"text_lm_perplexity": q_lm_perplexity}
