@@ -37,6 +37,7 @@ _MODULES = (
     "operators.upsert",
     "operators.udaf",
     "operators.quantization",
+    "operators.kmeans",
     "operators.mixture",
     "operators.decontamination",
     "operators.moments",

@@ -1,0 +1,115 @@
+"""Deterministic fixed-point k-means (operators/kmeans.py).
+
+Oracle parity runs in test_oracle_parity via the registry; here we
+pin the semantic invariants the hash compare can't express:
+argmin correctness vs a brute-force recompute, empty-cluster
+handling, rerun determinism, and the map-only assignment plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.operators.kmeans import (
+    FP_SCALE,
+    ITERS,
+    K,
+    assign_clusters,
+    fixed_point_vec,
+    kmeans_fit_assign,
+)
+
+
+def _quant(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", fixed_point_vec("embedding").alias("qvec"))
+
+
+def test_assignment_is_exact_argmin(spark, sf_dir):
+    """Every row's (cluster, dist) equals a brute-force integer argmin
+    against the same centroids — no float slack anywhere."""
+    quant = _quant(spark, sf_dir)
+    cents = [
+        [int(v) for v in r["qvec"]]
+        for r in quant.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+    got = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in assign_clusters(quant, cents).collect()
+    }
+    for r in quant.collect():
+        dists = [
+            (sum((a - b) * (a - b) for a, b in zip(r["qvec"], c)), j)
+            for j, c in enumerate(cents)
+        ]
+        dist, cluster = min(dists)
+        assert got[r["vec_id"]] == (cluster, dist)
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    """Identical vectors all tie-break into cluster 0; cluster 1 must
+    survive the update rounds with its init centroid instead of
+    crashing or collapsing to NULL."""
+    rows = [(i, [1.0, 2.0, 3.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    out = kmeans_fit_assign(emb, k=2, iters=2).collect()
+    assert {r["cluster"] for r in out} == {0}
+    assert all(r["dist"] == 0 for r in out)
+
+
+def test_rerun_is_deterministic(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(map(tuple, kmeans_fit_assign(emb).collect()))
+    b = sorted(map(tuple, kmeans_fit_assign(emb).collect()))
+    assert a == b
+
+
+def test_fixed_point_bounds(spark, sf_dir):
+    """|q| stays small enough that a 64-dim squared distance can never
+    approach bigint overflow (the exactness argument in the module
+    docstring)."""
+    quant = _quant(spark, sf_dir)
+    mx = quant.select(
+        F.max(F.array_max(F.transform("qvec", lambda v: F.abs(v)))).alias("m")
+    ).collect()[0]["m"]
+    assert mx < 100 * FP_SCALE
+
+
+def test_assignment_plan_is_map_only(spark, sf_dir):
+    """Nearest-centroid assignment must be a pure map stage: literal
+    centroids, no Exchange, no Join in the plan."""
+    quant = _quant(spark, sf_dir)
+    cents = [
+        [int(v) for v in r["qvec"]]
+        for r in quant.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+    plan = (
+        assign_clusters(quant, cents)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+
+
+def test_iters_reduce_total_distortion(spark, sf_dir):
+    """Lloyd's monotonicity: total distortion after the full loop is
+    <= distortion of the init assignment."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = _quant(spark, sf_dir)
+    cents = [
+        [int(v) for v in r["qvec"]]
+        for r in quant.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+    ]
+    init_total = (
+        assign_clusters(quant, cents)
+        .agg(F.sum("dist").alias("s"))
+        .collect()[0]["s"]
+    )
+    final_total = (
+        kmeans_fit_assign(emb, iters=ITERS)
+        .agg(F.sum("dist").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert final_total <= init_total
