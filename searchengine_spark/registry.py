@@ -38,6 +38,7 @@ _MODULES = (
     "operators.udaf",
     "operators.quantization",
     "operators.kmeans",
+    "operators.text_sim",
     "operators.mixture",
     "operators.decontamination",
     "operators.moments",
