@@ -172,6 +172,67 @@ def dedup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
     return deduped
 
 
+def view_purchase_join_stream(
+    views: DataFrame,
+    purchases: DataFrame,
+    *,
+    attribution: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """STREAM-STREAM inner join: attribute each purchase to every view
+    by the same user in the preceding ``attribution`` window.
+
+    This is the one stateful-join family in Structured Streaming: both
+    sides are watermarked and the join carries an event-time RANGE
+    condition, which is what lets Spark bound the join state — a view
+    can be evicted once the watermark passes view.ts + attribution,
+    a purchase once it passes purchase.ts. Without the range
+    condition the state would grow forever. (Public contract:
+    Structured Streaming programming guide, stream-stream joins.)
+
+    At 100 TB/day both sides are Kafka topics partitioned by user_id;
+    the join keys on user_id so the shuffle co-locates the two
+    streams, and state size tracks the attribution horizon, not
+    history.
+    """
+    v = (
+        with_instant_ts(views, "ts")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("view_event_id"),
+            F.col("user_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    p = (
+        with_instant_ts(purchases, "ts")
+        .withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_event_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+    )
+    joined = v.join(
+        p,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("view_ts") + F.expr(f"INTERVAL {attribution}")
+        ),
+    )
+    return joined.select(
+        "user_id",
+        "view_event_id",
+        "purchase_event_id",
+        instant_to_ntz(F.col("view_ts")).alias("view_ts"),
+        instant_to_ntz(F.col("purchase_ts")).alias("purchase_ts"),
+        F.round(F.col("purchase_value"), 2).alias("purchase_value"),
+    )
+
+
 def enrich_stream_with_customers(
     events: DataFrame, customers: DataFrame
 ) -> DataFrame:

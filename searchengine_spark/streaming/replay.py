@@ -37,6 +37,7 @@ from searchengine_spark.streaming.events import (
     read_events_stream,
     run_to_memory,
     session_window_stream,
+    view_purchase_join_stream,
 )
 
 # Memory-sink names must be unique per invocation within a session.
@@ -123,14 +124,56 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_stream_view_purchase_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked STREAM-STREAM interval join (view -> purchase
+    attribution), replayed to completion. Two independent file-source
+    streams over the same events table; the inner join with an
+    event-time range condition is the stateful-join topology — with
+    the replay-wide watermark no row is late, so the append-mode
+    output must equal the batch interval join the oracle states."""
+    views = read_events_stream(spark, sf_dir, max_files_per_trigger=8).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=8
+    ).filter(F.col("event_type") == "purchase")
+    name = _sink_name("vpjoin")
+    run_to_memory(
+        view_purchase_join_stream(
+            views, purchases, watermark=REPLAY_WATERMARK
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
+    "stream_view_purchase_join_replay": q_stream_view_purchase_join_replay,
     "stream_session_window_replay": q_stream_session_window_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
 }
 
 ORACLES = {
+    # Batch semantics of the stream-stream interval join: every
+    # (view, purchase) pair per user with the purchase inside the
+    # 1-hour attribution window after the view.
+    "stream_view_purchase_join_replay": """
+        SELECT v.user_id,
+               v.event_id AS view_event_id,
+               p.event_id AS purchase_event_id,
+               v.ts AS view_ts,
+               p.ts AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM events v JOIN events p
+          ON v.user_id = p.user_id
+         AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
     # Batch semantics of the tumbling rollup — identical to the
     # events_hourly_rollup oracle minus n_users (the streaming twin
     # does not countDistinct: exact distinct aggregation is

