@@ -351,6 +351,112 @@ def png_media_from_documents(docs: DataFrame, *, body_chars: int = 16) -> DataFr
     return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
 
 
+RESIZE_SIDE = 8  # square source images for the resize chain
+
+
+def png2d_media_from_documents(
+    docs: DataFrame, *, side: int = RESIZE_SIDE
+) -> DataFrame:
+    """REAL square PNGs from documents: the first side*side
+    ascii/'replace' bytes of text, RIGHT-PADDED with '?' (63) to a
+    full side x side greyscale image. The padding makes every image
+    the same shape, so the resize oracle needs no ragged-edge
+    cases (unlike the 1 x N family, where empty text is one byte)."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import encode_png
+
+    n = side * side
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                body = (t or "")[:n].encode("ascii", "replace").ljust(n, b"?")
+                payloads.append(
+                    encode_png(
+                        np.frombuffer(body, dtype=np.uint8).reshape(side, side)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def resize_media_box2(media: DataFrame) -> DataFrame:
+    """REAL image downscale by 2: decode PNG -> 2x2 box filter with
+    exact integer arithmetic (out pixel = block_sum // 4) -> re-encode
+    PNG. The whole decode -> resample -> encode kernel is an
+    Arrow-batched mapInPandas map stage — embarrassingly parallel,
+    no shuffle, the same shape a Pillow/libvips kernel would use at
+    100 TB (and `decode_png` already prefers Pillow when present).
+
+    Non-image / NULL / malformed payloads pass through untouched —
+    a poison blob must never kill the job (same policy as
+    decode_media). Odd dimensions drop the trailing row/col (the
+    standard floor-size convention)."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import decode_png, encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for mt, p in zip(pdf["media_type"], pdf["payload"]):
+                if mt != "image" or p is None:
+                    out.append(p)
+                    continue
+                try:
+                    w, h, c, arr = decode_png(bytes(p))
+                except ValueError:
+                    out.append(p)
+                    continue
+                h2, w2 = h // 2, w // 2
+                if h2 == 0 or w2 == 0:
+                    out.append(p)
+                    continue
+                clipped = arr[: h2 * 2, : w2 * 2].astype(np.int64)
+                small = (
+                    clipped.reshape(h2, 2, w2, 2, c).sum(axis=(1, 3)) // 4
+                ).astype(np.uint8)
+                out.append(encode_png(small.squeeze(-1) if c == 1 else small))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": pdf["media_type"],
+                    "payload": out,
+                }
+            )
+
+    return media.mapInPandas(batches, MEDIA_SCHEMA)
+
+
+def q_png_resize_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query for the full real-codec image chain:
+    documents -> 8x8 PNG encode -> decode + 2x2 box resize +
+    re-encode -> decode -> typed stats. Every pixel of the final
+    4x4 image is exact integer arithmetic on the text bytes, so the
+    DuckDB oracle restates the whole chain from `documents`."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    resized = resize_media_box2(png2d_media_from_documents(docs))
+    return decode_media(resized).select(
+        "media_id",
+        "media_type",
+        "dim_a",
+        "dim_b",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 def q_png_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query over the REAL codec: documents -> PNG
     encode (zlib/DEFLATE) -> decode_media sniffs the PNG magic and
@@ -390,6 +496,7 @@ def q_media_decode_stats(spark, sf_dir: str) -> DataFrame:
 QUERIES = {
     "mm_media_decode_stats": q_media_decode_stats,
     "mm_png_decode_stats": q_png_decode_stats,
+    "mm_png_resize_stats": q_png_resize_stats,
 }
 
 # The fake payload body is the first 16 bytes of text encoded with
@@ -439,6 +546,38 @@ ORACLES = {
                len(bytes)::INT AS n_bytes,
                round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
         FROM body
+    """,
+    # Full real-codec resize chain restated from documents: 8x8 image
+    # of the first 64 ascii/'replace' bytes padded with '?' (63);
+    # out pixel (br, bc) = floor(sum of its 2x2 block / 4); stats of
+    # the 4x4 result. Pure integer arithmetic end to end.
+    "mm_png_resize_stats": """
+        WITH chars AS (
+          SELECT doc_id,
+                 CASE WHEN length(substr(COALESCE(text, ''), 1, 64)) = 0
+                      THEN []::INT[]
+                      ELSE list_transform(
+                             split(substr(COALESCE(text, ''), 1, 64), ''),
+                             c -> CASE WHEN unicode(c) > 127 THEN 63 ELSE unicode(c) END
+                           )
+                 END AS b
+          FROM documents
+        ),
+        px AS (
+          SELECT doc_id, i.range AS idx,
+                 CASE WHEN i.range < len(b) THEN b[i.range + 1] ELSE 63 END AS v
+          FROM chars, range(64) i
+        ),
+        blocks AS (
+          SELECT doc_id, (idx // 8) // 2 AS br, (idx % 8) // 2 AS bc,
+                 CAST(floor(SUM(v) / 4.0) AS INT) AS out_v
+          FROM px GROUP BY doc_id, br, bc
+        )
+        SELECT doc_id AS media_id, 'image' AS media_type,
+               CAST(4 AS INT) AS dim_a, CAST(4 AS INT) AS dim_b,
+               CAST(16 AS INT) AS n_bytes,
+               round(SUM(out_v) / 16.0, 6) AS mean_byte
+        FROM blocks GROUP BY doc_id
     """,
 }
 

@@ -181,3 +181,44 @@ def test_sample_frames_real_avi_container(spark):
         (1, 0, b"frame-0"), (1, 2, b"frame-2"), (1, 4, b"frame-4"),
         (2, 0, b"abc"), (2, 2, b"ghi"),
     ]
+
+
+def test_box2_resize_exact_on_planted_gradient(spark):
+    """8x8 gradient 0..63 -> each 2x2 block average is exact integer
+    arithmetic; verify the decoded 4x4 against a hand computation."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import decode_png, encode_png
+    from searchengine_spark.operators.multimodal import resize_media_box2
+
+    src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(encode_png(src)))],
+        "media_id bigint, media_type string, payload binary",
+    )
+    out = resize_media_box2(media).collect()
+    assert len(out) == 1
+    w, h, c, arr = decode_png(bytes(out[0]["payload"]))
+    assert (w, h, c) == (4, 4, 1)
+    expect = (
+        src.astype(np.int64).reshape(4, 2, 4, 2).sum(axis=(1, 3)) // 4
+    ).astype(np.uint8)
+    assert np.array_equal(arr[:, :, 0], expect)
+
+
+def test_box2_resize_passes_through_non_images(spark):
+    """NULL, non-image, and malformed payloads survive untouched."""
+    from searchengine_spark.operators.multimodal import resize_media_box2
+
+    rows = [
+        (1, "audio", bytearray(b"RIFFjunk")),
+        (2, "image", None),
+        (3, "image", bytearray(b"not a png at all")),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id bigint, media_type string, payload binary"
+    )
+    got = {r["media_id"]: r["payload"] for r in resize_media_box2(media).collect()}
+    assert bytes(got[1]) == b"RIFFjunk"
+    assert got[2] is None
+    assert bytes(got[3]) == b"not a png at all"
