@@ -59,6 +59,13 @@ HEADLINE = [
     "pipeline_curated_docs_gopher",
     "dedup_cross_doc_spans",
     "text_lm_perplexity",
+    # round-4 (cont.): the deterministic iterative trainer, the
+    # all-pairs TF-IDF similarity join, the stream-stream interval
+    # join, and the real-codec image resize chain.
+    "emb_kmeans_clusters",
+    "sim_tfidf_shingle_pairs",
+    "stream_view_purchase_join_replay",
+    "mm_png_resize_stats",
 ]
 
 SERVE_QUERIES = [
