@@ -396,8 +396,62 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ANOMALY_HISTORY = 20   # trailing events per user forming the baseline
+ANOMALY_MIN_N = 5      # minimum history before a z-score is meaningful
+ANOMALY_Z = 3.0
+
+
+def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-style anomaly detection in batch: flag events whose
+    value deviates > ANOMALY_Z sample standard deviations from the
+    user's TRAILING window (the previous ANOMALY_HISTORY events,
+    excluding the current one — no self-contamination).
+
+    Determinism: values are lifted to integer cents
+    (floor(v*100+0.5)), so the windowed sum and sum-of-squares are
+    exact bigints; mean/variance/z are then IEEE double images of
+    exact integers — identical in every engine, no float-accumulation
+    order dependence. Zero-variance history yields no z (NULL guard),
+    and users with < ANOMALY_MIN_N prior events are skipped.
+
+    Scale: one window keyed on user_id (high cardinality, low skew);
+    state per key is the O(ANOMALY_HISTORY) frame. The same trailing
+    statistic runs incrementally in Structured Streaming via
+    applyInPandasWithState (streaming/stateful.py shape).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_HISTORY, -1)
+    )
+    stats = ev.withColumn("c", cents).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        "c",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("c").over(w).alias("s"),
+        F.sum(F.col("c") * F.col("c")).over(w).alias("s2"),
+    )
+    var = (
+        F.col("s2").cast("double")
+        - F.col("s").cast("double") * F.col("s") / F.col("n")
+    ) / (F.col("n") - 1)
+    z = (F.col("c") - F.col("s").cast("double") / F.col("n")) / F.sqrt(var)
+    return (
+        stats.filter(F.col("n") >= ANOMALY_MIN_N)
+        .withColumn("z", F.when(var > 0, F.round(z, 6)))
+        .filter(F.abs(F.col("z")) >= ANOMALY_Z)
+        .select("event_id", "user_id", "event_type", "value", "z")
+    )
+
+
 QUERIES = {
     "events_transitions": q_events_transitions,
+    "events_anomaly_zscore": q_events_anomaly_zscore,
     "events_retention_cohorts": q_events_retention_cohorts,
     "events_funnel": q_events_funnel,
     "events_gap_fill_hourly": q_events_gap_fill_hourly,
@@ -559,6 +613,31 @@ ORACLES = {
         SELECT event_id, k AS key,
                CAST(json_extract(props, '$.' || k) AS BIGINT) AS val
         FROM (SELECT event_id, props, unnest(json_keys(props)) AS k FROM events)
+    """,
+    "events_anomaly_zscore": f"""
+        WITH stats AS (
+          SELECT event_id, user_id, event_type, value,
+                 CAST(floor(value * 100 + 0.5) AS BIGINT) AS c,
+                 COUNT(*) OVER w AS n,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS s,
+                 CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                          * CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS s2
+          FROM events
+          WINDOW w AS (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN {ANOMALY_HISTORY} PRECEDING AND 1 PRECEDING
+          )
+        ),
+        scored AS (
+          SELECT event_id, user_id, event_type, value,
+                 (CAST(s2 AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / (n - 1) AS var,
+                 c - CAST(s AS DOUBLE) / n AS dev
+          FROM stats WHERE n >= {ANOMALY_MIN_N}
+        )
+        SELECT event_id, user_id, event_type, value,
+               round(dev / sqrt(var), 6) AS z
+        FROM scored
+        WHERE var > 0 AND abs(round(dev / sqrt(var), 6)) >= {ANOMALY_Z}
     """,
     "events_moving_avg": """
         SELECT event_id, user_id,
