@@ -1,5 +1,6 @@
 """Real media codecs, stdlib-only: PNG (RFC 2083 / ISO 15948) and
-WAV (RIFF). No imaging library ships in this container, so the
+WAV (RIFF); baseline JPEG lives in operators/jpeg.py and is sniffed
+here too. No imaging library ships in this container, so the
 decoders are implemented directly against the published formats —
 zlib + struct + numpy — which is all PNG needs (DEFLATE streams,
 per-scanline filters) and more than WAV needs (PCM in a RIFF
@@ -217,6 +218,17 @@ def decode_any(payload: bytes) -> dict | None:
     back to the fake-header stub or skip the row)."""
     if payload is None or len(payload) < 12:
         return None
+    if payload.startswith(b"\xff\xd8\xff"):
+        from searchengine_spark.operators.jpeg import decode_jpeg
+
+        w, h, px = decode_jpeg(bytes(payload))
+        return {
+            "media_type": "image",
+            "dim_a": w,
+            "dim_b": h,
+            "n_bytes": int(px.size),
+            "mean_byte": float(px.mean()) if px.size else 0.0,
+        }
     if payload.startswith(PNG_MAGIC):
         w, h, c, px = decode_png(payload)
         return {

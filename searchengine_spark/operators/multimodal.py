@@ -457,6 +457,59 @@ def q_png_resize_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def jpeg_media_from_documents(docs: DataFrame, *, side: int = 8) -> DataFrame:
+    """REAL baseline JPEGs from documents: a constant side x side
+    greyscale image whose every pixel is the code of the doc's FIRST
+    ascii/'replace' character ('?' = 63 for empty/NULL text).
+
+    Constant content is the deliberate choice that keeps the LOSSY
+    codec oracle-checkable: a constant block's DCT has one nonzero
+    coefficient, so the whole quantize -> dequantize -> IDCT pipeline
+    collapses to a scalar closed form the DuckDB oracle can restate
+    (operators/jpeg.py:constant_block_decode_value). Non-constant
+    content is exercised by tests/test_jpeg.py's exact bitstream
+    round-trip instead."""
+    import numpy as np
+
+    from searchengine_spark.operators.jpeg import encode_jpeg
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                first = ((t or "")[:1].encode("ascii", "replace") or b"?")[0]
+                payloads.append(
+                    encode_jpeg(np.full((side, side), first, dtype=np.uint8))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def q_jpeg_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query over the REAL lossy codec: documents ->
+    baseline JPEG encode (DCT + quantize + Huffman) -> decode_media
+    sniffs the JPEG magic and runs the spec decoder -> typed stats."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(jpeg_media_from_documents(docs))
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "dim_a",
+        "dim_b",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 def q_png_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query over the REAL codec: documents -> PNG
     encode (zlib/DEFLATE) -> decode_media sniffs the PNG magic and
@@ -497,6 +550,7 @@ QUERIES = {
     "mm_media_decode_stats": q_media_decode_stats,
     "mm_png_decode_stats": q_png_decode_stats,
     "mm_png_resize_stats": q_png_resize_stats,
+    "mm_jpeg_decode_stats": q_jpeg_decode_stats,
 }
 
 # The fake payload body is the first 16 bytes of text encoded with
@@ -546,6 +600,35 @@ ORACLES = {
                len(bytes)::INT AS n_bytes,
                round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
         FROM body
+    """,
+    # Real LOSSY codec restated from documents: a constant-c 8x8 block
+    # decodes to the closed form
+    #   dq  = floor(8*(c-128)/Q00 + 0.5)         (quantized DC)
+    #   out = clamp(floor(dq*Q00/8 + 128.5), 0, 255)
+    # with Q00 = 16 (Annex K luminance table [0,0]); every pixel of
+    # the decoded image equals `out`, so mean_byte == out exactly.
+    "mm_jpeg_decode_stats": """
+        WITH firstc AS (
+          SELECT doc_id,
+                 CASE WHEN length(COALESCE(text, '')) = 0 THEN 63
+                      WHEN unicode(substr(text, 1, 1)) > 127 THEN 63
+                      ELSE unicode(substr(text, 1, 1))
+                 END AS c
+          FROM documents
+        ),
+        decoded AS (
+          SELECT doc_id,
+                 LEAST(255, GREATEST(0,
+                   CAST(floor(
+                     CAST(floor(8.0 * (c - 128) / 16 + 0.5) AS BIGINT) * 16 / 8.0
+                     + 128.5) AS BIGINT))) AS out_v
+          FROM firstc
+        )
+        SELECT doc_id AS media_id, 'image' AS media_type,
+               CAST(8 AS INT) AS dim_a, CAST(8 AS INT) AS dim_b,
+               CAST(64 AS INT) AS n_bytes,
+               round(out_v * 1.0, 6) AS mean_byte
+        FROM decoded
     """,
     # Full real-codec resize chain restated from documents: 8x8 image
     # of the first 64 ascii/'replace' bytes padded with '?' (63);
