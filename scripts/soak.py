@@ -42,6 +42,15 @@ QUERIES = (
     "events_funnel",
     "events_retention_cohorts",
     "events_user_growth",
+    # round-4 additions: the all-pairs TF-IDF join (candidate blowup
+    # risk), the iterative Lloyd trainer + within-cluster SemDeDup
+    # (cluster-size^2 risk), the trailing-window anomaly scorer, and
+    # the stream-stream join replay (state-growth risk).
+    "sim_tfidf_shingle_pairs",
+    "emb_kmeans_clusters",
+    "emb_semdedup_prune",
+    "events_anomaly_zscore",
+    "stream_view_purchase_join_replay",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
@@ -58,6 +67,15 @@ def build_scaled(spark, factor: int) -> str:
     os.makedirs(out, exist_ok=True)
     docs = load_table(spark, BASE, "documents")
     events = load_table(spark, BASE, "events")
+    emb = load_table(spark, BASE, "embeddings")
+    shifted_emb = [
+        emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * KEY_OFFSET))
+        for i in range(factor)
+    ]
+    m = shifted_emb[0]
+    for s in shifted_emb[1:]:
+        m = m.unionByName(s)
+    m.write.mode("overwrite").parquet(os.path.join(out, "embeddings.parquet"))
     shifted_docs = [
         docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * KEY_OFFSET))
         for i in range(factor)

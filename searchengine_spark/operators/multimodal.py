@@ -510,6 +510,101 @@ def q_jpeg_decode_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+WAV_SAMPLES = 32       # samples derived per document
+WAV_WINDOW = 8         # frame size for the energy windows
+WAV_RATE = 16000
+
+
+def wav_media_from_documents(docs: DataFrame, *, n: int = WAV_SAMPLES) -> DataFrame:
+    """REAL PCM16 WAVs from documents: the first n ascii/'replace'
+    character codes become int16 samples s = (code - 64) * 256
+    (zero-centred around '@'; empty/NULL text -> the single '?'
+    sample). Deterministic, so audio features decode back to a pure
+    function of the text the oracle can restate."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import encode_wav
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                body = (t or "")[:n].encode("ascii", "replace") or b"?"
+                samples = (
+                    np.frombuffer(body, dtype=np.uint8).astype(np.int16) - 64
+                ) * 256
+                payloads.append(encode_wav(samples, sample_rate=WAV_RATE))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
+WAV_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("n_windows", IntegerType()),
+        StructField("total_energy", LongType()),
+        StructField("zero_crossings", IntegerType()),
+    ]
+)
+
+
+def wav_features(media: DataFrame) -> DataFrame:
+    """Classic audio front-end features over REAL decoded PCM:
+    windowed energy (sum of squares over full WAV_WINDOW frames,
+    exact bigint) and the zero-crossing count (strict sign flips).
+    Decode + featurize is one Arrow-batched map stage; malformed
+    payloads yield a zero row (poison-blob policy)."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    rate, _ch, nf, frames = decode_wav(bytes(p))
+                    s = frames[:, 0].astype(np.int64)
+                    n_win = len(s) // WAV_WINDOW
+                    full = s[: n_win * WAV_WINDOW]
+                    energy = int((full * full).sum())
+                    zcr = int(np.sum(s[:-1] * s[1:] < 0))
+                    rows.append((int(mid), rate, len(s), n_win, energy, zcr))
+                except Exception:  # noqa: BLE001 — poison blob
+                    rows.append((int(mid), 0, 0, 0, 0, 0))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "sample_rate",
+                    "n_samples",
+                    "n_windows",
+                    "total_energy",
+                    "zero_crossings",
+                ],
+            )
+
+    return media.mapInPandas(batches, WAV_FEATURES_SCHEMA)
+
+
+def q_wav_features(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query for the audio path: documents -> PCM16
+    WAV encode -> RIFF walk + decode -> windowed energy + ZCR."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return wav_features(wav_media_from_documents(docs))
+
+
 def q_png_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query over the REAL codec: documents -> PNG
     encode (zlib/DEFLATE) -> decode_media sniffs the PNG magic and
@@ -551,6 +646,7 @@ QUERIES = {
     "mm_png_decode_stats": q_png_decode_stats,
     "mm_png_resize_stats": q_png_resize_stats,
     "mm_jpeg_decode_stats": q_jpeg_decode_stats,
+    "mm_wav_features": q_wav_features,
 }
 
 # The fake payload body is the first 16 bytes of text encoded with
@@ -600,6 +696,46 @@ ORACLES = {
                len(bytes)::INT AS n_bytes,
                round(list_sum(bytes) * 1.0 / len(bytes), 6) AS mean_byte
         FROM body
+    """,
+    # Audio twin: samples s_i = (code_i - 64) * 256 from the first 32
+    # ascii/'replace' bytes ('?' for empty); total_energy sums s^2
+    # over FULL 8-sample windows only; zero_crossings counts strict
+    # sign flips between consecutive samples. All exact integers.
+    "mm_wav_features": f"""
+        WITH body AS (
+          SELECT doc_id,
+                 CASE WHEN length(substr(COALESCE(text, ''), 1, {WAV_SAMPLES})) = 0
+                      THEN [63]
+                      ELSE list_transform(
+                             split(substr(COALESCE(text, ''), 1, {WAV_SAMPLES}), ''),
+                             c -> CASE WHEN unicode(c) > 127 THEN 63 ELSE unicode(c) END
+                           )
+                 END AS codes
+          FROM documents
+        ),
+        s AS (
+          SELECT doc_id, generate_subscripts(codes, 1) - 1 AS idx,
+                 CAST((unnest(codes) - 64) * 256 AS BIGINT) AS v,
+                 len(codes) AS n
+          FROM body
+        ),
+        s2 AS (
+          SELECT *, lead(v) OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
+          FROM s
+        ),
+        agg AS (
+          SELECT doc_id,
+                 MAX(n)::INT AS n_samples,
+                 CAST(MAX(n) // {WAV_WINDOW} AS INT) AS n_windows,
+                 CAST(SUM(CASE WHEN idx < (n // {WAV_WINDOW}) * {WAV_WINDOW}
+                               THEN v * v ELSE 0 END) AS BIGINT) AS total_energy,
+                 CAST(SUM(CASE WHEN nxt IS NOT NULL AND v * nxt < 0
+                               THEN 1 ELSE 0 END) AS INT) AS zero_crossings
+          FROM s2 GROUP BY doc_id
+        )
+        SELECT doc_id AS media_id, CAST({WAV_RATE} AS INT) AS sample_rate,
+               n_samples, n_windows, total_energy, zero_crossings
+        FROM agg
     """,
     # Real LOSSY codec restated from documents: a constant-c 8x8 block
     # decodes to the closed form

@@ -222,3 +222,33 @@ def test_box2_resize_passes_through_non_images(spark):
     assert bytes(got[1]) == b"RIFFjunk"
     assert got[2] is None
     assert bytes(got[3]) == b"not a png at all"
+
+
+def test_wav_features_planted_exact(spark):
+    """'A@?@' -> samples (1,-0,...): verify energy/ZCR by hand.
+    codes: A=65->256, @=64->0, ?=63->-256, B=66->512."""
+    from searchengine_spark.operators.multimodal import (
+        wav_features,
+        wav_media_from_documents,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "A?B?A?B?"), (2, None), (3, "@@@@@@@@")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["media_id"]: r
+        for r in wav_features(wav_media_from_documents(docs)).collect()
+    }
+    # doc 1: samples alternate 256,-256,512,-256,... -> 7 sign flips,
+    # energy = 256^2*2 + 256^2*... compute: [256,-256,512,-256,256,-256,512,-256]
+    s = [256, -256, 512, -256, 256, -256, 512, -256]
+    assert got[1]["n_samples"] == 8
+    assert got[1]["n_windows"] == 1
+    assert got[1]["total_energy"] == sum(v * v for v in s)
+    assert got[1]["zero_crossings"] == 7
+    # NULL text -> single '?' sample: no window, no crossings
+    assert (got[2]["n_samples"], got[2]["n_windows"]) == (1, 0)
+    assert got[2]["total_energy"] == 0
+    # all '@' -> all-zero samples: zero energy, zero crossings
+    assert got[3]["total_energy"] == 0 and got[3]["zero_crossings"] == 0
