@@ -25,6 +25,7 @@ _MODULES = (
     "index.queries",
     "index.phrase",
     "relational.tpch",
+    "relational.tpch_extra",
     "relational.events",
     "relational.advanced",
     "operators.dedup",
