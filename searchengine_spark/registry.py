@@ -24,6 +24,8 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "index.queries",
     "index.phrase",
+    "index.incremental",
+    "index.fuzzy",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
