@@ -74,6 +74,39 @@ def train_val_test_split(
     )
 
 
+def sample_per_group_quota(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    quota: int,
+    *,
+    salt: str = "quota",
+) -> DataFrame:
+    """At most ``quota`` rows per group, chosen uniformly and
+    DETERMINISTICALLY by record-hash rank (source balancing: cap
+    over-represented sources without biasing toward scan order).
+
+    Rank is row_number over (hash_bucket, id) within the group — the
+    id tiebreak makes the pick total-ordered, so the same records
+    survive on every run/partitioning; a different salt draws an
+    independent sample. Scale shape: one shuffle on the group key;
+    groups are processed independently, so a skewed giant group costs
+    one task's sort of that group, not a global sort (for truly
+    pathological single-source corpora, pre-aggregate with a salted
+    two-phase top-k — operators/skew.py — before this).
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        hash_bucket(F.col(id_col), salt=salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
 def _bucket_sql(expr: str, salt: str) -> str:
     return (
         f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
@@ -102,15 +135,39 @@ def q_split_distribution(spark, sf_dir: str) -> DataFrame:
     )
 
 
+QUOTA_PER_SOURCE = 30
+
+
+def q_source_quota(spark, sf_dir: str) -> DataFrame:
+    """Cap each source at QUOTA_PER_SOURCE docs, hash-uniformly."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_per_group_quota(docs, "source", "doc_id", QUOTA_PER_SOURCE).select(
+        "doc_id", "source"
+    )
+
+
 QUERIES = {
     "sample_documents_10pct": q_sample_documents,
     "split_train_val_test": q_split_distribution,
+    "sample_source_quota": q_source_quota,
 }
 
 ORACLES = {
     "sample_documents_10pct": f"""
         SELECT doc_id, lang FROM documents
         WHERE {_bucket_sql("doc_id", "")} < {int(0.10 * N_BUCKETS)}
+    """,
+    "sample_source_quota": f"""
+        SELECT doc_id, source FROM (
+          SELECT doc_id, source,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_bucket_sql("doc_id", "quota")} ASC, doc_id ASC
+                 ) AS rk
+          FROM documents
+        ) WHERE rk <= {QUOTA_PER_SOURCE}
     """,
     "split_train_val_test": f"""
         SELECT CASE

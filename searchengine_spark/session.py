@@ -40,6 +40,9 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.files.maxPartitionBytes", "128m")
+        # Python DataSource API: let custom sources (sources/jsonl.py)
+        # receive planner filters via pushFilters.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Testdata's events.ts is parquet TIMESTAMP(NANOS), which the
         # vectorized reader rejects; read as long-nanos and convert in
         # io.load_table.

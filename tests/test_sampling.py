@@ -61,3 +61,29 @@ def test_split_salt_gives_independent_assignment(docs):
     # independent assignments agree ~ sum(p_i^2) = .66; identical
     # ones agree 1.0 — assert we're nowhere near identical
     assert agree < 0.9
+
+
+def test_quota_caps_every_group_and_is_partition_stable(docs):
+    from searchengine_spark.operators.sampling import sample_per_group_quota
+
+    src = docs.withColumn("source", (F.col("doc_id") % 3).cast("string"))
+    picked = sample_per_group_quota(src, "source", "doc_id", 5)
+    per_group = {
+        r["source"]: r["n"]
+        for r in picked.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n <= 5 for n in per_group.values())
+    # repartitioning must not change which records survive
+    again = sample_per_group_quota(src.repartition(13), "source", "doc_id", 5)
+    assert {r.doc_id for r in picked.select("doc_id").collect()} == {
+        r.doc_id for r in again.select("doc_id").collect()
+    }
+
+
+def test_quota_smaller_groups_pass_through(spark):
+    from searchengine_spark.operators.sampling import sample_per_group_quota
+
+    df = spark.createDataFrame(
+        [(i, "only") for i in range(3)], "doc_id long, source string"
+    )
+    assert sample_per_group_quota(df, "source", "doc_id", 10).count() == 3
