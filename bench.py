@@ -66,6 +66,14 @@ HEADLINE = [
     "sim_tfidf_shingle_pairs",
     "stream_view_purchase_join_replay",
     "mm_png_resize_stats",
+    # round-4 (cont.): incremental index append (the O(batch) index
+    # maintenance path), SymSpell fuzzy matching over the vocabulary,
+    # and two of the adapted TPC-H completions (the heaviest shapes:
+    # dual-EXISTS decorrelation and argmin-per-group).
+    "se_index_incremental_idf",
+    "se_fuzzy_term_match",
+    "tpch_q21_waiting_returns",
+    "tpch_q2_min_cost_supplier",
 ]
 
 SERVE_QUERIES = [

@@ -26,6 +26,15 @@ Contract: batch doc_ids must be disjoint from the base corpus
 subtracts the old doc's contributions first — the same merge
 arithmetic with negated counts; not implemented here because the
 driver tables are append-shaped.
+
+Relation to streaming/index_stream.py (the other maintenance path):
+the streaming twin appends PER-DOC facts (tf, doc_length) per
+micro-batch and derives idf/avgdl lazily at query time — right when
+appends are frequent and queries tolerate an aggregate at read.
+This module merges the MATERIALIZED vocabulary-level tables — right
+when appends are batched and queries want idf/postings precomputed
+(the serving layout write_index persists). Same index type out of
+both; pick by append cadence.
 """
 
 from __future__ import annotations

@@ -1,0 +1,150 @@
+"""Data-layout operators: Z-order clustering for multi-dim skipping.
+
+Parquet data skipping is row-group min/max pruning: a filter skips a
+row group iff the predicate can't be true inside the group's [min,
+max]. Sorting by ONE column makes its ranges tight and every other
+column's ranges full-width; a 100 TB table queried by BOTH user_id
+and time (or brand and size) needs a layout where every sorted-on
+dimension's ranges are narrow. Z-ordering delivers that: sort by the
+bit-interleave of the (rank-normalized) dimensions, so row groups
+become hypercubes in dimension space instead of slabs.
+
+All Column arithmetic (shifts/masks in whole-stage codegen) — no
+UDF, no shuffle beyond the final range-partitioning sort that any
+clustered write pays. Rank normalization uses ntile so arbitrary
+value distributions (skewed, negative, sparse) spread uniformly
+across the curve.
+
+This is a WRITE-TIME layout choice, verified by reading back parquet
+footers (tests/test_layout.py measures row groups pruned for 2-dim
+point queries: z-ordered ~sqrt(N) touched vs slab layouts' N).
+Delta/Iceberg expose the same thing as OPTIMIZE ZORDER BY; this is
+the engine-level mechanism.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ZBITS = 16  # bits per dimension; 2 dims -> 32-bit key
+
+
+def _spread_bits(col: Column, bits: int = ZBITS) -> Column:
+    """Insert a 0 between consecutive bits of a `bits`-wide int
+    (classic morton spread, log-steps with shift/mask Columns)."""
+    x = col.cast("bigint")
+    # magic-number spread for 16 -> 32 bits, applied in 4 log-steps
+    # (NB: Column `|`/`&` are LOGICAL or/and — bitwise needs the
+    # explicit bitwiseOR/bitwiseAND methods)
+    x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    x = x.bitwiseOR(F.shiftleft(x, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return x
+
+
+def zorder_key(a: Column, b: Column, *, bits: int = ZBITS) -> Column:
+    """Morton interleave of two ALREADY-NORMALIZED ints in
+    [0, 2^bits)."""
+    return _spread_bits(a, bits).bitwiseOR(F.shiftleft(_spread_bits(b, bits), 1))
+
+
+def with_zorder_rank_key(
+    df: DataFrame, col_a: str, col_b: str, *, bits: int = ZBITS, key_col: str = "_zkey"
+) -> DataFrame:
+    """Add a z-key over the RANK of each dimension (ntile over 2^bits
+    buckets): distribution-free, handles negatives/skew/floats.
+
+    Scale note: ntile is a global-window rank — at true 100 TB swap
+    in approxQuantile cutpoints broadcast as a bucketizer (sampled
+    quantiles are fine; z-order quality degrades gracefully with
+    bucket error). The exact ntile keeps the test deterministic.
+    """
+    from pyspark.sql import Window
+
+    n = 1 << bits
+    wa = Window.orderBy(F.col(col_a))
+    wb = Window.orderBy(F.col(col_b))
+    return (
+        df.withColumn("_za", F.ntile(n).over(wa) - 1)
+        .withColumn("_zb", F.ntile(n).over(wb) - 1)
+        .withColumn(key_col, zorder_key(F.col("_za"), F.col("_zb"), bits=bits))
+        .drop("_za", "_zb")
+    )
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    *,
+    n_files: int = 0,
+    block_size_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Write parquet range-clustered on ``sort_cols``: global order
+    across files (repartitionByRange) + order within files, so the
+    row-group stats (one group per ``block_size_bytes``) are tight on
+    the sort key. Default block size is the parquet production
+    default; tests shrink it to force many groups at toy scale."""
+    n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism // 4, 1)
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.option("parquet.block.size", block_size_bytes)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    *,
+    bits: int = ZBITS,
+    n_files: int = 0,
+    block_size_bytes: int = 128 * 1024 * 1024,
+) -> None:
+    """Write parquet clustered on the z-curve of (col_a, col_b); the
+    key column is dropped — the LAYOUT is the artifact, not the key."""
+    keyed = with_zorder_rank_key(df, col_a, col_b, bits=bits)
+    n_files = n_files or max(df.sparkSession.sparkContext.defaultParallelism // 4, 1)
+    (
+        keyed.repartitionByRange(n_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.option("parquet.block.size", block_size_bytes)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def row_groups_touched(path: str, constraints: list[tuple[str, object, object]]) -> tuple[int, int]:
+    """(touched, total) row groups whose per-column [min,max] ranges
+    intersect EVERY (col, lo, hi) constraint — footer-only, exactly
+    the pruning decision a parquet scan's pushed filters make."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    touched = total = 0
+    for f in _glob.glob(os.path.join(path, "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        schema = md.schema.to_arrow_schema()
+        idxs = {c: schema.get_field_index(c) for c, _, _ in constraints}
+        for g in range(md.num_row_groups):
+            total += 1
+            hit = True
+            for c, lo, hi in constraints:
+                stats = md.row_group(g).column(idxs[c]).statistics
+                if stats is None or stats.min is None:
+                    continue  # no stats -> can't prune on this column
+                if stats.max < lo or stats.min > hi:
+                    hit = False
+                    break
+            if hit:
+                touched += 1
+    return touched, total
