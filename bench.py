@@ -115,6 +115,20 @@ def main() -> None:
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Machine-speed calibration: a fixed CPU-bound probe timed before
+    # and after the headline set. The host VM's throughput swings
+    # 2-5x run-to-run (noisy neighbors); calib_* lets a reader
+    # normalize per-query numbers across rounds instead of reading
+    # environment noise as code regressions.
+    def _calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(200_000_000).select(
+            F.sum((F.col("id") * 2654435761 % 1000003)).alias("s")
+        ).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    calib_start = _calibrate()
+
     # One broken query must never zero the whole bench: every section
     # is try/except'd; failures land in "errors" and the rest still
     # report timings.
@@ -190,6 +204,8 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["se_index_build_nltk_parity"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    calib_end = _calibrate()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
@@ -197,6 +213,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_start_sec": calib_start,
+        "calib_end_sec": calib_end,
     }
     if build_rate is not None:
         out["index_build_docs_per_sec"] = build_rate

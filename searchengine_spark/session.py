@@ -48,6 +48,10 @@ def get_spark(
         # io.load_table.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver heap IS the executor heap; the query
+        # registry session-caches dozens of frames, and an 8g heap
+        # measurably thrashes (cache eviction + GC) at sf0.1 with the
+        # full headline set. The box has 128 GiB.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "28g"))
     )
     return builder.getOrCreate()
