@@ -51,6 +51,15 @@ QUERIES = (
     "emb_semdedup_prune",
     "events_anomaly_zscore",
     "stream_view_purchase_join_replay",
+    # round-4 (cont.): incremental index append (batch stays fixed
+    # 10% of a growing corpus — per-append cost must track corpus
+    # vocab, not corpus tokens), SymSpell variant join (vocab-bound),
+    # span scrubbing (rewrite fan-out), per-source quota (skewed
+    # window), and the fixed-probe-set fuzzy match.
+    "se_index_incremental_idf",
+    "se_fuzzy_term_match",
+    "dedup_span_scrubbed_docs",
+    "sample_source_quota",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 

@@ -77,7 +77,13 @@ def suggest_terms(
 ) -> DataFrame:
     """Spell-correction surface: vocabulary terms within edit distance,
     ranked by (distance, doc_freq desc). Native levenshtein — a
-    map-only scan over the (small) vocabulary table."""
+    map-only scan over the (small) vocabulary table.
+
+    This is the one-term interactive path (one linear vocab scan per
+    call, max_distance unrestricted). For batch correction or a
+    vocabulary too large to scan per query, index/fuzzy.py generates
+    distance-1 candidates by deletion-variant EQUI-join — no scan,
+    no cross join."""
     return (
         vocabulary.withColumn(
             "distance", F.levenshtein(F.col("word"), F.lit(query_term))

@@ -53,16 +53,35 @@ class SearchService:
         # 1-2 min cold start inside the first Streamlit interaction).
         self._index.scoring_params.collect()
 
-    def query(self, q: str, k: int = 10) -> list[dict[str, Any]]:
-        """Top-k hits with highlighted snippets, as plain dicts."""
+    def query(
+        self, q: str, k: int = 10, *, fuzzy: bool = False
+    ) -> list[dict[str, Any]]:
+        """Top-k hits with highlighted snippets, as plain dicts.
+
+        ``fuzzy``: query terms missing from the vocabulary are
+        replaced by their closest in-vocabulary suggestion (distance
+        then doc_freq) before scoring — typo tolerance the reference
+        lacks (its unknown terms silently contribute nothing)."""
         from searchengine_spark.index.bm25 import highlight, search, snippets
 
-        hits = search(self._index, q, k=k, stem=self._stem)
+        highlight_q = q
+        if fuzzy:
+            from searchengine_spark.index.phrase import search_with_correction
+
+            hits, corrections = search_with_correction(
+                self._index, q, k=k, stem=self._stem
+            )
+            # highlight what was actually SEARCHED, not the typo
+            for typo, fixed in corrections.items():
+                if fixed:
+                    highlight_q = highlight_q.replace(typo, fixed)
+        else:
+            hits = search(self._index, q, k=k, stem=self._stem)
         rows = (
             highlight(
                 snippets(hits, self._docs, max_len=self._snippet_len),
                 "snippet",
-                q,
+                highlight_q,
             )
             .collect()  # k rows, post-limit — the only driver collect
         )
@@ -103,8 +122,12 @@ def make_http_server(service: SearchService, port: int = 0):
             if not q:
                 self._reply(400, {"error": "missing query parameter q"})
                 return
+            fuzzy = (params.get("fuzzy") or ["0"])[0] in ("1", "true", "yes")
             try:
-                self._reply(200, {"query": q, "results": service.query(q, k=k)})
+                self._reply(
+                    200,
+                    {"query": q, "results": service.query(q, k=k, fuzzy=fuzzy)},
+                )
             except Exception as exc:  # noqa: BLE001 — a bad query must not kill the server
                 self._reply(500, {"error": f"{type(exc).__name__}: {exc}"[:300]})
 

@@ -61,3 +61,27 @@ def test_service_query_empty_and_unknown_terms(spark, sf_dir):
     service = SearchService(spark, sf_dir)
     assert service.query("the a") == []  # stopword-only
     assert service.query("zzzzunknown") == []  # out-of-vocab
+
+
+def test_fuzzy_param_corrects_typos(spark, sf_dir):
+    from searchengine_spark.serve import SearchService, make_http_server
+
+    service = SearchService(spark, sf_dir)
+    server = make_http_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        # 'sparkk' is out-of-vocabulary: strict search returns nothing,
+        # fuzzy corrects it to 'spark' and returns the same hits
+        status, strict = _get(port, "/search?q=sparkk&k=3")
+        assert status == 200 and strict["results"] == []
+        status, fuzzy = _get(port, "/search?q=sparkk&k=3&fuzzy=1")
+        assert status == 200 and len(fuzzy["results"]) > 0
+        status, plain = _get(port, "/search?q=spark&k=3")
+        assert [r["doc_id"] for r in fuzzy["results"]] == [
+            r["doc_id"] for r in plain["results"]
+        ]
+    finally:
+        server.shutdown()
+        server.server_close()
