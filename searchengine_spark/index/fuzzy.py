@@ -32,21 +32,40 @@ FUZZY_QUERY_TERMS = ("spark", "joim", "windoe", "fastt", "tabel", "qqqqq")
 MAX_DIST = 1
 
 
-def deletion_variants(col: str) -> Column:
-    """array<string>: the word itself plus every single-character
-    deletion (SymSpell candidate key set for edit distance 1).
-    ``col`` is a column NAME (interpolated into a SQL lambda)."""
-    deletions = F.expr(
+def _deletions_expr(base: str) -> str:
+    """SQL for the array of single-character deletions of ``base``
+    (a SQL string expression)."""
+    return (
         "transform(sequence(1, length({0})), i -> "
-        "concat(substring({0}, 1, i-1), substring({0}, i+1, length({0})-i)))".format(col)
-    )
-    return F.array_union(F.array(F.col(col)), deletions)
+        "concat(substring({0}, 1, i-1), substring({0}, i+1, length({0})-i)))"
+    ).format(base)
 
 
-def _variant_frame(df: DataFrame, word_col: str, out_col: str) -> DataFrame:
+def deletion_variants(col: str, *, max_deletes: int = 1) -> Column:
+    """array<string>: the word plus every way of deleting up to
+    ``max_deletes`` characters (SymSpell candidate key set for edit
+    distance == max_deletes). ``col`` is a column NAME (interpolated
+    into SQL lambdas). Depth 2 nests the deletion transform over each
+    depth-1 variant and flattens — still a per-row expression, no
+    join, ~len^2/2 keys per word."""
+    if max_deletes not in (1, 2):
+        raise ValueError("max_deletes must be 1 or 2")
+    d1 = F.expr(_deletions_expr(col))
+    out = F.array_union(F.array(F.col(col)), d1)
+    if max_deletes == 2:
+        d2 = F.expr(
+            f"flatten(transform({_deletions_expr(col)}, v -> {_deletions_expr('v')}))"
+        )
+        out = F.array_union(out, d2)
+    return F.array_distinct(out)
+
+
+def _variant_frame(
+    df: DataFrame, word_col: str, out_col: str, *, max_deletes: int = 1
+) -> DataFrame:
     return df.select(
         F.col(word_col),
-        F.explode(deletion_variants(word_col)).alias(out_col),
+        F.explode(deletion_variants(word_col, max_deletes=max_deletes)).alias(out_col),
     )
 
 
@@ -63,15 +82,21 @@ def fuzzy_term_matches(
     ``vocab``: (word, doc_freq) — e.g. idf_values. The query-term
     variant set is tiny and broadcasts; distinct() collapses pairs
     that share several variants before the levenshtein filter runs.
+    ``max_dist`` 1 or 2 — depth-d deletion sets on both sides are
+    exhaustive for Levenshtein distance <= d (every edit script of
+    length <= d factors into <= d deletions on each side reaching a
+    common string), so the post-join filter only discards.
     """
-    if max_dist != 1:
-        raise ValueError("deletion-variant candidates cover max_dist=1 only")
+    if max_dist not in (1, 2):
+        raise ValueError("deletion-variant candidates cover max_dist 1 or 2")
     spark = vocab.sparkSession
-    qterms = spark.createDataFrame([(t,) for t in terms], f"term string")
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
     cand = (
-        _variant_frame(vocab.select(word_col), word_col, "variant")
+        _variant_frame(vocab.select(word_col), word_col, "variant", max_deletes=max_dist)
         .join(
-            F.broadcast(_variant_frame(qterms, "term", "variant")),
+            F.broadcast(
+                _variant_frame(qterms, "term", "variant", max_deletes=max_dist)
+            ),
             "variant",
         )
         .select("term", word_col)

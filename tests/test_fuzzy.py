@@ -65,3 +65,28 @@ def test_no_cartesian_in_plan(spark):
     )
     plan = fuzzy_term_matches(vocab, ("spark",))._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+
+@pytest.mark.parametrize(
+    "terms",
+    [
+        ("spark", "sprk", "sprrk"),        # 1- and 2-deletion typos
+        ("wnidow", "windwo", "jion"),      # transpositions (= 2 subs)
+        ("tble", "cble", "zz", ""),        # deletions, misses, empty
+    ],
+)
+def test_distance2_matches_brute_force(spark, terms):
+    vocab = spark.createDataFrame(
+        [(w, 1) for w in VOCAB], "word string, doc_freq long"
+    )
+    got = {
+        (r["term"], r["word"], r["dist"])
+        for r in fuzzy_term_matches(vocab, terms, max_dist=2).collect()
+    }
+    assert got == _brute(VOCAB, terms, max_dist=2)
+
+
+def test_rejects_unsupported_distance(spark):
+    vocab = spark.createDataFrame([("a", 1)], "word string, doc_freq long")
+    with pytest.raises(ValueError):
+        fuzzy_term_matches(vocab, ("a",), max_dist=3)
