@@ -137,7 +137,14 @@ def main() -> None:
         "note": (
             "sf0.1 replicated with disjoint key offsets; sec per query per "
             "scale. ratio_x5 = t(x5)/t(x1); linear work => ratio ~<= 5 "
-            "(sub-5 is common: fixed per-query overhead amortizes)."
+            "(sub-5 is common: fixed per-query overhead amortizes). "
+            "Caveat for the near-dup PAIR queries: replication makes every "
+            "doc a 5-way duplicate, so their OUTPUT (pairs within a dup "
+            "group) grows ~25x at x5 by construction — ratios up to ~10 "
+            "there reflect output volume, not an engine blow-up. This soak "
+            "caught a real one in round 4: fixed-K SemDeDup went 47x "
+            "(10.6s -> 502s) at x5; adaptive k (kmeans.TARGET_CLUSTER_SIZE) "
+            "brought it to 2.6x."
         ),
         "queries": {},
     }

@@ -65,6 +65,15 @@ from searchengine_spark.operators.similarity import cosine_expr
 FP_SCALE = 10_000  # fixed-point resolution 1e-4
 K = 8
 ITERS = 3
+# SemDeDup's quadratic term is sum over clusters of |cluster|^2, so
+# cluster COUNT must scale with the data (Abbas et al. use ~100k
+# clusters at LAION scale): k = max(K, n // TARGET_CLUSTER_SIZE)
+# bounds within-cluster pair work at ~n * TARGET and keeps the
+# cluster key-space (join parallelism) growing with n. The round-4
+# soak caught the fixed-K version going 47x at 5x data. At every
+# driver/testdata scale (<= 2000 vectors) the formula yields exactly
+# K=8, so the static DuckDB oracles (_kmeans_ctes(k=K)) stay exact.
+TARGET_CLUSTER_SIZE = 250
 SEMDEDUP_THETA = 0.35  # testdata embeddings are near-random (max
 # pairwise cosine ~0.44), so a production-style 0.95 would prune
 # nothing; 0.35 exercises the prune path with a stable margin from
@@ -158,17 +167,23 @@ def _update_centroids(
 def kmeans_fit_assign(
     emb: DataFrame,
     *,
-    k: int = K,
+    k: int | None = None,
     iters: int = ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Run the full deterministic Lloyd loop; returns
-    (id_col, cluster, dist) under the FINAL centroids."""
+    (id_col, cluster, dist) under the FINAL centroids.
+
+    ``k=None`` (default) adapts the cluster count to the data:
+    max(K, n // TARGET_CLUSTER_SIZE). Pass an explicit k to pin it.
+    """
     quant = emb.select(
         F.col(id_col), fixed_point_vec(vec_col).alias("qvec")
     ).persist()
     try:
+        if k is None:
+            k = max(K, quant.count() // TARGET_CLUSTER_SIZE)
         init_rows = (
             quant.filter(F.col(id_col) < k).orderBy(id_col).collect()
         )

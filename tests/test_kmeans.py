@@ -113,3 +113,46 @@ def test_iters_reduce_total_distortion(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert final_total <= init_total
+
+
+def test_adaptive_k_scales_with_data(spark):
+    """Fixed K makes SemDeDup's within-cluster pair work quadratic in
+    data size (the round-4 soak measured 47x at 5x data); the default
+    k must grow once clusters would exceed TARGET_CLUSTER_SIZE."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.operators.kmeans import (
+        K,
+        TARGET_CLUSTER_SIZE,
+        kmeans_fit_assign,
+    )
+
+    n = TARGET_CLUSTER_SIZE * (K + 4)  # => adaptive k = K + 4
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            (F.col("id") % 7).cast("float"),
+            (F.col("id") % 11).cast("float"),
+            (F.col("id") % 13).cast("float"),
+        ).alias("embedding"),
+    )
+    assigned = kmeans_fit_assign(emb)
+    n_clusters = assigned.select("cluster").distinct().count()
+    assert n_clusters > K  # more clusters than the fixed floor
+    biggest = (
+        assigned.groupBy("cluster").count().agg(F.max("count")).collect()[0][0]
+    )
+    # clusters need not be balanced, but the blow-up guard is that the
+    # largest cluster stays data-bounded, not n-bounded
+    assert biggest < n / 2
+
+
+def test_testdata_scales_keep_k_eight(spark, sf_dir):
+    """Every driver/testdata sf has <= 2000 vectors, so the adaptive
+    default must still produce exactly K clusters there — otherwise
+    the static DuckDB oracles (built with k=K) would diverge."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.kmeans import K, TARGET_CLUSTER_SIZE
+
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert max(K, n // TARGET_CLUSTER_SIZE) == K
