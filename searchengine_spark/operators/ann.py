@@ -77,7 +77,7 @@ def build_ann_index(
 def build_ivf_index(
     embeddings: DataFrame,
     *,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
@@ -88,8 +88,17 @@ def build_ivf_index(
     the assignment table is written partitioned by centroid_id so a
     probe reads only n_probe partitions.
 
+    ``n_centroids=None`` defaults to max(16, ~sqrt(n)) — the standard
+    IVF sizing: per-probe candidate work is n/nlist, so a FIXED nlist
+    makes every probe scan linearly more data as the corpus grows
+    (the fixed-K hazard the round-4 soak caught in SemDeDup); sqrt(n)
+    balances probe cost against centroid-ranking cost. Pass an
+    explicit value to pin it (tests do, for stable recall goldens).
+
     Returns (assignments DF, centroids as list[list[float]]).
     """
+    if n_centroids is None:
+        n_centroids = max(16, int(embeddings.count() ** 0.5))
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
@@ -348,14 +357,14 @@ def ann_search(
 # --------------------------------------------------------------- queries
 
 def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for a fixed query vector (vec_id=3), probing
-    4/16 centroids. Rows-only driver check: KMeans training is not
-    SQL-expressible; recall and partition-pruning are covered by
-    tests/test_ann.py instead."""
+    """IVF ANN top-10 for a fixed query vector (vec_id=3), probing 4
+    of the adaptively-sized centroid set. Rows-only driver check:
+    KMeans training is not SQL-expressible; recall and
+    partition-pruning are covered by tests/test_ann.py instead."""
     from searchengine_spark.io import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = build_ivf_index(emb, n_centroids=16)
+    assigned, centroids = build_ivf_index(emb)
     qvec = [
         float(x)
         for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
