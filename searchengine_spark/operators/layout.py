@@ -51,19 +51,53 @@ def zorder_key(a: Column, b: Column, *, bits: int = ZBITS) -> Column:
 
 
 def with_zorder_rank_key(
-    df: DataFrame, col_a: str, col_b: str, *, bits: int = ZBITS, key_col: str = "_zkey"
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    *,
+    bits: int = ZBITS,
+    key_col: str = "_zkey",
+    exact: bool = True,
 ) -> DataFrame:
-    """Add a z-key over the RANK of each dimension (ntile over 2^bits
-    buckets): distribution-free, handles negatives/skew/floats.
+    """Add a z-key over the RANK of each dimension — distribution-
+    free, handles negatives/skew/floats.
 
-    Scale note: ntile is a global-window rank — at true 100 TB swap
-    in approxQuantile cutpoints broadcast as a bucketizer (sampled
-    quantiles are fine; z-order quality degrades gracefully with
-    bucket error). The exact ntile keeps the test deterministic.
+    ``exact=True``: ntile windows — a GLOBAL sort per dimension.
+    Deterministic (tests) but single-task at the merge; use for
+    datasets that fit a sort.
+    ``exact=False``: the 100 TB path — approxQuantile cutpoints
+    (one sampled aggregate per dimension, no global sort) baked into
+    the plan as a literal bucket boundary array searched per-row.
+    Z-order quality degrades gracefully with quantile error: a
+    slightly-off boundary only blurs tile edges.
     """
+    if not exact:
+        # Rank resolution beyond ~row-group granularity buys nothing
+        # (tiles are row-group sized); clamp so the in-plan cutpoint
+        # array and the per-row comparisons stay small.
+        bits = min(bits, 10)
+    n = 1 << bits
+    if not exact:
+        eps = 1.0 / (4 * n)
+        out = df
+        for c, tmp in ((col_a, "_za"), (col_b, "_zb")):
+            cuts = df.selectExpr(f"cast({c} as double) as _v").approxQuantile(
+                "_v", [i / n for i in range(1, n)], eps
+            )
+            arr = F.array(*[F.lit(float(x)) for x in cuts])
+            # bucket = #cutpoints strictly below the value (binary
+            # search would need a UDF; filter+size is codegen-able
+            # and the array is in-plan constant)
+            out = out.withColumn(
+                tmp,
+                F.size(F.filter(arr, lambda x: x <= F.col(c).cast("double"))),
+            )
+        return out.withColumn(
+            key_col, zorder_key(F.col("_za"), F.col("_zb"), bits=bits)
+        ).drop("_za", "_zb")
+
     from pyspark.sql import Window
 
-    n = 1 << bits
     wa = Window.orderBy(F.col(col_a))
     wb = Window.orderBy(F.col(col_b))
     return (

@@ -85,3 +85,29 @@ def test_rank_key_handles_skew_and_negatives(spark):
     keyed = with_zorder_rank_key(df, "a", "b", bits=2)
     zs = [r["_zkey"] for r in keyed.collect()]
     assert len(zs) == 5 and all(z is not None and z >= 0 for z in zs)
+
+
+def test_approx_rank_key_close_to_exact(grid, tmp_path):
+    """The approxQuantile path (no global sort) must produce a layout
+    whose pruning behavior matches the exact path's within noise."""
+    from searchengine_spark.operators.layout import with_zorder_rank_key
+
+    exact = with_zorder_rank_key(grid, "x", "y", bits=8)
+    approx = with_zorder_rank_key(grid, "x", "y", bits=8, exact=False)
+    assert approx.count() == exact.count()
+    # pruning check: write both, same 2-dim box, similar touched counts
+    d1, d2 = str(tmp_path / "ex"), str(tmp_path / "ap")
+    write_zordered(grid, d1, "x", "y", n_files=2, block_size_bytes=BLOCK)
+    # direct approx-layout write: same clustering steps as write_zordered
+    (
+        approx.repartitionByRange(2, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.option("parquet.block.size", BLOCK)
+        .mode("overwrite")
+        .parquet(d2)
+    )
+    box = [("x", 40, 49), ("y", 40, 49)]
+    t1, n1 = row_groups_touched(d1, box)
+    t2, n2 = row_groups_touched(d2, box)
+    assert t2 / n2 <= 2.5 * max(t1 / n1, 1 / n1)
