@@ -1,4 +1,6 @@
-"""Fuzzy (edit-distance) term matching via SymSpell deletion variants.
+"""Fuzzy (edit-distance) term matching via SymSpell deletion variants
+(Garbe's public symmetric-delete spelling-correction algorithm),
+re-expressed as a Spark equi-join.
 
 Gives the search engine typo tolerance (the reference has none — its
 query terms either hit the vocabulary or silently contribute nothing,
