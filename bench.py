@@ -156,7 +156,8 @@ def main() -> None:
     from searchengine_spark.io import load_table
 
     try:
-        idx = build_index(load_table(spark, sf_dir, "documents")).cache()
+        # serving layout: few-partition cache (see InvertedIndex.coalesce)
+        idx = build_index(load_table(spark, sf_dir, "documents")).coalesce(4).cache()
         search(idx, SERVE_QUERIES[0], k=10).collect()  # populate caches
         t0 = time.perf_counter()
         for q in SERVE_QUERIES:

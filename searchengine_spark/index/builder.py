@@ -56,6 +56,25 @@ class InvertedIndex:
             df.cache()
         return self
 
+    def coalesce(self, n: int) -> "InvertedIndex":
+        """Serving layout: shrink the core tables to ``n`` partitions
+        before caching. An interactive query over a cached index is
+        task-scheduling-bound, not data-bound — at sf0.1 the default
+        32-partition cache costs ~800 ms/query vs ~400 ms at 4
+        partitions (measured; each of the query's stages schedules a
+        task per partition for kilobytes of hits). Size n to the hot
+        set: a few partitions per executor that serves queries; the
+        100 TB COLD index stays in bucketed parquet (write_index) and
+        never lives in one cache anyway."""
+        return InvertedIndex(
+            term_frequencies=self.term_frequencies.coalesce(n),
+            doc_lengths=self.doc_lengths.coalesce(n),
+            idf_values=self.idf_values.coalesce(n),
+            inverted_index=self.inverted_index.coalesce(n),
+            scoring_params=self.scoring_params,
+            flat_words=self.flat_words,
+        )
+
 
 def build_index(
     docs: DataFrame,
