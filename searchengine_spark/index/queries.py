@@ -39,7 +39,11 @@ def _index(spark: SparkSession, sf_dir: str):
 
     return session_cached(
         spark, "index", sf_dir,
-        lambda: build_index(load_table(spark, sf_dir, "documents")).cache(),
+        # few-partition cache: the whole se_* family is small-result
+        # scheduling-bound over this index (see InvertedIndex.coalesce)
+        lambda: build_index(load_table(spark, sf_dir, "documents"))
+        .coalesce(8)
+        .cache(),
     )
 
 
@@ -202,7 +206,9 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, "index-stemmed", sf_dir,
         lambda: build_index(
             load_table(spark, sf_dir, "documents"), stem=True
-        ).cache(),
+        )
+        .coalesce(8)
+        .cache(),
     )
     res = search(idx, STEMMED_QUERY, k=BM25_K + 20, stem=True)
     return (
