@@ -30,6 +30,7 @@ _MODULES = (
     "relational.tpch_extra",
     "relational.events",
     "relational.advanced",
+    "relational.incremental_agg",
     "operators.dedup",
     "operators.similarity",
     "operators.multimodal",
