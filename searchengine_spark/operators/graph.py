@@ -1,0 +1,150 @@
+"""Fixed-point PageRank over document-similarity graphs.
+
+Why here: after near-dup detection, an LLM-curation pipeline must
+pick ONE canonical document per duplicate neighborhood. Keep-lowest-
+id (the convention in operators/dedup.py) is arbitrary; centrality
+on the near-dup graph is a principled alternative — the doc most
+connected to its duplicates is the best exemplar of the group. This
+module ranks nodes of the LSH candidate graph with PageRank
+(Brin & Page 1998, public).
+
+Hash-provable iteration: like the fixed-point k-means
+(operators/kmeans.py), all arithmetic is scaled-INTEGER — ranks are
+bigints at scale 1e12, contributions use integer division
+(`div` / DuckDB `//`, identical truncation on positive values), and
+the damping factor is the exact rational 85/100. Every engine
+computes bit-identical ranks, so the driver hash-checks the full
+iterative computation against an unrolled-CTE DuckDB oracle — no
+float tolerance anywhere.
+
+Scale shape per iteration: one equi-join ranks⋈edges on src (both
+sides partitioned by the join key across iterations), one keyed sum
+on dst. Degrees are precomputed once. 3 iterations keeps lineage
+shallow enough to skip checkpointing; a longer loop would reuse the
+_cut_lineage policy from operators/dedup.py. Dangling nodes cannot
+exist here (the similarity graph is symmetrized), so no global
+dangling-mass redistribution term is needed; a general web-graph
+variant would add one keyed aggregate per iteration for it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+DAMP_NUM, DAMP_DEN = 85, 100
+
+
+def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """(a<b) candidate pairs -> directed edge list both ways."""
+    fwd = pairs.select(F.col(a).alias("src"), F.col(b).alias("dst"))
+    rev = pairs.select(F.col(b).alias("src"), F.col(a).alias("dst"))
+    return fwd.unionByName(rev).distinct()
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    *,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, rank_fp) after ``iters`` damped power-method rounds in
+    scale-``scale`` integer arithmetic. ``edges`` must be symmetric
+    (see symmetrize) so every node keeps receiving mass."""
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+
+    # base teleport term: ((100-85) * scale) // (100 * n) — exact ints
+    ranks = deg.crossJoin(F.broadcast(n)).select(
+        F.col("src").alias("node"),
+        F.expr(f"cast({scale} as bigint) div n").alias("r"),
+        F.expr(f"({DAMP_DEN - DAMP_NUM} * cast({scale} as bigint)) div ({DAMP_DEN} * n)").alias(
+            "base"
+        ),
+    )
+    ed = edges.join(deg, "src")
+    for _ in range(iters):
+        contribs = (
+            ed.join(ranks, ed.src == ranks.node)
+            .select("dst", F.expr("r div deg").alias("c"), "base")
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"), F.first("base").alias("base"))
+        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (F.col("base") + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}")).alias("r"),
+            "base",
+        )
+    return ranks.select("node", F.col("r").alias("rank_fp"))
+
+
+# ------------------------------------------------------- registry glue
+
+
+def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the LSH near-dup candidate graph: which document
+    is the most central exemplar of its duplicate neighborhood."""
+    from searchengine_spark.operators.dedup import (
+        _shingles,
+        minhash_bands,
+        neardup_candidate_pairs,
+    )
+
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    return pagerank_fixed_point(symmetrize(pairs)).select(
+        F.col("node").alias("doc_id"), "rank_fp"
+    )
+
+
+QUERIES = {"dedup_pagerank_centrality": q_pagerank_centrality}
+
+
+def _oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    from searchengine_spark.operators.dedup import _BANDS_CTE
+
+    head = f"""{_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+    nn AS (SELECT COUNT(*)::BIGINT AS n FROM deg),
+    r0 AS (
+      SELECT src AS node,
+             {scale}::BIGINT // n AS r,
+             ({DAMP_DEN - DAMP_NUM}::BIGINT * {scale}::BIGINT) // ({DAMP_DEN}::BIGINT * n) AS base
+      FROM deg, nn
+    )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    r{i} AS (
+      SELECT e.dst AS node,
+             any_value(p.base)
+               + ({DAMP_NUM}::BIGINT * CAST(SUM(p.r // d.deg) AS BIGINT))
+                 // {DAMP_DEN}::BIGINT AS r,
+             any_value(p.base) AS base
+      FROM edges e
+      JOIN r{i - 1} p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r{iters}"
+    )
+
+
+ORACLES = {"dedup_pagerank_centrality": _oracle()}

@@ -32,6 +32,7 @@ _MODULES = (
     "relational.advanced",
     "relational.incremental_agg",
     "operators.dedup",
+    "operators.graph",
     "operators.similarity",
     "operators.multimodal",
     "operators.ann",

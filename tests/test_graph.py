@@ -1,0 +1,48 @@
+"""Fixed-point PageRank: structural properties on known graphs and
+bit-determinism under repartitioning."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.graph import (
+    PR_SCALE,
+    pagerank_fixed_point,
+    symmetrize,
+)
+
+
+def _pairs(spark, edges):
+    return spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+
+def test_star_center_ranks_highest(spark):
+    # star: 0 connected to 1..5; center must out-rank every leaf
+    pairs = _pairs(spark, [(0, i) for i in range(1, 6)])
+    r = {row["node"]: row["rank_fp"] for row in pagerank_fixed_point(symmetrize(pairs)).collect()}
+    assert all(r[0] > r[i] for i in range(1, 6))
+    leaf_ranks = {r[i] for i in range(1, 6)}
+    assert len(leaf_ranks) == 1  # symmetry: identical leaves tie exactly
+
+
+def test_ring_is_uniform_and_mass_conserved(spark):
+    ring = _pairs(spark, [(i, (i + 1) % 8) for i in range(8)])
+    rows = pagerank_fixed_point(symmetrize(ring)).collect()
+    ranks = {r["rank_fp"] for r in rows}
+    assert len(ranks) == 1  # perfect symmetry -> identical fixed-point ranks
+    total = sum(r["rank_fp"] for r in rows)
+    # integer truncation loses a little mass but stays near SCALE
+    assert 0.99 * PR_SCALE < total <= PR_SCALE
+
+
+def test_deterministic_under_repartition(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = list({(rng.randrange(50), rng.randrange(50)) for _ in range(120)})
+    edges = [(a, b) for a, b in edges if a != b]
+    p = _pairs(spark, edges)
+    a = sorted(map(tuple, pagerank_fixed_point(symmetrize(p)).collect()))
+    b = sorted(
+        map(tuple, pagerank_fixed_point(symmetrize(p.repartition(13))).collect())
+    )
+    assert a == b  # integer arithmetic: bit-equal on any layout
