@@ -74,6 +74,10 @@ HEADLINE = [
     "se_fuzzy_term_match",
     "tpch_q21_waiting_returns",
     "tpch_q2_min_cost_supplier",
+    # round-4 (cont.): materialized-rollup IVM merge and the
+    # iterative fixed-point PageRank over the near-dup graph.
+    "events_incremental_rollup",
+    "dedup_pagerank_centrality",
 ]
 
 SERVE_QUERIES = [

@@ -33,6 +33,7 @@ _MODULES = (
     "relational.incremental_agg",
     "operators.dedup",
     "operators.graph",
+    "operators.setjoin",
     "operators.similarity",
     "operators.multimodal",
     "operators.ann",
