@@ -78,6 +78,7 @@ HEADLINE = [
     # iterative fixed-point PageRank over the near-dup graph.
     "events_incremental_rollup",
     "dedup_pagerank_centrality",
+    "dedup_prefix_jaccard_pairs",
 ]
 
 SERVE_QUERIES = [
