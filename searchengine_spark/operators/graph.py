@@ -53,31 +53,41 @@ def pagerank_fixed_point(
     """(node, rank_fp) after ``iters`` damped power-method rounds in
     scale-``scale`` integer arithmetic. ``edges`` must be symmetric
     (see symmetrize) so every node keeps receiving mass."""
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    from searchengine_spark.operators.dedup import _cut_lineage
 
-    # base teleport term: ((100-85) * scale) // (100 * n) — exact ints
-    ranks = deg.crossJoin(F.broadcast(n)).select(
-        F.col("src").alias("node"),
-        F.expr(f"cast({scale} as bigint) div n").alias("r"),
-        F.expr(f"({DAMP_DEN - DAMP_NUM} * cast({scale} as bigint)) div ({DAMP_DEN} * n)").alias(
-            "base"
-        ),
-    )
-    ed = edges.join(deg, "src")
-    for _ in range(iters):
-        contribs = (
-            ed.join(ranks, ed.src == ranks.node)
-            .select("dst", F.expr("r div deg").alias("c"), "base")
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"), F.first("base").alias("base"))
+    # Persist the loop-invariant frames: without this, iteration i's
+    # lineage embeds the edge-derivation subtree (here: the whole LSH
+    # banding pipeline) once per join per round — ~8 re-executions at
+    # 3 iterations (measured 21 s -> ~3 s at sf0.1).
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ed = edges.join(deg, "src").persist()
+    try:
+        n = deg.agg(F.count(F.lit(1)).alias("n"))
+
+        # base teleport term: ((100-85)*scale) // (100*n) — exact ints
+        ranks = deg.crossJoin(F.broadcast(n)).select(
+            F.col("src").alias("node"),
+            F.expr(f"cast({scale} as bigint) div n").alias("r"),
+            F.expr(
+                f"({DAMP_DEN - DAMP_NUM} * cast({scale} as bigint)) div ({DAMP_DEN} * n)"
+            ).alias("base"),
         )
-        ranks = contribs.select(
-            F.col("dst").alias("node"),
-            (F.col("base") + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}")).alias("r"),
-            "base",
-        )
-    return ranks.select("node", F.col("r").alias("rank_fp"))
+        for _ in range(iters):
+            contribs = (
+                ed.join(ranks, ed.src == ranks.node)
+                .select("dst", F.expr("r div deg").alias("c"), "base")
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"), F.first("base").alias("base"))
+            )
+            ranks = contribs.select(
+                F.col("dst").alias("node"),
+                (F.col("base") + F.expr(f"({DAMP_NUM} * s) div {DAMP_DEN}")).alias("r"),
+                "base",
+            )
+        return _cut_lineage(ranks.select("node", F.col("r").alias("rank_fp")))
+    finally:
+        ed.unpersist()
+        deg.unpersist()
 
 
 # ------------------------------------------------------- registry glue

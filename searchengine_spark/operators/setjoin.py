@@ -46,9 +46,16 @@ def prefix_jaccard_pairs(
     """(doc_a, doc_b, jaccard) for every pair with shingle-Jaccard
     >= t_num/t_den. ``shingles``: (doc_id, shingles array) as from
     dedup.shingle_frame."""
-    sets = shingles.select(
-        "doc_id", F.array_distinct("shingles").alias("s")
-    ).withColumn("size", F.size("s"))
+    # Persisted: the distinct-set frame feeds the df ranking, both
+    # candidate sides, and both verify joins — 5 subtree re-evals
+    # without it. Stays persisted (the result's lineage reads it);
+    # registry queries hold it only for the session, like the shingle
+    # cache it derives from.
+    sets = (
+        shingles.select("doc_id", F.array_distinct("shingles").alias("s"))
+        .withColumn("size", F.size("s"))
+        .persist()
+    )
 
     tok = sets.select("doc_id", "size", F.explode("s").alias("tok"))
     df_counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
