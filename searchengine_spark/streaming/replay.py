@@ -150,8 +150,32 @@ def q_stream_view_purchase_join_replay(
     return spark.table(name)
 
 
+def q_stream_rollup_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch IVM topology (streaming/rollup_stream.py)
+    replayed to completion. Unlike the pure windowed-agg streaming
+    rollup — whose oracle must DROP n_users because exact distinct is
+    unsupported in an incremental windowed aggregation — the IVM's
+    distinct-keys companion view delivers EXACT COUNT DISTINCT from a
+    stream, so this oracle is the complete batch rollup."""
+    import tempfile
+
+    from searchengine_spark.streaming.rollup_stream import (
+        read_rollup,
+        start_rollup_maintenance,
+    )
+
+    out = tempfile.mkdtemp(prefix="rollup_ivm_")
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    q = start_rollup_maintenance(
+        stream, out, checkpoint_dir=tempfile.mkdtemp(prefix="rollup_ckpt_")
+    )
+    q.awaitTermination()
+    return read_rollup(spark, out)
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
+    "stream_rollup_ivm_replay": q_stream_rollup_ivm_replay,
     "stream_view_purchase_join_replay": q_stream_view_purchase_join_replay,
     "stream_session_window_replay": q_stream_session_window_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
@@ -183,6 +207,16 @@ ORACLES = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # The IVM replay recovers the FULL rollup contract — including
+    # the exact distinct-user count the windowed-agg twin cannot do.
+    "stream_rollup_ivm_replay": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value,
+               COUNT(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY 1, 2
     """,
