@@ -210,6 +210,21 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         errors["se_index_build_nltk_parity"] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # TPC-H power run: all 22 adapted query shapes back-to-back, one
+    # number (classic decision-support metric; the six shapes already
+    # in HEADLINE are timed again here as part of the sweep).
+    tpch_names = sorted(n for n in queries if n.startswith("tpch_q"))
+    tpch_power = None
+    try:
+        t0 = time.perf_counter()
+        for name in tpch_names:
+            queries[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        tpch_power = round(time.perf_counter() - t0, 3)
+    except Exception as exc:  # noqa: BLE001
+        errors["tpch_power"] = f"{type(exc).__name__}: {exc}"[:200]
+
     calib_end = _calibrate()
 
     total = round(sum(timings.values()), 3)
@@ -222,6 +237,8 @@ def main() -> None:
         "calib_start_sec": calib_start,
         "calib_end_sec": calib_end,
     }
+    if tpch_power is not None:
+        out["tpch_power_22_queries_sec"] = tpch_power
     if build_rate is not None:
         out["index_build_docs_per_sec"] = build_rate
     if nltk_rate is not None:
