@@ -39,16 +39,28 @@ def test_cosine_filter_pushed(spark, sf_dir):
 
 
 def test_no_cartesian_products_anywhere(spark, sf_dir):
-    """Cross joins are allowed only against literal 1-row broadcasts
-    (scoring params / query vectors) — never between real tables."""
-    for name in (
-        "dedup_neardup_pairs",
-        "dedup_simhash_pairs",
-        "rel_asof_purchase_signup",
-        "pipeline_curated_docs",
-    ):
-        plan = _plan(spark, sf_dir, name)
-        assert "CartesianProduct" not in plan, name
+    """REGISTRY-WIDE: no query's physical plan may contain a
+    CartesianProduct between real tables. Cross joins are allowed
+    only as BroadcastNestedLoopJoin against literal 1-row broadcasts
+    (scoring params / query vectors / global aggregates).
+
+    stream_* replays are excluded — building their result actually
+    RUNS the streaming topology (minutes each) and their returned
+    frame is a memory-sink table whose plan is a LocalTableScan;
+    their topologies are plan-audited by their own tests instead.
+    """
+    failures = []
+    for name in QUERIES:
+        if name.startswith("stream_"):
+            continue
+        try:
+            plan = _plan(spark, sf_dir, name)
+        except Exception as exc:  # noqa: BLE001 — a builder crash is its own failure
+            failures.append(f"{name}: builder raised {type(exc).__name__}: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct in plan")
+    assert not failures, "\n".join(failures)
 
 
 def test_q19_fact_predicates_reach_scan(spark, sf_dir):
