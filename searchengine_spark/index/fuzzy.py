@@ -112,6 +112,69 @@ def fuzzy_term_matches(
     )
 
 
+def correct_terms_batch(
+    vocab: DataFrame,
+    terms: list[str] | tuple[str, ...],
+    *,
+    word_col: str = "word",
+    max_dist: int = MAX_DIST,
+) -> dict[str, str | None]:
+    """Best in-vocabulary correction per term, for a whole batch in
+    ONE variant join (the batch-serving twin of the per-term scan in
+    phrase.suggest_terms — same choice rule: min distance, then max
+    doc_freq, then lexicographic; None = nothing within reach).
+
+    In-vocabulary terms map to themselves (distance 0 always wins).
+    The result is terms-sized — collecting it is a driver-side
+    lookup, not a data motion.
+    """
+    from pyspark.sql import Window
+
+    matches = fuzzy_term_matches(vocab, tuple(dict.fromkeys(terms)), word_col=word_col, max_dist=max_dist)
+    w = Window.partitionBy("term").orderBy(
+        F.asc("dist"), F.desc("doc_freq"), F.asc(word_col)
+    )
+    best = {
+        r["term"]: r[word_col]
+        for r in matches.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .collect()
+    }
+    return {t: best.get(t) for t in terms}
+
+
+def search_many_corrected(
+    index,
+    queries: dict[str, str | list[str]],
+    k: int = 10,
+    *,
+    max_dist: int = MAX_DIST,
+    **search_kwargs,
+):
+    """Batched BM25 with batched typo correction: tokenize every
+    query, correct ALL unknown terms via one SymSpell variant join,
+    then score the corrected batch in one pass (bm25.search_many).
+    Returns (results, corrections) where corrections maps each
+    out-of-vocabulary term to its replacement (or None if dropped).
+    """
+    from searchengine_spark.index.bm25 import search_many
+    from searchengine_spark.text.tokenizer import tokenize_query
+
+    tokenized = {
+        qid: (tokenize_query(q) if isinstance(q, str) else list(q))
+        for qid, q in queries.items()
+    }
+    all_terms = sorted({t for ts in tokenized.values() for t in ts})
+    vocab = index.idf_values.select("word", "doc_freq")
+    fixed = correct_terms_batch(vocab, all_terms, max_dist=max_dist)
+    corrections = {t: w for t, w in fixed.items() if w != t}
+    corrected = {
+        qid: [fixed[t] for t in ts if fixed[t] is not None]
+        for qid, ts in tokenized.items()
+    }
+    return search_many(index, corrected, k=k, **search_kwargs), corrections
+
+
 # ------------------------------------------------------- registry glue
 
 

@@ -90,3 +90,38 @@ def test_rejects_unsupported_distance(spark):
     vocab = spark.createDataFrame([("a", 1)], "word string, doc_freq long")
     with pytest.raises(ValueError):
         fuzzy_term_matches(vocab, ("a",), max_dist=3)
+
+
+def test_batch_correction_matches_per_term_suggest(spark, sf_dir):
+    """The one-join batch corrector must pick exactly what the
+    interactive per-term scan picks (same tie rule)."""
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.fuzzy import correct_terms_batch
+    from searchengine_spark.index.phrase import suggest_terms
+    from searchengine_spark.io import load_table
+
+    idx = build_index(load_table(spark, sf_dir, "documents"))
+    vocab = idx.idf_values.select("word", "doc_freq")
+    terms = ["spark", "joim", "windoe", "zzzzqq", "tabel"]
+    batch = correct_terms_batch(vocab, terms, max_dist=1)
+    for t in terms:
+        rows = suggest_terms(vocab, t, max_distance=1, k=1).collect()
+        want = rows[0]["word"] if rows else None
+        assert batch[t] == want, (t, batch[t], want)
+
+
+def test_search_many_corrected_equals_clean_batch(spark, sf_dir):
+    """Typo'd queries, once corrected, must score identically to the
+    clean batch."""
+    from searchengine_spark.index.bm25 import search_many
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.fuzzy import search_many_corrected
+    from searchengine_spark.io import load_table
+
+    idx = build_index(load_table(spark, sf_dir, "documents")).cache()
+    typod = {"q1": "sparkk joim", "q2": "windoe fast"}
+    clean = {"q1": "spark join", "q2": "window fast"}
+    got, corrections = search_many_corrected(idx, typod, k=5)
+    want = search_many(idx, clean, k=5)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    assert corrections == {"sparkk": "spark", "joim": "join", "windoe": "window"}
