@@ -342,12 +342,21 @@ def snippets(
     )
 
 
-def highlight(df: DataFrame, col: str, query: str, *, tag: str = "mark") -> DataFrame:
+def highlight(
+    df: DataFrame, col: str, query: str | list[str], *, tag: str = "mark"
+) -> DataFrame:
     """Wrap literal query matches in <tag>..</tag> (reference F6:
-    /root/reference/app.py:52 — case-sensitive literal replace)."""
+    /root/reference/app.py:52 — case-sensitive literal replace).
+
+    A LIST of terms highlights them all in ONE alternation pass —
+    sequential per-term passes could rematch text inside tags already
+    inserted by an earlier term."""
     import re
 
-    pattern = re.escape(query)
+    terms = [query] if isinstance(query, str) else [t for t in query if t]
+    if not terms:
+        return df
+    pattern = "|".join(re.escape(t) for t in terms)
     return df.withColumn(
         col, F.regexp_replace(F.col(col), pattern, f"<{tag}>$0</{tag}>")
     )

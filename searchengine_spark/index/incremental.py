@@ -51,7 +51,15 @@ def append_to_index(base: InvertedIndex, new_docs: DataFrame, **build_kwargs) ->
     ``build_kwargs`` pass through to build_index for the batch (same
     tokenizer options as the base build — mixing tokenizers across
     appends would corrupt the vocabulary).
+
+    The batch build defaults to cache_tokens=False: build_index's
+    cache is never unpersisted, so a long-lived serving session
+    appending repeatedly would pin one cached token stream PER APPEND
+    and eventually evict the hot index caches. Re-tokenizing the
+    (small) batch once per derived table is the right trade here;
+    pass cache_tokens=True explicitly for a huge one-off batch.
     """
+    build_kwargs.setdefault("cache_tokens", False)
     batch = build_index(new_docs, **build_kwargs)
 
     term_frequencies = base.term_frequencies.unionByName(batch.term_frequencies)

@@ -369,7 +369,10 @@ def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
         float(x)
         for x in emb.filter(F.col("vec_id") == 3).collect()[0]["embedding"]
     ]
-    return ivf_search_pruned(assigned, centroids, qvec, k=10, n_probe=4)
+    # probe a constant FRACTION (~1/4) of the adaptive centroid set —
+    # a fixed probe count would silently shrink recall as nlist grows
+    n_probe = max(4, len(centroids) // 4)
+    return ivf_search_pruned(assigned, centroids, qvec, k=10, n_probe=n_probe)
 
 
 EMB_DIM = 64  # embeddings test-table dimensionality

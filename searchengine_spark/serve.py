@@ -67,24 +67,30 @@ class SearchService:
         lacks (its unknown terms silently contribute nothing)."""
         from searchengine_spark.index.bm25 import highlight, search, snippets
 
-        highlight_q = q
+        highlight_terms = [q]
         if fuzzy:
             from searchengine_spark.index.phrase import search_with_correction
+            from searchengine_spark.text.tokenizer import tokenize_query
 
             hits, corrections = search_with_correction(
                 self._index, q, k=k, stem=self._stem
             )
-            # highlight what was actually SEARCHED, not the typo
-            for typo, fixed in corrections.items():
-                if fixed:
-                    highlight_q = highlight_q.replace(typo, fixed)
+            # Highlight the terms actually SEARCHED, each on its own:
+            # a raw substring rewrite of q would miss case variants
+            # ('Sparkk' vs the lowercased correction key) and corrupt
+            # words that merely contain the typo as a substring.
+            highlight_terms = [
+                corrections.get(t, t)
+                for t in tokenize_query(q, stem=self._stem)
+                if corrections.get(t, t) is not None
+            ]
         else:
             hits = search(self._index, q, k=k, stem=self._stem)
         rows = (
             highlight(
                 snippets(hits, self._docs, max_len=self._snippet_len),
                 "snippet",
-                highlight_q,
+                highlight_terms,
             )
             .collect()  # k rows, post-limit — the only driver collect
         )

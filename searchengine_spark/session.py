@@ -13,6 +13,17 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _default_heap() -> str:
+    """~22% of host RAM, clamped to [4g, 28g]."""
+    try:
+        total_gib = (
+            os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+        ) // (1 << 30)
+    except (ValueError, OSError, AttributeError):
+        return "8g"
+    return f"{max(4, min(28, int(total_gib * 0.22)))}g"
+
+
 def get_spark(
     app_name: str = "searchengine-spark",
     master: str | None = None,
@@ -51,7 +62,9 @@ def get_spark(
         # local mode: the driver heap IS the executor heap; the query
         # registry session-caches dozens of frames, and an 8g heap
         # measurably thrashes (cache eviction + GC) at sf0.1 with the
-        # full headline set. The box has 128 GiB.
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "28g"))
+        # full headline set. Sized from the host (the target box has
+        # 128 GiB -> 28g) instead of hard-coding a big-box value that
+        # would fail to launch on a small machine.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY") or _default_heap())
     )
     return builder.getOrCreate()

@@ -116,15 +116,19 @@ def _parse_file(path: str, fields: list[str], pred) -> Iterator[Tuple]:
                 d = json.loads(line)
                 if not isinstance(d, dict):
                     raise ValueError("not an object")
+                d[CORRUPT_COL] = None
             except ValueError:
-                if CORRUPT_COL in fields:
-                    yield tuple(
-                        line if f == CORRUPT_COL else None for f in fields
-                    )
-                continue
+                if CORRUPT_COL not in fields:
+                    continue
+                # Quarantine rows go through the SAME pushed
+                # predicate as good rows (their data fields are all
+                # NULL) — pushFilters claimed these filters as fully
+                # handled, so a pushed lang='en' must not leak a
+                # lang=NULL corrupt row into the result.
+                d = {f: None for f in fields}
+                d[CORRUPT_COL] = line
             if not pred(d):
                 continue
-            d[CORRUPT_COL] = None
             yield tuple(d.get(f) for f in fields)
 
 

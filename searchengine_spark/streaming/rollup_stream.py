@@ -34,12 +34,30 @@ def start_rollup_maintenance(
     *,
     checkpoint_dir: str | None = None,
 ):
-    """Start the maintenance query; returns the StreamingQuery."""
+    """Start the maintenance query; returns the StreamingQuery.
+
+    Partials are stamped (run_id, batch_id) so the read-side dedup
+    never confuses DISTINCT maintenance runs with retries: batch ids
+    restart at 0 per run, and two runs into the same out_dir would
+    otherwise collide and silently drop the second run's data. With
+    a checkpoint the run identity IS the checkpoint (a restarted
+    query re-delivers a failed batch under the same batch_id and
+    must dedup against the pre-crash append); without one, each
+    start is an independent run.
+    """
+    import hashlib
+    import uuid
+
+    if checkpoint_dir:
+        run_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
+    else:
+        run_id = uuid.uuid4().hex[:16]
 
     def update_batch(batch_df: DataFrame, batch_id: int) -> None:
         state = _batch_state(batch_df)
         (
             state.groups.withColumn("batch_id", F.lit(batch_id))
+            .withColumn("run_id", F.lit(run_id))
             .write.mode("append")
             .parquet(f"{out_dir}/group_partials")
         )
@@ -58,8 +76,8 @@ def read_rollup(spark: SparkSession, out_dir: str) -> DataFrame:
     gcols = list(_GROUP_COLS)
     partials = (
         spark.read.parquet(f"{out_dir}/group_partials")
-        # retry-dedup: identical rows per (batch, group) collapse
-        .dropDuplicates(["batch_id", *gcols])
+        # retry-dedup: identical rows per (run, batch, group) collapse
+        .dropDuplicates(["run_id", "batch_id", *gcols])
     )
     groups = partials.groupBy(*gcols).agg(
         F.sum("n_events").alias("n_events"),

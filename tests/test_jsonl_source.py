@@ -86,6 +86,26 @@ def test_pushed_filters_prune_rows_and_results_stay_correct(registered, corpus_d
     assert all("lang" not in ln for ln in filter_lines)
 
 
+def test_pushed_filters_do_not_leak_quarantine_rows(registered, corpus_dir):
+    """pushFilters claims EqualTo as fully handled, so the scan must
+    not emit corrupt-quarantine rows (data fields NULL) that violate
+    the pushed predicate — there is no residual Spark filter left to
+    drop them."""
+    df = registered.read.format("jsonl_docs").load(corpus_dir).filter(
+        F.col("lang") == "en"
+    )
+    rows = df.collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2]
+    assert all(r["_corrupt"] is None for r in rows)
+    # and quarantine rows remain reachable when asked for explicitly
+    bad = (
+        registered.read.format("jsonl_docs")
+        .load(corpus_dir)
+        .filter(F.col("_corrupt").isNotNull())
+    )
+    assert bad.count() == 2
+
+
 def test_in_and_startswith_pushdown_semantics():
     from pyspark.sql.datasource import In, StringStartsWith
 
