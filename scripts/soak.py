@@ -60,6 +60,19 @@ QUERIES = (
     "se_fuzzy_term_match",
     "dedup_span_scrubbed_docs",
     "sample_source_quota",
+    # round-4 (cont.): the iterative PageRank (join-per-round growth
+    # risk) and the rollup IVM merge (group-cardinality growth).
+    # dedup_prefix_jaccard_pairs is deliberately NOT soaked: key-
+    # replication makes EVERY doc a 5-way exact clone, so an EXACT
+    # threshold join's TRUE OUTPUT grows ~copies^2 by construction
+    # (each doc must pair with its clones) and its measured 43x was
+    # output volume, not an engine defect — and its giant candidate
+    # intermediates then evict the shared session caches, corrupting
+    # every later query's number (gap-fill read 24x in that run vs
+    # 1.2x in isolation). Production ordering is exact-dedup FIRST,
+    # prefix join on uniques (see operators/setjoin.py docstring).
+    "dedup_pagerank_centrality",
+    "events_incremental_rollup",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
@@ -119,6 +132,12 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
     for factor in FACTORS:
+        # Each scale measures FRESH: without this, the x5 pass runs
+        # against x1+x2's accumulated session caches (shingles, spans,
+        # indexes per sf_dir), whose storage pressure shrinks execution
+        # memory and spills the big-grid queries — measured as a phantom
+        # 14x on gap-fill that vanishes in isolation.
+        spark.catalog.clearCache()
         sf_dir = build_scaled(spark, factor)
         for name in QUERIES:
             t0 = time.perf_counter()

@@ -26,6 +26,15 @@ the rarest tokens), never a cross join; the verify join is keyed on
 doc ids. The frequent-token blowup that kills naive token-joins is
 exactly what the prefix order prunes: a stopword-like shingle lands
 at the END of every prefix-ordered set, outside the prefix.
+
+Pipeline ordering at scale: run EXACT dedup first (operators/dedup.
+exact_dedup_groups — one cheap hash groupBy) and prefix-join only
+the unique texts. Exact clones defeat prefix filtering twice over —
+candidate work is Σ df², and c-way cloning multiplies every df by c
+(24x measured at 5 copies); and the TRUE output itself grows ~c² per
+duplicate group, a floor no algorithm can beat. On deduplicated
+input the min-df prefix tokens are genuinely rare and the join is
+near-linear.
 """
 
 from __future__ import annotations
