@@ -156,3 +156,52 @@ def test_testdata_scales_keep_k_eight(spark, sf_dir):
 
     n = load_table(spark, sf_dir, "embeddings").count()
     assert max(K, n // TARGET_CLUSTER_SIZE) == K
+
+
+def test_hier_assignment_near_exact_and_deterministic(spark):
+    """Two-level assignment must (a) be deterministic under
+    repartitioning, (b) produce distances that are valid (each row's
+    dist equals the distance to its assigned centroid), and (c) stay
+    close to the exact argmin in total distortion."""
+    import pyspark.sql.functions as F
+
+    from searchengine_spark.operators.kmeans import (
+        assign_clusters,
+        assign_clusters_hier,
+        fixed_point_vec,
+    )
+
+    emb = spark.range(2000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            ((F.col("id") * 37) % 101).cast("float"),
+            ((F.col("id") * 17) % 89).cast("float"),
+            ((F.col("id") * 7) % 53).cast("float"),
+        ).alias("embedding"),
+    )
+    quant = emb.select("vec_id", fixed_point_vec("embedding").alias("qvec"))
+    rows = quant.collect()
+    cents = [list(r["qvec"]) for r in rows[:64]]  # k=64 > HIER_THRESHOLD
+
+    hier = assign_clusters_hier(quant, cents)
+    a = sorted(map(tuple, hier.select("vec_id", "cluster", "dist").collect()))
+    b = sorted(
+        map(
+            tuple,
+            assign_clusters_hier(quant.repartition(11), cents)
+            .select("vec_id", "cluster", "dist")
+            .collect(),
+        )
+    )
+    assert a == b  # deterministic under layout
+
+    # dist column is honest: recompute driver-side for a sample
+    by_id = {r["vec_id"]: list(r["qvec"]) for r in rows}
+    for vec_id, cluster, dist in a[:100]:
+        v, c = by_id[vec_id], cents[cluster]
+        assert dist == sum((x - y) * (x - y) for x, y in zip(v, c))
+
+    exact = assign_clusters(quant, cents)
+    total_hier = hier.agg(F.sum("dist")).collect()[0][0]
+    total_exact = exact.agg(F.sum("dist")).collect()[0][0]
+    assert total_exact <= total_hier <= 1.25 * total_exact
