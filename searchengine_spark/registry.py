@@ -36,6 +36,7 @@ _MODULES = (
     "operators.setjoin",
     "operators.similarity",
     "operators.multimodal",
+    "operators.phash",
     "operators.ann",
     "operators.approx",
     "operators.sampling",
