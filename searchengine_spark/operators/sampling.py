@@ -107,6 +107,84 @@ def sample_per_group_quota(
     )
 
 
+def weighted_pps_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+    *,
+    salt: str = "pps",
+) -> DataFrame:
+    """Systematic PPS sample: inclusion probability proportional to
+    weight (min(1, n*w/W)), n total selections, EXACT integer
+    arithmetic end to end — no float ordering, so the DuckDB oracle
+    reproduces the selection bit-for-bit.
+
+    Method (Madow systematic sampling over a hashed order): lay the
+    rows on a number line of cumulative integer weight [0, W); place n
+    evenly spaced selection points (2k+1)*W/(2n); a row is selected
+    iff its weight interval [cum_prev, cum) contains a point, i.e.
+
+        g(cum) > g(cum_prev)   where   g(c) = (2*n*c + W) DIV (2*W)
+
+    `n_hits` = g(cum) - g(cum_prev) counts points in the interval
+    (>1 only for rows heavier than the W/n stride — useful as a
+    resampling multiplicity). The traversal order is (hash-bucket of
+    id, id): content-derived, so the sample is stable across runs,
+    partitionings, and appends-that-don't-change-W, and uncorrelated
+    with scan order (the failure mode of the reference's head-slice,
+    nltksearchv1.py:41).
+
+    Scale shape — a distributed prefix sum, NOT a global sort:
+      1. per-bucket weight totals (one small agg: N_BUCKETS rows);
+      2. exclusive running offsets over those totals (a window over
+         N_BUCKETS rows — the only single-partition step, O(10^4)
+         regardless of data size);
+      3. broadcast offsets back; within-bucket prefix sums shuffle on
+         the bucket key only.
+    Weights must be positive integers; rows with w <= 0 or NULL are
+    excluded. 2*n*W must fit int64 (at 100 TB-of-chars scale, switch
+    the two g() operands to decimal(38,0) — same expressions).
+    """
+    from pyspark.sql import Window
+
+    w_int = F.col(weight_col).cast("bigint")
+    rows = (
+        df.select(F.col(id_col), w_int.alias("_w"))
+        .filter(F.col("_w") > 0)
+        .withColumn("_b", hash_bucket(F.col(id_col), salt=salt))
+    )
+    totals = rows.groupBy("_b").agg(F.sum("_w").alias("_bw"))
+    off_win = (
+        Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(off_win), F.lit(0))
+    ).select("_b", "_off")
+    grand = totals.agg(F.sum("_bw").alias("_wtot"))
+
+    in_win = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_c0", F.col("_off") + F.coalesce(F.sum("_w").over(in_win), F.lit(0))
+        )
+        .withColumn("_c1", F.col("_c0") + F.col("_w"))
+        .crossJoin(F.broadcast(grand))
+    )
+    g0 = F.expr(f"(2*{n}*_c0 + _wtot) DIV (2*_wtot)")
+    g1 = F.expr(f"(2*{n}*_c1 + _wtot) DIV (2*_wtot)")
+    return (
+        cum.withColumn("n_hits", (g1 - g0).cast("int"))
+        .filter(F.col("n_hits") > 0)
+        .select(F.col(id_col), F.col("_w").alias("weight"), "n_hits")
+    )
+
+
 def _bucket_sql(expr: str, salt: str) -> str:
     return (
         f"(('0x' || substr(md5('{salt}' || CAST({expr} AS VARCHAR)), 1, 15))::BIGINT"
@@ -148,10 +226,24 @@ def q_source_quota(spark, sf_dir: str) -> DataFrame:
     )
 
 
+PPS_N = 200
+
+
+def q_weighted_pps(spark, sf_dir: str) -> DataFrame:
+    """~200-point PPS sample of documents weighted by length: long
+    docs proportionally more likely, giant docs capped at inclusion
+    (n_hits counts their extra selection points)."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_pps_sample(docs, "doc_id", "n_chars", PPS_N)
+
+
 QUERIES = {
     "sample_documents_10pct": q_sample_documents,
     "split_train_val_test": q_split_distribution,
     "sample_source_quota": q_source_quota,
+    "sample_weighted_pps": q_weighted_pps,
 }
 
 ORACLES = {
@@ -178,5 +270,28 @@ ORACLES = {
                lang, COUNT(*) AS n_docs
         FROM documents
         GROUP BY 1, 2
+    """,
+    "sample_weighted_pps": f"""
+        WITH rows0 AS (
+          SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+                 {_bucket_sql("doc_id", "pps")} AS b
+          FROM documents WHERE n_chars > 0
+        ),
+        cum AS (
+          SELECT doc_id, w,
+                 COALESCE(SUM(w) OVER (
+                   ORDER BY b, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS c0,
+                 -- NB: not "AS W" — DuckDB identifiers are
+                 -- case-insensitive, so W would collide with w
+                 SUM(w) OVER () AS wt
+          FROM rows0
+        )
+        SELECT doc_id, w AS weight,
+               CAST((2*{PPS_N}*(c0 + w) + wt) // (2*wt)
+                    - (2*{PPS_N}*c0 + wt) // (2*wt) AS INT) AS n_hits
+        FROM cum
+        WHERE (2*{PPS_N}*(c0 + w) + wt) // (2*wt) > (2*{PPS_N}*c0 + wt) // (2*wt)
     """,
 }

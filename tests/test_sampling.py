@@ -87,3 +87,84 @@ def test_quota_smaller_groups_pass_through(spark):
         [(i, "only") for i in range(3)], "doc_id long, source string"
     )
     assert sample_per_group_quota(df, "source", "doc_id", 10).count() == 3
+
+
+class TestWeightedPPS:
+    def _toy(self, spark, n_rows=50, seed=3):
+        import random
+
+        rng = random.Random(seed)
+        rows = [(i, rng.randint(1, 40)) for i in range(n_rows)]
+        return rows, spark.createDataFrame(rows, "doc_id long, n_chars int")
+
+    def test_exact_selection_count_and_brute_force_match(self, spark):
+        from searchengine_spark.operators.sampling import (
+            hash_bucket,
+            weighted_pps_sample,
+        )
+
+        rows, df = self._toy(spark)
+        n = 10
+        got = {
+            r["doc_id"]: (r["weight"], r["n_hits"])
+            for r in weighted_pps_sample(df, "doc_id", "n_chars", n).collect()
+        }
+        # brute force: same traversal order (bucket, id), same g()
+        buckets = {
+            r["doc_id"]: r["b"]
+            for r in df.select(
+                "doc_id", hash_bucket(F.col("doc_id"), salt="pps").alias("b")
+            ).collect()
+        }
+        ordered = sorted(rows, key=lambda r: (buckets[r[0]], r[0]))
+        W = sum(w for _, w in ordered)
+        g = lambda c: (2 * n * c + W) // (2 * W)
+        expect, c = {}, 0
+        for i, w in ordered:
+            hits = g(c + w) - g(c)
+            if hits > 0:
+                expect[i] = (w, hits)
+            c += w
+        assert got == expect
+        assert sum(h for _, h in got.values()) == n  # exactly n points
+
+    def test_partitioning_invariance(self, spark):
+        from searchengine_spark.operators.sampling import weighted_pps_sample
+
+        _, df = self._toy(spark, n_rows=80, seed=9)
+        a = sorted(
+            map(tuple, weighted_pps_sample(df, "doc_id", "n_chars", 17).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                weighted_pps_sample(
+                    df.repartition(13), "doc_id", "n_chars", 17
+                ).collect(),
+            )
+        )
+        assert a == b
+
+    def test_heavy_row_always_included_with_multiplicity(self, spark):
+        from searchengine_spark.operators.sampling import weighted_pps_sample
+
+        # one row carries ~91% of the weight: with n=10 it must take
+        # several selection points; every selected row reports >= 1.
+        rows = [(i, 1) for i in range(9)] + [(99, 100)]
+        df = spark.createDataFrame(rows, "doc_id long, n_chars int")
+        got = {r["doc_id"]: r["n_hits"] for r in weighted_pps_sample(
+            df, "doc_id", "n_chars", 10
+        ).collect()}
+        assert got[99] >= 8
+        assert sum(got.values()) == 10
+
+    def test_nonpositive_weights_excluded(self, spark):
+        from searchengine_spark.operators.sampling import weighted_pps_sample
+
+        df = spark.createDataFrame(
+            [(1, 5), (2, 0), (3, -4), (4, None), (5, 7)],
+            "doc_id long, n_chars int",
+        )
+        got = weighted_pps_sample(df, "doc_id", "n_chars", 2).collect()
+        assert {r["doc_id"] for r in got} <= {1, 5}
+        assert sum(r["n_hits"] for r in got) == 2
