@@ -1,0 +1,125 @@
+"""Frequent co-occurring term pairs (a-priori pruned 2-itemsets).
+
+Market-basket analysis with documents as baskets and tokens as items:
+which word pairs appear together in >= min_support documents, and
+with what lift. The building block for collocation mining, related-
+term suggestion, and topic seeding over a web-scale corpus.
+
+Scale shape — the a-priori property does all the work: a pair can
+only be frequent if BOTH its items are frequent, so pair generation
+runs over the (item-)pruned doc-item table, never the raw one.
+
+  1. doc-item table: explode(array_distinct(tokens)) — one shuffle-
+     free map stage (presence, not tf, is what support counts);
+  2. item document-frequencies: one groupBy(word); keep df >= s.
+     Frequent-item set is vocabulary-bounded -> broadcast;
+  3. pair generation: self-equi-join of the pruned doc-item table on
+     doc_id. Fan-out per doc is C(f_d, 2) where f_d = FREQUENT items
+     in that doc — bounded by the (tiny) frequent vocabulary, NOT by
+     doc length. Without the prune this join is quadratic in doc
+     vocabulary and melts at 100 TB; with it, the hot side shrinks
+     before the shuffle (same df-cap idea as
+     operators/decontamination.py);
+  4. support filter + lift from the broadcast df counts.
+
+No all-pairs joins, no windows, no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import ensure_min_partitions, load_table
+from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
+
+MIN_SUPPORT = 25
+
+
+def frequent_pairs(
+    docs: DataFrame, *, min_support: int = MIN_SUPPORT
+) -> DataFrame:
+    """(w1, w2, n_pair, lift) for every token pair co-occurring in
+    >= min_support docs; w1 < w2 lexicographically.
+
+    lift = P(w1,w2) / (P(w1) P(w2)) = n_pair * n_docs / (n_1 * n_2):
+    > 1 means the words attract, < 1 means they repel. n_docs counts
+    ALL docs (empty ones dilute P's — they are real baskets).
+    """
+    doc_items = docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_column("text"))).alias("w")
+    )
+    item_df = doc_items.groupBy("w").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = item_df.filter(F.col("n_item") >= min_support)
+    pruned = doc_items.join(F.broadcast(freq.select("w")), "w")
+
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df1 = freq.select(F.col("w").alias("w1"), F.col("n_item").alias("n_1"))
+    df2 = freq.select(F.col("w").alias("w2"), F.col("n_item").alias("n_2"))
+    return (
+        pairs.join(F.broadcast(df1), "w1")
+        .join(F.broadcast(df2), "w2")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_docs")
+                / (F.col("n_1") * F.col("n_2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def q_frequent_pairs(spark, sf_dir: str) -> DataFrame:
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return frequent_pairs(docs)
+
+
+QUERIES = {"text_frequent_pairs": q_frequent_pairs}
+
+ORACLES = {
+    "text_frequent_pairs": f"""
+        WITH items AS (
+          SELECT DISTINCT doc_id, unnest({sql_tokens_expr("text")}) AS w
+          FROM documents
+        ),
+        freq AS (
+          SELECT w, COUNT(*) AS n_item FROM items
+          GROUP BY w HAVING COUNT(*) >= {MIN_SUPPORT}
+        ),
+        fitems AS (
+          SELECT i.doc_id, i.w FROM items i JOIN freq USING (w)
+        ),
+        pairs AS (
+          SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair
+          FROM fitems a JOIN fitems b
+            ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+        ),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT w1, w2, n_pair,
+               round(CAST(n_pair AS DOUBLE) * n_docs / (fa.n_item * fb.n_item),
+                     6) AS lift
+        FROM pairs
+        JOIN freq fa ON fa.w = pairs.w1
+        JOIN freq fb ON fb.w = pairs.w2, nd
+    """,
+}

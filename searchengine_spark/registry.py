@@ -50,6 +50,7 @@ _MODULES = (
     "operators.decontamination",
     "operators.moments",
     "operators.heavy_hitters",
+    "operators.itemsets",
     "operators.simhash",
     "text.analysis",
     "text.lm",
