@@ -131,6 +131,46 @@ def q_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) value stats per event type — the
+    standard robust-aggregation step before feeding noisy metrics to
+    a training pipeline: outliers are clamped to the tail quantiles,
+    not dropped, so totals stay comparable across types.
+
+    Two passes over events: exact per-type percentiles (sort-based
+    within group), broadcast the tiny (type, lo, hi) cut table back,
+    clip + aggregate. Cutoffs are rounded to 6 decimals BEFORE the
+    comparison so the Spark and DuckDB sides clip against the exact
+    same constants (percentile interpolation may differ in the last
+    ulp between engines). At 100 TB swap the exact percentile for
+    `operators/approx.py`'s KLL `approx_percentile` — same topology,
+    no per-group sort."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.05)), 6).alias("lo"),
+        F.round(F.percentile("value", F.lit(0.95)), 6).alias("hi"),
+    )
+    clipped = ev.join(F.broadcast(cuts), "event_type").withColumn(
+        "cv", F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    )
+    return clipped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("cv").cast("decimal(28,6)")).cast("double").alias("clipped_sum"),
+        F.sum(
+            F.when(
+                (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")),
+                F.lit(1),
+            ).otherwise(F.lit(0))
+        ).alias("n_clipped"),
+        F.max("lo").alias("lo"),
+        F.max("hi").alias("hi"),
+    )
+
+
 INTERVAL_MINUTES = 30
 
 
@@ -300,6 +340,7 @@ QUERIES = {
     "rel_retained_churned": q_active_not_churned,
     "rel_price_quartiles": q_price_quartiles,
     "rel_unpivot_lineitem": q_unpivot_lineitem_measures,
+    "events_winsorized_stats": q_winsorized_event_stats,
 }
 
 _UNPIVOT_ORACLE = "\nUNION ALL\n".join(
@@ -310,6 +351,25 @@ _UNPIVOT_ORACLE = "\nUNION ALL\n".join(
 
 ORACLES = {
     "rel_unpivot_lineitem": _UNPIVOT_ORACLE,
+    "events_winsorized_stats": """
+        WITH ev AS (
+          SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        cuts AS (
+          SELECT event_type,
+                 round(quantile_cont(value, 0.05), 6) AS lo,
+                 round(quantile_cont(value, 0.95), 6) AS hi
+          FROM ev GROUP BY event_type
+        )
+        SELECT e.event_type, COUNT(*) AS n_events,
+               CAST(SUM(CAST(least(greatest(e.value, c.lo), c.hi)
+                             AS DECIMAL(28,6))) AS DOUBLE) AS clipped_sum,
+               CAST(SUM(CASE WHEN e.value < c.lo OR e.value > c.hi
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               MAX(c.lo) AS lo, MAX(c.hi) AS hi
+        FROM ev e JOIN cuts c USING (event_type)
+        GROUP BY e.event_type
+    """,
     "rel_lateral_top2_orders": """
         SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
         FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c,
