@@ -126,6 +126,38 @@ def hourly_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> Da
     )
 
 
+def sliding_rollup_stream(
+    events: DataFrame,
+    *,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """SLIDING-window rollup per event_type: each event contributes to
+    window/slide overlapping windows (4 here) — the trending-metrics
+    shape (e.g. "events in the last hour, refreshed every 15 min").
+
+    Spark implements this by Expand-ing each row into its windows
+    map-side, then one keyed shuffle — state size is windows x types,
+    independent of input volume. Same NTZ-lift/lower convention as
+    hourly_rollup_stream."""
+    return (
+        with_instant_ts(events, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            instant_to_ntz(F.col("window").start).alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
 def session_window_stream(
     events: DataFrame, *, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

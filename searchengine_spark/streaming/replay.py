@@ -173,8 +173,24 @@ def q_stream_rollup_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_rollup(spark, out)
 
 
+def q_stream_sliding_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window / 15 min slide) rollup replay —
+    each event lands in exactly 4 overlapping windows."""
+    from searchengine_spark.streaming.events import sliding_rollup_stream
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    name = _sink_name("sliding")
+    run_to_memory(
+        sliding_rollup_stream(stream, watermark=REPLAY_WATERMARK),
+        name,
+        output_mode="complete",
+    )
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
+    "stream_sliding_rollup_replay": q_stream_sliding_rollup_replay,
     "stream_rollup_ivm_replay": q_stream_rollup_ivm_replay,
     "stream_view_purchase_join_replay": q_stream_view_purchase_join_replay,
     "stream_session_window_replay": q_stream_session_window_replay,
@@ -208,6 +224,18 @@ ORACLES = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         FROM events
+        GROUP BY 1, 2
+    """,
+    # Sliding windows in batch SQL: every event belongs to the 4
+    # windows starting at its 15-min bucket minus k*15min, k=0..3
+    # (window 1 h, slide 15 min => ts < start + 1 h holds for all 4).
+    "stream_sliding_rollup_replay": """
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k.range * INTERVAL '15 minutes' AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM events, range(4) k
         GROUP BY 1, 2
     """,
     # The IVM replay recovers the FULL rollup contract — including
