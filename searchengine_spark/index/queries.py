@@ -173,7 +173,10 @@ _STEM_INDEX_CTES = _STEM_TOK_CTE + _INDEX_BODY
 
 _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
 
-_BM25_SCORES_SQL = f"""{_INDEX_CTES},
+# Split so index/hybrid.py can reuse the scored CTE without copying
+# the BM25 arithmetic (copy-drift between oracles would be invisible
+# until a driver hash-fail).
+BM25_SCORED_CTE = f""",
 scored AS (
   SELECT tf.doc_id,
          idf.idf * (tf.term_freq * {K1 + 1.0}) /
@@ -183,7 +186,9 @@ scored AS (
   JOIN idf ON tf.word = idf.word
   JOIN dl ON tf.doc_id = dl.doc_id
   WHERE tf.word IN ({_BM25_TERMS_SQL})
-)
+)"""
+
+_BM25_SCORES_SQL = f"""{_INDEX_CTES}{BM25_SCORED_CTE}
 SELECT doc_id, round(sum(term_score), 6) AS total_score
 FROM scored GROUP BY doc_id
 """

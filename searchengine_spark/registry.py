@@ -26,6 +26,7 @@ _MODULES = (
     "index.phrase",
     "index.incremental",
     "index.fuzzy",
+    "index.hybrid",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
