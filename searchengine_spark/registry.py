@@ -60,6 +60,7 @@ _MODULES = (
     "text.redaction",
     "text.langid",
     "text.chunking",
+    "text.cdc",
     "streaming.replay",
     "pipeline",
 )
