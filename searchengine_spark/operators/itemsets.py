@@ -36,8 +36,21 @@ from searchengine_spark.text.tokenizer import sql_tokens_expr, tokens_column
 MIN_SUPPORT = 25
 
 
+def doc_items_frame(docs: DataFrame) -> DataFrame:
+    """(doc_id, w) with per-doc-distinct tokens — the basket table.
+    Consumed 3x by frequent_pairs (df counts + both join sides), so
+    callers should cache it (q_frequent_pairs does, via
+    io.session_cached)."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(tokens_column("text"))).alias("w")
+    )
+
+
 def frequent_pairs(
-    docs: DataFrame, *, min_support: int = MIN_SUPPORT
+    docs: DataFrame,
+    *,
+    min_support: int = MIN_SUPPORT,
+    items: DataFrame | None = None,
 ) -> DataFrame:
     """(w1, w2, n_pair, lift) for every token pair co-occurring in
     >= min_support docs; w1 < w2 lexicographically.
@@ -46,9 +59,7 @@ def frequent_pairs(
     > 1 means the words attract, < 1 means they repel. n_docs counts
     ALL docs (empty ones dilute P's — they are real baskets).
     """
-    doc_items = docs.select(
-        "doc_id", F.explode(F.array_distinct(tokens_column("text"))).alias("w")
-    )
+    doc_items = items if items is not None else doc_items_frame(docs)
     item_df = doc_items.groupBy("w").agg(F.count(F.lit(1)).alias("n_item"))
     freq = item_df.filter(F.col("n_item") >= min_support)
     pruned = doc_items.join(F.broadcast(freq.select("w")), "w")
@@ -89,8 +100,16 @@ def frequent_pairs(
 # --------------------------------------------------------------- queries
 
 def q_frequent_pairs(spark, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import session_cached
+
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    return frequent_pairs(docs)
+    items = session_cached(
+        spark,
+        "itemsets_doc_items",
+        sf_dir,
+        lambda: doc_items_frame(docs).cache(),
+    )
+    return frequent_pairs(docs, items=items)
 
 
 QUERIES = {"text_frequent_pairs": q_frequent_pairs}
