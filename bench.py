@@ -79,6 +79,18 @@ HEADLINE = [
     "events_incremental_rollup",
     "dedup_pagerank_centrality",
     "dedup_prefix_jaccard_pairs",
+    # round-5 additions: perceptual image dedup through the real
+    # codec path, hybrid lexical+semantic retrieval, content-defined
+    # chunking, a-priori co-occurrence mining, the skew-proof salted
+    # join, and exact-integer PPS weighted sampling.
+    "mm_image_dhash_neardup",
+    "se_hybrid_rrf_topk",
+    "text_cdc_dup_chunks",
+    "text_frequent_pairs",
+    "skew_salted_join_stats",
+    "sample_weighted_pps",
+    "events_winsorized_stats",
+    "stream_sliding_rollup_replay",
 ]
 
 SERVE_QUERIES = [

@@ -33,6 +33,12 @@ PICKS = [
     ("tpch_q2_min_cost_supplier", "argmin-per-group: window min reuses the agg's partkey partitioning — one fact shuffle total"),
     ("dedup_prefix_jaccard_pairs", "prefix-filtered exact set join: candidates only through rare-token prefixes, then keyed verify — no cartesian"),
     ("dedup_pagerank_centrality", "3 unrolled integer power-method rounds: src-keyed join + dst-keyed sum per round"),
+    ("mm_image_dhash_neardup", "decode+hash as one Arrow-batched map stage; banded equi-self-join (pigeonhole-exact recall), bit_count verify"),
+    ("se_hybrid_rrf_topk", "two TakeOrderedAndProject rank lists; windows only over the 50-row lists; full-outer fuse"),
+    ("text_cdc_chunks", "boundary detection + chunk emission entirely in whole-stage codegen — one map stage, zero Exchange"),
+    ("text_frequent_pairs", "a-priori prune before the pair self-join: broadcast frequent set, fan-out bounded by frequent vocab"),
+    ("skew_salted_join_stats", "salted fact + exploded dim: ShuffledHashJoin on (key, salt) — hot key spread over n_salts reducers"),
+    ("sample_weighted_pps", "distributed prefix sum: bucket totals -> tiny offsets window -> broadcast back; no global sort"),
 ]
 
 

@@ -72,10 +72,15 @@ def cdc_chunks(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<int>"))
 
+    # Materialize the boundary array ONCE before it is referenced by
+    # both starts and ends — Catalyst does not CSE the two lambda
+    # trees, and the array costs one md5 per character position.
+    with_bounds = docs.select("doc_id", txt.alias("_t"), bounds.alias("_bounds"))
+    bcol = F.col("_bounds")
     starts = F.concat(
-        F.array(F.lit(1)), F.transform(bounds, lambda b: b + 1)
+        F.array(F.lit(1)), F.transform(bcol, lambda b: b + 1)
     )
-    ends = F.concat(bounds, F.array(ln))
+    ends = F.concat(bcol, F.array(F.length("_t")))
     pairs = F.filter(
         F.zip_with(
             starts, ends, lambda s, e: F.struct(s.alias("s"), e.alias("e"))
@@ -83,8 +88,8 @@ def cdc_chunks(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
         lambda p: p["s"] <= p["e"],
     )
 
-    rows = docs.select(
-        "doc_id", txt.alias("_t"), F.posexplode(pairs).alias("chunk_idx", "p")
+    rows = with_bounds.select(
+        "doc_id", F.col("_t"), F.posexplode(pairs).alias("chunk_idx", "p")
     )
     chunk = F.col("_t").substr(
         F.col("p.s"), F.col("p.e") - F.col("p.s") + F.lit(1)
