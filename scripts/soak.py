@@ -73,6 +73,21 @@ QUERIES = (
     # prefix join on uniques (see operators/setjoin.py docstring).
     "dedup_pagerank_centrality",
     "events_incremental_rollup",
+    # round-5 additions: perceptual-hash image pairs (banded join —
+    # output grows ~copies^2 under replication like every near-dup
+    # pair family, see note), content-defined chunking + dup rollup,
+    # a-priori pair mining (more items cross the fixed support bar as
+    # docs grow), hybrid RRF (brute cosine + BM25 + fuse), the salted
+    # join, PPS sampling's distributed prefix sum, and the
+    # percentile-clip aggregation.
+    "mm_image_dhash_neardup",
+    "text_cdc_chunks",
+    "text_cdc_dup_chunks",
+    "text_frequent_pairs",
+    "se_hybrid_rrf_topk",
+    "sample_weighted_pps",
+    "skew_salted_join_stats",
+    "events_winsorized_stats",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
