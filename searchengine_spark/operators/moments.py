@@ -81,9 +81,105 @@ def q_event_value_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"events_value_moments": q_event_value_moments}
+def grouped_ols(
+    df: DataFrame, group_col: str, x_col, y_cents
+) -> DataFrame:
+    """Per-group least-squares fit of y on x + Pearson r, from EXACT
+    integer power sums (x integer-valued, y cents-exact) — the same
+    bit-reproducibility argument as exact_moment_sums: the only
+    floating-point happens once per GROUP at derivation, not once
+    per row, so partition count and fold order can't change a digit.
+    One shuffle, map-side partials, re-aggregatable.
+
+    slope = (n Sxy - Sx Sy) / (n Sxx - Sx^2)
+    r     = (n Sxy - Sx Sy) / sqrt((n Sxx - Sx^2)(n Syy - Sy^2))
+    """
+    x = x_col.cast("bigint")
+    y = y_cents.cast("bigint")
+    base = df.select(F.col(group_col), x.alias("x"), y.alias("y"))
+    sums = base.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(
+            (F.col("y").cast("decimal(19,0)") * F.col("y").cast("decimal(19,0)"))
+            .cast("decimal(38,0)")
+        ).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double") / F.lit(100.0)
+    sxx = F.col("sxx").cast("double")
+    sxy = F.col("sxy").cast("double") / F.lit(100.0)
+    syy = F.col("syy").cast("double") / F.lit(100.0**2)
+    cov_n = n * sxy - sx * sy
+    varx_n = n * sxx - sx * sx
+    vary_n = n * syy - sy * sy
+    slope = cov_n / varx_n
+    intercept = (sy - slope * sx) / n
+    r = cov_n / F.sqrt(varx_n * vary_n)
+    return sums.select(
+        group_col,
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r, 6).alias("pearson_r"),
+    )
+
+
+def q_event_value_hour_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type OLS of value against hour-of-day: does this event
+    type's value drift across the day, and how tightly? (The grouped
+    trend-fit every metrics pipeline wants, exact-partials edition.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_ols(
+        ev,
+        "event_type",
+        F.hour("ts"),
+        F.round(F.col("value") * 100),
+    )
+
+
+QUERIES = {
+    "events_value_moments": q_event_value_moments,
+    "events_value_hour_regression": q_event_value_hour_regression,
+}
 
 ORACLES = {
+    "events_value_hour_regression": """
+        WITH base AS (
+          SELECT event_type,
+                 CAST(hour(ts) AS BIGINT) AS x,
+                 CAST(round(value * 100) AS BIGINT) AS y
+          FROM events
+        ),
+        sums AS (
+          SELECT event_type,
+                 COUNT(*) AS n,
+                 SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+                 SUM((y::HUGEINT) * y) AS syy
+          FROM base GROUP BY event_type
+        ),
+        d AS (
+          SELECT event_type, n,
+                 n::DOUBLE AS nd,
+                 sx::DOUBLE AS sxd,
+                 sy::DOUBLE / 100.0 AS syd,
+                 sxx::DOUBLE AS sxxd,
+                 sxy::DOUBLE / 100.0 AS sxyd,
+                 syy::DOUBLE / 10000.0 AS syyd
+          FROM sums
+        )
+        SELECT event_type, n,
+               round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+               round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd) / nd, 6) AS intercept,
+               round((nd * sxyd - sxd * syd)
+                     / sqrt((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS pearson_r
+        FROM d
+    """,
     "events_value_moments": """
         WITH c AS (
           SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c FROM events

@@ -93,3 +93,45 @@ def test_moment_sums_stream_equals_batch(spark, sf_dir):
         ).collect()
     }
     assert got == want
+
+
+def test_grouped_ols_matches_numpy(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.moments import grouped_ols
+
+    rng = np.random.default_rng(4)
+    rows = []
+    for g in ("a", "b"):
+        for _ in range(200):
+            x = int(rng.integers(0, 24))
+            y = round(3.5 * x + float(rng.normal(0, 10)), 2)
+            rows.append((g, x, y))
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    got = {
+        r["g"]: (r["slope"], r["intercept"], r["pearson_r"])
+        for r in grouped_ols(
+            df, "g", F.col("x"), F.round(F.col("y") * 100)
+        ).collect()
+    }
+    for g in ("a", "b"):
+        xs = np.array([x for gg, x, _ in rows if gg == g], dtype=float)
+        ys = np.array([round(y * 100) / 100 for gg, _, y in rows if gg == g])
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        assert got[g][0] == pytest.approx(slope, abs=1e-5)
+        assert got[g][1] == pytest.approx(intercept, abs=1e-5)
+        assert got[g][2] == pytest.approx(r, abs=1e-6)
+
+
+def test_grouped_ols_partitioning_invariant(spark):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.moments import grouped_ols
+
+    rows = [("a", i % 24, float(i % 97) + 0.25) for i in range(500)]
+    df = spark.createDataFrame(rows, "g string, x int, y double")
+    one = grouped_ols(df.coalesce(1), "g", F.col("x"), F.round(F.col("y") * 100)).collect()
+    many = grouped_ols(df.repartition(17), "g", F.col("x"), F.round(F.col("y") * 100)).collect()
+    assert sorted(map(tuple, one)) == sorted(map(tuple, many))
