@@ -149,7 +149,46 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _RAW_TOK_SQL = sql_raw_tokens_expr("text")
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document — the
+    classic readability pair, a standard quality-scoring feature for
+    training-data curation. Pure map stage (regex counts only).
+
+    Deterministic proxies (both engines, same regexes):
+    words = lowercase alpha runs; sentences = runs of [.!?] (min 1);
+    syllables = vowel-group count, with all-consonant words floored
+    at 1 syllable."""
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    base = docs.select(
+        "doc_id",
+        _raw_tokens(F.col("text")).alias("toks"),
+        F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")).alias("vg"),
+        F.greatest(
+            F.regexp_count(F.coalesce("text", F.lit("")), F.lit("[.!?]+")),
+            F.lit(1),
+        ).alias("n_sentences"),
+    )
+    n_words = F.size("toks")
+    no_vowel = F.size(F.filter("toks", lambda w: ~w.rlike("[aeiouy]")))
+    syll = (F.col("vg") + no_vowel).cast("bigint")
+    wps = n_words.cast("double") / F.col("n_sentences")
+    spw = syll.cast("double") / n_words
+    return base.filter(n_words > 0).select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        F.col("n_sentences").cast("bigint").alias("n_sentences"),
+        syll.alias("n_syllables"),
+        F.round(
+            F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw, 6
+        ).alias("flesch_ease"),
+        F.round(
+            F.lit(0.39) * wps + F.lit(11.8) * spw - F.lit(15.59), 6
+        ).alias("fk_grade"),
+    )
+
+
 QUERIES = {
+    "text_readability": q_readability,
     "text_bpe_token_counts": q_bpe_token_counts,
     "text_stats": q_text_stats,
     "text_top_bigrams": q_top_bigrams,
@@ -159,6 +198,33 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_readability": f"""
+        WITH base AS (
+          SELECT doc_id,
+                 {sql_raw_tokens_expr("text")} AS toks,
+                 len(regexp_extract_all(lower(text), '[aeiouy]+')) AS vg,
+                 greatest(len(regexp_extract_all(COALESCE(text, ''), '[.!?]+')), 1) AS n_sentences
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id,
+                 len(toks) AS n_words,
+                 n_sentences,
+                 vg + len(list_filter(toks, w -> NOT regexp_matches(w, '[aeiouy]')))
+                   AS n_syllables
+          FROM base
+          WHERE len(toks) > 0
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               CAST(n_sentences AS BIGINT) AS n_sentences,
+               CAST(n_syllables AS BIGINT) AS n_syllables,
+               round(206.835 - 1.015 * (n_words::DOUBLE / n_sentences)
+                     - 84.6 * (n_syllables::DOUBLE / n_words), 6) AS flesch_ease,
+               round(0.39 * (n_words::DOUBLE / n_sentences)
+                     + 11.8 * (n_syllables::DOUBLE / n_words) - 15.59, 6) AS fk_grade
+        FROM m
+    """,
     "text_bpe_token_counts": f"""
         WITH t AS (
           SELECT lang, n_chars,

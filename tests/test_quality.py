@@ -140,3 +140,22 @@ def test_dup_ngram_short_docs_excluded(spark):
         spark.createDataFrame([(1, "only four words here")], "doc_id bigint, text string")
     ).collect()
     assert out == []
+
+
+def test_readability_hand_computed(spark, tmp_path):
+    import os
+
+    from searchengine_spark.text.analysis import q_readability
+
+    # "the cat sat. it was dry!" -> words 6, sentences 2,
+    # syllables: the(1) cat(1) sat(1) it(1) was(1) dry(1: y-group) = 6
+    df = spark.createDataFrame(
+        [(1, "the cat sat. it was dry!", "en", "t", 24)],
+        "doc_id long, text string, lang string, source string, n_chars int",
+    )
+    df.write.parquet(os.path.join(tmp_path, "documents.parquet"))
+    [r] = q_readability(spark, str(tmp_path)).collect()
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    wps, spw = 6 / 2, 6 / 6
+    assert r["flesch_ease"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
+    assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
