@@ -46,6 +46,7 @@ _MODULES = (
     "operators.udaf",
     "operators.quantization",
     "operators.kmeans",
+    "operators.pca",
     "operators.text_sim",
     "operators.mixture",
     "operators.decontamination",
