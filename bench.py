@@ -91,6 +91,11 @@ HEADLINE = [
     "sample_weighted_pps",
     "events_winsorized_stats",
     "stream_sliding_rollup_replay",
+    # round-5 (cont.): the integer power-iteration PCA (iterative
+    # linear algebra), exact-partials grouped OLS, and readability.
+    "emb_pca_top_direction",
+    "events_value_hour_regression",
+    "text_readability",
 ]
 
 SERVE_QUERIES = [

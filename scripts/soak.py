@@ -88,6 +88,12 @@ QUERIES = (
     "sample_weighted_pps",
     "skew_salted_join_stats",
     "events_winsorized_stats",
+    # round-5 (cont.): the d^2-per-row second-moment build feeding
+    # power iteration (explode fan-out risk), exact-partials OLS,
+    # and the regex-heavy readability map.
+    "emb_pca_top_direction",
+    "events_value_hour_regression",
+    "text_readability",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
