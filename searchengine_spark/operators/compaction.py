@@ -93,7 +93,7 @@ def compact_table(
     os.makedirs(out_dir, exist_ok=True)
 
     n_in = spark.read.parquet(table_dir).count()
-    for i, bin_files in enumerate(rewrite):
+    for bin_files in rewrite:
         (
             spark.read.parquet(*bin_files)
             .coalesce(1)

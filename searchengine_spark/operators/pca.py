@@ -84,11 +84,15 @@ def top_direction(smat: DataFrame, dim: int, *, iters: int = ITERS) -> DataFrame
                 .agg(F.sum(F.col("s") * F.col("v")).alias("w"))
             )
             m = w.agg(F.max(F.abs(F.col("w"))).alias("m"))
+            # greatest(..., 1): a degenerate all-zero S would otherwise
+            # divide by zero (ANSI error); real data never hits it.
             v = (
                 w.crossJoin(F.broadcast(m))
                 .select(
                     "i",
-                    F.expr(f"w div (m div {VSCALE})").cast("bigint").alias("v"),
+                    F.expr(f"w div greatest(m div {VSCALE}, 1)")
+                    .cast("bigint")
+                    .alias("v"),
                 )
             )
         return v.select(F.col("i").alias("pos"), "v")
@@ -117,7 +121,8 @@ def _round_sql(prev_v: str, idx: int) -> str:
         ),
         m{idx} AS (SELECT MAX(ABS(w)) AS m FROM w{idx}),
         v{idx} AS (
-          SELECT w{idx}.i, w // (m // {VSCALE}) AS v FROM w{idx}, m{idx}
+          SELECT w{idx}.i, w // greatest(m // {VSCALE}, 1) AS v
+          FROM w{idx}, m{idx}
         )"""
 
 

@@ -1,0 +1,60 @@
+"""Versioned table protocol: snapshot isolation, time travel,
+incremental reads, conflict detection, vacuum reachability."""
+
+import os
+
+import pytest
+
+from searchengine_spark.sources import versioned as V
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_append_time_travel_and_changes(spark, tmp_path):
+    t = os.path.join(tmp_path, "tbl")
+    v0 = V.append(spark, spark.range(0, 3).selectExpr("id", "id*10 AS x"), t)
+    v1 = V.append(spark, spark.range(3, 5).selectExpr("id", "id*10 AS x"), t)
+    v2 = V.append(spark, spark.range(5, 9).selectExpr("id", "id*10 AS x"), t)
+    assert (v0, v1, v2) == (0, 1, 2)
+    assert V.latest_version(t) == 2
+
+    assert _rows(V.read(spark, t)) == [(i, i * 10) for i in range(9)]
+    # time travel: old snapshots unaffected by later commits
+    assert _rows(V.read(spark, t, version=0)) == [(i, i * 10) for i in range(3)]
+    assert _rows(V.read(spark, t, version=1)) == [(i, i * 10) for i in range(5)]
+    # incremental: only the delta
+    assert _rows(V.read_changes(spark, t, v_from=0, v_to=2)) == [
+        (i, i * 10) for i in range(3, 9)
+    ]
+    assert V.read_changes(spark, t, v_from=2, v_to=2).count() == 0
+
+
+def test_overwrite_blocks_incremental_but_time_travels(spark, tmp_path):
+    t = os.path.join(tmp_path, "tbl")
+    V.append(spark, spark.range(0, 4).selectExpr("id", "id AS x"), t)
+    V.overwrite(spark, spark.range(100, 102).selectExpr("id", "id AS x"), t)
+    assert _rows(V.read(spark, t)) == [(100, 100), (101, 101)]
+    assert _rows(V.read(spark, t, version=0)) == [(i, i) for i in range(4)]
+    with pytest.raises(ValueError, match="overwrite"):
+        V.read_changes(spark, t, v_from=0, v_to=1)
+
+
+def test_commit_conflict_detected(spark, tmp_path):
+    t = os.path.join(tmp_path, "tbl")
+    V.append(spark, spark.range(3).selectExpr("id", "id AS x"), t)
+    with pytest.raises(V.CommitConflict):
+        V._commit(t, 0, {"version": 0, "kind": "append", "files": [], "added": []})
+
+
+def test_vacuum_keeps_reachable_only(spark, tmp_path):
+    t = os.path.join(tmp_path, "tbl")
+    V.append(spark, spark.range(0, 3).selectExpr("id", "id AS x"), t)
+    V.overwrite(spark, spark.range(10, 12).selectExpr("id", "id AS x"), t)
+    before = _rows(V.read(spark, t))
+    deleted = V.vacuum(t, keep_versions=1)
+    assert deleted  # v0's files are unreachable from v1
+    assert _rows(V.read(spark, t)) == before  # latest snapshot intact
+    with pytest.raises(FileNotFoundError):
+        V._manifest(t, 0)
