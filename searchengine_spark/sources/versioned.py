@@ -198,3 +198,40 @@ def vacuum(table_dir: str, *, keep_versions: int = 1) -> list[str]:
         if os.path.exists(m):
             os.remove(m)
     return deleted
+
+
+# --------------------------------------------------------------- queries
+
+def q_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end protocol proof as a driver-checked query: commit
+    documents as two hash-split append versions into a scratch
+    versioned table, then read ONLY the delta of the second commit.
+    The oracle restates the split predicate — if snapshotting,
+    manifest isolation, or the incremental file list were wrong, the
+    row set could not match."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    first = docs.filter(hash_bucket(F.col("doc_id"), salt="ver") < 5000)
+    second = docs.filter(hash_bucket(F.col("doc_id"), salt="ver") >= 5000)
+
+    table = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    v0 = append(spark, first, table)
+    v1 = append(spark, second, table)
+    return read_changes(spark, table, v_from=v0, v_to=v1)
+
+
+QUERIES = {"src_versioned_incremental": q_versioned_incremental}
+
+ORACLES = {
+    "src_versioned_incremental": """
+        SELECT doc_id, lang FROM documents
+        WHERE (('0x' || substr(md5('ver' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000) >= 5000
+    """,
+}
