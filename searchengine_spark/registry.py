@@ -62,6 +62,7 @@ _MODULES = (
     "text.langid",
     "text.chunking",
     "text.cdc",
+    "text.bpe",
     "sources.versioned",
     "streaming.replay",
     "pipeline",
