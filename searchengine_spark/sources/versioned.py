@@ -235,3 +235,59 @@ ORACLES = {
                % 10000) >= 5000
     """,
 }
+
+
+# ------------------------------------------------------- streaming sink
+
+def commit_stream_batch(batch_df, batch_id: int, table_dir: str) -> bool:
+    """Idempotent micro-batch commit: append ``batch_df`` as a new
+    version stamped with the source ``batch_id``; a batch_id already
+    present in the log is skipped WITHOUT writing (returns False).
+    This is what turns at-least-once foreachBatch delivery into an
+    exactly-once sink."""
+    latest = latest_version(table_dir)
+    for v in range(latest + 1):
+        if _manifest(table_dir, v).get("batch_id") == batch_id:
+            return False  # retry of a durable batch
+    prev = _manifest(table_dir, latest)["files"] if latest >= 0 else []
+    batch_dir = os.path.join(_data_dir(table_dir), f"batch-{uuid.uuid4().hex}")
+    batch_df.write.parquet(batch_dir)
+    files = sorted(
+        os.path.join(batch_dir, f)
+        for f in os.listdir(batch_dir)
+        if f.endswith(".parquet")
+    )
+    _commit(
+        table_dir,
+        latest + 1,
+        {
+            "version": latest + 1,
+            "kind": "append",
+            "files": prev + files,
+            "added": files,
+            "batch_id": batch_id,
+            "ts": time.time(),
+        },
+    )
+    return True
+
+
+def versioned_stream_sink(stream_df, table_dir: str):
+    """Exactly-once streaming sink backed by the versioned log.
+
+    foreachBatch is at-least-once: on recovery Structured Streaming
+    re-delivers the last batch under the SAME batch_id; the manifest
+    carries that id, so a retry is detected BEFORE any commit
+    (commit_stream_batch) — no read-side dedup needed. Every
+    micro-batch lands as a snapshot version: downstream consumers
+    time-travel or read O(delta) changes instead of rescanning.
+
+    Returns the StreamingQuery; caller awaits termination.
+    """
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: commit_stream_batch(df, bid, table_dir)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

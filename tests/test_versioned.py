@@ -58,3 +58,37 @@ def test_vacuum_keeps_reachable_only(spark, tmp_path):
     assert _rows(V.read(spark, t)) == before  # latest snapshot intact
     with pytest.raises(FileNotFoundError):
         V._manifest(t, 0)
+
+
+def test_streaming_sink_exactly_once_and_versioned(spark, tmp_path):
+    from searchengine_spark.io import load_table
+
+    t = os.path.join(tmp_path, "sink_tbl")
+    src = os.path.join(tmp_path, "src")
+    # two source files -> the file stream delivers them as batches
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(200)
+    ev.coalesce(1).write.parquet(src)
+    ev.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = V.versioned_stream_sink(stream, t)
+    q.awaitTermination(120)
+    assert V.latest_version(t) >= 1  # one version per micro-batch
+    total = V.read(spark, t).count()
+    assert total == spark.read.parquet(src).count()
+
+    # at-least-once retry: re-committing an already-durable batch_id
+    # must be a no-op — no new version, no duplicate rows.
+    last = V.latest_version(t)
+    last_bid = V._manifest(t, last)["batch_id"]
+    assert V.commit_stream_batch(spark.read.parquet(src).limit(5), last_bid, t) is False
+    assert V.latest_version(t) == last
+    assert V.read(spark, t).count() == total
+
+    # a genuinely new batch_id commits
+    assert V.commit_stream_batch(spark.read.parquet(src).limit(5), 999, t) is True
+    assert V.read(spark, t).count() == total + 5
