@@ -96,6 +96,10 @@ HEADLINE = [
     "emb_pca_top_direction",
     "events_value_hour_regression",
     "text_readability",
+    # round-5 (cont.): BPE pair-count workhorse and the versioned-log
+    # incremental read (lakehouse protocol through real parquet I/O).
+    "text_bpe_top_pairs",
+    "src_versioned_incremental",
 ]
 
 SERVE_QUERIES = [
