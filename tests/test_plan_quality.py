@@ -142,3 +142,45 @@ def test_rank_bm25_uses_broadcast_mean_not_corpus_rescan(spark, sf_dir):
 def test_incremental_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_incremental_pairs")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_cdc_chunks_no_shuffle_beyond_rescue(spark, sf_dir):
+    """Content-defined chunking is one Generate+Project map stage;
+    no aggregate, no join, no sort — the boundary math lives entirely
+    in whole-stage codegen."""
+    plan = _plan(spark, sf_dir, "text_cdc_chunks")
+    for op in ("HashAggregate", "Join", "Sort "):
+        assert op not in plan, (op, plan)
+
+
+def test_image_dhash_stage_is_map_only(spark, sf_dir):
+    """Encode -> decode -> 56-bit hash must not shuffle pixels: the
+    per-image work ends in (media_id, int64) before any Exchange."""
+    plan = _plan(spark, sf_dir, "mm_image_dhash")
+    for op in ("HashAggregate", "Join", "Sort "):
+        assert op not in plan, (op, plan)
+
+
+def test_readability_map_only(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_readability")
+    for op in ("HashAggregate", "Join", "Sort ", "Window"):
+        assert op not in plan, (op, plan)
+
+
+def test_pps_sample_no_data_scale_sort(spark, sf_dir):
+    """The PPS prefix sum must never globally sort the data: the only
+    Sort nodes feed windows over per-bucket slices or the N_BUCKETS
+    offsets frame; a data-wide Exchange SinglePartition before the
+    row stream would be the failure."""
+    from searchengine_spark.registry import all_queries
+
+    df = all_queries()["sample_weighted_pps"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the offsets window runs over the bucket-totals AGGREGATE (tiny);
+    # assert the single-partition exchange consumes an aggregate, not
+    # the raw row stream: no SinglePartition shuffle of a scan node.
+    import re
+
+    for m in re.finditer(r"Exchange SinglePartition", plan):
+        tail = plan[m.start() : m.start() + 400]
+        assert "HashAggregate" in tail or "noop" in tail, tail
