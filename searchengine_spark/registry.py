@@ -47,6 +47,7 @@ _MODULES = (
     "operators.quantization",
     "operators.kmeans",
     "operators.pca",
+    "operators.topk",
     "operators.text_sim",
     "operators.mixture",
     "operators.decontamination",
