@@ -51,6 +51,16 @@ class SearchService:
         # task-scheduling-bound (see InvertedIndex.coalesce) — 2x
         # lower per-query latency than the build-parallel layout.
         self._index = build_index(self._docs, stem=stem).coalesce(4).cache()
+        # embeddings power /similar; optional in custom datasets
+        import os
+
+        from searchengine_spark.io import table_path
+
+        self._emb = None
+        if os.path.exists(table_path(sf_dir, "embeddings")):
+            self._emb = (
+                load_table(spark, sf_dir, "embeddings").coalesce(4).cache()
+            )
         # Materialize the cache before the first user query so first-hit
         # latency is query cost, not index build (the reference pays its
         # 1-2 min cold start inside the first Streamlit interaction).
@@ -104,6 +114,68 @@ class SearchService:
         ]
 
 
+    def similar(
+        self, doc_id: int, q: str | None = None, k: int = 10
+    ) -> list[dict[str, Any]]:
+        """More-like-this: embedding neighbors of ``doc_id``, optionally
+        RRF-fused with a BM25 keyword list (index/hybrid.py) — "find
+        docs like this one, about <terms>". Brute cosine is the right
+        serving shape at cached-table scale; at 100 TB swap the
+        semantic list for the IVF probe (operators/ann.py) — the
+        fusion contract is rank lists, so nothing else changes."""
+        from pyspark.sql import functions as F
+
+        from searchengine_spark.index.bm25 import search, snippets
+        from searchengine_spark.index.hybrid import FUSE_N, _ranked, rrf_fuse
+        from searchengine_spark.operators.similarity import cosine_expr
+
+        if self._emb is None:
+            raise ValueError("no embeddings table in this dataset")
+        qv = self._emb.filter(F.col("vec_id") == doc_id).select(
+            F.col("embedding").alias("qvec")
+        )
+        if not qv.take(1):
+            raise ValueError(f"unknown doc_id {doc_id}")
+        sem_scores = (
+            self._emb.filter(F.col("vec_id") != doc_id)
+            .crossJoin(F.broadcast(qv))
+            .select(
+                F.col("vec_id").alias("doc_id"),
+                F.round(
+                    cosine_expr(F.col("embedding"), F.col("qvec")), 6
+                ).alias("cosine"),
+            )
+        )
+        lists = [_ranked(sem_scores, "cosine", "doc_id", FUSE_N)]
+        if q:
+            lists.append(
+                _ranked(
+                    search(self._index, q, k=FUSE_N, stem=self._stem),
+                    "total_score",
+                    "doc_id",
+                    FUSE_N,
+                )
+            )
+        fused = (
+            rrf_fuse(lists)
+            .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+            .limit(k)
+        )
+        rows = snippets(
+            fused.withColumn("total_score", F.col("rrf_score")),
+            self._docs,
+            max_len=self._snippet_len,
+        ).collect()
+        return [
+            {
+                "doc_id": r["doc_id"],
+                "rrf_score": round(float(r["total_score"]), 6),
+                "snippet": r["snippet"],
+            }
+            for r in rows
+        ]
+
+
 def make_http_server(service: SearchService, port: int = 0):
     """stdlib ThreadingHTTPServer: GET /search?q=...&k=10 -> JSON hits;
     GET /healthz -> ok. Returns the (not yet serving) server object so
@@ -118,8 +190,32 @@ def make_http_server(service: SearchService, port: int = 0):
             if url.path == "/healthz":
                 self._reply(200, {"status": "ok"})
                 return
+            if url.path == "/similar":
+                params = parse_qs(url.query)
+                try:
+                    doc_id = int((params.get("doc_id") or [""])[0])
+                except ValueError:
+                    self._reply(400, {"error": "doc_id must be an integer"})
+                    return
+                q = (params.get("q") or [None])[0]
+                try:
+                    k = int((params.get("k") or ["10"])[0])
+                    self._reply(
+                        200,
+                        {
+                            "doc_id": doc_id,
+                            "results": service.similar(doc_id, q=q, k=k),
+                        },
+                    )
+                except Exception as exc:  # noqa: BLE001 — keep serving
+                    self._reply(
+                        500, {"error": f"{type(exc).__name__}: {exc}"[:300]}
+                    )
+                return
             if url.path != "/search":
-                self._reply(404, {"error": "unknown path; use /search?q=..."})
+                self._reply(
+                    404, {"error": "unknown path; use /search?q=... or /similar?doc_id=..."}
+                )
                 return
             params = parse_qs(url.query)
             q = (params.get("q") or [""])[0]

@@ -85,3 +85,32 @@ def test_fuzzy_param_corrects_typos(spark, sf_dir):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_similar_endpoint_hybrid_more_like_this(spark, sf_dir):
+    from searchengine_spark.serve import SearchService, make_http_server
+
+    service = SearchService(spark, sf_dir)
+    server = make_http_server(service, port=0)
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        status, payload = _get(port, "/similar?doc_id=0&k=5")
+        assert status == 200
+        results = payload["results"]
+        assert 0 < len(results) <= 5
+        assert set(results[0]) == {"doc_id", "rrf_score", "snippet"}
+        assert all(r["doc_id"] != 0 for r in results)  # anchor excluded
+        scores = [r["rrf_score"] for r in results]
+        assert scores == sorted(scores, reverse=True)
+
+        # keyword-constrained: fusing a BM25 list changes/filters ranks
+        status2, p2 = _get(port, "/similar?doc_id=0&q=spark&k=5")
+        assert status2 == 200 and 0 < len(p2["results"]) <= 5
+
+        assert _get(port, "/similar?doc_id=abc")[0] == 400
+        assert _get(port, "/similar?doc_id=99999999")[0] == 500  # unknown id
+    finally:
+        server.shutdown()
+        server.server_close()
