@@ -108,7 +108,64 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dedup_pagerank_centrality": q_pagerank_centrality}
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """(doc_id, n_triangles) for every node in >= 1 triangle of the
+    (a < b) undirected edge list.
+
+    Node-iterator with ordered triples: enumerate wedges a<b<c via
+    edges(a,b)⋈edges(b,c), close them with a semi-check against
+    edges(a,c) — each triangle materializes exactly once. Shapes:
+    two equi-joins on node keys; wedge fan-out is sum(deg^2) over
+    MIDDLE vertices, which the a<b<c orientation already caps (a hub
+    only mediates wedges among its HIGHER-id neighbors; the standard
+    degree-ordering refinement would redirect each edge from its
+    lower- to higher-degree endpoint — same joins, one extra degree
+    broadcast — noted for corpora with mega-hubs). Triangle density
+    on a near-dup graph separates true duplicate cliques from chains
+    of borderline matches: clusters with few triangles are the ones
+    to re-verify before bulk deletion."""
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    wedge = (
+        e.alias("ab")
+        .join(
+            e.alias("bc"),
+            F.col("ab.b") == F.col("bc.a"),
+        )
+        .select(
+            F.col("ab.a").alias("a"),
+            F.col("ab.b").alias("b"),
+            F.col("bc.b").alias("c"),
+        )
+    )
+    tri = wedge.alias("w").join(
+        e.alias("ac"),
+        (F.col("w.a") == F.col("ac.a")) & (F.col("w.c") == F.col("ac.b")),
+        "left_semi",
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.dedup import (
+        _shingles,
+        minhash_bands,
+        neardup_candidate_pairs,
+    )
+
+    pairs = neardup_candidate_pairs(
+        minhash_bands(shingles=_shingles(spark, sf_dir))
+    )
+    return triangle_counts(pairs)
+
+
+QUERIES = {
+    "dedup_pagerank_centrality": q_pagerank_centrality,
+    "dedup_triangle_counts": q_triangle_counts,
+}
 
 
 def _oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
@@ -157,4 +214,30 @@ def _oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
     )
 
 
-ORACLES = {"dedup_pagerank_centrality": _oracle()}
+def _triangle_oracle() -> str:
+    from searchengine_spark.operators.dedup import _BANDS_CTE
+
+    return f"""{_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    tri AS (
+      SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
+      FROM cand ab
+      JOIN cand bc ON bc.doc_a = ab.doc_b
+      JOIN cand ac ON ac.doc_a = ab.doc_a AND ac.doc_b = bc.doc_b
+    ),
+    members AS (
+      SELECT unnest([a, b, c]) AS doc_id FROM tri
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY doc_id"""
+
+
+ORACLES = {
+    "dedup_pagerank_centrality": _oracle(),
+    "dedup_triangle_counts": _triangle_oracle(),
+}

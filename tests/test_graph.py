@@ -46,3 +46,18 @@ def test_deterministic_under_repartition(spark):
         map(tuple, pagerank_fixed_point(symmetrize(p.repartition(13))).collect())
     )
     assert a == b  # integer arithmetic: bit-equal on any layout
+
+
+def test_triangle_counts_on_known_graph(spark):
+    from searchengine_spark.operators.graph import triangle_counts
+
+    # 4-clique on 0-3 (4 triangles; each node in C(3,2)=3) plus a
+    # triangle-free path 10-11-12.
+    import itertools
+
+    edges = [(a, b) for a, b in itertools.combinations(range(4), 2)]
+    edges += [(10, 11), (11, 12)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r["doc_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+    assert sum(got.values()) == 4 * 3  # 4 triangles x 3 members
