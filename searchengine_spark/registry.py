@@ -64,6 +64,7 @@ _MODULES = (
     "text.chunking",
     "text.cdc",
     "text.bpe",
+    "text.drift",
     "sources.versioned",
     "streaming.replay",
     "pipeline",

@@ -171,6 +171,52 @@ def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-touch attribution per purchase: which of the user's
+    views inside the 30-minute window get credit, under the three
+    standard models at once — first-touch (earliest view), last-touch
+    (latest view), linear (1/n each). The conversion-credit twin of
+    rel_interval_clicks_before_purchase: same equi-key + time-bound
+    residual join shape, then one per-purchase window over the
+    handful of touches (per-group, never data-global).
+
+    Deterministic touch ordering: (view ts, view event_id)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    v = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    touches = p.join(v, "user_id").filter(
+        (F.col("v_ts") <= F.col("p_ts"))
+        & (F.col("v_ts") > F.col("p_ts") - F.expr(f"INTERVAL {INTERVAL_MINUTES} MINUTE"))
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.asc("v_ts"), F.asc("view_id")
+    )
+    ranked = touches.select(
+        "purchase_id",
+        "user_id",
+        "view_id",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("purchase_id")).alias("n_touches"),
+    )
+    return ranked.groupBy("purchase_id", "user_id", "n_touches").agg(
+        F.max(F.when(F.col("rk") == 1, F.col("view_id"))).alias("first_touch_view"),
+        F.max(
+            F.when(F.col("rk") == F.col("n_touches"), F.col("view_id"))
+        ).alias("last_touch_view"),
+        F.round(F.lit(1.0) / F.col("n_touches"), 6).alias("linear_credit"),
+    )
+
+
 INTERVAL_MINUTES = 30
 
 
@@ -341,6 +387,7 @@ QUERIES = {
     "rel_price_quartiles": q_price_quartiles,
     "rel_unpivot_lineitem": q_unpivot_lineitem_measures,
     "events_winsorized_stats": q_winsorized_event_stats,
+    "events_attribution_credit": q_attribution_credit,
 }
 
 _UNPIVOT_ORACLE = "\nUNION ALL\n".join(
@@ -351,6 +398,31 @@ _UNPIVOT_ORACLE = "\nUNION ALL\n".join(
 
 ORACLES = {
     "rel_unpivot_lineitem": _UNPIVOT_ORACLE,
+    "events_attribution_credit": f"""
+        WITH touches AS (
+          SELECT p.event_id AS purchase_id, p.user_id,
+                 v.event_id AS view_id, v.ts AS v_ts
+          FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+          JOIN (SELECT * FROM events WHERE event_type = 'view') v
+            ON p.user_id = v.user_id
+           AND v.ts <= p.ts
+           AND v.ts > p.ts - INTERVAL {INTERVAL_MINUTES} MINUTE
+        ),
+        ranked AS (
+          SELECT purchase_id, user_id, view_id,
+                 row_number() OVER (
+                   PARTITION BY purchase_id ORDER BY v_ts ASC, view_id ASC
+                 ) AS rk,
+                 COUNT(*) OVER (PARTITION BY purchase_id) AS n_touches
+          FROM touches
+        )
+        SELECT purchase_id, user_id,
+               CAST(n_touches AS BIGINT) AS n_touches,
+               MAX(CASE WHEN rk = 1 THEN view_id END) AS first_touch_view,
+               MAX(CASE WHEN rk = n_touches THEN view_id END) AS last_touch_view,
+               round(1.0 / n_touches, 6) AS linear_credit
+        FROM ranked GROUP BY purchase_id, user_id, n_touches
+    """,
     "events_winsorized_stats": """
         WITH ev AS (
           SELECT event_type, value FROM events WHERE value IS NOT NULL
