@@ -48,6 +48,7 @@ _MODULES = (
     "operators.kmeans",
     "operators.pca",
     "operators.topk",
+    "operators.projection",
     "operators.text_sim",
     "operators.mixture",
     "operators.decontamination",
