@@ -100,6 +100,13 @@ HEADLINE = [
     # incremental read (lakehouse protocol through real parquet I/O).
     "text_bpe_top_pairs",
     "src_versioned_incremental",
+    # round-5 (cont.): two-phase grouped top-k, triangle counting,
+    # attribution credit, PSI drift, and the JL projection.
+    "events_top3_per_type",
+    "dedup_triangle_counts",
+    "events_attribution_credit",
+    "text_drift_psi",
+    "emb_jl_projection",
 ]
 
 SERVE_QUERIES = [
