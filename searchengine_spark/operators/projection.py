@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from searchengine_spark.io import load_table
+from searchengine_spark.io import ensure_min_partitions, load_table
 
 OUT_DIMS = 16
 
@@ -105,7 +105,9 @@ def project(
 # --------------------------------------------------------------- queries
 
 def q_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
+    # single-row-group parquet would serialize the explode+decimal
+    # pipeline on one core (the known tiny-file trap — README)
+    emb = ensure_min_partitions(load_table(spark, sf_dir, "embeddings"))
     return project(emb)
 
 
