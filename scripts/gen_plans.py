@@ -39,6 +39,10 @@ PICKS = [
     ("text_frequent_pairs", "a-priori prune before the pair self-join: broadcast frequent set, fan-out bounded by frequent vocab"),
     ("skew_salted_join_stats", "salted fact + exploded dim: ShuffledHashJoin on (key, salt) — hot key spread over n_salts reducers"),
     ("sample_weighted_pps", "distributed prefix sum: bucket totals -> tiny offsets window -> broadcast back; no global sort"),
+    ("events_top3_per_type", "two-phase grouped top-k: bounded per-partition heaps (mapInPandas) shrink the stream before the window"),
+    ("dedup_triangle_counts", "ordered wedge equi-join + left-semi close: each triangle once, no cartesian"),
+    ("emb_jl_projection", "explode x broadcast sign matrix -> one (vec, dim) grouped exact-decimal sum"),
+    ("text_drift_psi", "two vocab-sized aggs + full-outer vocab join; per-token PSI rows, no global float fold"),
 ]
 
 

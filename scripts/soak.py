@@ -94,6 +94,17 @@ QUERIES = (
     "emb_pca_top_direction",
     "events_value_hour_regression",
     "text_readability",
+    # round-5 (cont.): two-phase grouped top-k (survivor-set growth),
+    # triangle counting (wedge fan-out grows with dup-group size under
+    # replication — watch it), attribution (touch fan-out), PSI drift
+    # (vocab join), JL projection (explode x 16), BPE pair counts
+    # (vocab-bounded — should be FLAT as the corpus replicates).
+    "events_top3_per_type",
+    "dedup_triangle_counts",
+    "events_attribution_credit",
+    "text_drift_psi",
+    "emb_jl_projection",
+    "text_bpe_top_pairs",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
@@ -170,6 +181,34 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — record, keep soaking
                 results[name][f"x{factor}"] = -1.0
                 results[name][f"x{factor}_err"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # Adaptive re-measurement: the host VM's throughput swings 2-5x
+    # (bench.py's calib probes document it), and a single noisy window
+    # during one scale's pass fakes a blow-up that vanishes in
+    # isolation (round 5 saw cdc 0.6->19s and attribution 0.4->7.2s
+    # phantoms). A query whose x5/x1 ratio breaches the linear bound
+    # gets BOTH endpoints re-measured once, keeping the per-endpoint
+    # MINIMUM — min-of-2 cancels transient noise but cannot hide a
+    # real superlinear cost (a genuine blow-up reproduces).
+    bound = 5.0
+    for name, r in results.items():
+        t1, t5 = r.get("x1"), r.get("x5")
+        if not (t1 and t5 and t1 > 0 and t5 > 0 and t5 / t1 > bound):
+            continue
+        for factor in (1, 5):
+            sf_dir = build_scaled(spark, factor)
+            spark.catalog.clearCache()
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                r[f"x{factor}"] = min(
+                    r[f"x{factor}"], round(time.perf_counter() - t0, 3)
+                )
+            except Exception:  # noqa: BLE001 — keep the original record
+                pass
+        r["remeasured"] = True
 
     report = {
         "base": BASE,
