@@ -39,15 +39,12 @@ MAX_STOP_RATIO = 0.5
 JACCARD_CUT = 0.8
 
 
-def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> DataFrame:
-    """Returns the curated keep-list: (doc_id) surviving all gates.
-
-    gate="basic": token floor + stopword-ratio cap (the minimal
-    reference-flavored filter). gate="gopher": the full Gopher-style
-    rule set from text/quality.py (word bounds, mean word length,
-    stopword evidence, adjacent-dup ratio, lexical diversity) — the
-    production-shaped quality pass; same map-only plan shape.
-    """
+def _stages(
+    docs: DataFrame, *, text_col: str = "text", gate: str = "basic"
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(quality, exact_keep_ids, near_drop_ids) — the pipeline's three
+    decision frames, shared by curate() (keep-list) and
+    q_drop_reasons() (per-doc provenance)."""
     base = ensure_min_partitions(docs).select(
         "doc_id",
         F.col(text_col),
@@ -96,6 +93,20 @@ def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> D
         F.col("jaccard") >= JACCARD_CUT
     )
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return quality.select("doc_id", F.col(text_col)), exact_keep, drop
+
+
+def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> DataFrame:
+    """Returns the curated keep-list: (doc_id) surviving all gates.
+
+    gate="basic": token floor + stopword-ratio cap (the minimal
+    reference-flavored filter). gate="gopher": the full Gopher-style
+    rule set from text/quality.py (word bounds, mean word length,
+    stopword evidence, adjacent-dup ratio, lexical diversity) — the
+    production-shaped quality pass; same map-only plan shape.
+    """
+    quality, exact_keep, drop = _stages(docs, text_col=text_col, gate=gate)
+    survivors = quality.join(exact_keep, "doc_id", "left_semi")
     return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
@@ -169,6 +180,34 @@ def q_curated_docs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
     return curate(load_table(spark, sf_dir, "documents"), gate="gopher")
 
 
+def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation provenance: which stage dropped each doc
+    ('quality' / 'exact_dup' / 'near_dup') or 'kept'. The audit-trail
+    twin of pipeline_curated_docs — at 100 TB you don't just want the
+    keep-list, you want to answer "why is doc X gone" without
+    replaying the pipeline. Three left joins of id-frames onto the
+    full corpus; the verdict CASE encodes the stage ordering."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality, exact_keep, drop = _stages(docs)
+    q = quality.select("doc_id", F.lit(1).alias("_q"))
+    e = exact_keep.select("doc_id", F.lit(1).alias("_e"))
+    n = drop.select("doc_id", F.lit(1).alias("_n"))
+    return (
+        docs.select("doc_id")
+        .join(q, "doc_id", "left")
+        .join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("_q").isNull(), F.lit("quality"))
+            .when(F.col("_e").isNull(), F.lit("exact_dup"))
+            .when(F.col("_n").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _RAW = sql_raw_tokens_expr("text")
 
@@ -194,7 +233,7 @@ def _gopher_quality_cte() -> str:
 )"""
 
 
-_CURATE_SQL = f"""
+_CURATE_CTES = f"""
 WITH {{QUALITY_CTE}},
 exact_keep AS (
   SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
@@ -245,29 +284,44 @@ near AS (
   WHERE round(len(list_intersect(a.shset, b.shset))
               / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= {JACCARD_CUT}
 )
-SELECT doc_id FROM survivors
-WHERE doc_id NOT IN (SELECT doc_b FROM near)
+{{FINAL_SELECT}}
 """
 
+_KEEP_SELECT = """SELECT doc_id FROM survivors
+WHERE doc_id NOT IN (SELECT doc_b FROM near)"""
 
-def _curate_oracle(quality_cte: str) -> str:
+_REASON_SELECT = """SELECT d.doc_id,
+       CASE WHEN q.doc_id IS NULL THEN 'quality'
+            WHEN e.doc_id IS NULL THEN 'exact_dup'
+            WHEN n.doc_b IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS verdict
+FROM documents d
+LEFT JOIN quality q ON q.doc_id = d.doc_id
+LEFT JOIN exact_keep e ON e.doc_id = d.doc_id
+LEFT JOIN (SELECT DISTINCT doc_b FROM near) n ON n.doc_b = d.doc_id"""
+
+
+def _curate_oracle(quality_cte: str, final_select: str = _KEEP_SELECT) -> str:
     from searchengine_spark.operators.dedup import _band_hash_sql, _sig_sql_cols
 
     return (
-        _CURATE_SQL.replace("{QUALITY_CTE}", quality_cte)
+        _CURATE_CTES.replace("{QUALITY_CTE}", quality_cte)
         .replace("{SIG_COLS}", _sig_sql_cols())
         .replace(
             "{BAND_ROWS}",
             ",\n    ".join(f"({b}, {_band_hash_sql(b)})" for b in range(4)),
         )
+        .replace("{FINAL_SELECT}", final_select)
     )
 
 
 QUERIES = {
     "pipeline_curated_docs": q_curated_docs,
     "pipeline_curated_docs_gopher": q_curated_docs_gopher,
+    "pipeline_drop_reasons": q_drop_reasons,
 }
 ORACLES = {
     "pipeline_curated_docs": _curate_oracle(_BASIC_QUALITY_CTE),
     "pipeline_curated_docs_gopher": _curate_oracle(_gopher_quality_cte()),
+    "pipeline_drop_reasons": _curate_oracle(_BASIC_QUALITY_CTE, _REASON_SELECT),
 }
