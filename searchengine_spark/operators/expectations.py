@@ -1,0 +1,129 @@
+"""Declarative data-quality expectations (Deequ-style, one pass).
+
+The contract layer between pipeline stages: assert what a table must
+look like (keys unique, measures in range, enums closed, volume
+sane) and get per-constraint metrics + verdicts from ONE aggregation
+pass — never one job per check, which at 100 TB turns a 10-constraint
+suite into 10 full scans. Schorn et al.'s Deequ (VLDB'18) is the
+public reference for the pattern; this is its minimal Spark-native
+core: every constraint contributes aggregate expressions to a single
+`agg(...)`, and the verdict table is derived from the one result row.
+
+Output shape (constraint, metric, passed) is long-form so the
+verifier can hash it and a monitor can diff it across runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+
+
+class Check:
+    """A named constraint: aggregate metric expression + pass rule."""
+
+    def __init__(self, name: str, metric: Column, passes: Column):
+        self.name = name
+        self.metric = metric.cast("double").alias(f"m_{name}")
+        self.passes = passes
+
+
+def completeness(col: str, *, at_least: float = 1.0) -> Check:
+    m = F.avg(F.when(F.col(col).isNotNull(), 1.0).otherwise(0.0))
+    return Check(
+        f"completeness_{col}", m, F.col(f"m_completeness_{col}") >= at_least
+    )
+
+
+def uniqueness(col: str) -> Check:
+    m = F.countDistinct(col) / F.count(F.lit(1))
+    return Check(f"uniqueness_{col}", m, F.col(f"m_uniqueness_{col}") >= 1.0)
+
+
+def non_negative(col: str) -> Check:
+    m = F.sum(F.when(F.col(col) < 0, 1).otherwise(0))
+    return Check(f"non_negative_{col}", m, F.col(f"m_non_negative_{col}") == 0.0)
+
+
+def in_set(col: str, allowed: list[str]) -> Check:
+    m = F.sum(F.when(F.col(col).isin(allowed) | F.col(col).isNull(), 0).otherwise(1))
+    return Check(f"in_set_{col}", m, F.col(f"m_in_set_{col}") == 0.0)
+
+
+def min_rows(n: int) -> Check:
+    m = F.count(F.lit(1))
+    return Check("min_rows", m, F.col("m_min_rows") >= float(n))
+
+
+def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """(constraint, metric, passed) — one aggregation job for all."""
+    agged = df.agg(*[c.metric for c in checks])
+    rows = [
+        F.struct(
+            F.lit(c.name).alias("constraint"),
+            F.round(F.col(f"m_{c.name}"), 6).alias("metric"),
+            c.passes.alias("passed"),
+        )
+        for c in checks
+    ]
+    return agged.select(F.explode(F.array(*rows)).alias("r")).select(
+        "r.constraint", "r.metric", "r.passed"
+    )
+
+
+# --------------------------------------------------------------- queries
+
+ORDER_STATUSES = ["O", "F", "P"]
+MIN_ORDER_ROWS = 100
+
+
+def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contract a downstream join pipeline assumes of `orders`:
+    unique non-null key, non-negative money, closed status enum,
+    sane volume — verified in one scan."""
+    orders = load_table(spark, sf_dir, "orders")
+    return run_checks(
+        orders,
+        [
+            completeness("o_orderkey"),
+            uniqueness("o_orderkey"),
+            completeness("o_custkey"),
+            non_negative("o_totalprice"),
+            in_set("o_orderstatus", ORDER_STATUSES),
+            min_rows(MIN_ORDER_ROWS),
+        ],
+    )
+
+
+QUERIES = {"dq_orders_expectations": q_orders_expectations}
+
+_STATUS_SQL = ", ".join(f"'{s}'" for s in ORDER_STATUSES)
+
+ORACLES = {
+    "dq_orders_expectations": f"""
+        WITH m AS (
+          SELECT
+            AVG(CASE WHEN o_orderkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_key,
+            COUNT(DISTINCT o_orderkey)::DOUBLE / COUNT(*) AS u_key,
+            AVG(CASE WHEN o_custkey IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_cust,
+            CAST(SUM(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS neg_price,
+            CAST(SUM(CASE WHEN o_orderstatus IN ({_STATUS_SQL})
+                          OR o_orderstatus IS NULL THEN 0 ELSE 1 END) AS DOUBLE) AS bad_status,
+            CAST(COUNT(*) AS DOUBLE) AS n_rows
+          FROM orders
+        )
+        SELECT 'completeness_o_orderkey' AS constraint, round(c_key, 6) AS metric, c_key >= 1.0 AS passed FROM m
+        UNION ALL
+        SELECT 'uniqueness_o_orderkey', round(u_key, 6), u_key >= 1.0 FROM m
+        UNION ALL
+        SELECT 'completeness_o_custkey', round(c_cust, 6), c_cust >= 1.0 FROM m
+        UNION ALL
+        SELECT 'non_negative_o_totalprice', round(neg_price, 6), neg_price = 0.0 FROM m
+        UNION ALL
+        SELECT 'in_set_o_orderstatus', round(bad_status, 6), bad_status = 0.0 FROM m
+        UNION ALL
+        SELECT 'min_rows', round(n_rows, 6), n_rows >= {MIN_ORDER_ROWS}.0 FROM m
+    """,
+}

@@ -49,6 +49,7 @@ _MODULES = (
     "operators.pca",
     "operators.topk",
     "operators.projection",
+    "operators.expectations",
     "operators.text_sim",
     "operators.mixture",
     "operators.decontamination",
