@@ -107,6 +107,10 @@ HEADLINE = [
     "events_attribution_credit",
     "text_drift_psi",
     "emb_jl_projection",
+    "pipeline_drop_reasons",
+    "dq_orders_expectations",
+    "layout_zorder_keys",
+    "join_bloom_prefilter",
 ]
 
 SERVE_QUERIES = [

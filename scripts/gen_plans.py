@@ -43,6 +43,8 @@ PICKS = [
     ("dedup_triangle_counts", "ordered wedge equi-join + left-semi close: each triangle once, no cartesian"),
     ("emb_jl_projection", "explode x broadcast sign matrix -> one (vec, dim) grouped exact-decimal sum"),
     ("text_drift_psi", "two vocab-sized aggs + full-outer vocab join; per-token PSI rows, no global float fold"),
+    ("layout_zorder_keys", "morton shift/mask entirely in whole-stage codegen; the two ntile sorts are the write-time clustering cost"),
+    ("join_bloom_prefilter", "bloom bit test as a map-side scan filter (literal words array) — fact rows pruned BEFORE the join exchange"),
 ]
 
 
@@ -124,7 +126,12 @@ def main() -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        lines = [ln.rstrip() for ln in buf.getvalue().splitlines()]
+        # Giant in-plan literals (e.g. the 2048-word Bloom array)
+        # would bloat the doc by hundreds of KB; elide mid-line.
+        lines = [
+            ln if len(ln) <= 800 else f"{ln[:800]} …<{len(ln) - 800} chars elided>"
+            for ln in (ln.rstrip() for ln in buf.getvalue().splitlines())
+        ]
         out += [f"## {name}", "", f"_{why}_", "", "```", *lines, "```", ""]
     path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
     with open(path, "w") as fh:

@@ -155,6 +155,82 @@ def write_zordered(
     )
 
 
+def q_layout_zorder_keys(spark, sf_dir: str) -> DataFrame:
+    """Z-order key assignment over orders (o_custkey × o_totalprice):
+    the exact write-time clustering key `write_zordered` sorts by,
+    surfaced as a query so the driver can hash-prove the morton
+    arithmetic end-to-end against a DuckDB twin.
+
+    Deterministic variant of `with_zorder_rank_key`'s exact path: the
+    ntile windows tie-break on o_orderkey (a bare ORDER BY on a
+    non-unique column would make bucket assignment order-dependent).
+    8 bits/dim keeps tiles row-group-grained; the shifts/masks run in
+    whole-stage codegen.
+    """
+    from pyspark.sql import Window
+
+    from searchengine_spark.io import load_table
+
+    bits = 8
+    n = 1 << bits
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    wa = Window.orderBy(F.col("o_custkey"), F.col("o_orderkey"))
+    wb = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        orders.withColumn("za", (F.ntile(n).over(wa) - 1).cast("bigint"))
+        .withColumn("zb", (F.ntile(n).over(wb) - 1).cast("bigint"))
+        .select(
+            "o_orderkey",
+            "za",
+            "zb",
+            zorder_key(F.col("za"), F.col("zb"), bits=bits).alias("zkey"),
+        )
+        .orderBy("zkey", "o_orderkey")
+    )
+
+
+# Morton spread masks as decimal literals (DuckDB's 0x parsing is not
+# portable): 0x00FF00FF00FF00FF, 0x0F0F0F0F0F0F0F0F,
+# 0x3333333333333333, 0x5555555555555555.
+_ZORDER_SQL = """
+WITH ranked AS (
+  SELECT o_orderkey,
+         CAST(ntile(256) OVER (ORDER BY o_custkey, o_orderkey) - 1 AS BIGINT) AS za,
+         CAST(ntile(256) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS BIGINT) AS zb
+  FROM orders
+), s1 AS (
+  SELECT o_orderkey, za, zb,
+         (za | (za << 8)) & 71777214294589695 AS sa,
+         (zb | (zb << 8)) & 71777214294589695 AS sb
+  FROM ranked
+), s2 AS (
+  SELECT o_orderkey, za, zb,
+         (sa | (sa << 4)) & 1085102592571150095 AS sa,
+         (sb | (sb << 4)) & 1085102592571150095 AS sb
+  FROM s1
+), s3 AS (
+  SELECT o_orderkey, za, zb,
+         (sa | (sa << 2)) & 3689348814741910323 AS sa,
+         (sb | (sb << 2)) & 3689348814741910323 AS sb
+  FROM s2
+), s4 AS (
+  SELECT o_orderkey, za, zb,
+         (sa | (sa << 1)) & 6148914691236517205 AS sa,
+         (sb | (sb << 1)) & 6148914691236517205 AS sb
+  FROM s3
+)
+SELECT o_orderkey, za, zb, CAST(sa | (sb << 1) AS BIGINT) AS zkey
+FROM s4
+ORDER BY zkey, o_orderkey
+"""
+
+
+QUERIES = {"layout_zorder_keys": q_layout_zorder_keys}
+ORACLES = {"layout_zorder_keys": _ZORDER_SQL}
+
+
 def row_groups_touched(path: str, constraints: list[tuple[str, object, object]]) -> tuple[int, int]:
     """(touched, total) row groups whose per-column [min,max] ranges
     intersect EVERY (col, lo, hi) constraint — footer-only, exactly

@@ -48,6 +48,8 @@ _MODULES = (
     "operators.kmeans",
     "operators.pca",
     "operators.topk",
+    "operators.layout",
+    "operators.bloom",
     "operators.projection",
     "operators.expectations",
     "operators.text_sim",

@@ -111,3 +111,12 @@ def test_approx_rank_key_close_to_exact(grid, tmp_path):
     t1, n1 = row_groups_touched(d1, box)
     t2, n2 = row_groups_touched(d2, box)
     assert t2 / n2 <= 2.5 * max(t1 / n1, 1 / n1)
+
+
+def test_zorder_keys_query_matches_oracle(spark, sf_dir):
+    from searchengine_spark.operators.layout import _ZORDER_SQL, q_layout_zorder_keys
+    from tests.helpers import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_layout_zorder_keys(spark, sf_dir), _ZORDER_SQL, sf_dir, "layout_zorder_keys"
+    )
