@@ -111,6 +111,7 @@ HEADLINE = [
     "dq_orders_expectations",
     "layout_zorder_keys",
     "join_bloom_prefilter",
+    "src_versioned_diff",
 ]
 
 SERVE_QUERIES = [

@@ -226,13 +226,138 @@ def q_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_changes(spark, table, v_from=v0, v_to=v1)
 
 
-QUERIES = {"src_versioned_incremental": q_versioned_incremental}
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Row-level diff between two snapshots — the "what changed
+    between Monday and Friday" audit a change-data-feed answers when
+    per-commit deltas weren't recorded (Delta calls this CDF
+    backfill). One full-outer join keyed on ``key_cols``:
+
+      insert — key only in ``v_to``
+      delete — key only in ``v_from``
+      update — key in both, any non-key column IS DISTINCT FROM
+
+    Unchanged rows are dropped, so the output is |changes|, not
+    |table|. At 100 TB this is one shuffle per side on the key (or
+    zero Exchange when both snapshots are bucketed on it); null-safe
+    comparison keeps NULL→NULL out of the update set in both engines.
+    """
+    from pyspark.sql import functions as F
+
+    old = read(spark, table_dir, version=v_from).withColumn("_in_old", F.lit(1))
+    new = read(spark, table_dir, version=v_to).withColumn("_in_new", F.lit(1))
+    val_cols = [c for c in old.columns if c not in key_cols and c != "_in_old"]
+    joined = old.join(
+        new, [old[k].eqNullSafe(new[k]) for k in key_cols], "full_outer"
+    )
+    # presence markers, not key-null tests: NULL keys stay diffable
+    in_old = old["_in_old"].isNotNull()
+    in_new = new["_in_new"].isNotNull()
+    changed = F.lit(False)
+    for c in val_cols:
+        changed = changed | ~old[c].eqNullSafe(new[c])
+    return (
+        joined.withColumn(
+            "change_type",
+            F.when(~in_old, F.lit("insert"))
+            .when(~in_new, F.lit("delete"))
+            .when(changed, F.lit("update")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            *[F.coalesce(new[k], old[k]).alias(k) for k in key_cols],
+            F.col("change_type"),
+            *[old[c].alias(f"old_{c}") for c in val_cols],
+            *[new[c].alias(f"new_{c}") for c in val_cols],
+        )
+    )
+
+
+def q_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-checked snapshot diff: two OVERWRITE commits built from
+    hash-bucket predicates over documents (buckets [0,6000) then
+    [1000,10000), with the value column bumped on [2000,4000) so all
+    three change types appear), diffed via the full-outer protocol.
+    The oracle restates both snapshot predicates and the diff in SQL —
+    a wrong manifest, a non-null-safe compare, or a leaked unchanged
+    row all break the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), salt="diff")
+    base = docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").cast("bigint").alias("n_chars"),
+        bucket.alias("_b"),
+    )
+    snap_a = base.filter(F.col("_b") < 6000).drop("_b")
+    snap_b = (
+        base.filter(F.col("_b") >= 1000)
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.col("n_chars")
+                + F.when((F.col("_b") >= 2000) & (F.col("_b") < 4000), 1).otherwise(0)
+            ).alias("n_chars"),
+        )
+    )
+
+    table = tempfile.mkdtemp(prefix="spark_graft_versioned_diff_")
+    v0 = overwrite(spark, snap_a, table)
+    v1 = overwrite(spark, snap_b, table)
+    return snapshot_diff(
+        spark, table, v_from=v0, v_to=v1, key_cols=["doc_id"]
+    ).orderBy("doc_id")
+
+
+QUERIES = {
+    "src_versioned_incremental": q_versioned_incremental,
+    "src_versioned_diff": q_versioned_diff,
+}
 
 ORACLES = {
     "src_versioned_incremental": """
         SELECT doc_id, lang FROM documents
         WHERE (('0x' || substr(md5('ver' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10000) >= 5000
+    """,
+    "src_versioned_diff": """
+        WITH base AS (
+          SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS n_chars,
+                 ('0x' || substr(md5('diff' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 10000 AS b
+          FROM documents
+        ), a AS (
+          SELECT doc_id, lang, n_chars FROM base WHERE b < 6000
+        ), bb AS (
+          SELECT doc_id, lang,
+                 n_chars + CASE WHEN b >= 2000 AND b < 4000 THEN 1 ELSE 0 END AS n_chars
+          FROM base WHERE b >= 1000
+        )
+        SELECT COALESCE(bb.doc_id, a.doc_id) AS doc_id,
+               CASE WHEN a.doc_id IS NULL THEN 'insert'
+                    WHEN bb.doc_id IS NULL THEN 'delete'
+                    ELSE 'update' END AS change_type,
+               a.lang AS old_lang, a.n_chars AS old_n_chars,
+               bb.lang AS new_lang, bb.n_chars AS new_n_chars
+        FROM a FULL OUTER JOIN bb ON a.doc_id = bb.doc_id
+        WHERE a.doc_id IS NULL OR bb.doc_id IS NULL
+           OR (a.lang IS DISTINCT FROM bb.lang)
+           OR (a.n_chars IS DISTINCT FROM bb.n_chars)
+        ORDER BY doc_id
     """,
 }
 

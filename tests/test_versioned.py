@@ -92,3 +92,33 @@ def test_streaming_sink_exactly_once_and_versioned(spark, tmp_path):
     # a genuinely new batch_id commits
     assert V.commit_stream_batch(spark.read.parquet(src).limit(5), 999, t) is True
     assert V.read(spark, t).count() == total + 5
+
+
+def test_snapshot_diff_change_types(spark, tmp_path):
+    t = os.path.join(tmp_path, "diff_tbl")
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, None, 30)], "k long, s string, v long"
+    )
+    b = spark.createDataFrame(
+        [(2, "y", 99), (3, None, 30), (4, "z", 40)], "k long, s string, v long"
+    )
+    v0 = V.overwrite(spark, a, t)
+    v1 = V.overwrite(spark, b, t)
+    got = {
+        r["k"]: r["change_type"]
+        for r in V.snapshot_diff(spark, t, v_from=v0, v_to=v1, key_cols=["k"]).collect()
+    }
+    # 1 deleted, 2 value-updated, 4 inserted; 3 unchanged (NULL == NULL
+    # via null-safe compare) must NOT appear
+    assert got == {1: "delete", 2: "update", 4: "insert"}
+
+
+def test_snapshot_diff_query_matches_oracle(spark, sf_dir):
+    from tests.helpers import assert_matches_oracle
+
+    assert_matches_oracle(
+        V.q_versioned_diff(spark, sf_dir),
+        V.ORACLES["src_versioned_diff"],
+        sf_dir,
+        "src_versioned_diff",
+    )
