@@ -112,6 +112,7 @@ HEADLINE = [
     "layout_zorder_keys",
     "join_bloom_prefilter",
     "src_versioned_diff",
+    "emb_hard_negatives",
 ]
 
 SERVE_QUERIES = [

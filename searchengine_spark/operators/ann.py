@@ -354,6 +354,58 @@ def ann_search(
     )
 
 
+def hard_negative_mine(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    k: int = 3,
+    dup_threshold: float = 0.95,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive-training hard negatives: per anchor, the k MOST
+    similar vectors that are NOT near-duplicates (cosine <
+    ``dup_threshold``) and not the anchor itself.
+
+    This is the standard mining loop for embedding-model training
+    (e.g. SimCSE/DPR-style): random negatives are too easy, exact
+    duplicates are false negatives — the valuable pairs sit just
+    below the dup threshold. Candidates come from the shared LSH
+    bucket (equi-join, never O(n^2)); rank is a per-anchor window
+    over bucket-bounded candidate lists, so no global sort. At 100 TB
+    the per-anchor top-k would go through the partial-heap grouped
+    top-k (operators/topk.py) instead of the window; bucket fan-out
+    is bounded by bucket size either way.
+    """
+    idx = build_ann_index(
+        embeddings, dim=dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+    )
+    left = idx.select(
+        F.col(id_col).alias("anchor_id"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = idx.select(
+        F.col(id_col).alias("neg_id"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("anchor_id") != F.col("neg_id"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") < dup_threshold)
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        cand.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+    )
+
+
 # --------------------------------------------------------------- queries
 
 def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
@@ -419,8 +471,61 @@ def _neardup_oracle_sql() -> str:
     """
 
 
+HARD_NEG_K = 3
+
+
+def q_hard_negatives(spark, sf_dir: str) -> DataFrame:
+    """Per-anchor top-3 hard negatives (bucket-mates just below the
+    near-dup threshold) over the embeddings table."""
+    from searchengine_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_mine(
+        emb, dim=EMB_DIM, k=HARD_NEG_K, dup_threshold=NEARDUP_COS
+    )
+
+
+def _hard_negatives_oracle_sql() -> str:
+    """Same bucket CTE as the near-dup oracle; per-anchor ROW_NUMBER
+    on the ROUNDED cosine with neg_id tiebreak (deterministic in both
+    engines)."""
+    planes = _planes(EMB_DIM, N_PLANES)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, {p}::DOUBLE[]) > 0 THEN {v} ELSE 0 END)".format(
+            p=[float(c) for c in plane], v=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {bits} AS bucket
+          FROM embeddings
+        ), cand AS (
+          SELECT l.vec_id AS anchor_id, r.vec_id AS neg_id,
+                 round(list_dot_product(l.e, r.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(r.e, r.e))), 6) AS cosine
+          FROM b l JOIN b r
+            ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+        ), ranked AS (
+          SELECT anchor_id, neg_id, cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY anchor_id ORDER BY cosine DESC, neg_id ASC
+                 ) AS neg_rank
+          FROM cand WHERE cosine < {NEARDUP_COS}
+        )
+        SELECT anchor_id, neg_id, cosine, CAST(neg_rank AS INT) AS neg_rank
+        FROM ranked WHERE neg_rank <= {HARD_NEG_K}
+    """
+
+
 QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_embedding_neardup": q_embedding_neardup,
+    "emb_hard_negatives": q_hard_negatives,
 }
-ORACLES: dict[str, str] = {"ann_embedding_neardup": _neardup_oracle_sql()}
+ORACLES: dict[str, str] = {
+    "ann_embedding_neardup": _neardup_oracle_sql(),
+    "emb_hard_negatives": _hard_negatives_oracle_sql(),
+}

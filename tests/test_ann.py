@@ -211,3 +211,38 @@ def test_ivf_int8_index_matches_float_ranking(emb, spark):
     finally:
         shutil.rmtree(out_f, ignore_errors=True)
         shutil.rmtree(out_q, ignore_errors=True)
+
+
+def test_hard_negative_mine_excludes_dups_and_ranks(spark):
+    from searchengine_spark.operators.ann import hard_negative_mine
+
+    # 4-dim toy space, 2 planes: base vector, a near-identical dup
+    # (cos ~ 1 -> excluded), and two progressively-rotated neighbors
+    base = [1.0, 0.0, 0.2, 0.1]
+    dup = [1.0, 0.001, 0.2, 0.1]
+    near = [0.9, 0.3, 0.2, 0.1]
+    far = [0.5, 0.7, 0.2, 0.1]
+    emb = spark.createDataFrame(
+        [(0, base), (1, dup), (2, near), (3, far)],
+        "vec_id long, embedding array<double>",
+    )
+    got = hard_negative_mine(emb, dim=4, k=2, dup_threshold=0.999, n_planes=2)
+    rows = {
+        (r["anchor_id"], r["neg_rank"]): r["neg_id"] for r in got.collect()
+    }
+    # anchor 0: dup (vec 1) is excluded; best negative is the near
+    # neighbor, then the far one (if bucket-shared)
+    assert rows.get((0, 1)) == 2
+    assert 1 not in [v for (a, _), v in rows.items() if a == 0]
+
+
+def test_hard_negatives_query_matches_oracle(spark, sf_dir):
+    from searchengine_spark.operators.ann import ORACLES, q_hard_negatives
+    from tests.helpers import assert_matches_oracle
+
+    assert_matches_oracle(
+        q_hard_negatives(spark, sf_dir),
+        ORACLES["emb_hard_negatives"],
+        sf_dir,
+        "emb_hard_negatives",
+    )
