@@ -113,6 +113,7 @@ HEADLINE = [
     "join_bloom_prefilter",
     "src_versioned_diff",
     "emb_hard_negatives",
+    "text_quality_calibrated",
 ]
 
 SERVE_QUERIES = [

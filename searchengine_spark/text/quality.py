@@ -144,6 +144,47 @@ def q_gopher_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_gate(load_table(spark, sf_dir, "documents"))
 
 
+CALIBRATED_KEEP_PCT = 0.2  # drop the bottom quintile PER SOURCE
+
+
+def quality_percentile_by_source(docs: DataFrame) -> DataFrame:
+    """Per-source percentile calibration of a quality signal
+    (lexical diversity = distinct_frac from the Gopher signals).
+
+    Why: a single global quality threshold systematically biases a
+    multi-source corpus — boilerplate-heavy sources (legal, logs)
+    score lower across the board than prose, so a global cutoff
+    deletes whole domains instead of each domain's worst documents.
+    Rank-normalizing WITHIN source makes "bottom 20%" mean the same
+    thing everywhere (the CCNet/RefinedWeb-style per-domain bucket).
+
+    Shape: one map stage for the signal, one shuffle by source for
+    the percent_rank window. Source cardinality is tiny relative to
+    rows, so partitions are large but few — at 100 TB replace the
+    full-sort window with per-source approxQuantile cutpoints
+    (one aggregate, cutoffs broadcast back), the same degradation
+    path as the z-order ranks; percent_rank here is the exact,
+    oracle-checkable form.
+    """
+    sig = gopher_gate(docs.select("doc_id", "text")).select(
+        "doc_id", "distinct_frac"
+    )
+    joined = sig.join(docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(F.col("distinct_frac"))
+    pct = F.round(F.percent_rank().over(w), 6)
+    return joined.select(
+        "doc_id",
+        "source",
+        "distinct_frac",
+        pct.alias("quality_pct"),
+        (pct >= CALIBRATED_KEEP_PCT).alias("keep"),
+    )
+
+
+def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quality_percentile_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def top_bigram_repetition(docs: DataFrame) -> DataFrame:
     """Per-document most-frequent word bigram and the fraction of the
     document's word characters it accounts for (Gopher's
@@ -264,6 +305,7 @@ QUERIES = {
     "text_gopher_gate": q_gopher_gate,
     "text_top_bigram_repetition": q_top_bigram_repetition,
     "text_dup_ngram_char_frac": q_dup_ngram_char_fraction,
+    "text_quality_calibrated": q_quality_calibrated,
 }
 
 ORACLES = {
@@ -290,6 +332,24 @@ ORACLES = {
                 AND adjacent_dup_frac <= {MAX_ADJACENT_DUP_FRAC}
                 AND distinct_frac >= {MIN_DISTINCT_FRAC}) AS passes
         FROM sig
+    """,
+    "text_quality_calibrated": f"""
+        WITH base AS (
+          SELECT doc_id, {_RAW_TOK_SQL} AS toks FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_frac
+          FROM base WHERE len(toks) > 0
+        ), j AS (
+          SELECT s.doc_id, d.source, s.distinct_frac,
+                 round(percent_rank() OVER (
+                   PARTITION BY d.source ORDER BY s.distinct_frac
+                 ), 6) AS quality_pct
+          FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+        )
+        SELECT doc_id, source, distinct_frac, quality_pct,
+               quality_pct >= {CALIBRATED_KEEP_PCT} AS keep
+        FROM j
     """,
     "text_dup_ngram_char_frac": f"""
         WITH toked AS (

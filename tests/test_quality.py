@@ -159,3 +159,26 @@ def test_readability_hand_computed(spark, tmp_path):
     wps, spw = 6 / 2, 6 / 6
     assert r["flesch_ease"] == round(206.835 - 1.015 * wps - 84.6 * spw, 6)
     assert r["fk_grade"] == round(0.39 * wps + 11.8 * spw - 15.59, 6)
+
+
+def test_quality_calibration_is_per_source(spark):
+    from searchengine_spark.text.quality import quality_percentile_by_source
+
+    # source A: diversity 1.0, 0.75, 0.5; source B: one doc.
+    # A global threshold on the raw signal would treat B's 0.5 the
+    # same as A's worst; calibration ranks within source instead.
+    rows = [
+        (1, "alpha beta gamma delta", "A"),          # distinct 1.0
+        (2, "alpha alpha beta gamma", "A"),          # 0.75
+        (3, "alpha alpha beta beta", "A"),           # 0.5
+        (4, "word word other other", "B"),           # 0.5 but best-of-B
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    got = {
+        r["doc_id"]: (r["quality_pct"], r["keep"])
+        for r in quality_percentile_by_source(df).collect()
+    }
+    assert got[1] == (1.0, True)
+    assert got[2] == (0.5, True)
+    assert got[3] == (0.0, False)   # bottom of A: dropped
+    assert got[4] == (0.0, False)   # single-doc source: pct 0 in both engines
