@@ -105,8 +105,32 @@ QUERIES = (
     "text_drift_psi",
     "emb_jl_projection",
     "text_bpe_top_pairs",
+    # round-5 (cont.): curation provenance (stage-frame reuse), the
+    # one-pass DQ suite, z-order ranking (the exact-ntile sort is the
+    # deliberate write-time cost; watch the single-task merge), the
+    # bloom build+probe (sketch is fixed-size — probe cost should
+    # scale with fact, build with dim), and the snapshot-diff
+    # full-outer (|changes| output but |table| join).
+    "pipeline_drop_reasons",
+    "dq_orders_expectations",
+    "layout_zorder_keys",
+    "join_bloom_prefilter",
+    "src_versioned_diff",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
+
+
+def shifted_union(df, key: str, factor: int):
+    """factor disjoint key-shifted copies of df, unioned."""
+    from pyspark.sql import functions as F
+
+    copies = [
+        df.withColumn(key, F.col(key) + F.lit(i * KEY_OFFSET)) for i in range(factor)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    return out
 
 
 def build_scaled(spark, factor: int) -> str:
@@ -147,6 +171,15 @@ def build_scaled(spark, factor: int) -> str:
         e = e.unionByName(s)
     d.write.mode("overwrite").parquet(os.path.join(out, "documents.parquet"))
     e.write.mode("overwrite").parquet(os.path.join(out, "events.parquet"))
+    # orders+lineitem for the relational-side soaks (bloom join, dq
+    # expectations, z-order ranks): shift the join key in lockstep so
+    # every copy adds disjoint order mass with the same fan-out.
+    orders = load_table(spark, BASE, "orders")
+    lineitem = load_table(spark, BASE, "lineitem")
+    o = shifted_union(orders, "o_orderkey", factor)
+    li = shifted_union(lineitem, "l_orderkey", factor)
+    o.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
+    li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
     open(os.path.join(out, "_OK"), "w").close()
     return out
 
