@@ -114,6 +114,7 @@ HEADLINE = [
     "src_versioned_diff",
     "emb_hard_negatives",
     "text_quality_calibrated",
+    "stream_view_purchase_left_join_replay",
 ]
 
 SERVE_QUERIES = [

@@ -210,6 +210,7 @@ def view_purchase_join_stream(
     *,
     attribution: str = "1 hour",
     watermark: str = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
     """STREAM-STREAM inner join: attribute each purchase to every view
     by the same user in the preceding ``attribution`` window.
@@ -246,6 +247,11 @@ def view_purchase_join_stream(
             F.col("value").alias("purchase_value"),
         )
     )
+    # how="leftOuter": views with NO attributed purchase also emit
+    # (null purchase columns) — but only once the watermark passes
+    # view_ts + attribution, when Spark can PROVE no match is coming.
+    # That eviction-driven emission is why outer stream-stream joins
+    # require both watermarks and the time-range condition.
     joined = v.join(
         p,
         (F.col("user_id") == F.col("p_user_id"))
@@ -254,6 +260,7 @@ def view_purchase_join_stream(
             F.col("purchase_ts")
             <= F.col("view_ts") + F.expr(f"INTERVAL {attribution}")
         ),
+        how,
     )
     return joined.select(
         "user_id",

@@ -150,6 +150,83 @@ def q_stream_view_purchase_join_replay(
     return spark.table(name)
 
 
+def q_stream_view_purchase_left_join_replay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked LEFT-OUTER stream-stream join replay: every view
+    emits — matched views with their attributed purchases, unmatched
+    views with null purchase columns once the watermark PROVES no
+    match can arrive.
+
+    Outer emission is eviction-driven, which makes replay-to-parity
+    subtle: null rows for trailing views only flush when the
+    watermark advances PAST view_ts + attribution, and a bounded
+    replay's watermark stops at max(event_ts) - delay. So the replay
+    plants a far-future WATERMARK SENTINEL (one view + one purchase
+    for reserved user_id -1, +240 h/+480 h past the data, mutually
+    outside the attribution window) in the streamed directory: all
+    real data processes in batch 1 (nothing is ever late — the
+    watermark is still at its initial floor), the sentinel lifts the
+    final watermark past every eviction threshold, and the trailing
+    no-data batch flushes the unmatched state. The sentinel user is
+    filtered from the result; the oracle is the plain batch LEFT
+    JOIN. This is exactly how a production pipeline closes the books
+    on a bounded backfill through a streaming topology.
+    """
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType
+
+    from searchengine_spark.io import table_path
+
+    src = table_path(sf_dir, "events")
+    raw = spark.read.parquet(src)
+    hours = 3600 * 10**9  # nanos per hour (long-ts flavor)
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        shift = lambda h: F.col("ts") + F.lit(h * hours)  # noqa: E731
+    else:
+        shift = lambda h: F.col("ts") + F.expr(f"INTERVAL {h} HOURS")  # noqa: E731
+    last = raw.orderBy(F.desc("ts")).limit(1)
+    sentinel = last.select(
+        F.lit(-1).cast("bigint").alias("event_id"),
+        shift(240).alias("ts"),
+        F.lit(-1).cast("bigint").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).union(
+        last.select(
+            F.lit(-2).cast("bigint").alias("event_id"),
+            shift(480).alias("ts"),
+            F.lit(-1).cast("bigint").alias("user_id"),
+            F.lit("purchase").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        )
+    )
+    tmp = tempfile.mkdtemp(prefix="replay_ljoin_")
+    os.link(src, os.path.join(tmp, "data-0.parquet"))
+    sentinel.coalesce(1).write.mode("append").parquet(tmp)
+
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 10_000)  # one batch: nothing late
+        .parquet(tmp)
+    )
+    views = stream.filter(F.col("event_type") == "view")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    name = _sink_name("vpleftjoin")
+    run_to_memory(
+        view_purchase_join_stream(
+            views, purchases, watermark="1 second", how="leftOuter"
+        ),
+        name,
+        output_mode="append",
+    )
+    return spark.table(name).filter(F.col("user_id") >= 0)
+
+
 def q_stream_rollup_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The foreachBatch IVM topology (streaming/rollup_stream.py)
     replayed to completion. Unlike the pure windowed-agg streaming
@@ -193,6 +270,7 @@ QUERIES = {
     "stream_sliding_rollup_replay": q_stream_sliding_rollup_replay,
     "stream_rollup_ivm_replay": q_stream_rollup_ivm_replay,
     "stream_view_purchase_join_replay": q_stream_view_purchase_join_replay,
+    "stream_view_purchase_left_join_replay": q_stream_view_purchase_left_join_replay,
     "stream_session_window_replay": q_stream_session_window_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
@@ -212,6 +290,21 @@ ORACLES = {
         FROM events v JOIN events p
           ON v.user_id = p.user_id
          AND v.event_type = 'view' AND p.event_type = 'purchase'
+         AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+    """,
+    # LEFT-OUTER batch semantics: every view, with its attributed
+    # purchases or nulls. The streaming side's sentinel rows carry
+    # user_id -1 and are filtered before the compare.
+    "stream_view_purchase_left_join_replay": """
+        SELECT v.user_id,
+               v.event_id AS view_event_id,
+               p.event_id AS purchase_event_id,
+               v.ts AS view_ts,
+               p.ts AS purchase_ts,
+               ROUND(p.value, 2) AS purchase_value
+        FROM (SELECT * FROM events WHERE event_type = 'view') v
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON v.user_id = p.user_id
          AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
     """,
     # Batch semantics of the tumbling rollup — identical to the

@@ -193,3 +193,31 @@ def test_view_purchase_join_state_bounded_by_range_condition(spark, sf_dir):
     assert joined.isStreaming
     plan = joined._jdf.queryExecution().analyzed().toString()
     assert "watermark" in plan.lower()
+
+
+def test_left_outer_join_replay_emits_unmatched_views(spark, sf_dir):
+    """The watermark sentinel must flush EVERY unmatched view as a
+    null row — total emitted views == batch view count, and matched +
+    unmatched partition it. (Hash parity vs the LEFT JOIN oracle is
+    test_oracle_parity.py's job.)"""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.replay import (
+        q_stream_view_purchase_left_join_replay,
+    )
+
+    got = q_stream_view_purchase_left_join_replay(spark, sf_dir).cache()
+    unmatched = got.filter(F.col("purchase_event_id").isNull()).count()
+    matched_views = (
+        got.filter(F.col("purchase_event_id").isNotNull())
+        .select("view_event_id")
+        .distinct()
+        .count()
+    )
+    n_views = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .count()
+    )
+    assert unmatched + matched_views == n_views
+    assert unmatched > 0  # the flush really happened
+    got.unpersist()
