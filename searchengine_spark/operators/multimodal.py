@@ -219,15 +219,17 @@ def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
 
 
 def resize_images(media: DataFrame, *, scale_num: int = 1, scale_den: int = 2) -> DataFrame:
-    """Resize stub over the fake format: dims scale by num/den, body
-    subsampled by keeping every (den/num)-th byte — deterministic and
-    schema-true. Real decoder swap-in: replace the byte subsample
-    with PIL `Image.resize`; the mapInPandas batch shape, the
-    (media_id, media_type, payload) contract, and the downstream
-    decode compatibility are exactly what the real kernel needs.
+    """Nearest-neighbor resize over the fake format: dims scale by
+    num/den; the body is resampled by index mapping (out byte i <-
+    in byte i*den//num) — the 1-D analogue of nearest-neighbor image
+    scaling, exact for downscale AND upscale, deterministic and
+    schema-true. Real decoder swap-in: replace the index map with PIL
+    `Image.resize`; the mapInPandas batch shape, the (media_id,
+    media_type, payload) contract, and the downstream decode
+    compatibility are exactly what the real kernel needs.
     """
-    if scale_num != 1:
-        raise NotImplementedError("stub supports 1/N downscale only")
+    if scale_num < 1 or scale_den < 1:
+        raise ValueError("scale must be a positive ratio")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -241,9 +243,16 @@ def resize_images(media: DataFrame, *, scale_num: int = 1, scale_den: int = 2) -
                     continue
                 w, h = _decode_header(p)
                 body = p[10:] if len(p) > 10 else b""
+                n_out = len(body) * scale_num // scale_den
+                resampled = bytes(
+                    body[i * scale_den // scale_num] for i in range(n_out)
+                )
                 out.append(
                     encode_fake_media(
-                        "image", w // scale_den, h // scale_den, body[::scale_den]
+                        "image",
+                        w * scale_num // scale_den,
+                        h * scale_num // scale_den,
+                        resampled,
                     )
                 )
             yield pd.DataFrame(

@@ -252,3 +252,28 @@ def test_wav_features_planted_exact(spark):
     assert got[2]["total_energy"] == 0
     # all '@' -> all-zero samples: zero energy, zero crossings
     assert got[3]["total_energy"] == 0 and got[3]["zero_crossings"] == 0
+
+
+def test_resize_upscale_replicates_and_round_trips(spark):
+    from searchengine_spark.operators.multimodal import (
+        decode_media,
+        encode_fake_media,
+        resize_images,
+    )
+
+    payload = encode_fake_media("image", 4, 4, bytes(range(16)))
+    media = spark.createDataFrame(
+        [(1, "image", payload)], "media_id long, media_type string, payload binary"
+    )
+    up = {r.media_id: r for r in resize_images(media, scale_num=2, scale_den=1).collect()}
+    w, h = up[1].payload[2:10][:4], up[1].payload[2:10][4:]
+    body = bytes(up[1].payload[10:])
+    assert int.from_bytes(w, "big") == 8 and int.from_bytes(h, "big") == 8
+    # nearest-neighbor 2x: every source byte appears twice, in order
+    assert body == bytes(b for v in range(16) for b in (v, v))
+    # and the result still decodes through the normal path
+    dec = decode_media(spark.createDataFrame(
+        [(1, "image", bytes(up[1].payload))],
+        "media_id long, media_type string, payload binary",
+    )).collect()[0]
+    assert (dec.dim_a, dec.dim_b) == (8, 8)
