@@ -206,7 +206,24 @@ def q_stream_view_purchase_left_join_replay(
         )
     )
     tmp = tempfile.mkdtemp(prefix="replay_ljoin_")
-    os.link(src, os.path.join(tmp, "data-0.parquet"))
+
+    # The events table may be a single parquet file (driver testdata)
+    # or a Spark-written DIRECTORY of part files (soak's scaled
+    # copies); hard-link what we can, copy across devices.
+    def _link_or_copy(s: str, d: str) -> None:
+        import shutil
+
+        try:
+            os.link(s, d)
+        except OSError:
+            shutil.copyfile(s, d)
+
+    if os.path.isdir(src):
+        parts = sorted(f for f in os.listdir(src) if f.endswith(".parquet"))
+        for i, f in enumerate(parts):
+            _link_or_copy(os.path.join(src, f), os.path.join(tmp, f"data-{i}.parquet"))
+    else:
+        _link_or_copy(src, os.path.join(tmp, "data-0.parquet"))
     sentinel.coalesce(1).write.mode("append").parquet(tmp)
 
     stream = (
