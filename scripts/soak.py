@@ -116,6 +116,12 @@ QUERIES = (
     "layout_zorder_keys",
     "join_bloom_prefilter",
     "src_versioned_diff",
+    # round-5 (cont. 2): hard-negative mining (bucket fan-out x
+    # window), per-source calibration (few-partition window risk),
+    # and the left-outer streaming join (outer state growth).
+    "emb_hard_negatives",
+    "text_quality_calibrated",
+    "stream_view_purchase_left_join_replay",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
