@@ -115,6 +115,7 @@ HEADLINE = [
     "emb_hard_negatives",
     "text_quality_calibrated",
     "stream_view_purchase_left_join_replay",
+    "src_versioned_schema_evolution",
 ]
 
 SERVE_QUERIES = [

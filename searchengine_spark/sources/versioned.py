@@ -144,17 +144,43 @@ def overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     return version
 
 
+def version_as_of(table_dir: str, ts: float) -> int:
+    """Largest committed version whose commit time is <= ``ts`` —
+    Delta's `TIMESTAMP AS OF`, reduced to a manifest scan. Raises if
+    the table didn't exist yet at ``ts``."""
+    best = -1
+    for v in range(latest_version(table_dir) + 1):
+        if _manifest(table_dir, v)["ts"] <= ts:
+            best = v
+    if best < 0:
+        raise FileNotFoundError(f"no version committed at or before {ts}")
+    return best
+
+
 def read(
-    spark: SparkSession, table_dir: str, *, version: int | None = None
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    version: int | None = None,
+    as_of_ts: float | None = None,
 ) -> DataFrame:
-    """Snapshot read at ``version`` (default: latest)."""
-    v = latest_version(table_dir) if version is None else version
+    """Snapshot read at ``version`` (default: latest), or time-travel
+    by commit timestamp with ``as_of_ts``. Appends may evolve the
+    schema (add columns): snapshots spanning mixed-schema batches
+    read with parquet schema merging, old rows null-filled — the
+    standard additive-evolution contract."""
+    if version is not None and as_of_ts is not None:
+        raise ValueError("pass version OR as_of_ts, not both")
+    if as_of_ts is not None:
+        v = version_as_of(table_dir, as_of_ts)
+    else:
+        v = latest_version(table_dir) if version is None else version
     if v < 0:
         raise FileNotFoundError(f"no committed versions in {table_dir}")
     files = _manifest(table_dir, v)["files"]
     if not files:
         return spark.createDataFrame([], schema="dummy string").limit(0)
-    return spark.read.parquet(*files)
+    return spark.read.option("mergeSchema", "true").parquet(*files)
 
 
 def read_changes(
@@ -323,9 +349,35 @@ def q_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution through the commit log: v0 appends
+    documents WITHOUT n_chars, v1 appends the rest WITH it; the
+    latest snapshot must read as the merged schema with old rows
+    null-filled (and time-travel to v0 must still show the narrow
+    schema — pinned in tests). The oracle restates the split as a
+    UNION with a NULL column."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket(F.col("doc_id"), salt="evo")
+    first = docs.filter(bucket < 5000).select("doc_id", "lang")
+    second = docs.filter(bucket >= 5000).select("doc_id", "lang", "n_chars")
+
+    table = tempfile.mkdtemp(prefix="spark_graft_versioned_evo_")
+    append(spark, first, table)
+    append(spark, second, table)
+    return read(spark, table).orderBy("doc_id")
+
+
 QUERIES = {
     "src_versioned_incremental": q_versioned_incremental,
     "src_versioned_diff": q_versioned_diff,
+    "src_versioned_schema_evolution": q_versioned_schema_evolution,
 }
 
 ORACLES = {
@@ -333,6 +385,18 @@ ORACLES = {
         SELECT doc_id, lang FROM documents
         WHERE (('0x' || substr(md5('ver' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10000) >= 5000
+    """,
+    "src_versioned_schema_evolution": """
+        SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars
+        FROM documents
+        WHERE ('0x' || substr(md5('evo' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 < 5000
+        UNION ALL
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE ('0x' || substr(md5('evo' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+              % 10000 >= 5000
+        ORDER BY doc_id
     """,
     "src_versioned_diff": """
         WITH base AS (

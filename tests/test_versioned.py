@@ -122,3 +122,32 @@ def test_snapshot_diff_query_matches_oracle(spark, sf_dir):
         sf_dir,
         "src_versioned_diff",
     )
+
+
+def test_schema_evolution_and_ts_time_travel(spark, tmp_path):
+    import time as _time
+
+    t = os.path.join(tmp_path, "evo_tbl")
+    narrow = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    v0 = V.append(spark, narrow, t)
+    t_between = _time.time()
+    _time.sleep(0.01)
+    wide = spark.createDataFrame([(2, "de", 7)], "doc_id long, lang string, n_chars long")
+    v1 = V.append(spark, wide, t)
+
+    # latest: merged schema, old row null-filled
+    latest = {r["doc_id"]: r for r in V.read(spark, t).collect()}
+    assert set(V.read(spark, t).columns) == {"doc_id", "lang", "n_chars"}
+    assert latest[1]["n_chars"] is None and latest[2]["n_chars"] == 7
+
+    # version time travel still shows the narrow schema
+    assert V.read(spark, t, version=v0).columns == ["doc_id", "lang"]
+
+    # timestamp time travel resolves to the version committed before
+    assert V.version_as_of(t, t_between) == v0
+    assert V.read(spark, t, as_of_ts=t_between).count() == 1
+    assert V.version_as_of(t, _time.time()) == v1
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        V.version_as_of(t, 0.0)
