@@ -116,6 +116,7 @@ HEADLINE = [
     "text_quality_calibrated",
     "stream_view_purchase_left_join_replay",
     "src_versioned_schema_evolution",
+    "src_versioned_pruned_read",
 ]
 
 SERVE_QUERIES = [

@@ -90,11 +90,54 @@ def _commit(table_dir: str, version: int, manifest: dict) -> None:
     os.rename(tmp, final)
 
 
-def append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
+    """Per-file [min, max] for each stats column, from parquet
+    footers only (no data read) — the write-side half of manifest
+    file skipping. Columns without usable footer stats (or non-JSON
+    min/max types) are silently omitted: absence of stats must never
+    be wrong, only less prunable."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        schema = md.schema.to_arrow_schema()
+        per_col: dict[str, list] = {}
+        for c in stats_cols:
+            idx = schema.get_field_index(c)
+            if idx < 0:
+                continue
+            lo = hi = None
+            ok = True
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(idx).statistics
+                if st is None or st.min is None or st.max is None:
+                    ok = False
+                    break
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            if ok and isinstance(lo, (int, float, str)) and not isinstance(lo, bool):
+                per_col[c] = [lo, hi]
+        if per_col:
+            out[f] = per_col
+    return out
+
+
+def append(
+    spark: SparkSession,
+    df: DataFrame,
+    table_dir: str,
+    *,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Commit ``df`` as a new version (previous files + new files).
-    Returns the committed version number."""
+    Returns the committed version number. With ``stats_cols``, the
+    manifest records per-file [min, max] for those columns (prior
+    files' stats carry forward), enabling `read_pruned` file
+    skipping."""
     base = latest_version(table_dir)
-    prev_files = _manifest(table_dir, base)["files"] if base >= 0 else []
+    prev = _manifest(table_dir, base) if base >= 0 else {}
+    prev_files = prev.get("files", [])
 
     batch_dir = os.path.join(_data_dir(table_dir), f"batch-{uuid.uuid4().hex}")
     df.write.parquet(batch_dir)
@@ -103,6 +146,9 @@ def append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
         for f in os.listdir(batch_dir)
         if f.endswith(".parquet")
     )
+    stats = dict(prev.get("stats", {}))
+    if stats_cols:
+        stats.update(_file_stats(new_files, stats_cols))
     version = base + 1
     _commit(
         table_dir,
@@ -112,6 +158,7 @@ def append(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
             "kind": "append",
             "files": prev_files + new_files,
             "added": new_files,
+            "stats": stats,
             "ts": time.time(),
         },
     )
@@ -181,6 +228,54 @@ def read(
     if not files:
         return spark.createDataFrame([], schema="dummy string").limit(0)
     return spark.read.option("mergeSchema", "true").parquet(*files)
+
+
+def pruned_files(
+    table_dir: str, *, col: str, lo, hi, version: int | None = None
+) -> tuple[list[str], int]:
+    """(files whose [min,max] for ``col`` intersects [lo, hi], total
+    file count) at a snapshot — the manifest-level skipping decision.
+    Files without recorded stats are always kept (skipping must be
+    conservative)."""
+    v = latest_version(table_dir) if version is None else version
+    man = _manifest(table_dir, v)
+    stats = man.get("stats", {})
+    kept = []
+    for f in man["files"]:
+        s = stats.get(f, {}).get(col)
+        if s is not None and (s[1] < lo or s[0] > hi):
+            continue
+        kept.append(f)
+    return kept, len(man["files"])
+
+
+def read_pruned(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    col: str,
+    lo,
+    hi,
+    version: int | None = None,
+) -> DataFrame:
+    """Snapshot read that opens ONLY the files whose manifest stats
+    can satisfy ``col BETWEEN lo AND hi``, then applies the exact
+    filter — Iceberg/Delta data skipping reduced to its core. The
+    result is identical to filtering the full snapshot (pruning is
+    conservative), which is what makes it oracle-checkable; the win
+    is that a 100 TB table clustered on the column opens a handful of
+    its files. Row-group pruning (operators/layout.py) then continues
+    INSIDE each opened file."""
+    kept, _total = pruned_files(table_dir, col=col, lo=lo, hi=hi, version=version)
+    from pyspark.sql import functions as F
+
+    if not kept:
+        return read(spark, table_dir, version=version).filter(F.lit(False))
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(*kept)
+        .filter(F.col(col).between(lo, hi))
+    )
 
 
 def read_changes(
@@ -374,10 +469,50 @@ def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read(spark, table).orderBy("doc_id")
 
 
+PRUNE_LO, PRUNE_HI = 200000.0, 250000.0
+
+
+def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest file skipping end-to-end: orders committed as four
+    range-clustered appends (price quartile slabs, one commit each)
+    with o_totalprice stats recorded; a BETWEEN read must touch only
+    the slab(s) that can contain the range — tests/test_versioned.py
+    asserts the file-count drop — and hash-match the plain filtered
+    aggregate the oracle states."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    table = tempfile.mkdtemp(prefix="spark_graft_versioned_prune_")
+    bounds = [0.0, 100000.0, 200000.0, 300000.0, float("inf")]
+    for lo, hi in zip(bounds, bounds[1:]):
+        slab = orders.filter(
+            (F.col("o_totalprice") >= lo) & (F.col("o_totalprice") < hi)
+        ).coalesce(1)
+        append(spark, slab, table, stats_cols=["o_totalprice"])
+    return (
+        read_pruned(spark, table, col="o_totalprice", lo=PRUNE_LO, hi=PRUNE_HI)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 QUERIES = {
     "src_versioned_incremental": q_versioned_incremental,
     "src_versioned_diff": q_versioned_diff,
     "src_versioned_schema_evolution": q_versioned_schema_evolution,
+    "src_versioned_pruned_read": q_versioned_pruned_read,
 }
 
 ORACLES = {
@@ -385,6 +520,15 @@ ORACLES = {
         SELECT doc_id, lang FROM documents
         WHERE (('0x' || substr(md5('ver' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10000) >= 5000
+    """,
+    "src_versioned_pruned_read": f"""
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS total_price
+        FROM orders
+        WHERE o_totalprice BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
     """,
     "src_versioned_schema_evolution": """
         SELECT doc_id, lang, CAST(NULL AS BIGINT) AS n_chars

@@ -151,3 +151,33 @@ def test_schema_evolution_and_ts_time_travel(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         V.version_as_of(t, 0.0)
+
+
+def test_manifest_stats_prune_file_list(spark, tmp_path):
+    t = os.path.join(tmp_path, "prune_tbl")
+    for lo in (0, 100, 200, 300):
+        df = spark.createDataFrame(
+            [(lo + i, float(lo + i)) for i in range(10)], "k long, price double"
+        ).coalesce(1)
+        V.append(spark, df, t, stats_cols=["price"])
+
+    # range inside one slab: exactly one of four files survives
+    kept, total = V.pruned_files(t, col="price", lo=105.0, hi=108.0)
+    assert total == 4 and len(kept) == 1
+    got = V.read_pruned(spark, t, col="price", lo=105.0, hi=108.0).collect()
+    assert sorted(r["k"] for r in got) == [105, 106, 107, 108]
+
+    # range spanning two slabs: two files, exact boundary rows kept
+    kept2, _ = V.pruned_files(t, col="price", lo=105.0, hi=205.0)
+    assert len(kept2) == 2
+    n = V.read_pruned(spark, t, col="price", lo=105.0, hi=205.0).count()
+    assert n == 5 + 6  # 105..109 from one slab, 200..205 from the other
+
+    # stats-less files are conservatively kept
+    V.append(
+        spark,
+        spark.createDataFrame([(999, 999.0)], "k long, price double").coalesce(1),
+        t,
+    )
+    kept3, total3 = V.pruned_files(t, col="price", lo=105.0, hi=108.0)
+    assert total3 == 5 and len(kept3) == 2
