@@ -624,3 +624,72 @@ def versioned_stream_sink(stream_df, table_dir: str):
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_stream_batch(
+    batch_df, batch_id: int, table_dir: str, key: str
+) -> bool:
+    """Idempotent micro-batch MERGE: upsert the batch into the
+    latest snapshot by key and commit the merged state as an
+    OVERWRITE version stamped with ``batch_id`` (retries of a
+    durable batch are detected before any write, exactly like the
+    append sink). Duplicate keys WITHIN a batch would fan the merge
+    out (documented merge_upsert behavior), so the batch is deduped
+    to one row per key first; picking a SPECIFIC survivor (e.g.
+    latest event) is the caller's upstream ordering job."""
+    for v in range(latest_version(table_dir) + 1):
+        if _manifest(table_dir, v).get("batch_id") == batch_id:
+            return False
+    from searchengine_spark.operators.upsert import merge_upsert
+
+    batch_df = batch_df.dropDuplicates([key])
+    if latest_version(table_dir) < 0:
+        merged = batch_df
+    else:
+        spark = batch_df.sparkSession
+        target = read(spark, table_dir)
+        merged = merge_upsert(target, batch_df, key).drop("_merge_action")
+
+    base = latest_version(table_dir)
+    batch_dir = os.path.join(_data_dir(table_dir), f"batch-{uuid.uuid4().hex}")
+    merged.write.parquet(batch_dir)
+    files = sorted(
+        os.path.join(batch_dir, f)
+        for f in os.listdir(batch_dir)
+        if f.endswith(".parquet")
+    )
+    _commit(
+        table_dir,
+        base + 1,
+        {
+            "version": base + 1,
+            "kind": "overwrite",
+            "files": files,
+            "added": files,
+            "batch_id": batch_id,
+            "ts": time.time(),
+        },
+    )
+    return True
+
+
+def versioned_merge_sink(stream_df, table_dir: str, *, key: str):
+    """Exactly-once streaming MERGE sink: every micro-batch upserts
+    into the table state by key; each version is the full
+    post-merge snapshot (copy-on-write, Delta's streaming MERGE
+    shape). Idempotent under foreachBatch's at-least-once redelivery
+    via the manifest batch_id.
+
+    Scale note: copy-on-write rewrites the table per batch — right
+    for dimension-sized tables (the usual MERGE target); a 100 TB
+    fact table wants merge-on-read (append the delta, reconcile at
+    read with a keyed window), which is exactly `read_changes` +
+    `snapshot_diff` territory.
+    """
+    return (
+        stream_df.writeStream.foreachBatch(
+            lambda df, bid: merge_stream_batch(df, bid, table_dir, key)
+        )
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -181,3 +181,52 @@ def test_manifest_stats_prune_file_list(spark, tmp_path):
     )
     kept3, total3 = V.pruned_files(t, col="price", lo=105.0, hi=108.0)
     assert total3 == 5 and len(kept3) == 2
+
+
+def test_streaming_merge_sink_upserts_and_is_idempotent(spark, tmp_path):
+    t = os.path.join(tmp_path, "merge_tbl")
+    src = os.path.join(tmp_path, "merge_src")
+    # batch 1: keys 1,2 ; batch 2: update key 2, insert key 3
+    spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "k long, s string, v double"
+    ).coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [(2, "B", 20.0), (3, "c", 3.0)], "k long, s string, v double"
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = V.versioned_merge_sink(stream, t, key="k")
+    q.awaitTermination(120)
+
+    final = {r["k"]: (r["s"], r["v"]) for r in V.read(spark, t).collect()}
+    assert final == {1: ("a", 1.0), 2: ("B", 20.0), 3: ("c", 3.0)}
+    # every micro-batch is a time-travelable snapshot
+    assert V.latest_version(t) >= 1
+
+    # at-least-once retry: re-merging a durable batch_id is a no-op
+    last_bid = V._manifest(t, V.latest_version(t))["batch_id"]
+    before = V.latest_version(t)
+    assert (
+        V.merge_stream_batch(
+            spark.createDataFrame([(9, "z", 9.0)], "k long, s string, v double"),
+            last_bid,
+            t,
+            "k",
+        )
+        is False
+    )
+    assert V.latest_version(t) == before
+
+    # a new batch merges (update existing + insert new)
+    assert V.merge_stream_batch(
+        spark.createDataFrame([(1, "A", 10.0), (4, "d", 4.0)], "k long, s string, v double"),
+        999,
+        t,
+        "k",
+    ) is True
+    final2 = {r["k"]: (r["s"], r["v"]) for r in V.read(spark, t).collect()}
+    assert final2[1] == ("A", 10.0) and final2[4] == ("d", 4.0) and len(final2) == 4
