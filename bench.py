@@ -117,6 +117,7 @@ HEADLINE = [
     "stream_view_purchase_left_join_replay",
     "src_versioned_schema_evolution",
     "src_versioned_pruned_read",
+    "src_versioned_mor_read",
 ]
 
 SERVE_QUERIES = [

@@ -298,6 +298,61 @@ def read_changes(
     return spark.read.parquet(*added)
 
 
+def append_delta(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
+    """Merge-on-read write: commit ``df`` as a DELTA — rows stamped
+    with their commit version (`_cv`), appended without touching
+    existing data. Updates and inserts are just rows for the key;
+    deletes are rows with a true `_tombstone` column. Writes stay
+    O(batch) however big the table is — the reconciliation cost moves
+    to `read_mor`, which is the whole CoW/MoR trade."""
+    from pyspark.sql import functions as F
+
+    version = latest_version(table_dir) + 1
+    return append(spark, df.withColumn("_cv", F.lit(version)), table_dir)
+
+
+def read_mor(
+    spark: SparkSession,
+    table_dir: str,
+    *,
+    key: str,
+    version: int | None = None,
+) -> DataFrame:
+    """Merge-on-read reconciliation: latest `_cv` row per key wins;
+    tombstoned keys drop. One key-partitioned window over the union
+    of base + deltas — at 100 TB this is the read tax MoR pays until
+    `compact_mor` folds the deltas down (and Catalyst turns the
+    row_number filter into WindowGroupLimit, pruning per partition
+    before the exchange)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = read(spark, table_dir, version=version)
+    w = Window.partitionBy(key).orderBy(F.desc("_cv"))
+    out = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "_cv")
+    )
+    if "_tombstone" in out.columns:
+        out = out.filter(
+            ~F.coalesce(F.col("_tombstone"), F.lit(False))
+        ).drop("_tombstone")
+    return out
+
+
+def compact_mor(spark: SparkSession, table_dir: str, *, key: str) -> int:
+    """Fold the delta chain: commit the reconciled state as a fresh
+    base (an overwrite stamped as delta 0 of the next era). Run it
+    when the read-side window starts to hurt — the same job Iceberg
+    calls rewrite_data_files and Delta calls OPTIMIZE."""
+    from pyspark.sql import functions as F
+
+    state = read_mor(spark, table_dir, key=key)
+    version = latest_version(table_dir) + 1
+    return overwrite(spark, state.withColumn("_cv", F.lit(version)), table_dir)
+
+
 def vacuum(table_dir: str, *, keep_versions: int = 1) -> list[str]:
     """Delete data files unreachable from the newest ``keep_versions``
     manifests (and drop older manifests). Returns deleted paths."""
@@ -508,11 +563,55 @@ def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_versioned_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read end-to-end: base (buckets [0,7000)), an update
+    delta (+1 n_chars on [0,2000) plus inserts [7000,10000)), and a
+    tombstone delta deleting [2000,3000) — reconciled by the keyed
+    window. The oracle restates the three layers as a UNION with
+    ROW_NUMBER; a wrong version stamp, tombstone leak, or
+    lost-update all break the hash."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt="mor")
+    base = docs.filter(b < 7000).select(
+        "doc_id", "lang", "n_chars", F.lit(False).alias("_tombstone")
+    )
+    upd = (
+        docs.filter(b < 2000)
+        .select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") + 1).alias("n_chars"),
+            F.lit(False).alias("_tombstone"),
+        )
+        .unionByName(
+            docs.filter(b >= 7000).select(
+                "doc_id", "lang", "n_chars", F.lit(False).alias("_tombstone")
+            )
+        )
+    )
+    dels = docs.filter((b >= 2000) & (b < 3000)).select(
+        "doc_id", "lang", "n_chars", F.lit(True).alias("_tombstone")
+    )
+
+    table = tempfile.mkdtemp(prefix="spark_graft_versioned_mor_")
+    for layer in (base, upd, dels):
+        append_delta(spark, layer, table)
+    return read_mor(spark, table, key="doc_id").orderBy("doc_id")
+
+
 QUERIES = {
     "src_versioned_incremental": q_versioned_incremental,
     "src_versioned_diff": q_versioned_diff,
     "src_versioned_schema_evolution": q_versioned_schema_evolution,
     "src_versioned_pruned_read": q_versioned_pruned_read,
+    "src_versioned_mor_read": q_versioned_mor_read,
 }
 
 ORACLES = {
@@ -520,6 +619,28 @@ ORACLES = {
         SELECT doc_id, lang FROM documents
         WHERE (('0x' || substr(md5('ver' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
                % 10000) >= 5000
+    """,
+    "src_versioned_mor_read": """
+        WITH b AS (
+          SELECT doc_id, lang, n_chars,
+                 ('0x' || substr(md5('mor' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 10000 AS bk
+          FROM documents
+        ), layers AS (
+          SELECT doc_id, lang, n_chars, FALSE AS tomb, 0 AS cv FROM b WHERE bk < 7000
+          UNION ALL
+          SELECT doc_id, lang, n_chars + 1, FALSE, 1 FROM b WHERE bk < 2000
+          UNION ALL
+          SELECT doc_id, lang, n_chars, FALSE, 1 FROM b WHERE bk >= 7000
+          UNION ALL
+          SELECT doc_id, lang, n_chars, TRUE, 2 FROM b WHERE bk >= 2000 AND bk < 3000
+        ), r AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cv DESC) AS rn
+          FROM layers
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+        FROM r WHERE rn = 1 AND NOT tomb
+        ORDER BY doc_id
     """,
     "src_versioned_pruned_read": f"""
         SELECT o_orderpriority,

@@ -230,3 +230,47 @@ def test_streaming_merge_sink_upserts_and_is_idempotent(spark, tmp_path):
     ) is True
     final2 = {r["k"]: (r["s"], r["v"]) for r in V.read(spark, t).collect()}
     assert final2[1] == ("A", 10.0) and final2[4] == ("d", 4.0) and len(final2) == 4
+
+
+def test_mor_reconcile_and_compaction(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = os.path.join(tmp_path, "mor_tbl")
+    base = spark.createDataFrame(
+        [(1, 10.0, False), (2, 20.0, False), (3, 30.0, False)],
+        "k long, v double, _tombstone boolean",
+    )
+    V.append_delta(spark, base, t)
+    V.append_delta(  # update 2, insert 4
+        spark,
+        spark.createDataFrame(
+            [(2, 99.0, False), (4, 40.0, False)], "k long, v double, _tombstone boolean"
+        ),
+        t,
+    )
+    V.append_delta(  # delete 3
+        spark,
+        spark.createDataFrame([(3, 0.0, True)], "k long, v double, _tombstone boolean"),
+        t,
+    )
+    want = {1: 10.0, 2: 99.0, 4: 40.0}
+    got = {r["k"]: r["v"] for r in V.read_mor(spark, t, key="k").collect()}
+    assert got == want
+
+    # WindowGroupLimit: the reconcile prunes per partition pre-shuffle
+    plan = V.read_mor(spark, t, key="k")._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+    # compaction folds the chain; reads are identical after
+    V.compact_mor(spark, t, key="k")
+    got2 = {r["k"]: r["v"] for r in V.read_mor(spark, t, key="k").collect()}
+    assert got2 == want
+    # and further deltas keep working on the compacted base
+    V.append_delta(
+        spark,
+        spark.createDataFrame([(1, 11.0, False)], "k long, v double, _tombstone boolean"),
+        t,
+    )
+    assert {r["k"]: r["v"] for r in V.read_mor(spark, t, key="k").collect()} == {
+        1: 11.0, 2: 99.0, 4: 40.0
+    }
