@@ -48,6 +48,8 @@ PICKS = [
     ("src_versioned_diff", "snapshot diff: one null-safe full-outer join on the key; |changes|-sized output from |table|-sized inputs"),
     ("emb_hard_negatives", "LSH-bucket equi-self-join candidates; per-anchor window only over bucket-bounded lists — no cartesian, no global sort"),
     ("text_quality_calibrated", "one map stage for the signal + one percent_rank window by source — the whole calibration is two stages"),
+    ("src_versioned_mor_read", "merge-on-read reconcile: keyed window with WindowGroupLimit pruning per partition before the exchange"),
+    ("src_versioned_pruned_read", "manifest file skipping: the scan's file list is pre-pruned, then pushed filters prune row groups inside"),
 ]
 
 
