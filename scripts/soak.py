@@ -122,6 +122,12 @@ QUERIES = (
     "emb_hard_negatives",
     "text_quality_calibrated",
     "stream_view_purchase_left_join_replay",
+    # round-5 (cont. 3): lakehouse read paths — schema-merge read,
+    # manifest file skipping (append fan-out per scale), and the MoR
+    # keyed-window reconcile (delta-chain growth risk).
+    "src_versioned_schema_evolution",
+    "src_versioned_pruned_read",
+    "src_versioned_mor_read",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
