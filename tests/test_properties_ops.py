@@ -134,3 +134,47 @@ def test_incremental_rollup_any_split_equals_full(spark, splits):
     assert sorted(map(tuple, rollup_view(state).collect())) == sorted(
         map(tuple, full.collect())
     )
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.sampled_from(["upsert", "delete"]),
+            st.integers(min_value=0, max_value=4),   # small key space -> collisions
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_mor_replay_equals_dict_model(spark, ops):
+    """Merge-on-read vs the obvious sequential model: apply the same
+    random upsert/delete sequence to a python dict; read_mor after
+    committing each op as its own delta must equal the dict. Small
+    key space forces update-after-delete, delete-missing, and
+    repeated-key chains."""
+    import tempfile
+
+    from searchengine_spark.sources import versioned as V
+
+    t = tempfile.mkdtemp(prefix="mor_prop_")
+    model: dict[int, int] = {}
+    for kind, k, v in ops:
+        if kind == "upsert":
+            model[k] = v
+            row = [(k, v, False)]
+        else:
+            model.pop(k, None)
+            row = [(k, 0, True)]
+        V.append_delta(
+            spark,
+            spark.createDataFrame(row, "k long, v long, _tombstone boolean").coalesce(1),
+            t,
+        )
+    got = {r["k"]: r["v"] for r in V.read_mor(spark, t, key="k").collect()}
+    assert got == model
