@@ -118,6 +118,7 @@ HEADLINE = [
     "src_versioned_schema_evolution",
     "src_versioned_pruned_read",
     "src_versioned_mor_read",
+    "export_shard_assignment",
 ]
 
 SERVE_QUERIES = [

@@ -50,6 +50,7 @@ _MODULES = (
     "operators.topk",
     "operators.layout",
     "operators.bloom",
+    "operators.export",
     "operators.projection",
     "operators.expectations",
     "operators.text_sim",

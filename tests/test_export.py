@@ -1,0 +1,50 @@
+"""Sharded export: exact shard sizes, deterministic order under any
+input partitioning, one file per shard on disk."""
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.export import (
+    global_shuffle_index,
+    shard_assignments,
+    write_shards,
+)
+
+
+def test_global_index_is_a_permutation_and_partitioning_invariant(spark):
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    idx1 = {r["k"]: r["gidx"] for r in global_shuffle_index(df, "k").collect()}
+    assert sorted(idx1.values()) == list(range(300))  # exact permutation
+    # same assignment whatever the input partitioning
+    idx2 = {
+        r["k"]: r["gidx"]
+        for r in global_shuffle_index(df.repartition(13), "k").collect()
+    }
+    assert idx1 == idx2
+    # hash order, not scan order: ids must not map to themselves
+    assert any(idx1[k] != k for k in idx1)
+
+
+def test_shard_sizes_exact_except_last(spark):
+    df = spark.range(0, 300).select(F.col("id").alias("k"))
+    sizes = (
+        shard_assignments(df, "k", rows_per_shard=64)
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("shard")
+        .collect()
+    )
+    assert [r["n"] for r in sizes] == [64, 64, 64, 64, 44]
+
+
+def test_write_shards_one_file_each_and_manifest(spark, tmp_path):
+    df = spark.range(0, 200).select(F.col("id").alias("k"))
+    out = os.path.join(tmp_path, "shards")
+    manifest = write_shards(df, out, "k", rows_per_shard=64)
+    assert manifest == {0: 64, 1: 64, 2: 64, 3: 8}
+    for shard, n in manifest.items():
+        files = glob.glob(os.path.join(out, f"shard={shard}", "*.parquet"))
+        assert len(files) == 1  # the shard fits one task by construction
+        assert spark.read.parquet(files[0]).count() == n
