@@ -119,6 +119,7 @@ HEADLINE = [
     "src_versioned_pruned_read",
     "src_versioned_mor_read",
     "export_shard_assignment",
+    "rel_session_spike_overlap",
 ]
 
 SERVE_QUERIES = [

@@ -51,6 +51,7 @@ _MODULES = (
     "operators.layout",
     "operators.bloom",
     "operators.export",
+    "operators.rangejoin",
     "operators.projection",
     "operators.expectations",
     "operators.text_sim",
