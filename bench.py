@@ -120,6 +120,7 @@ HEADLINE = [
     "src_versioned_mor_read",
     "export_shard_assignment",
     "rel_session_spike_overlap",
+    "se_bm25_prf_topk",
 ]
 
 SERVE_QUERIES = [

@@ -27,6 +27,7 @@ _MODULES = (
     "index.incremental",
     "index.fuzzy",
     "index.hybrid",
+    "index.feedback",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
