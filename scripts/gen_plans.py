@@ -50,6 +50,9 @@ PICKS = [
     ("text_quality_calibrated", "one map stage for the signal + one percent_rank window by source — the whole calibration is two stages"),
     ("src_versioned_mor_read", "merge-on-read reconcile: keyed window with WindowGroupLimit pruning per partition before the exchange"),
     ("src_versioned_pruned_read", "manifest file skipping: the scan's file list is pre-pruned, then pushed filters prune row groups inside"),
+    ("export_shard_assignment", "prefix-sum global index: constant-size offsets window + broadcast join — no table-scale global sort"),
+    ("rel_session_spike_overlap", "keyless range join: bin-exploded equi-join + residual; the only BNLJ is the 1-row totals broadcast"),
+    ("se_bm25_prf_topk", "two keyed tf passes; feedback docs and expansion terms are LIMITed frames entering broadcast joins"),
 ]
 
 
