@@ -128,6 +128,12 @@ QUERIES = (
     "src_versioned_schema_evolution",
     "src_versioned_pruned_read",
     "src_versioned_mor_read",
+    # round-5 (cont. 4): sharded export (prefix-sum fan-in), the
+    # keyless binned range join (bin fan-out x spike count), and the
+    # two-pass PRF retrieval (second tf pass over expanded terms).
+    "export_shard_assignment",
+    "rel_session_spike_overlap",
+    "se_bm25_prf_topk",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
