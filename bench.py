@@ -121,6 +121,7 @@ HEADLINE = [
     "export_shard_assignment",
     "rel_session_spike_overlap",
     "se_bm25_prf_topk",
+    "split_leakage_safe",
 ]
 
 SERVE_QUERIES = [

@@ -74,6 +74,41 @@ def train_val_test_split(
     )
 
 
+def leakage_safe_split(
+    docs: DataFrame,
+    components: DataFrame,
+    id_col: str = "doc_id",
+    *,
+    salt: str = "lsplit",
+) -> DataFrame:
+    """Train/val/test split at the duplicate-CLUSTER level: every doc
+    in a near-dup cluster gets its cluster representative's split, so
+    a document can never sit in train while its near-duplicate sits
+    in test (the classic eval-leakage hole a doc-level hash split
+    leaves open). ``components`` is (doc_id, component) from
+    `dedup.connected_components`; singletons (absent from the match
+    graph) represent themselves."""
+    rep = docs.select(id_col).join(
+        components.withColumnRenamed("doc_id", id_col), id_col, "left"
+    ).select(
+        id_col, F.coalesce(F.col("component"), F.col(id_col)).alias("rep")
+    )
+    return train_val_test_split(rep, "rep", salt=salt)
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-level split over documents: LSH near-dup components
+    (the driver-checked cluster query) decide the unit of
+    assignment. The oracle recomputes components with the recursive
+    CTE and applies the identical hash split to the representative."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.dedup import q_duplicate_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    comps = q_duplicate_clusters(spark, sf_dir)
+    return leakage_safe_split(docs, comps).orderBy("doc_id")
+
+
 def sample_per_group_quota(
     df: DataFrame,
     group_col: str,
@@ -240,13 +275,28 @@ def q_weighted_pps(spark, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "split_leakage_safe": q_leakage_safe_split,
     "sample_documents_10pct": q_sample_documents,
     "split_train_val_test": q_split_distribution,
     "sample_source_quota": q_source_quota,
     "sample_weighted_pps": q_weighted_pps,
 }
 
+from searchengine_spark.operators.dedup import _CLUSTERS_SQL as _DEDUP_CLUSTERS_SQL  # noqa: E402
+
 ORACLES = {
+    "split_leakage_safe": f"""
+        SELECT d.doc_id,
+               COALESCE(c.component, d.doc_id) AS rep,
+               CASE
+                 WHEN {_bucket_sql("COALESCE(c.component, d.doc_id)", "lsplit")} < {int(0.1 * N_BUCKETS)} THEN 'val'
+                 WHEN {_bucket_sql("COALESCE(c.component, d.doc_id)", "lsplit")} < {2 * int(0.1 * N_BUCKETS)} THEN 'test'
+                 ELSE 'train'
+               END AS split
+        FROM documents d
+        LEFT JOIN ({_DEDUP_CLUSTERS_SQL}) c ON d.doc_id = c.doc_id
+        ORDER BY d.doc_id
+    """,
     "sample_documents_10pct": f"""
         SELECT doc_id, lang FROM documents
         WHERE {_bucket_sql("doc_id", "")} < {int(0.10 * N_BUCKETS)}

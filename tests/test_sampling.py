@@ -168,3 +168,22 @@ class TestWeightedPPS:
         got = weighted_pps_sample(df, "doc_id", "n_chars", 2).collect()
         assert {r["doc_id"] for r in got} <= {1, 5}
         assert sum(r["n_hits"] for r in got) == 2
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.sampling import leakage_safe_split
+
+    docs = spark.range(0, 200).select(F.col("id").alias("doc_id"))
+    # clusters: {0..9} -> 0, {10..14} -> 10; rest singleton
+    comps = spark.createDataFrame(
+        [(i, 0) for i in range(10)] + [(i, 10) for i in range(10, 15)],
+        "doc_id long, component long",
+    )
+    out = leakage_safe_split(docs, comps).collect()
+    assert len(out) == 200  # full coverage incl. singletons
+    by_doc = {r["doc_id"]: r["split"] for r in out}
+    assert len({by_doc[i] for i in range(10)}) == 1   # cluster 0 together
+    assert len({by_doc[i] for i in range(10, 15)}) == 1
+    assert len(set(by_doc.values())) == 3  # all three splits occur
