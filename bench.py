@@ -122,6 +122,7 @@ HEADLINE = [
     "rel_session_spike_overlap",
     "se_bm25_prf_topk",
     "split_leakage_safe",
+    "text_char_entropy",
 ]
 
 SERVE_QUERIES = [

@@ -187,7 +187,69 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution —
+    the compressibility-style quality signal (boilerplate and
+    repeated templates sit at low entropy; natural prose ~4.0-4.5
+    bits/char). One explode + two keyed aggs; per-term products are
+    cast to DECIMAL(28,12) before the sum so the fold is
+    order-independent and both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    chars = docs.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    counts = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    term = ((F.col("c") / n) * F.log2(F.col("c") / n)).cast("decimal(28,12)")
+    return (
+        counts.select("doc_id", F.col("c").alias("c"), term.alias("t"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_chars_counted"),
+            F.round(-F.sum("t").cast("double"), 6).alias("entropy_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def compression_ratio(docs: DataFrame, *, level: int = 6) -> DataFrame:
+    """zlib-compressibility signal: compressed_len / raw_len per doc
+    (Arrow-batched mapInPandas; fixed level => deterministic bytes).
+    Highly compressible text (< ~0.3) is boilerplate/repetition —
+    the complementary signal to entropy, sensitive to LONG-range
+    repetition a unigram entropy can't see. No SQL engine exposes
+    zlib, so this is pytest-covered rather than oracle-checked."""
+    import zlib
+
+    import pandas as pd
+
+    def batches(it):
+        for pdf in it:
+            texts = pdf["text"]
+            raw = [len(t.encode("utf-8")) if t else 0 for t in texts]
+            comp = [
+                len(zlib.compress(t.encode("utf-8"), level)) if t else 0
+                for t in texts
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_bytes": raw,
+                    "compression_ratio": [
+                        round(c / r, 6) if r else None for c, r in zip(comp, raw)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id long, raw_bytes long, compression_ratio double"
+    )
+
+
 QUERIES = {
+    "text_char_entropy": q_char_entropy,
     "text_readability": q_readability,
     "text_bpe_token_counts": q_bpe_token_counts,
     "text_stats": q_text_stats,
@@ -198,6 +260,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_char_entropy": """
+        WITH chars AS (
+          SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+        ), counts AS (
+          SELECT doc_id, ch, COUNT(*) AS c
+          FROM chars WHERE ch <> '' GROUP BY doc_id, ch
+        ), terms AS (
+          SELECT doc_id, c,
+                 CAST((c / SUM(c) OVER (PARTITION BY doc_id))
+                      * log2(c / SUM(c) OVER (PARTITION BY doc_id))
+                      AS DECIMAL(28,12)) AS t
+          FROM counts
+        )
+        SELECT doc_id,
+               CAST(SUM(c) AS BIGINT) AS n_chars_counted,
+               round(-CAST(SUM(t) AS DOUBLE), 6) AS entropy_bits
+        FROM terms GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "text_readability": f"""
         WITH base AS (
           SELECT doc_id,
