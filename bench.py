@@ -123,6 +123,7 @@ HEADLINE = [
     "se_bm25_prf_topk",
     "split_leakage_safe",
     "text_char_entropy",
+    "se_best_passage",
 ]
 
 SERVE_QUERIES = [

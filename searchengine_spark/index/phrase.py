@@ -154,6 +154,57 @@ def q_term_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return suggest_terms(vocab, SUGGEST_TERM)
 
 
+PASSAGE_W = 10  # tokens per passage window
+
+
+def best_passage(
+    docs: DataFrame, terms: list[str], *, w: int = PASSAGE_W
+) -> DataFrame:
+    """Best-passage snippet per doc: the w-RAW-token window holding
+    the most query-term hits (start anchored at a hit; ties to the
+    earliest). Raw tokens — not the stopword-filtered stream — so
+    positions map back to readable text and the slice IS the snippet.
+    One posexplode + one range window per doc's match set (matches
+    only, not all tokens: the window state is per-hit, tiny)."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    toked = docs.select(
+        "doc_id", raw_tokens_column(F.col("text")).alias("toks")
+    )
+    matches = toked.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "word")
+    ).filter(F.col("word").isin(terms))
+    win = Window.partitionBy("doc_id").orderBy("pos").rangeBetween(0, w - 1)
+    rank = Window.partitionBy("doc_id").orderBy(F.desc("n_hits"), F.asc("pos"))
+    return (
+        matches.withColumn("n_hits", F.count(F.lit(1)).over(win))
+        .withColumn("_rn", F.row_number().over(rank))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id",
+            F.col("pos").cast("bigint").alias("passage_start"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            F.array_join(F.slice("toks", F.col("pos") + 1, w), " ").alias("passage"),
+        )
+    )
+
+
+def q_best_passage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best passage for each BM25 top-10 doc — the serving-layer
+    snippet upgrade over the reference's fixed-prefix substring
+    (nltksearchv1.py snippet = text[:300])."""
+    from searchengine_spark.index.queries import BM25_QUERY_TERMS, q_bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    top = q_bm25_topk(spark, sf_dir).select("doc_id")
+    return (
+        best_passage(docs.join(top, "doc_id"), list(BM25_QUERY_TERMS))
+        .orderBy("doc_id")
+    )
+
+
 _POS_SQL = f"""
 WITH toked AS (
   SELECT doc_id, {sql_tokens_expr('text')} AS words FROM documents
@@ -165,12 +216,61 @@ pos AS (
 )
 """
 
+def _best_passage_sql() -> str:
+    """One WITH chain: the shared BM25 index CTEs pick the top-10
+    docs, then raw-token positions + a RANGE window find each doc's
+    densest w-token window."""
+    from searchengine_spark.index.queries import (
+        _INDEX_CTES,
+        BM25_QUERY_TERMS,
+        BM25_SCORED_CTE,
+    )
+    from searchengine_spark.text.tokenizer import sql_raw_tokens_expr
+
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
+    return f"""{_INDEX_CTES}{BM25_SCORED_CTE},
+        base AS (
+          SELECT doc_id, round(sum(term_score), 6) AS s FROM scored GROUP BY doc_id
+        ), topd AS (
+          SELECT doc_id FROM base ORDER BY s DESC, doc_id ASC LIMIT 10
+        ), rawtok AS (
+          SELECT d.doc_id, {sql_raw_tokens_expr('d.text')} AS toks
+          FROM documents d JOIN topd USING (doc_id)
+        ), m AS (
+          SELECT doc_id, toks,
+                 generate_subscripts(toks, 1) - 1 AS pos,
+                 unnest(toks) AS word
+          FROM rawtok
+        ), hits AS (
+          SELECT doc_id, toks, pos,
+                 COUNT(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   RANGE BETWEEN CURRENT ROW AND {PASSAGE_W - 1} FOLLOWING
+                 ) AS n_hits
+          FROM m WHERE word IN ({terms})
+        ), best AS (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY doc_id ORDER BY n_hits DESC, pos ASC
+          ) AS rn
+          FROM hits
+        )
+        SELECT doc_id,
+               CAST(pos AS BIGINT) AS passage_start,
+               CAST(n_hits AS BIGINT) AS n_hits,
+               array_to_string(list_slice(toks, pos + 1, pos + {PASSAGE_W}), ' ') AS passage
+        FROM best WHERE rn = 1
+        ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "se_phrase_match": q_phrase_match,
     "se_term_suggestions": q_term_suggestions,
+    "se_best_passage": q_best_passage,
 }
 
 ORACLES = {
+    "se_best_passage": _best_passage_sql(),
     "se_phrase_match": f"""{_POS_SQL},
         plists AS (
           SELECT doc_id, word, list(p ORDER BY p) AS positions

@@ -68,3 +68,27 @@ def test_suggest_terms(spark, pos):
     vocab = pos.groupBy("word").agg(F.countDistinct("doc_id").alias("doc_freq"))
     got = [r.word for r in suggest_terms(vocab, "jion", max_distance=2).collect()]
     assert got[0] == "join"
+
+
+def test_best_passage_picks_densest_window(spark):
+    from searchengine_spark.index.phrase import best_passage
+
+    # hits at 0 and 2 (2-in-10 window) vs a 3-hit cluster at 30..34
+    text = (
+        "spark x join " + "filler " * 27 + "spark join fast spark end"
+    )
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = best_passage(docs, ["spark", "join", "fast"]).collect()[0]
+    assert got["n_hits"] == 4  # spark, join, fast, spark
+    assert got["passage"].startswith("spark join fast spark")
+    assert got["passage_start"] == 30
+
+
+def test_best_passage_tie_breaks_to_earliest(spark):
+    docs = spark.createDataFrame(
+        [(1, "join a b c d e f g h i join x y z")], "doc_id long, text string"
+    )
+    from searchengine_spark.index.phrase import best_passage
+
+    got = best_passage(docs, ["join"]).collect()[0]
+    assert (got["passage_start"], got["n_hits"]) == (0, 1)
