@@ -53,6 +53,9 @@ PICKS = [
     ("export_shard_assignment", "prefix-sum global index: constant-size offsets window + broadcast join — no table-scale global sort"),
     ("rel_session_spike_overlap", "keyless range join: bin-exploded equi-join + residual; the only BNLJ is the 1-row totals broadcast"),
     ("se_bm25_prf_topk", "two keyed tf passes; feedback docs and expansion terms are LIMITed frames entering broadcast joins"),
+    ("split_leakage_safe", "cluster-level split: iterative-CC result left-joined onto docs, then pure map-side hash CASE"),
+    ("text_char_entropy", "explode + two keyed aggs; decimal-cast terms make the entropy fold order-independent"),
+    ("se_best_passage", "RANGE window over HIT positions only (tiny per-doc state); top-doc semi-join bounds the token explode"),
 ]
 
 
