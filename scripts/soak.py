@@ -134,6 +134,13 @@ QUERIES = (
     "export_shard_assignment",
     "rel_session_spike_overlap",
     "se_bm25_prf_topk",
+    # round-5 (cont. 5): cluster-level splits (CC + join fan-in),
+    # char entropy (per-char explode — the widest explode in the
+    # repo), and best-passage (token explode bounded by the top-k
+    # semi-join).
+    "split_leakage_safe",
+    "text_char_entropy",
+    "se_best_passage",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
