@@ -124,6 +124,9 @@ HEADLINE = [
     "split_leakage_safe",
     "text_char_entropy",
     "se_best_passage",
+    "se_eval_retrieval_metrics",
+    "events_decayed_trending",
+    "se_postings_varint_compression",
 ]
 
 SERVE_QUERIES = [

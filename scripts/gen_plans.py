@@ -56,6 +56,9 @@ PICKS = [
     ("split_leakage_safe", "cluster-level split: iterative-CC result left-joined onto docs, then pure map-side hash CASE"),
     ("text_char_entropy", "explode + two keyed aggs; decimal-cast terms make the entropy fold order-independent"),
     ("se_best_passage", "RANGE window over HIT positions only (tiny per-doc state); top-doc semi-join bounds the token explode"),
+    ("se_eval_retrieval_metrics", "qrels + rankings from ONE broadcast query fan-out over tf; windows partition per query_id only"),
+    ("events_decayed_trending", "one scan, map-side partial agg into |event_type| groups; the anchor ts is a broadcast 1-row frame"),
+    ("se_postings_varint_compression", "delta-gap + varint cost as per-row array folds over cached postings — map-only, zero new Exchange"),
 ]
 
 

@@ -28,11 +28,14 @@ _MODULES = (
     "index.fuzzy",
     "index.hybrid",
     "index.feedback",
+    "index.evaluation",
+    "index.compression",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
     "relational.advanced",
     "relational.incremental_agg",
+    "relational.trending",
     "operators.dedup",
     "operators.graph",
     "operators.setjoin",
