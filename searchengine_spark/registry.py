@@ -30,6 +30,7 @@ _MODULES = (
     "index.feedback",
     "index.evaluation",
     "index.compression",
+    "index.autocomplete",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
@@ -65,6 +66,8 @@ _MODULES = (
     "operators.heavy_hitters",
     "operators.itemsets",
     "operators.simhash",
+    "operators.privacy",
+    "operators.linkage",
     "text.analysis",
     "text.lm",
     "text.nltk_parity",
