@@ -34,6 +34,7 @@ _MODULES = (
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
+    "relational.timeseries",
     "relational.advanced",
     "relational.incremental_agg",
     "relational.trending",

@@ -1,0 +1,209 @@
+"""Time-series analytics: rolling distinct actives, EWMA smoothing,
+and a chi-square independence audit.
+
+Three shapes every product-metrics / data-drift pipeline needs that
+the windowed-analytics family (relational/events.py) doesn't cover:
+
+- **Rolling 7-day active users** — distinct-count over a sliding
+  window. Distinct-count windows don't exist in Spark, and the naive
+  self-join (days x events) rescans the fact table per day. The scale
+  shape used here: dedup to (user, day) once, explode each user-day
+  to the <= 7 report days it supports (bounded fan-out, map-side),
+  dedup again, and count per day. Work is O(|user-days| * 7), one
+  shuffle keyed on (user, report_day) — no per-day rescan, no window
+  over the fact table. At 100 TB you'd swap the exact distinct for
+  an HLL merge (operators/approx.py shows the sketch shape); the
+  explode-to-window-days trick is the same.
+
+- **EWMA smoothing** of the hourly value series per event type —
+  the standard anomaly-baseline smoother. Recursive EWMA is a
+  sequential scan; the scalable form is the truncated window:
+  ewma_t = (1-a) * sum_{j=0..W-1} a^j x_{t-j} with W chosen so
+  a^W is negligible. That is W lag() terms over a per-type window —
+  pure whole-stage codegen, partitioned by event_type (bounded
+  series per partition: hours, not events). Hourly sums are
+  decimal-exact before the float smoothing so the result is
+  order-independent; weights are shared Python literals so both
+  engines fold the same constants.
+
+- **Chi-square independence** of event_type x hour-of-day — the
+  drift monitor's categorical cousin (text_drift_psi covers the
+  token distribution). Two tiny aggs (cell counts, marginals via
+  window over the |types| x 24 cell table) and a decimal-cast sum of
+  per-cell contributions so the statistic is order-independent.
+
+Reference scope: abh2050/searchengine has no time-series surface;
+these extend the engine the way BASELINE.md's "analytics engine"
+framing requires (grid/anomaly/trend family: relational/events.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from searchengine_spark.event_time import event_time_seconds, exact_floor_div
+from searchengine_spark.io import load_table
+
+ROLLING_DAYS = 7
+
+EWMA_ALPHA = 0.6  # decay per step back
+EWMA_WINDOW = 8  # a^8 = 0.017 — truncation error < 2% of a unit shock
+# shared literal weights: (1-a) * a^j, identical text in both engines
+EWMA_WEIGHTS = [(1.0 - EWMA_ALPHA) * EWMA_ALPHA**j for j in range(EWMA_WINDOW)]
+
+
+def q_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users active in the trailing ROLLING_DAYS window, for
+    every day observed in the data."""
+    ev = load_table(spark, sf_dir, "events")
+    day = exact_floor_div(event_time_seconds(ev, "ts"), 86400)
+    user_days = ev.select("user_id", day.alias("day_idx")).distinct()
+    observed = user_days.select("day_idx").distinct()
+    # each user-day supports report days d .. d+6 (bounded fan-out)
+    fanout = user_days.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day_idx"),
+                F.col("day_idx") + F.lit(ROLLING_DAYS - 1),
+            )
+        ).alias("report_day"),
+    ).distinct()
+    return (
+        fanout.join(observed, fanout.report_day == observed.day_idx)
+        .groupBy("report_day")
+        .agg(F.count(F.lit(1)).alias("active_users_7d"))
+    )
+
+
+def q_ewma_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-window EWMA of the hourly value sum per event type."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = exact_floor_div(event_time_seconds(ev, "ts"), 3600)
+    hourly = (
+        ev.groupBy("event_type", hour.alias("hour_idx"))
+        # decimal-exact hourly sum: order-independent across partials
+        .agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("hour_idx")
+    # fixed left-to-right addition order, mirrored in the oracle
+    terms = [
+        F.coalesce(F.lag(F.col("x").cast("double"), j).over(w), F.lit(0.0))
+        * F.lit(EWMA_WEIGHTS[j])
+        for j in range(EWMA_WINDOW)
+    ]
+    ewma = terms[0]
+    for t in terms[1:]:
+        ewma = ewma + t
+    return hourly.select(
+        "event_type",
+        "hour_idx",
+        F.round(F.col("x").cast("double"), 6).alias("hourly_value"),
+        F.round(ewma, 6).alias("ewma_value"),
+    )
+
+
+def q_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square statistic for independence of event_type and
+    hour-of-day, plus degrees of freedom and cell count."""
+    ev = load_table(spark, sf_dir, "events")
+    hod = F.pmod(exact_floor_div(event_time_seconds(ev, "ts"), 3600), 24)
+    cells = ev.groupBy("event_type", hod.alias("hod")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w_all = Window.partitionBy()
+    w_row = Window.partitionBy("event_type")
+    w_col = Window.partitionBy("hod")
+    with_marg = cells.select(
+        "event_type",
+        "hod",
+        "n",
+        F.sum("n").over(w_row).alias("row_tot"),
+        F.sum("n").over(w_col).alias("col_tot"),
+        F.sum("n").over(w_all).alias("grand"),
+    )
+    expected = (
+        F.col("row_tot").cast("double")
+        * F.col("col_tot").cast("double")
+        / F.col("grand").cast("double")
+    )
+    diff = F.col("n").cast("double") - expected
+    contrib = (diff * diff / expected).cast("decimal(28,6)")
+    n_types = F.countDistinct("event_type")
+    n_hods = F.countDistinct("hod")
+    return with_marg.agg(
+        F.round(F.sum(contrib).cast("double"), 4).alias("chi2"),
+        ((n_types - 1) * (n_hods - 1)).cast("bigint").alias("dof"),
+        F.count(F.lit(1)).alias("n_cells"),
+    )
+
+
+_SECS = "(epoch_us(ts) // 1000000)"
+
+_ROLLING_SQL = f"""
+WITH user_days AS (
+  SELECT DISTINCT user_id, {_SECS} // 86400 AS day_idx FROM events
+),
+observed AS (SELECT DISTINCT day_idx FROM user_days),
+fanout AS (
+  SELECT DISTINCT user_id, day_idx + j AS report_day
+  FROM user_days, (SELECT unnest(range(0, {ROLLING_DAYS})) AS j)
+)
+SELECT o.day_idx AS report_day, count(*)::BIGINT AS active_users_7d
+FROM fanout f JOIN observed o ON f.report_day = o.day_idx
+GROUP BY o.day_idx
+"""
+
+_EWMA_TERMS = " + ".join(
+    f"coalesce(lag(CAST(x AS DOUBLE), {j}) OVER w, 0.0) * {w!r}"
+    for j, w in enumerate(EWMA_WEIGHTS)
+)
+_EWMA_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, {_SECS} // 3600 AS hour_idx,
+         SUM(CAST(value AS DECIMAL(28,6))) AS x
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, hour_idx,
+       round(CAST(x AS DOUBLE), 6) AS hourly_value,
+       round({_EWMA_TERMS}, 6) AS ewma_value
+FROM hourly
+WINDOW w AS (PARTITION BY event_type ORDER BY hour_idx)
+"""
+
+_CHI2_SQL = f"""
+WITH cells AS (
+  SELECT event_type, ({_SECS} // 3600) % 24 AS hod, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+),
+marg AS (
+  SELECT event_type, hod, n,
+         SUM(n) OVER (PARTITION BY event_type) AS row_tot,
+         SUM(n) OVER (PARTITION BY hod) AS col_tot,
+         SUM(n) OVER () AS grand
+  FROM cells
+)
+SELECT round(CAST(SUM(CAST(
+         (CAST(n AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(grand AS DOUBLE))
+         * (CAST(n AS DOUBLE) - CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE)
+             / CAST(grand AS DOUBLE))
+         / (CAST(row_tot AS DOUBLE) * CAST(col_tot AS DOUBLE) / CAST(grand AS DOUBLE))
+       AS DECIMAL(28,6))) AS DOUBLE), 4) AS chi2,
+       ((count(DISTINCT event_type) - 1) * (count(DISTINCT hod) - 1))::BIGINT AS dof,
+       count(*)::BIGINT AS n_cells
+FROM marg
+"""
+
+QUERIES = {
+    "events_rolling_7d_active_users": q_rolling_active_users,
+    "events_ewma_hourly_value": q_ewma_hourly_value,
+    "events_chi2_type_hour": q_chi2_type_hour,
+}
+ORACLES = {
+    "events_rolling_7d_active_users": _ROLLING_SQL,
+    "events_ewma_hourly_value": _EWMA_SQL,
+    "events_chi2_type_hour": _CHI2_SQL,
+}
