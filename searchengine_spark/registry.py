@@ -35,6 +35,7 @@ _MODULES = (
     "relational.tpch_extra",
     "relational.events",
     "relational.timeseries",
+    "relational.warehouse",
     "relational.advanced",
     "relational.incremental_agg",
     "relational.trending",
