@@ -79,6 +79,40 @@ def q_k_anonymize_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DP_SCALE = 20.0  # Laplace b = sensitivity/epsilon = 1/0.05
+_HASH_BITS = 52  # 13 hex chars -> fits a double's mantissa exactly
+
+
+def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of per-nation customer counts:
+    count + Laplace(DP_SCALE) noise via inverse-CDF over a SEEDED
+    per-key uniform (md5 of the group key), so the release is
+    reproducible and oracle-checkable. The derandomized-noise trick is
+    standard for testable DP pipelines; swapping the hash-uniform for
+    a real RNG changes nothing in the plan (one agg + map-side noise
+    arithmetic, no extra shuffle)."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(F.md5(F.col("c_nationkey").cast("string").cast("binary")), 1, 13),
+        16,
+        10,
+    ).cast("bigint")
+    # u in (0,1): the +0.5 keeps v strictly inside (-0.5, 0.5) so the
+    # log argument is never 0
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_HASH_BITS))
+    v = u - F.lit(0.5)
+    noise = (
+        -F.lit(DP_SCALE)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return counts.select(
+        "c_nationkey",
+        F.round(F.col("n") + noise, 4).alias("noisy_count"),
+    )
+
+
 _AUDIT_SQL = f"""
 SELECT c_nationkey, c_mktsegment,
        count(*)::BIGINT AS group_n,
@@ -110,11 +144,29 @@ SELECT c_nationkey, segment_gen,
 FROM gen GROUP BY c_nationkey, segment_gen
 """
 
+_DP_SQL = f"""
+WITH counts AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n FROM customer GROUP BY c_nationkey
+),
+seeded AS (
+  SELECT c_nationkey, n,
+         (CAST(('0x' || substr(md5(CAST(c_nationkey AS VARCHAR)), 1, 13))
+               AS BIGINT) + 0.5) / {float(2 ** _HASH_BITS)!r} - 0.5 AS v
+  FROM counts
+)
+SELECT c_nationkey,
+       round(n + (-{DP_SCALE!r}) * sign(v) * ln(1.0 - 2.0 * abs(v)), 4)
+         AS noisy_count
+FROM seeded
+"""
+
 QUERIES = {
     "privacy_k_anonymity_audit": q_k_anonymity_audit,
     "privacy_k_anonymize_generalize": q_k_anonymize_generalize,
+    "privacy_dp_noisy_counts": q_dp_noisy_counts,
 }
 ORACLES = {
     "privacy_k_anonymity_audit": _AUDIT_SQL,
     "privacy_k_anonymize_generalize": _GENERALIZE_SQL,
+    "privacy_dp_noisy_counts": _DP_SQL,
 }

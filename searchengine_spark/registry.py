@@ -31,6 +31,7 @@ _MODULES = (
     "index.evaluation",
     "index.compression",
     "index.autocomplete",
+    "index.keywords",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
@@ -69,6 +70,7 @@ _MODULES = (
     "operators.itemsets",
     "operators.simhash",
     "operators.privacy",
+    "operators.containment",
     "operators.linkage",
     "text.analysis",
     "text.lm",
