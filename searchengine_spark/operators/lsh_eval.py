@@ -1,0 +1,93 @@
+"""LSH self-audit: measured recall of MinHash banding vs exact truth.
+
+The banded MinHash join (operators/dedup.py) is probabilistic — its
+S-curve leaves a known false-negative rate near the threshold. This
+operator MEASURES it on the corpus: ground truth from the exact
+prefix-filtered set join (operators/setjoin.py, provably lossless),
+candidates from the banding, recall = |caught| / |true|. At 100 TB
+you run this on a sampled stratum to pick NUM_HASHES/BAND_SIZE before
+committing a full dedup pass — the standard tuning loop for any
+sketch-based pipeline, here as one query whose number the driver
+hash-checks against a DuckDB twin (brute-force truth + the same
+banding arithmetic).
+
+Scale shape: both inputs reuse the session shingle cache; the audit
+adds one semi-join keyed on (doc_a, doc_b) and two 1-row aggregates
+(combined lazily via broadcast crossJoin — no collect).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.operators.dedup import (
+    _BANDS_CTE,
+    minhash_bands,
+    neardup_candidate_pairs,
+)
+from searchengine_spark.operators.setjoin import T_DEN, T_NUM, prefix_jaccard_pairs
+
+
+def lsh_recall(shingles: DataFrame) -> DataFrame:
+    true_pairs = prefix_jaccard_pairs(shingles).select("doc_a", "doc_b")
+    cands = neardup_candidate_pairs(minhash_bands(shingles=shingles))
+    caught = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
+    n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_caught))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_caught",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(
+                    F.col("n_caught").cast("double")
+                    / F.col("n_true").cast("double"),
+                    6,
+                ),
+            ).alias("lsh_recall"),
+        )
+    )
+
+
+def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.operators.dedup import _shingles
+
+    return lsh_recall(_shingles(spark, sf_dir))
+
+
+_RECALL_SQL = f"""{_BANDS_CTE},
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+),
+sets AS (
+  SELECT doc_id, list_distinct(shingles) AS s FROM sh
+),
+truep AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+  WHERE {T_DEN} * len(list_intersect(a.s, b.s))
+        >= {T_NUM} * (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+),
+caught AS (
+  SELECT t.doc_a, t.doc_b FROM truep t
+  JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+)
+SELECT (SELECT count(*) FROM truep)::BIGINT AS n_true,
+       (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+       (SELECT count(*) FROM caught)::BIGINT AS n_caught,
+       CASE WHEN (SELECT count(*) FROM truep) > 0 THEN
+         round(CAST((SELECT count(*) FROM caught) AS DOUBLE)
+               / CAST((SELECT count(*) FROM truep) AS DOUBLE), 6)
+       END AS lsh_recall
+"""
+
+QUERIES = {"dedup_lsh_recall_audit": q_lsh_recall}
+ORACLES = {"dedup_lsh_recall_audit": _RECALL_SQL}

@@ -71,8 +71,10 @@ _MODULES = (
     "operators.simhash",
     "operators.privacy",
     "operators.containment",
+    "operators.lsh_eval",
     "operators.linkage",
     "text.analysis",
+    "text.pmi",
     "text.lm",
     "text.nltk_parity",
     "text.quality",

@@ -324,17 +324,10 @@ FUNNEL_STEPS = ("signup", "click", "purchase")
 FUNNEL_WINDOW_S = 86400  # each step must convert within 24h of the prior
 
 
-def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Windowed ordered funnel: users completing each prefix of
-    signup -> click -> purchase, where each step must occur within
-    FUNNEL_WINDOW_S seconds at-or-after the user's completion of the
-    previous step (earliest qualifying event — strict conversion-
-    window funnel semantics).
-
-    Scale shape: one conditional-min agg per user per step, computed
-    in TWO keyed aggregations with an equi self-join on user_id in
-    between — no windows over the raw stream, no event explosion.
-    """
+def _funnel_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, t1, t2, t3) per signed-up user: earliest qualifying
+    completion time of each funnel prefix (NULL where the window was
+    missed). Shared by the funnel counts and the latency quantiles."""
     ev = load_table(spark, sf_dir, "events")
     ts_s = event_time_seconds(ev, "ts")
     s1, s2, s3 = FUNNEL_STEPS
@@ -362,11 +355,44 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id")
         .agg(F.min("ts_s").alias("t3"))
     )
-    per_user = t12.join(t3, "user_id", "left")
-    return per_user.agg(
+    return t12.join(t3, "user_id", "left")
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed ordered funnel: users completing each prefix of
+    signup -> click -> purchase, where each step must occur within
+    FUNNEL_WINDOW_S seconds at-or-after the user's completion of the
+    previous step (earliest qualifying event — strict conversion-
+    window funnel semantics).
+
+    Scale shape: one conditional-min agg per user per step, computed
+    in TWO keyed aggregations with an equi self-join on user_id in
+    between — no windows over the raw stream, no event explosion.
+    """
+    s1, s2, s3 = FUNNEL_STEPS
+    return _funnel_per_user(spark, sf_dir).agg(
         F.count(F.lit(1)).alias(f"n_{s1}"),
         F.count("t2").alias(f"n_{s1}_{s2}"),
         F.count("t3").alias(f"n_{s1}_{s2}_{s3}"),
+    )
+
+
+def q_events_funnel_latency_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: quantiles of (first qualifying
+    purchase - signup) seconds over funnel completers. One more tiny
+    agg over the funnel's per-user frame — no new stream passes;
+    exact percentiles over |completers| values (at true scale, swap
+    for approx_percentile / a t-digest; same topology)."""
+    lat = (
+        _funnel_per_user(spark, sf_dir)
+        .filter(F.col("t3").isNotNull())
+        .select((F.col("t3") - F.col("t1")).cast("double").alias("lat_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.round(F.percentile("lat_s", F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile("lat_s", F.lit(0.9)), 6).alias("p90_s"),
+        F.round(F.percentile("lat_s", F.lit(0.99)), 6).alias("p99_s"),
     )
 
 
@@ -449,8 +475,42 @@ def q_events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FUNNEL_LATENCY_SQL = """
+WITH base AS (
+  SELECT user_id, event_type, (epoch_us(ts) // 1000000) AS ts_s FROM events
+),
+t1 AS (
+  SELECT user_id, MIN(ts_s) AS t1 FROM base
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+t2 AS (
+  SELECT b.user_id, MIN(b.ts_s) AS t2
+  FROM base b JOIN t1 ON b.user_id = t1.user_id
+  WHERE b.event_type = 'click'
+    AND b.ts_s >= t1.t1 AND b.ts_s <= t1.t1 + 86400
+  GROUP BY b.user_id
+),
+t3 AS (
+  SELECT b.user_id, MIN(b.ts_s) AS t3
+  FROM base b JOIN t2 ON b.user_id = t2.user_id
+  WHERE b.event_type = 'purchase'
+    AND b.ts_s >= t2.t2 AND b.ts_s <= t2.t2 + 86400
+  GROUP BY b.user_id
+),
+lat AS (
+  SELECT CAST(t3.t3 - t1.t1 AS DOUBLE) AS lat_s
+  FROM t3 JOIN t1 ON t3.user_id = t1.user_id
+)
+SELECT count(*)::BIGINT AS n_converted,
+       round(quantile_cont(lat_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(lat_s, 0.9), 6) AS p90_s,
+       round(quantile_cont(lat_s, 0.99), 6) AS p99_s
+FROM lat
+"""
+
 QUERIES = {
     "events_transitions": q_events_transitions,
+    "events_funnel_latency_quantiles": q_events_funnel_latency_quantiles,
     "events_anomaly_zscore": q_events_anomaly_zscore,
     "events_retention_cohorts": q_events_retention_cohorts,
     "events_funnel": q_events_funnel,
@@ -469,6 +529,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "events_funnel_latency_quantiles": _FUNNEL_LATENCY_SQL,
     "events_transitions": """
         WITH seq AS (
           SELECT event_type AS from_type,
