@@ -32,6 +32,7 @@ _MODULES = (
     "index.compression",
     "index.autocomplete",
     "index.keywords",
+    "index.mmr",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
