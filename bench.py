@@ -127,6 +127,18 @@ HEADLINE = [
     "se_eval_retrieval_metrics",
     "events_decayed_trending",
     "se_postings_varint_compression",
+    # round-5 (cont.): entity linkage through blocked levenshtein,
+    # asymmetric containment dedup, the rolling distinct-actives
+    # fan-out, delta join-view maintenance, SCD2 islands, word-PMI
+    # co-occurrence, the LSH recall self-audit, and MMR re-ranking.
+    "dedup_record_linkage_pairs",
+    "dedup_containment_pairs",
+    "events_rolling_7d_active_users",
+    "rel_ivm_join_delta",
+    "rel_scd2_customer_tier",
+    "text_word_pmi_pairs",
+    "dedup_lsh_recall_audit",
+    "se_mmr_rerank",
 ]
 
 SERVE_QUERIES = [

@@ -59,6 +59,13 @@ PICKS = [
     ("se_eval_retrieval_metrics", "qrels + rankings from ONE broadcast query fan-out over tf; windows partition per query_id only"),
     ("events_decayed_trending", "one scan, map-side partial agg into |event_type| groups; the anchor ts is a broadcast 1-row frame"),
     ("se_postings_varint_compression", "delta-gap + varint cost as per-row array folds over cached postings — map-only, zero new Exchange"),
+    ("dedup_record_linkage_pairs", "two-pass affix blocking: equi-joins on 6-char block keys + integer levenshtein verify — pigeonhole-exact, no cartesian"),
+    ("dedup_containment_pairs", "asymmetric prefix filter: A-prefix x B-full-postings equi-join, integer-exact containment verify"),
+    ("events_rolling_7d_active_users", "sliding distinct-count via bounded x7 day explode + one (user, report_day) dedup — no per-day rescan, no fact-table window"),
+    ("rel_ivm_join_delta", "delta join maintenance: dO|x|C shuffles once; both delta-sided joins broadcast the batch"),
+    ("rel_scd2_customer_tier", "gaps-and-islands: two customer-partitioned row_numbers, one keyed agg, one lead — zero self-joins"),
+    ("text_word_pmi_pairs", "doc-keyed presence self-join (per-doc-vocab fan-out) -> pair agg pruned by MIN_COOC; idf lookups broadcast"),
+    ("se_autocomplete_table", "vocabulary-only prefix explode (<=6x) + per-prefix rank window — never rescans documents"),
 ]
 
 
