@@ -282,8 +282,46 @@ def q_stream_sliding_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFram
     return spark.table(name)
 
 
+def q_stream_enriched_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment then a watermarked rollup: the event
+    stream left-joins the customer dimension (user_id -> market
+    segment; the static side is re-planned per micro-batch, broadcast
+    when small — the standard streaming enrichment shape), then rolls
+    up hourly per segment. Events with no matching customer keep a
+    NULL segment — the oracle's LEFT JOIN states exactly that."""
+    from searchengine_spark.event_time import instant_to_ntz, with_instant_ts
+    from searchengine_spark.io import load_table
+    from searchengine_spark.streaming.events import enrich_stream_with_customers
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    enriched = enrich_stream_with_customers(
+        stream, load_table(spark, sf_dir, "customer")
+    )
+    rolled = (
+        with_instant_ts(enriched, "ts")
+        .withWatermark("ts", REPLAY_WATERMARK)
+        .groupBy(F.window("ts", "1 hour"), F.col("c_mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            instant_to_ntz(F.col("window").start).alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "total_value",
+        )
+    )
+    name = _sink_name("enriched")
+    run_to_memory(rolled, name, output_mode="complete")
+    return spark.table(name)
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
+    "stream_enriched_rollup_replay": q_stream_enriched_rollup_replay,
     "stream_sliding_rollup_replay": q_stream_sliding_rollup_replay,
     "stream_rollup_ivm_replay": q_stream_rollup_ivm_replay,
     "stream_view_purchase_join_replay": q_stream_view_purchase_join_replay,
@@ -334,6 +372,15 @@ ORACLES = {
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
         FROM events
+        GROUP BY 1, 2
+    """,
+    # Batch semantics of the stream-static enrichment rollup: the
+    # LEFT JOIN keeps unmatched users under a NULL segment.
+    "stream_enriched_rollup_replay": """
+        SELECT date_trunc('hour', e.ts) AS window_start, c.c_mktsegment,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(e.value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
         GROUP BY 1, 2
     """,
     # Sliding windows in batch SQL: every event belongs to the 4

@@ -248,7 +248,61 @@ def compression_ratio(docs: DataFrame, *, level: int = 6) -> DataFrame:
     )
 
 
+def q_source_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto contribution analysis per source: which sources carry
+    80% of the corpus characters. One keyed agg onto the |sources|
+    domain, then cumulative windows over that TINY frame (never the
+    corpus); the head-80 flag uses the cumulative share BEFORE the
+    row so the source that crosses the threshold is still included.
+    All shares divide exact integer sums — cross-engine identical."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w_cum = Window.orderBy(F.desc("total_chars"), F.asc("source")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cum = F.sum("total_chars").over(w_cum)
+    grand = F.sum("total_chars").over(w_all)
+    return per_src.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        F.round(cum.cast("double") / grand.cast("double"), 6).alias("cum_share"),
+        (
+            (cum - F.col("total_chars")).cast("double")
+            / grand.cast("double")
+            < 0.8
+        )
+        .cast("int")
+        .alias("in_head80"),
+    )
+
+
+_SOURCE_PARETO_SQL = """
+WITH per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, total_chars,
+       round(CAST(SUM(total_chars) OVER w AS DOUBLE)
+             / CAST(SUM(total_chars) OVER () AS DOUBLE), 6) AS cum_share,
+       CASE WHEN CAST(SUM(total_chars) OVER w - total_chars AS DOUBLE)
+                 / CAST(SUM(total_chars) OVER () AS DOUBLE) < 0.8
+            THEN 1 ELSE 0 END AS in_head80
+FROM per_src
+WINDOW w AS (ORDER BY total_chars DESC, source ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
+    "text_source_pareto": q_source_pareto,
     "text_char_entropy": q_char_entropy,
     "text_readability": q_readability,
     "text_bpe_token_counts": q_bpe_token_counts,
@@ -260,6 +314,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_source_pareto": _SOURCE_PARETO_SQL,
     "text_char_entropy": """
         WITH chars AS (
           SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents

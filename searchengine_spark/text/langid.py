@@ -73,6 +73,29 @@ def q_lang_guess(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identify_language(load_table(spark, sf_dir, "documents"))
 
 
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-quality audit: confusion matrix of the labeled lang
+    column vs the marker-word guess, with per-truth-label rates. Two
+    tiny aggs on top of the map-only scorer; the rate window
+    partitions the |langs|^2 cell table, never the corpus."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    guessed = identify_language(docs)
+    cells = (
+        guessed.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "lang_guess",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("rate"),
+    )
+
+
 def _markers_sql(code: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
 
@@ -103,5 +126,23 @@ FROM scored
 """
 
 
-QUERIES = {"text_lang_guess": q_lang_guess}
-ORACLES = {"text_lang_guess": _lang_sql()}
+def _confusion_sql() -> str:
+    guess = _lang_sql().strip()
+    return f"""
+WITH guessed AS ({guess})
+SELECT d.lang, g.lang_guess, count(*)::BIGINT AS n,
+       round(count(*) * 1.0 / SUM(count(*)) OVER (PARTITION BY d.lang), 6)
+         AS rate
+FROM guessed g JOIN documents d ON g.doc_id = d.doc_id
+GROUP BY d.lang, g.lang_guess
+"""
+
+
+QUERIES = {
+    "text_lang_guess": q_lang_guess,
+    "text_langid_confusion": q_langid_confusion,
+}
+ORACLES = {
+    "text_lang_guess": _lang_sql(),
+    "text_langid_confusion": _confusion_sql(),
+}
