@@ -140,6 +140,54 @@ def search_with_correction(
 
 PHRASE = ("hash", "join")
 SUGGEST_TERM = "wndow"  # deliberate misspelling of 'window'
+PROX_TERMS = ("spark", "window")  # proximity query pair
+PROX_SLOP = 5  # max token distance (any order)
+
+
+def proximity_match(
+    positional: DataFrame,
+    term_a: str,
+    term_b: str,
+    *,
+    slop: int = PROX_SLOP,
+) -> DataFrame:
+    """Docs where term_a and term_b occur within ``slop`` tokens of
+    each other, IN ANY ORDER (the sloppy-phrase / NEAR operator the
+    exact phrase_match can't express). Same plan shape as
+    phrase_match: term-filtered positional scan, one doc_id equi
+    join, then pure array folds — per-candidate O(|pos_a| * |pos_b|),
+    no explode, no UDF."""
+    a = positional.filter(F.col("word") == term_a).select(
+        "doc_id", F.col("positions").alias("pa")
+    )
+    b = positional.filter(F.col("word") == term_b).select(
+        "doc_id", F.col("positions").alias("pb")
+    )
+    min_dist = F.array_min(
+        F.transform(
+            F.col("pa"),
+            lambda x: F.array_min(
+                F.transform(F.col("pb"), lambda y: F.abs(x - y))
+            ),
+        )
+    )
+    n_anchors = F.size(
+        F.filter(
+            F.col("pa"),
+            lambda x: F.exists(
+                F.col("pb"), lambda y: F.abs(x - y) <= F.lit(slop)
+            ),
+        )
+    )
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            min_dist.cast("bigint").alias("min_distance"),
+            n_anchors.cast("bigint").alias("n_anchor_hits"),
+        )
+        .filter(F.col("min_distance") <= slop)
+    )
 
 
 def q_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -263,14 +311,45 @@ def _best_passage_sql() -> str:
     """
 
 
+def q_proximity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = build_positional_index(load_table(spark, sf_dir, "documents"))
+    return proximity_match(pos, *PROX_TERMS)
+
+
+_PROX_SQL = f"""{_POS_SQL},
+plists AS (
+  SELECT doc_id, word, list(p ORDER BY p) AS positions
+  FROM pos WHERE word IN ('{PROX_TERMS[0]}', '{PROX_TERMS[1]}')
+  GROUP BY doc_id, word
+),
+joined AS (
+  SELECT a.doc_id, a.positions AS pa, b.positions AS pb
+  FROM plists a JOIN plists b ON a.doc_id = b.doc_id
+  WHERE a.word = '{PROX_TERMS[0]}' AND b.word = '{PROX_TERMS[1]}'
+)
+SELECT doc_id,
+       CAST(list_min(list_transform(pa,
+              x -> list_min(list_transform(pb, y -> abs(x - y))))) AS BIGINT)
+         AS min_distance,
+       CAST(len(list_filter(pa,
+              x -> len(list_filter(pb, y -> abs(x - y) <= {PROX_SLOP})) > 0))
+            AS BIGINT) AS n_anchor_hits
+FROM joined
+WHERE list_min(list_transform(pa,
+        x -> list_min(list_transform(pb, y -> abs(x - y))))) <= {PROX_SLOP}
+"""
+
+
 QUERIES = {
     "se_phrase_match": q_phrase_match,
     "se_term_suggestions": q_term_suggestions,
     "se_best_passage": q_best_passage,
+    "se_proximity_match": q_proximity_match,
 }
 
 ORACLES = {
     "se_best_passage": _best_passage_sql(),
+    "se_proximity_match": _PROX_SQL,
     "se_phrase_match": f"""{_POS_SQL},
         plists AS (
           SELECT doc_id, word, list(p ORDER BY p) AS positions

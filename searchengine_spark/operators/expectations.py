@@ -97,11 +97,74 @@ def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"dq_orders_expectations": q_orders_expectations}
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table DQ: the orders <-> lineitem foreign-key contract a
+    star-schema pipeline assumes. Orphans (facts whose key misses the
+    dim) and childless parents are each ONE anti-join keyed on the
+    same orderkey the downstream joins shuffle on — auditing costs
+    exactly one extra pass over each table, no new shuffle key. The
+    four counts combine lazily via broadcast crossJoins (no collect).
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_orders = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_lineitems = li.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    orphans = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    childless = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("childless_orders"))
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_lineitems))
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(childless))
+        .select(
+            "n_orders",
+            "n_lineitems",
+            "orphan_lineitems",
+            "childless_orders",
+            (
+                (F.col("orphan_lineitems") == 0)
+                & (F.col("childless_orders") == 0)
+            )
+            .cast("int")
+            .alias("fk_intact"),
+        )
+    )
+
+
+QUERIES = {
+    "dq_orders_expectations": q_orders_expectations,
+    "dq_referential_integrity": q_referential_integrity,
+}
 
 _STATUS_SQL = ", ".join(f"'{s}'" for s in ORDER_STATUSES)
 
+_REF_INTEGRITY_SQL = """
+SELECT (SELECT count(*) FROM orders)::BIGINT AS n_orders,
+       (SELECT count(*) FROM lineitem)::BIGINT AS n_lineitems,
+       (SELECT count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey))::BIGINT
+         AS orphan_lineitems,
+       (SELECT count(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey))::BIGINT
+         AS childless_orders,
+       CASE WHEN (SELECT count(*) FROM lineitem l
+                  WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                    WHERE o.o_orderkey = l.l_orderkey)) = 0
+             AND (SELECT count(*) FROM orders o
+                  WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                                    WHERE l.l_orderkey = o.o_orderkey)) = 0
+            THEN 1 ELSE 0 END AS fk_intact
+"""
+
 ORACLES = {
+    "dq_referential_integrity": _REF_INTEGRITY_SQL,
     "dq_orders_expectations": f"""
         WITH m AS (
           SELECT

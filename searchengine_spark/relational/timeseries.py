@@ -140,7 +140,49 @@ def q_chi2_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_daily_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First event per (user, day) — the attribution anchor marketing
+    pipelines key on ("first touch of the session/day"). One window
+    partitioned by (user_id, day): high-cardinality, low-skew keys,
+    bounded rows per partition; event_id tiebreaks same-second
+    events deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        exact_floor_div(event_time_seconds(ev, "ts"), 86400).alias("day_idx"),
+        "event_type",
+        "event_id",
+        event_time_seconds(ev, "ts").alias("ts_s"),
+    )
+    w = Window.partitionBy("user_id", "day_idx").orderBy("ts_s", "event_id")
+    return (
+        base.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "day_idx",
+            F.col("event_type").alias("first_touch_type"),
+            F.col("ts_s").alias("first_ts_s"),
+        )
+    )
+
+
 _SECS = "(epoch_us(ts) // 1000000)"
+
+_FIRST_TOUCH_SQL = f"""
+WITH base AS (
+  SELECT user_id, {_SECS} // 86400 AS day_idx, event_type, event_id,
+         {_SECS} AS ts_s
+  FROM events
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, day_idx
+                               ORDER BY ts_s, event_id) AS rn
+  FROM base
+)
+SELECT user_id, day_idx, event_type AS first_touch_type, ts_s AS first_ts_s
+FROM ranked WHERE rn = 1
+"""
 
 _ROLLING_SQL = f"""
 WITH user_days AS (
@@ -201,9 +243,11 @@ QUERIES = {
     "events_rolling_7d_active_users": q_rolling_active_users,
     "events_ewma_hourly_value": q_ewma_hourly_value,
     "events_chi2_type_hour": q_chi2_type_hour,
+    "events_daily_first_touch": q_daily_first_touch,
 }
 ORACLES = {
     "events_rolling_7d_active_users": _ROLLING_SQL,
     "events_ewma_hourly_value": _EWMA_SQL,
     "events_chi2_type_hour": _CHI2_SQL,
+    "events_daily_first_touch": _FIRST_TOUCH_SQL,
 }
