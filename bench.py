@@ -305,8 +305,38 @@ def main() -> None:
         out["nltk_parity_build_docs_per_sec"] = nltk_rate
     if errors:
         out["errors"] = errors
+    _write_detail(out)
     print(json.dumps(out))
     spark.stop()
+
+
+def _write_detail(out: dict) -> None:
+    """Persist the FULL bench result as BENCH_DETAIL_r{N}.json next to
+    this script. The driver's BENCH_r{N}.json keeps only the last
+    2000 chars of stdout (~60 of the ~80 headline entries), so
+    round-over-round regression detection was blind: r03∩r05 shared 3
+    query keys. N = 1 + the highest round number among CORRECTNESS_r*/
+    BENCH_r* files on disk (the driver writes those AFTER bench runs,
+    so at bench time the current round's own files don't exist yet);
+    re-runs within a round overwrite idempotently. Compare rounds with
+    scripts/bench_compare.py.
+    """
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "*_r*.json"))
+        if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+    try:
+        with open(path, "w") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError as exc:
+        print(f"bench: could not write {path}: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Round-over-round bench regression report.
+
+Compares the two highest-numbered BENCH_DETAIL_r*.json files (or two
+paths given on the command line) and reports per-query movers beyond
+a ratio threshold (default 1.5x either direction).
+
+The host VM's throughput swings 2-5x run-to-run, so raw ratios lie.
+Each detail file carries calib_start_sec/calib_end_sec — a fixed
+CPU-bound probe — and this report normalizes every query time by the
+file's mean calibration time before comparing. A query is flagged
+only if its CALIBRATED ratio crosses the threshold; the raw ratio is
+shown alongside. Per the soak-derived rule (PROGRESS round 5):
+isolate-reproduce a flagged regression before "fixing" it.
+
+Usage:
+    python scripts/bench_compare.py [OLD.json NEW.json] [--threshold 1.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import re
+import sys
+
+
+def _latest_two(repo_root: str) -> tuple[str, str]:
+    files = {}
+    for p in glob.glob(os.path.join(repo_root, "BENCH_DETAIL_r*.json")):
+        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
+        if m:
+            files[int(m.group(1))] = p
+    if len(files) < 2:
+        sys.exit(
+            "need two BENCH_DETAIL_r*.json files to compare "
+            f"(found {len(files)} in {repo_root})"
+        )
+    hi = sorted(files)[-2:]
+    return files[hi[0]], files[hi[1]]
+
+
+def _calib(doc: dict) -> float:
+    vals = [doc.get("calib_start_sec"), doc.get("calib_end_sec")]
+    vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
+    return sum(vals) / len(vals) if vals else 1.0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("paths", nargs="*", help="OLD.json NEW.json (default: two latest)")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    args = ap.parse_args()
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if len(args.paths) == 2:
+        old_path, new_path = args.paths
+    elif not args.paths:
+        old_path, new_path = _latest_two(repo_root)
+    else:
+        ap.error("give zero or two paths")
+
+    with open(old_path) as fh:
+        old = json.load(fh)
+    with open(new_path) as fh:
+        new = json.load(fh)
+
+    old_q, new_q = old.get("queries", {}), new.get("queries", {})
+    c_old, c_new = _calib(old), _calib(new)
+    print(f"old: {os.path.basename(old_path)} (calib {c_old:.2f}s)")
+    print(f"new: {os.path.basename(new_path)} (calib {c_new:.2f}s)")
+
+    shared = sorted(set(old_q) & set(new_q))
+    movers = []
+    for name in shared:
+        a, b = old_q[name], new_q[name]
+        if not a or not b:
+            continue
+        raw = b / a
+        cal = (b / c_new) / (a / c_old)
+        if cal >= args.threshold or cal <= 1 / args.threshold:
+            movers.append((cal, raw, a, b, name))
+
+    print(f"shared queries: {len(shared)}; "
+          f"new-only: {sorted(set(new_q) - set(old_q))}; "
+          f"gone: {sorted(set(old_q) - set(new_q))}")
+    if not movers:
+        print(f"no calibrated movers beyond {args.threshold}x")
+        return 0
+    movers.sort(reverse=True)
+    print(f"\ncalibrated movers beyond {args.threshold}x "
+          "(cal_ratio raw_ratio old_s new_s name):")
+    for cal, raw, a, b, name in movers:
+        direction = "SLOWER" if cal > 1 else "faster"
+        print(f"  {cal:6.2f}x {raw:6.2f}x {a:8.3f} {b:8.3f}  {name}  [{direction}]")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

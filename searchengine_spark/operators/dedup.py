@@ -20,6 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from searchengine_spark.io import (
     default_persist_dir,
@@ -197,13 +198,42 @@ def minhash_bands(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
-def neardup_candidate_pairs(bands: DataFrame) -> DataFrame:
+def neardup_candidate_pairs(
+    bands: DataFrame, *, max_bucket: int | None = None
+) -> DataFrame:
     """Self-join on (band, band_hash): the LSH candidate generation.
 
     At scale this is an equi-join on a uniform 128-bit key — the
-    shuffle is balanced, and no pair outside a shared bucket is ever
-    materialized. Output: distinct (doc_a < doc_b) pairs.
+    shuffle is balanced for DISTINCT content, and no pair outside a
+    shared bucket is ever materialized. Output: distinct
+    (doc_a < doc_b) pairs.
+
+    ``max_bucket`` is the hot-bucket guard: B near-identical docs
+    (templated boilerplate that survives exact dedup) share every
+    band bucket and emit B²/2 pairs from a single key — quadratic
+    OUTPUT that no join strategy (AQE splits partitions, not keys)
+    can bound. Buckets holding more than ``max_bucket`` docs are
+    excluded from the pair join entirely; surface them loudly with
+    :func:`hot_buckets` (same counters pattern as
+    ``pipeline.curate_with_metrics``) and route them to a dedicated
+    boilerplate policy (cluster-by-exact-prefix, keep-one, or manual
+    review) instead of pair enumeration. Recall on normal-sized
+    groups is untouched: a true near-dup pair of docs that are not
+    boilerplate shares SOME bucket of size <= max_bucket with high
+    probability, and exact dedup upstream has already collapsed
+    byte-identical copies. Default None = uncapped (the oracle path).
+
+    The bucket-size count reuses the join's own hash partitioning:
+    the window count and the self-join key the same (band, band_hash)
+    columns, so Catalyst plans ONE Exchange feeding both.
     """
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "band_hash")
+        bands = (
+            bands.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= F.lit(max_bucket))
+            .drop("_bsz")
+        )
     left = bands.alias("l")
     right = bands.alias("r")
     return (
@@ -217,6 +247,21 @@ def neardup_candidate_pairs(bands: DataFrame) -> DataFrame:
             F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b")
         )
         .distinct()
+    )
+
+
+def hot_buckets(bands: DataFrame, max_bucket: int) -> DataFrame:
+    """(band, band_hash, n_docs) for LSH buckets EXCEEDING the cap —
+    the loud-metrics companion to ``neardup_candidate_pairs(...,
+    max_bucket=...)``. Anything reported here was excluded from pair
+    generation and needs a boilerplate policy, not silence. One keyed
+    aggregation; at 100 TB the output is tiny (hot keys are rare by
+    definition) and lands on the driver/monitoring sink safely.
+    """
+    return (
+        bands.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") > F.lit(max_bucket))
     )
 
 
@@ -741,10 +786,32 @@ def q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CAP_MAX_BUCKET = 2  # small on purpose at test SF: the sf0.01 corpus tops
+#                     out at 3-doc buckets, so 2 proves exclusion end-to-end
+
+
+def q_neardup_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production-shape candidate generation: hot buckets excluded
+    before the pair join, bounding output to O(cap * n_buckets)."""
+    return neardup_candidate_pairs(
+        minhash_bands(shingles=_shingles(spark, sf_dir)),
+        max_bucket=CAP_MAX_BUCKET,
+    )
+
+
+def q_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Loud counters for buckets the cap excluded (boilerplate alarm)."""
+    return hot_buckets(
+        minhash_bands(shingles=_shingles(spark, sf_dir)), CAP_MAX_BUCKET
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
     "dedup_neardup_pairs": q_neardup_pairs,
+    "dedup_neardup_pairs_capped": q_neardup_pairs_capped,
+    "dedup_hot_buckets": q_hot_buckets,
     "dedup_neardup_jaccard": q_neardup_jaccard,
     "dedup_duplicate_clusters": q_duplicate_clusters,
     "dedup_incremental_pairs": q_incremental_neardup,
@@ -888,6 +955,25 @@ ORACLES = {
         FROM bands l JOIN bands r
           ON l.band = r.band AND l.band_hash = r.band_hash
          AND l.doc_id < r.doc_id
+    """,
+    "dedup_neardup_pairs_capped": f"""{_BANDS_CTE},
+        sized AS (
+          SELECT doc_id, band, band_hash,
+                 COUNT(*) OVER (PARTITION BY band, band_hash) AS bsz
+          FROM bands
+        ),
+        keep AS (
+          SELECT doc_id, band, band_hash FROM sized WHERE bsz <= {CAP_MAX_BUCKET}
+        )
+        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+        FROM keep l JOIN keep r
+          ON l.band = r.band AND l.band_hash = r.band_hash
+         AND l.doc_id < r.doc_id
+    """,
+    "dedup_hot_buckets": f"""{_BANDS_CTE}
+        SELECT band, band_hash, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM bands GROUP BY band, band_hash
+        HAVING COUNT(*) > {CAP_MAX_BUCKET}
     """,
     "dedup_neardup_jaccard": f"""{_BANDS_CTE},
         pairs AS (

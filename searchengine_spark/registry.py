@@ -131,36 +131,36 @@ def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
     return set(latest_verified_round(repo_root))
 
 
-def _latest_round_green(repo_root: str = _REPO_ROOT) -> tuple[int, set[str]]:
-    """(round number, names with a HASH-PASSING row) for the
-    highest-numbered CORRECTNESS file.
+def _green_after(since: int, repo_root: str = _REPO_ROOT) -> set[str]:
+    """Names with a HASH-PASSING row in ANY round strictly after ``since``.
 
     Pin retirement demands ``hash_match is True`` — a rows-only row
     (err == 'no_oracle') proves only that the query executed, not that
     the pinned regression is fixed, so it must never self-retire a pin.
     Oracle-less pins therefore stay until manually removed (the safe
-    default for queries the driver can't hash-check).
+    default for queries the driver can't hash-check). Scanning every
+    round file (not just the latest) matters because the driver window
+    rotates: a pin verified green in round N stays out of round N+1's
+    file, and looking only at the newest file would resurrect it.
     """
     import re
 
-    best_num, best_path = -1, None
+    green: set[str] = set()
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
-        if m and int(m.group(1)) > best_num:
-            best_num, best_path = int(m.group(1)), path
-    if best_path is None:
-        return (-1, set())
-    try:
-        with open(best_path) as fh:
-            rows = json.load(fh)
-    except (OSError, ValueError):
-        return (-1, set())
-    green: set[str] = {
-        name
-        for name, row in rows.items()
-        if isinstance(row, dict) and row.get("hash_match") is True
-    }
-    return (best_num, green)
+        if not m or int(m.group(1)) <= since:
+            continue
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        green.update(
+            name
+            for name, row in rows.items()
+            if isinstance(row, dict) and row.get("hash_match") is True
+        )
+    return green
 
 
 def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
@@ -193,9 +193,7 @@ def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:
     names = [n for n in names if isinstance(n, str)]
     if not isinstance(since, int):
         return names  # no creation round recorded: never auto-retire
-    latest, green = _latest_round_green(repo_root)
-    if latest <= since:
-        return names  # no newer round has run yet
+    green = _green_after(since, repo_root)
     return [n for n in names if n not in green]
 
 

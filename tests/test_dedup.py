@@ -475,3 +475,57 @@ def test_cross_doc_spans_matches_bruteforce_reference(spark):
         for r in cross_doc_spans(docs, k=k, df_cap=10_000).collect()
     }
     assert got == expected
+
+
+class TestHotBucketCap:
+    """The LSH hot-bucket guard: B near-identical boilerplate docs share
+    every band bucket and would emit B^2/2 pairs from one key — the
+    quadratic-output hazard AQE cannot fix (it splits partitions, not
+    keys). The cap excludes oversized buckets from the pair join and
+    surfaces them via hot_buckets()."""
+
+    N_BOILER = 1000
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        # 1000 byte-identical boilerplate docs (the survives-exact-dedup
+        # worst case is near-identical; byte-identical maximizes bucket
+        # size, the quantity under test) + the normal near-dup group.
+        rows = [(i, BASE + " boilerplate footer text here") for i in range(100_000, 100_000 + self.N_BOILER)]
+        rows += [(1, OTHER), (2, OTHER), (3, OTHER.replace("join", "merge"))]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_capped_output_bounded_recall_kept(self, planted):
+        from searchengine_spark.operators.dedup import hot_buckets
+
+        bands = minhash_bands(planted).cache()
+        try:
+            cap = 10
+            pairs = neardup_candidate_pairs(bands, max_bucket=cap).collect()
+            got = {(p.doc_a, p.doc_b) for p in pairs}
+            # Normal-group recall unchanged: the 3-doc OTHER group is
+            # far below the cap and fully detected.
+            assert (1, 2) in got
+            assert (1, 3) in got or (2, 3) in got
+            # Quadratic output eliminated: the 1000-copy bucket would
+            # contribute ~500k pairs uncapped; capped output stays
+            # O(cap^2 * n_bands) — assert a hard generous bound far
+            # below B^2/2.
+            n_bands = bands.select("band").distinct().count()
+            assert len(got) <= (cap * (cap - 1) // 2) * n_bands + 10
+            assert not any(a >= 100_000 for a, _ in got)
+            # The exclusion is LOUD: every band reports the boilerplate
+            # bucket with its true size.
+            hot = hot_buckets(bands, cap).collect()
+            assert len(hot) == n_bands
+            assert all(h.n_docs == self.N_BOILER for h in hot)
+        finally:
+            bands.unpersist()
+
+    def test_uncapped_path_unchanged(self, planted):
+        # Default (max_bucket=None) must keep emitting every pair — the
+        # oracle-checked contract for dedup_neardup_pairs.
+        bands = minhash_bands(planted.filter(F.col("doc_id") < 100_010))
+        got = {(p.doc_a, p.doc_b) for p in neardup_candidate_pairs(bands).collect()}
+        boiler = [(a, b) for a, b in got if a >= 100_000 and b >= 100_000]
+        assert len(boiler) == 10 * 9 // 2  # all pairs of the 10 copies
