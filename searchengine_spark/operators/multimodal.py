@@ -22,11 +22,13 @@ header fast path:
     bytes 6:10 height / n_samples / frame_size  (big-endian uint32)
     rest       payload
 
-Video: the CONTAINER layer is real — sample_frames demuxes RIFF/AVI
-payloads with codecs.demux_avi (chunk-walk per the published AVI
-RIFF spec) and decode_media reports typed stats for them. Per-frame
-pixel decode (H.264 etc.) still needs a codec library (pyav) and
-stays behind the decode_real_media guard.
+Video: the pipeline is real end to end for MJPEG-in-AVI —
+sample_frames demuxes RIFF/AVI payloads with codecs.demux_avi
+(chunk-walk per the published AVI RIFF spec) and decode_frame_pixels
+decodes each sampled '##dc' chunk with the baseline-JPEG spec
+decoder (operators/jpeg.py), MJPEG being exactly per-frame JPEG.
+Inter-frame codecs (H.264 etc.) still need a codec library (pyav)
+and stay behind the decode_real_media guard.
 """
 
 from __future__ import annotations
@@ -168,10 +170,11 @@ def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
     RIFF/AVI payloads go through the REAL container demuxer
     (codecs.demux_avi — chunk-walks hdrl/movi per the published AVI
     RIFF spec and returns per-frame byte payloads); fake 'VI'-header
-    payloads take the header fast path. Frame-sampling needs the
-    container layer only — per-frame PIXEL decode (a video codec,
-    e.g. pyav for H.264) is the one remaining swap-in, and the
-    exploded (media_id, frame_no, frame) shape already matches it.
+    payloads take the header fast path. For MJPEG content, feed the
+    exploded (media_id, frame_no, frame) output to
+    decode_frame_pixels for full pixel decode via the baseline-JPEG
+    spec decoder; inter-frame codecs (H.264) would swap a pyav call
+    into the same shape.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -216,6 +219,60 @@ def sample_frames(video: DataFrame, *, every_nth: int = 2) -> DataFrame:
             ).astype({"frame_no": "int32"}, errors="ignore")
 
     return video.mapInPandas(batches, FRAME_SCHEMA)
+
+
+FRAME_PIXEL_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_no", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("mean_pixel", DoubleType()),
+    ]
+)
+
+
+def decode_frame_pixels(frames: DataFrame) -> DataFrame:
+    """Per-frame PIXEL decode for MJPEG frames: (media_id, frame_no,
+    frame bytes) -> (media_id, frame_no, width, height, mean_pixel).
+
+    This closes the video pipeline end to end with zero external
+    dependencies: codecs.demux_avi walks the RIFF/AVI container
+    (sample_frames), and each sampled '##dc' chunk is a baseline JPEG
+    decoded by the spec decoder in operators/jpeg.py (DQT/DHT/SOF0
+    parse -> Huffman -> dequantize -> IDCT). MJPEG *is* per-frame
+    JPEG, so no inter-frame state is needed — each frame decodes
+    independently, which is exactly why this stays a map-only
+    mapInPandas stage that scales linearly. A corrupt or non-JPEG
+    frame yields a (0, 0, 0.0) row, never a task failure.
+    """
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from searchengine_spark.operators.jpeg import decode_jpeg
+
+        for pdf in it:
+            ws, hs, means = [], [], []
+            for f in pdf["frame"]:
+                try:
+                    w, h, px = decode_jpeg(bytes(f))
+                    ws.append(w)
+                    hs.append(h)
+                    means.append(float(px.mean()))
+                except Exception:  # noqa: BLE001 — poison frame -> zero row
+                    ws.append(0)
+                    hs.append(0)
+                    means.append(0.0)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_no": pdf["frame_no"].astype("int32"),
+                    "width": pd.Series(ws, dtype="int32"),
+                    "height": pd.Series(hs, dtype="int32"),
+                    "mean_pixel": means,
+                }
+            )
+
+    return frames.mapInPandas(batches, FRAME_PIXEL_SCHEMA)
 
 
 def resize_images(media: DataFrame, *, scale_num: int = 1, scale_den: int = 2) -> DataFrame:
@@ -632,6 +689,82 @@ def q_png_decode_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+VIDEO_SIDE = 8        # MJPEG frame dims (one 8x8 JPEG block)
+VIDEO_FRAMES = 4      # frames per synthetic video
+VIDEO_EVERY_NTH = 2   # sampling stride in the contract query
+
+
+def mjpeg_avi_media_from_documents(
+    docs: DataFrame, *, side: int = VIDEO_SIDE, n_frames: int = VIDEO_FRAMES
+) -> DataFrame:
+    """REAL MJPEG-in-AVI videos from documents: frame k is a constant
+    side x side greyscale baseline JPEG whose pixel value is the
+    ascii/'replace' code of the (k+1)-th character of the doc's text
+    ('?' = 63 past the end or for NULL text), muxed into a
+    spec-conformant RIFF/AVI container (codecs.encode_avi).
+
+    Constant frames keep the LOSSY pipeline oracle-checkable end to
+    end — same closed form as jpeg_media_from_documents
+    (operators/jpeg.py:constant_block_decode_value); non-constant
+    MJPEG content is exercised by the round-trip test instead."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import encode_avi
+    from searchengine_spark.operators.jpeg import encode_jpeg
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # 256 possible constant frames per side: encode each at most
+        # once per batch (the per-frame JPEG encode is the hot cost).
+        frame_cache: dict[int, bytes] = {}
+
+        def frame_for(c: int) -> bytes:
+            f = frame_cache.get(c)
+            if f is None:
+                f = frame_cache[c] = encode_jpeg(
+                    np.full((side, side), c, dtype=np.uint8)
+                )
+            return f
+
+        for pdf in it:
+            payloads = []
+            for t in pdf["text"]:
+                codes = (t or "").encode("ascii", "replace")[:n_frames]
+                codes = codes + b"?" * (n_frames - len(codes))
+                payloads.append(
+                    encode_avi(
+                        [frame_for(c) for c in codes], width=side, height=side
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "media_type": "video",
+                    "payload": payloads,
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def q_video_frame_pixel_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query for the FULL video pipeline: documents ->
+    MJPEG-in-AVI mux -> container demux + frame sampling (every 2nd
+    frame) -> per-frame baseline-JPEG pixel decode -> typed stats.
+    Three chained mapInPandas stages, all map-only (no shuffle)."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    videos = mjpeg_avi_media_from_documents(docs)
+    frames = sample_frames(videos, every_nth=VIDEO_EVERY_NTH)
+    return decode_frame_pixels(frames).select(
+        "media_id",
+        "frame_no",
+        "width",
+        "height",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
 def q_media_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query: documents -> fake media -> decode ->
     typed stats. Exercises both mapInPandas stages end to end."""
@@ -656,6 +789,7 @@ QUERIES = {
     "mm_png_resize_stats": q_png_resize_stats,
     "mm_jpeg_decode_stats": q_jpeg_decode_stats,
     "mm_wav_features": q_wav_features,
+    "mm_video_frame_pixel_stats": q_video_frame_pixel_stats,
 }
 
 # The fake payload body is the first 16 bytes of text encoded with
@@ -752,6 +886,35 @@ ORACLES = {
     #   out = clamp(floor(dq*Q00/8 + 128.5), 0, 255)
     # with Q00 = 16 (Annex K luminance table [0,0]); every pixel of
     # the decoded image equals `out`, so mean_byte == out exactly.
+    # Full video pipeline restated from documents: frame k (k = 0, 2
+    # — every 2nd of 4) is a constant 8x8 JPEG of the (k+1)-th
+    # ascii/'replace' char code ('?' = 63 past the end), so each
+    # sampled frame decodes to the same constant-block closed form as
+    # mm_jpeg_decode_stats and mean_pixel == out exactly.
+    "mm_video_frame_pixel_stats": f"""
+        WITH f AS (
+          SELECT doc_id, k.range AS frame_no,
+                 CASE WHEN length(COALESCE(text, '')) <= k.range THEN 63
+                      WHEN unicode(substr(text, CAST(k.range + 1 AS INT), 1)) > 127 THEN 63
+                      ELSE unicode(substr(text, CAST(k.range + 1 AS INT), 1))
+                 END AS c
+          FROM documents, range({VIDEO_FRAMES}) k
+          WHERE k.range % {VIDEO_EVERY_NTH} = 0
+        ),
+        decoded AS (
+          SELECT doc_id, frame_no,
+                 LEAST(255, GREATEST(0,
+                   CAST(floor(
+                     CAST(floor(8.0 * (c - 128) / 16 + 0.5) AS BIGINT) * 16 / 8.0
+                     + 128.5) AS BIGINT))) AS out_v
+          FROM f
+        )
+        SELECT doc_id AS media_id, CAST(frame_no AS INT) AS frame_no,
+               CAST({VIDEO_SIDE} AS INT) AS width,
+               CAST({VIDEO_SIDE} AS INT) AS height,
+               round(out_v * 1.0, 6) AS mean_pixel
+        FROM decoded
+    """,
     "mm_jpeg_decode_stats": """
         WITH firstc AS (
           SELECT doc_id,

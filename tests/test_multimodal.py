@@ -277,3 +277,52 @@ def test_resize_upscale_replicates_and_round_trips(spark):
         "media_id long, media_type string, payload binary",
     )).collect()[0]
     assert (dec.dim_a, dec.dim_b) == (8, 8)
+
+
+def test_mjpeg_avi_pixel_roundtrip(spark):
+    """Non-constant MJPEG frames through the full video pipeline:
+    mux real baseline JPEGs into an AVI, demux + decode, and check
+    dims plus per-frame mean against a direct decode of the same
+    JPEG bytes (the lossy codec is deterministic, so the in-Spark
+    decode must equal the local one bit-for-bit)."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import encode_avi
+    from searchengine_spark.operators.jpeg import decode_jpeg, encode_jpeg
+    from searchengine_spark.operators.multimodal import (
+        decode_frame_pixels,
+        sample_frames,
+    )
+
+    rng = np.random.RandomState(7)
+    frames = [
+        encode_jpeg(rng.randint(0, 256, size=(16, 24), dtype=np.uint8).astype(np.uint8))
+        for _ in range(5)
+    ]
+    expected = {}
+    for k in range(0, 5, 2):  # every_nth=2 -> frames 0, 2, 4
+        w, h, px = decode_jpeg(frames[k])
+        expected[k] = (w, h, float(px.mean()))
+
+    avi = encode_avi(frames, width=24, height=16)
+    media = spark.createDataFrame(
+        [(1, "video", bytearray(avi))],
+        "media_id bigint, media_type string, payload binary",
+    )
+    rows = decode_frame_pixels(sample_frames(media, every_nth=2)).collect()
+    got = {r.frame_no: (r.width, r.height, r.mean_pixel) for r in rows}
+    assert set(got) == set(expected)
+    for k, (w, h, m) in expected.items():
+        assert got[k][0] == w and got[k][1] == h
+        assert got[k][2] == pytest.approx(m, abs=1e-9)
+
+
+def test_decode_frame_pixels_poison_frame_yields_zero_row(spark):
+    from searchengine_spark.operators.multimodal import decode_frame_pixels
+
+    frames = spark.createDataFrame(
+        [(1, 0, bytearray(b"\xff\xd8garbage"))],
+        "media_id bigint, frame_no int, frame binary",
+    )
+    (row,) = decode_frame_pixels(frames).collect()
+    assert (row.width, row.height, row.mean_pixel) == (0, 0, 0.0)
