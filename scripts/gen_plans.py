@@ -44,7 +44,7 @@ PICKS = [
     ("emb_jl_projection", "explode x broadcast sign matrix -> one (vec, dim) grouped exact-decimal sum"),
     ("text_drift_psi", "two vocab-sized aggs + full-outer vocab join; per-token PSI rows, no global float fold"),
     ("layout_zorder_keys", "morton shift/mask entirely in whole-stage codegen; the two ntile sorts are the write-time clustering cost"),
-    ("join_bloom_prefilter", "bloom bit test as a map-side scan filter (literal words array) — fact rows pruned BEFORE the join exchange"),
+    ("join_bloom_prefilter", "bloom bit test as a map-side filter against a 1-row broadcast words array — fact rows pruned BEFORE the join exchange, no plan-literal blowup"),
     ("src_versioned_diff", "snapshot diff: one null-safe full-outer join on the key; |changes|-sized output from |table|-sized inputs"),
     ("emb_hard_negatives", "LSH-bucket equi-self-join candidates; per-anchor window only over bucket-bounded lists — no cartesian, no global sort"),
     ("text_quality_calibrated", "one map stage for the signal + one percent_rank window by source — the whole calibration is two stages"),

@@ -82,9 +82,17 @@ def bloom_prefilter(
     fact: DataFrame, key_col: str, words: list[int], m_bits: int
 ) -> DataFrame:
     """Map-side membership test on fact: ALL k bits set. Pure Column
-    arithmetic against an in-plan literal words array — survives
-    whole-stage codegen, adds no exchange."""
-    out = fact.withColumn("_bfarr", F.array(*[F.lit(w).cast("bigint") for w in words]))
+    arithmetic — survives whole-stage codegen, adds no shuffle.
+
+    The words array ships as a 1-row broadcast-joined array column
+    (BroadcastExchange of one 2 KiB..16 KiB row), NOT as plan
+    literals: a 2048-element literal array inflates the plan string
+    to ~78K chars and pays real Catalyst compile time on every run
+    (measured ~1.5s at m=2^17), which is pure overhead — the
+    broadcast form is what a real cluster ships anyway."""
+    spark = fact.sparkSession
+    bf = spark.createDataFrame([(words,)], "_bfarr array<bigint>")
+    out = fact.join(F.broadcast(bf))
     for i, p in enumerate(_positions(F.col(key_col), m_bits)):
         out = out.withColumn(f"_bfp{i}", p)
     tests = [

@@ -54,17 +54,25 @@ def _data_dir(table_dir: str) -> str:
     return os.path.join(table_dir, "data")
 
 
-def latest_version(table_dir: str) -> int:
-    """Highest committed version, or -1 for an empty/new table."""
+def _versions(table_dir: str) -> list[int]:
+    """Version numbers with a manifest ON DISK, ascending. vacuum()
+    deletes manifests older than the retention window, so the log
+    need not start at 0 — any loop over table history must walk this
+    list, never ``range(0, latest + 1)`` (which raises
+    FileNotFoundError on the first vacuumed version)."""
     log = _log_dir(table_dir)
     if not os.path.isdir(log):
-        return -1
-    vs = [
+        return []
+    return sorted(
         int(f[1:-5])
         for f in os.listdir(log)
         if f.startswith("v") and f.endswith(".json")
-    ]
-    return max(vs, default=-1)
+    )
+
+
+def latest_version(table_dir: str) -> int:
+    """Highest committed version, or -1 for an empty/new table."""
+    return max(_versions(table_dir), default=-1)
 
 
 def _manifest(table_dir: str, version: int) -> dict:
@@ -193,10 +201,12 @@ def overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
 
 def version_as_of(table_dir: str, ts: float) -> int:
     """Largest committed version whose commit time is <= ``ts`` —
-    Delta's `TIMESTAMP AS OF`, reduced to a manifest scan. Raises if
-    the table didn't exist yet at ``ts``."""
+    Delta's `TIMESTAMP AS OF`, reduced to a manifest scan over the
+    RETAINED log (vacuumed versions are gone and cannot be travelled
+    to, matching Delta semantics). Raises if no retained version is
+    old enough."""
     best = -1
-    for v in range(latest_version(table_dir) + 1):
+    for v in _versions(table_dir):
         if _manifest(table_dir, v)["ts"] <= ts:
             best = v
     if best < 0:
@@ -295,7 +305,11 @@ def read_changes(
         added.extend(man["added"])
     if not added:
         return read(spark, table_dir, version=v_to).limit(0)
-    return spark.read.parquet(*added)
+    # mergeSchema matches the snapshot read's additive-evolution
+    # contract: an incremental range spanning a schema-evolution
+    # append must surface the new column (null-filled for older
+    # files), not silently drop it to whichever footer wins inference.
+    return spark.read.option("mergeSchema", "true").parquet(*added)
 
 
 def append_delta(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
@@ -693,6 +707,30 @@ ORACLES = {
 
 # ------------------------------------------------------- streaming sink
 
+def _committed_batch_ids(table_dir: str, latest: int) -> set:
+    """All stream batch_ids ever committed to this table.
+
+    The latest manifest carries the full set forward
+    (``batch_ids``), so the idempotency check is ONE manifest read —
+    O(1) per micro-batch instead of O(versions) (a long-lived sink
+    was paying O(V^2) cumulative manifest reads), and it survives
+    vacuum() deleting old manifests (which previously crashed the
+    next micro-batch outright). Tables written before batch_ids
+    existed fall back to scanning the RETAINED manifests once; the
+    next commit upgrades them to the carried-forward set."""
+    if latest < 0:
+        return set()
+    man = _manifest(table_dir, latest)
+    if "batch_ids" in man:
+        return set(man["batch_ids"])
+    ids = set()
+    for v in _versions(table_dir):
+        bid = _manifest(table_dir, v).get("batch_id")
+        if bid is not None:
+            ids.add(bid)
+    return ids
+
+
 def commit_stream_batch(batch_df, batch_id: int, table_dir: str) -> bool:
     """Idempotent micro-batch commit: append ``batch_df`` as a new
     version stamped with the source ``batch_id``; a batch_id already
@@ -700,9 +738,9 @@ def commit_stream_batch(batch_df, batch_id: int, table_dir: str) -> bool:
     This is what turns at-least-once foreachBatch delivery into an
     exactly-once sink."""
     latest = latest_version(table_dir)
-    for v in range(latest + 1):
-        if _manifest(table_dir, v).get("batch_id") == batch_id:
-            return False  # retry of a durable batch
+    committed = _committed_batch_ids(table_dir, latest)
+    if batch_id in committed:
+        return False  # retry of a durable batch
     prev = _manifest(table_dir, latest)["files"] if latest >= 0 else []
     batch_dir = os.path.join(_data_dir(table_dir), f"batch-{uuid.uuid4().hex}")
     batch_df.write.parquet(batch_dir)
@@ -720,6 +758,7 @@ def commit_stream_batch(batch_df, batch_id: int, table_dir: str) -> bool:
             "files": prev + files,
             "added": files,
             "batch_id": batch_id,
+            "batch_ids": sorted(committed | {batch_id}),
             "ts": time.time(),
         },
     )
@@ -758,9 +797,9 @@ def merge_stream_batch(
     out (documented merge_upsert behavior), so the batch is deduped
     to one row per key first; picking a SPECIFIC survivor (e.g.
     latest event) is the caller's upstream ordering job."""
-    for v in range(latest_version(table_dir) + 1):
-        if _manifest(table_dir, v).get("batch_id") == batch_id:
-            return False
+    committed = _committed_batch_ids(table_dir, latest_version(table_dir))
+    if batch_id in committed:
+        return False
     from searchengine_spark.operators.upsert import merge_upsert
 
     batch_df = batch_df.dropDuplicates([key])
@@ -788,6 +827,7 @@ def merge_stream_batch(
             "files": files,
             "added": files,
             "batch_id": batch_id,
+            "batch_ids": sorted(committed | {batch_id}),
             "ts": time.time(),
         },
     )
