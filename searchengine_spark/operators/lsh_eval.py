@@ -11,8 +11,16 @@ sketch-based pipeline, here as one query whose number the driver
 hash-checks against a DuckDB twin (brute-force truth + the same
 banding arithmetic).
 
+The audited banding is the PRODUCTION one: hot buckets above
+``max_bucket`` (default AUDIT_MAX_BUCKET, matching
+pipeline.CURATE_MAX_BUCKET) are excluded from candidate generation,
+exactly as ``pipeline.curate`` runs it — so the recall number the
+audit reports is the recall a real curation run would see, not the
+recall of an uncapped variant nobody deploys. ``n_hot_buckets``
+surfaces how many buckets the cap excluded (0 on clean corpora).
+
 Scale shape: both inputs reuse the session shingle cache; the audit
-adds one semi-join keyed on (doc_a, doc_b) and two 1-row aggregates
+adds one semi-join keyed on (doc_a, doc_b) and three 1-row aggregates
 (combined lazily via broadcast crossJoin — no collect).
 """
 
@@ -23,22 +31,36 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.operators.dedup import (
     _BANDS_CTE,
+    hot_buckets,
     minhash_bands,
     neardup_candidate_pairs,
 )
 from searchengine_spark.operators.setjoin import T_DEN, T_NUM, prefix_jaccard_pairs
 
+# Same production cap as pipeline.CURATE_MAX_BUCKET (kept as a local
+# constant so the modules stay import-independent; a test pins them
+# equal). Far above any fixture dup-group, so fixture recall is
+# unchanged — the cap exists for the boilerplate detonation case.
+AUDIT_MAX_BUCKET = 64
 
-def lsh_recall(shingles: DataFrame) -> DataFrame:
+
+def lsh_recall(
+    shingles: DataFrame, *, max_bucket: int | None = AUDIT_MAX_BUCKET
+) -> DataFrame:
     true_pairs = prefix_jaccard_pairs(shingles).select("doc_a", "doc_b")
-    cands = neardup_candidate_pairs(minhash_bands(shingles=shingles))
+    bands = minhash_bands(shingles=shingles)
+    cands = neardup_candidate_pairs(bands, max_bucket=max_bucket)
     caught = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
     n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    n_hot = (
+        hot_buckets(bands, max_bucket) if max_bucket is not None else bands.limit(0)
+    ).agg(F.count(F.lit(1)).alias("n_hot_buckets"))
     return (
         n_true.crossJoin(F.broadcast(n_cand))
         .crossJoin(F.broadcast(n_caught))
+        .crossJoin(F.broadcast(n_hot))
         .select(
             "n_true",
             "n_candidates",
@@ -51,6 +73,7 @@ def lsh_recall(shingles: DataFrame) -> DataFrame:
                     6,
                 ),
             ).alias("lsh_recall"),
+            "n_hot_buckets",
         )
     )
 
@@ -62,9 +85,17 @@ def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _RECALL_SQL = f"""{_BANDS_CTE},
+sized AS (
+  SELECT doc_id, band, band_hash,
+         COUNT(*) OVER (PARTITION BY band, band_hash) AS bsz
+  FROM bands
+),
+keepb AS (
+  SELECT doc_id, band, band_hash FROM sized WHERE bsz <= {AUDIT_MAX_BUCKET}
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b
+  FROM keepb a JOIN keepb b
     ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
 ),
 sets AS (
@@ -86,7 +117,11 @@ SELECT (SELECT count(*) FROM truep)::BIGINT AS n_true,
        CASE WHEN (SELECT count(*) FROM truep) > 0 THEN
          round(CAST((SELECT count(*) FROM caught) AS DOUBLE)
                / CAST((SELECT count(*) FROM truep) AS DOUBLE), 6)
-       END AS lsh_recall
+       END AS lsh_recall,
+       (SELECT count(*) FROM (
+          SELECT band, band_hash FROM bands
+          GROUP BY band, band_hash HAVING COUNT(*) > {AUDIT_MAX_BUCKET}
+       ))::BIGINT AS n_hot_buckets
 """
 
 QUERIES = {"dedup_lsh_recall_audit": q_lsh_recall}

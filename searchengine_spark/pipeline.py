@@ -38,9 +38,25 @@ MIN_TOKENS = 10
 MAX_STOP_RATIO = 0.5
 JACCARD_CUT = 0.8
 
+# Hot-bucket guard for the production curation chain: LSH buckets
+# holding more than this many docs are excluded from pair
+# enumeration (see operators/dedup.py:neardup_candidate_pairs —
+# B near-identical boilerplate docs that survive exact dedup emit
+# B²/2 pairs from ONE bucket; no join strategy bounds quadratic
+# OUTPUT). 64 is far above any legitimate near-dup group in the
+# fixtures (sf0.01 tops out at 3-doc buckets) and bounds worst-case
+# pair output to O(64² · n_bands) per hot key at 100 TB. The DuckDB
+# oracles below mirror the cap, so correctness holds at ANY corpus —
+# not just ones whose buckets happen to fit.
+CURATE_MAX_BUCKET = 64
+
 
 def _stages(
-    docs: DataFrame, *, text_col: str = "text", gate: str = "basic"
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    gate: str = "basic",
+    max_bucket: int | None = CURATE_MAX_BUCKET,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(quality, exact_keep_ids, near_drop_ids) — the pipeline's three
     decision frames, shared by curate() (keep-list) and
@@ -88,7 +104,9 @@ def _stages(
     )
 
     sh = shingle_frame(survivors, text_col=text_col).cache()
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    pairs = neardup_candidate_pairs(
+        minhash_bands(shingles=sh), max_bucket=max_bucket
+    )
     near = jaccard_pairs(None, pairs, shingles=sh).filter(
         F.col("jaccard") >= JACCARD_CUT
     )
@@ -96,7 +114,13 @@ def _stages(
     return quality.select("doc_id", F.col(text_col)), exact_keep, drop
 
 
-def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> DataFrame:
+def curate(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    gate: str = "basic",
+    max_bucket: int | None = CURATE_MAX_BUCKET,
+) -> DataFrame:
     """Returns the curated keep-list: (doc_id) surviving all gates.
 
     gate="basic": token floor + stopword-ratio cap (the minimal
@@ -104,18 +128,39 @@ def curate(docs: DataFrame, *, text_col: str = "text", gate: str = "basic") -> D
     rule set from text/quality.py (word bounds, mean word length,
     stopword evidence, adjacent-dup ratio, lexical diversity) — the
     production-shaped quality pass; same map-only plan shape.
+
+    ``max_bucket`` (default CURATE_MAX_BUCKET) caps LSH bucket size in
+    the near-dup stage: boilerplate groups larger than the cap are
+    excluded from pair enumeration (and therefore KEPT — route them
+    to a dedicated boilerplate policy via the hot-bucket counters in
+    :func:`curate_with_metrics`). ``max_bucket=None`` restores the
+    uncapped round-1 behavior.
     """
-    quality, exact_keep, drop = _stages(docs, text_col=text_col, gate=gate)
+    quality, exact_keep, drop = _stages(
+        docs, text_col=text_col, gate=gate, max_bucket=max_bucket
+    )
     survivors = quality.join(exact_keep, "doc_id", "left_semi")
     return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
 
 
-def curate_with_metrics(docs: DataFrame, *, text_col: str = "text"):
+def curate_with_metrics(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    max_bucket: int | None = CURATE_MAX_BUCKET,
+):
     """curate() instrumented with `Observation` data-quality counters:
     the per-stage survivor counts arrive as a side effect of the ONE
     pass the pipeline already makes — no extra count() jobs, which at
     100 TB would each be a full rescan. Returns (keep_df, get_metrics)
     where get_metrics() is valid after any action on keep_df.
+
+    get_metrics() additionally reports `n_hot_buckets` /
+    `n_hot_bucket_docs`: LSH buckets the ``max_bucket`` cap excluded
+    from pair enumeration. That count is one tiny keyed aggregation
+    over the session-cached shingle frame (hot keys are rare by
+    definition, so the result is driver-safe at any scale) — loud
+    counters, not silence, for the boilerplate the cap routed around.
     """
     from pyspark.sql import Observation
 
@@ -155,7 +200,8 @@ def curate_with_metrics(docs: DataFrame, *, text_col: str = "text"):
         "doc_id", F.col(text_col)
     )
     sh = shingle_frame(survivors, text_col=text_col).cache()
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    bands = minhash_bands(shingles=sh)
+    pairs = neardup_candidate_pairs(bands, max_bucket=max_bucket)
     near = jaccard_pairs(None, pairs, shingles=sh).filter(
         F.col("jaccard") >= JACCARD_CUT
     )
@@ -167,7 +213,23 @@ def curate_with_metrics(docs: DataFrame, *, text_col: str = "text"):
     )
 
     def get_metrics() -> dict:
-        return {**obs_quality.get, **obs_final.get}
+        out = {**obs_quality.get, **obs_final.get}
+        if max_bucket is not None:
+            from searchengine_spark.operators.dedup import hot_buckets
+
+            hot = (
+                hot_buckets(bands, max_bucket)
+                .agg(
+                    F.count(F.lit(1)).alias("n_hot_buckets"),
+                    F.coalesce(F.sum("n_docs"), F.lit(0)).alias(
+                        "n_hot_bucket_docs"
+                    ),
+                )
+                .collect()[0]
+            )
+            out["n_hot_buckets"] = hot["n_hot_buckets"]
+            out["n_hot_bucket_docs"] = hot["n_hot_bucket_docs"]
+        return out
 
     return keep, get_metrics
 
@@ -267,9 +329,17 @@ bands AS (
     {{BAND_ROWS}}
   ) AS b(band, band_hash)
 ),
+sized AS (
+  SELECT doc_id, band, band_hash,
+         COUNT(*) OVER (PARTITION BY band, band_hash) AS bsz
+  FROM bands
+),
+keepb AS (
+  SELECT doc_id, band, band_hash FROM sized WHERE bsz <= {CURATE_MAX_BUCKET}
+),
 pairs AS (
   SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-  FROM bands l JOIN bands r
+  FROM keepb l JOIN keepb r
     ON l.band = r.band AND l.band_hash = r.band_hash
    AND l.doc_id < r.doc_id
 ),
