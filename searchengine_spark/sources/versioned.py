@@ -98,6 +98,31 @@ def _commit(table_dir: str, version: int, manifest: dict) -> None:
     os.rename(tmp, final)
 
 
+_SCRATCH_ROOT: str | None = None
+
+
+def _scratch_table(name: str) -> str:
+    """Fresh scratch table dir for the q_versioned_* protocol proofs,
+    under ONE session-scoped root. Replaces per-run tempfile.mkdtemp,
+    which leaked a table-sized directory every invocation (bench loops
+    re-run these queries many times per process): re-runs of the same
+    query wipe and reuse a single named slot, and the whole root is
+    removed at interpreter exit."""
+    global _SCRATCH_ROOT
+    import atexit
+    import shutil
+    import tempfile
+
+    if _SCRATCH_ROOT is None:
+        _SCRATCH_ROOT = tempfile.mkdtemp(prefix="spark_graft_versioned_scratch_")
+        atexit.register(shutil.rmtree, _SCRATCH_ROOT, ignore_errors=True)
+    path = os.path.join(_SCRATCH_ROOT, name)
+    if os.path.exists(path):
+        shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path)
+    return path
+
+
 def _file_stats(files: list[str], stats_cols: list[str]) -> dict:
     """Per-file [min, max] for each stats column, from parquet
     footers only (no data read) — the write-side half of manifest
@@ -158,18 +183,23 @@ def append(
     if stats_cols:
         stats.update(_file_stats(new_files, stats_cols))
     version = base + 1
-    _commit(
-        table_dir,
-        version,
-        {
-            "version": version,
-            "kind": "append",
-            "files": prev_files + new_files,
-            "added": new_files,
-            "stats": stats,
-            "ts": time.time(),
-        },
-    )
+    manifest = {
+        "version": version,
+        "kind": "append",
+        "files": prev_files + new_files,
+        "added": new_files,
+        "stats": stats,
+        "ts": time.time(),
+    }
+    # Exactly-once chain integrity: carry the stream batch_ids set
+    # forward through NON-stream commits too. Without this, an append
+    # landing after stream commits leaves the latest manifest without
+    # `batch_ids`; once vacuum() reaps the older stream manifests the
+    # committed ids are forgotten and a foreachBatch retry re-commits
+    # (duplicate rows). The chain must never break.
+    if "batch_ids" in prev:
+        manifest["batch_ids"] = prev["batch_ids"]
+    _commit(table_dir, version, manifest)
     return version
 
 
@@ -177,6 +207,7 @@ def overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
     """Commit ``df`` as a full replacement snapshot (old data files
     remain on disk for time travel until vacuumed)."""
     base = latest_version(table_dir)
+    prev = _manifest(table_dir, base) if base >= 0 else {}
     batch_dir = os.path.join(_data_dir(table_dir), f"batch-{uuid.uuid4().hex}")
     df.write.parquet(batch_dir)
     new_files = sorted(
@@ -185,17 +216,16 @@ def overwrite(spark: SparkSession, df: DataFrame, table_dir: str) -> int:
         if f.endswith(".parquet")
     )
     version = base + 1
-    _commit(
-        table_dir,
-        version,
-        {
-            "version": version,
-            "kind": "overwrite",
-            "files": new_files,
-            "added": new_files,
-            "ts": time.time(),
-        },
-    )
+    manifest = {
+        "version": version,
+        "kind": "overwrite",
+        "files": new_files,
+        "added": new_files,
+        "ts": time.time(),
+    }
+    if "batch_ids" in prev:  # see append(): never break the batch_ids chain
+        manifest["batch_ids"] = prev["batch_ids"]
+    _commit(table_dir, version, manifest)
     return version
 
 
@@ -399,8 +429,6 @@ def q_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle restates the split predicate — if snapshotting,
     manifest isolation, or the incremental file list were wrong, the
     row set could not match."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from searchengine_spark.io import load_table
@@ -410,7 +438,7 @@ def q_versioned_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = docs.filter(hash_bucket(F.col("doc_id"), salt="ver") < 5000)
     second = docs.filter(hash_bucket(F.col("doc_id"), salt="ver") >= 5000)
 
-    table = tempfile.mkdtemp(prefix="spark_graft_versioned_")
+    table = _scratch_table("incremental")
     v0 = append(spark, first, table)
     v1 = append(spark, second, table)
     return read_changes(spark, table, v_from=v0, v_to=v1)
@@ -477,8 +505,6 @@ def q_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle restates both snapshot predicates and the diff in SQL —
     a wrong manifest, a non-null-safe compare, or a leaked unchanged
     row all break the hash."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from searchengine_spark.io import load_table
@@ -505,7 +531,7 @@ def q_versioned_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    table = tempfile.mkdtemp(prefix="spark_graft_versioned_diff_")
+    table = _scratch_table("diff")
     v0 = overwrite(spark, snap_a, table)
     v1 = overwrite(spark, snap_b, table)
     return snapshot_diff(
@@ -520,8 +546,6 @@ def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     null-filled (and time-travel to v0 must still show the narrow
     schema — pinned in tests). The oracle restates the split as a
     UNION with a NULL column."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from searchengine_spark.io import load_table
@@ -532,7 +556,7 @@ def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = docs.filter(bucket < 5000).select("doc_id", "lang")
     second = docs.filter(bucket >= 5000).select("doc_id", "lang", "n_chars")
 
-    table = tempfile.mkdtemp(prefix="spark_graft_versioned_evo_")
+    table = _scratch_table("evo")
     append(spark, first, table)
     append(spark, second, table)
     return read(spark, table).orderBy("doc_id")
@@ -548,8 +572,6 @@ def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     the slab(s) that can contain the range — tests/test_versioned.py
     asserts the file-count drop — and hash-match the plain filtered
     aggregate the oracle states."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from searchengine_spark.io import load_table
@@ -557,7 +579,7 @@ def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
     )
-    table = tempfile.mkdtemp(prefix="spark_graft_versioned_prune_")
+    table = _scratch_table("prune")
     bounds = [0.0, 100000.0, 200000.0, 300000.0, float("inf")]
     for lo, hi in zip(bounds, bounds[1:]):
         slab = orders.filter(
@@ -584,8 +606,6 @@ def q_versioned_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     window. The oracle restates the three layers as a UNION with
     ROW_NUMBER; a wrong version stamp, tombstone leak, or
     lost-update all break the hash."""
-    import tempfile
-
     from pyspark.sql import functions as F
 
     from searchengine_spark.io import load_table
@@ -614,7 +634,7 @@ def q_versioned_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "n_chars", F.lit(True).alias("_tombstone")
     )
 
-    table = tempfile.mkdtemp(prefix="spark_graft_versioned_mor_")
+    table = _scratch_table("mor")
     for layer in (base, upd, dels):
         append_delta(spark, layer, table)
     return read_mor(spark, table, key="doc_id").orderBy("doc_id")
@@ -715,19 +735,25 @@ def _committed_batch_ids(table_dir: str, latest: int) -> set:
     O(1) per micro-batch instead of O(versions) (a long-lived sink
     was paying O(V^2) cumulative manifest reads), and it survives
     vacuum() deleting old manifests (which previously crashed the
-    next micro-batch outright). Tables written before batch_ids
-    existed fall back to scanning the RETAINED manifests once; the
-    next commit upgrades them to the carried-forward set."""
+    next micro-batch outright). Non-stream commits (append/overwrite,
+    and therefore append_delta/compact_mor) carry the set forward too,
+    so the chain survives interleaved batch writes + vacuum. Tables
+    written before batch_ids existed fall back to scanning the
+    RETAINED manifests once — collecting BOTH per-manifest batch_id
+    stamps and any carried batch_ids sets — and the next commit
+    upgrades them to the carried-forward form."""
     if latest < 0:
         return set()
     man = _manifest(table_dir, latest)
     if "batch_ids" in man:
         return set(man["batch_ids"])
-    ids = set()
+    ids: set = set()
     for v in _versions(table_dir):
-        bid = _manifest(table_dir, v).get("batch_id")
+        old = _manifest(table_dir, v)
+        bid = old.get("batch_id")
         if bid is not None:
             ids.add(bid)
+        ids.update(old.get("batch_ids", []))
     return ids
 
 

@@ -274,3 +274,61 @@ def test_mor_reconcile_and_compaction(spark, tmp_path):
     assert {r["k"]: r["v"] for r in V.read_mor(spark, t, key="k").collect()} == {
         1: 11.0, 2: 99.0, 4: 40.0
     }
+
+
+def test_batch_ids_survive_nonstream_commit_and_vacuum(spark, tmp_path):
+    """Round-7 ADVICE fix: a non-stream commit (append/overwrite) after
+    stream batches must carry the batch_ids chain forward; otherwise
+    vacuum() reaps the stream manifests and a foreachBatch retry
+    re-commits the batch (duplicate rows)."""
+    t = str(tmp_path / "chain")
+    df = spark.range(5).withColumnRenamed("id", "v")
+
+    assert V.commit_stream_batch(df, 0, t) is True
+    assert V.commit_stream_batch(df, 1, t) is True
+    # non-stream commits interleave: append then overwrite
+    V.append(spark, df, t)
+    V.overwrite(spark, df, t)
+    # default retention forgets the stream manifests entirely
+    V.vacuum(t, keep_versions=1)
+    # retry of a durable batch must STILL be recognized as committed
+    assert V.commit_stream_batch(df, 1, t) is False
+    assert V.commit_stream_batch(df, 0, t) is False
+    # and genuinely new batches still land
+    assert V.commit_stream_batch(df, 2, t) is True
+
+
+def test_committed_batch_ids_fallback_unions_carried_sets(spark, tmp_path):
+    """Legacy-manifest fallback: when the LATEST manifest lacks
+    batch_ids (pre-upgrade table), the scan must union carried
+    batch_ids sets from retained manifests, not just per-manifest
+    batch_id stamps."""
+    import json
+    import os
+
+    t = str(tmp_path / "legacy")
+    df = spark.range(3).withColumnRenamed("id", "v")
+    assert V.commit_stream_batch(df, 7, t) is True
+    assert V.commit_stream_batch(df, 8, t) is True
+    V.append(spark, df, t)
+    # simulate a pre-upgrade writer: strip batch_ids (and the stamp)
+    # from the latest manifest only — older manifests keep theirs
+    latest = V.latest_version(t)
+    mpath = os.path.join(t, "_log", f"v{latest}.json")
+    man = json.load(open(mpath))
+    man.pop("batch_ids", None)
+    json.dump(man, open(mpath, "w"))
+    # v1's manifest still carries batch_ids [7, 8]; the fallback must
+    # see BOTH even though v1's own batch_id stamp is only 8
+    assert V._committed_batch_ids(t, latest) >= {7, 8}
+
+
+def test_scratch_tables_reuse_one_root(spark, sf_dir):
+    """q_versioned_* scratch dirs must not leak per run: same query
+    name reuses one slot under the session root."""
+    p1 = V._scratch_table("unit")
+    p2 = V._scratch_table("unit")
+    assert p1 == p2
+    import os
+
+    assert os.path.isdir(p2) and not os.listdir(p2)
