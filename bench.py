@@ -315,21 +315,37 @@ def _write_detail(out: dict) -> None:
     this script. The driver's BENCH_r{N}.json keeps only the last
     2000 chars of stdout (~60 of the ~80 headline entries), so
     round-over-round regression detection was blind: r03∩r05 shared 3
-    query keys. N = 1 + the highest round number among CORRECTNESS_r*/
-    BENCH_r* files on disk (the driver writes those AFTER bench runs,
-    so at bench time the current round's own files don't exist yet);
-    re-runs within a round overwrite idempotently. Compare rounds with
-    scripts/bench_compare.py.
+    query keys. N comes from SPARK_GRAFT_BENCH_ROUND (or a --round
+    argv flag) when set — the inference below assumes bench runs
+    BEFORE the driver writes the round's CORRECTNESS_r/BENCH_r files,
+    so a manual re-run AFTER the driver snapshot would stamp the NEXT
+    round's number and get silently overwritten next round. Fallback:
+    N = 1 + the highest round number among CORRECTNESS_r*/BENCH_r*
+    files on disk; re-runs within a round overwrite idempotently.
+    Compare rounds with scripts/bench_compare.py.
     """
     import glob
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(m.group(1))
-        for p in glob.glob(os.path.join(here, "*_r*.json"))
-        if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
-    ]
-    n = max(rounds, default=0) + 1
+    n = None
+    explicit = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
+    for i, a in enumerate(sys.argv):
+        if a == "--round" and i + 1 < len(sys.argv):
+            explicit = sys.argv[i + 1]
+        elif a.startswith("--round="):
+            explicit = a.split("=", 1)[1]
+    if explicit is not None:
+        try:
+            n = int(explicit)
+        except ValueError:
+            print(f"bench: ignoring non-integer round {explicit!r}", file=sys.stderr)
+    if n is None:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "*_r*.json"))
+            if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
+        ]
+        n = max(rounds, default=0) + 1
     path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
     try:
         with open(path, "w") as fh:

@@ -89,10 +89,24 @@ def bloom_prefilter(
     literals: a 2048-element literal array inflates the plan string
     to ~78K chars and pays real Catalyst compile time on every run
     (measured ~1.5s at m=2^17), which is pure overhead — the
-    broadcast form is what a real cluster ships anyway."""
+    broadcast form is what a real cluster ships anyway.
+
+    Column names ``_bfarr`` and ``_bfp0..k`` are reserved while the
+    filter runs: a fact column with one of those names would make the
+    condition-less join ambiguous (the pre-broadcast withColumn form
+    silently REPLACED it, which was worse). Fail loudly instead."""
+    reserved = {"_bfarr", *(f"_bfp{i}" for i in range(len(BLOOM_SEEDS)))}
+    clash = reserved & set(fact.columns)
+    if clash:
+        raise ValueError(
+            f"bloom_prefilter reserves column names {sorted(reserved)}; "
+            f"rename fact columns {sorted(clash)} first"
+        )
     spark = fact.sparkSession
     bf = spark.createDataFrame([(words,)], "_bfarr array<bigint>")
-    out = fact.join(F.broadcast(bf))
+    # crossJoin, not a condition-less join: explicit 1-row broadcast
+    # cartesian that keeps working under spark.sql.crossJoin.enabled=false
+    out = fact.crossJoin(F.broadcast(bf))
     for i, p in enumerate(_positions(F.col(key_col), m_bits)):
         out = out.withColumn(f"_bfp{i}", p)
     tests = [

@@ -92,7 +92,13 @@ def compact_table(
     rewrite, keep = plan_bins(files, target_bytes)
     os.makedirs(out_dir, exist_ok=True)
 
-    n_in = spark.read.parquet(table_dir).count()
+    # Count from the DISCOVERED file list, not the directory: nested
+    # layouts (versioned data/batch-*/ subdirs) are invisible to a
+    # non-recursive spark.read.parquet(table_dir), which would
+    # undercount the input and fail the equality check spuriously.
+    n_in = (
+        spark.read.parquet(*[p for p, _ in files]).count() if files else 0
+    )
     for bin_files in rewrite:
         (
             spark.read.parquet(*bin_files)
@@ -100,8 +106,11 @@ def compact_table(
             .write.mode("append")
             .parquet(out_dir)
         )
-    for p in keep:
-        dst = os.path.join(out_dir, os.path.basename(p))
+    # Collision-proof kept names: two subdirs both holding a
+    # part-00000-*.parquet must not fight over one destination (the
+    # second link fails -> copy2 silently OVERWRITES -> data loss).
+    for i, p in enumerate(keep):
+        dst = os.path.join(out_dir, f"keep-{i:05d}-{os.path.basename(p)}")
         try:
             os.link(p, dst)
         except OSError:

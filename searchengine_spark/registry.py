@@ -132,35 +132,41 @@ def driver_verified_names(repo_root: str = _REPO_ROOT) -> set[str]:
 
 
 def _green_after(since: int, repo_root: str = _REPO_ROOT) -> set[str]:
-    """Names with a HASH-PASSING row in ANY round strictly after ``since``.
+    """Names whose LATEST driver row strictly after ``since`` is
+    hash-green.
 
-    Pin retirement demands ``hash_match is True`` — a rows-only row
-    (err == 'no_oracle') proves only that the query executed, not that
-    the pinned regression is fixed, so it must never self-retire a pin.
-    Oracle-less pins therefore stay until manually removed (the safe
-    default for queries the driver can't hash-check). Scanning every
-    round file (not just the latest) matters because the driver window
-    rotates: a pin verified green in round N stays out of round N+1's
-    file, and looking only at the newest file would resurrect it.
+    "Latest", not "any": a flake that passes once in round N but shows
+    red again in round N+2 must NOT permanently retire its pin — the
+    most recent evidence wins. Pin retirement demands ``hash_match is
+    True`` at that latest appearance — a rows-only row (err ==
+    'no_oracle') proves only that the query executed, not that the
+    pinned regression is fixed, so a latest rows-only/red row keeps
+    the pin. Oracle-less pins therefore stay until manually removed
+    (the safe default for queries the driver can't hash-check).
+    Scanning every round file (not just the newest) matters because
+    the driver window rotates: a pin verified green in round N stays
+    out of round N+1's file, and looking only at the newest file
+    would resurrect it.
     """
     import re
 
-    green: set[str] = set()
+    latest: dict[str, tuple[int, bool]] = {}  # name -> (round, green)
     for path in glob.glob(os.path.join(repo_root, "CORRECTNESS_r*.json")):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         if not m or int(m.group(1)) <= since:
             continue
+        rnd = int(m.group(1))
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue
-        green.update(
-            name
-            for name, row in rows.items()
-            if isinstance(row, dict) and row.get("hash_match") is True
-        )
-    return green
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if latest.get(name, (-1, False))[0] < rnd:
+                latest[name] = (rnd, row.get("hash_match") is True)
+    return {name for name, (_, green) in latest.items() if green}
 
 
 def reverify_names(repo_root: str = _REPO_ROOT) -> list[str]:

@@ -28,6 +28,11 @@ from typing import Any
 
 from pyspark.sql import SparkSession
 
+# Upper bound on requested result-list size for both HTTP endpoints:
+# k drives a post-limit collect, so an unbounded k is an unbounded
+# driver materialization — clamp, don't trust the client.
+MAX_K = 100
+
 
 class SearchService:
     """Build-once/query-many façade over the index + serving helpers."""
@@ -197,9 +202,19 @@ def make_http_server(service: SearchService, port: int = 0):
                 except ValueError:
                     self._reply(400, {"error": "doc_id must be an integer"})
                     return
-                q = (params.get("q") or [None])[0]
+                # parse/validate k BEFORE the serving try: a malformed k
+                # is a client error (400), never a 500
                 try:
                     k = int((params.get("k") or ["10"])[0])
+                except ValueError:
+                    self._reply(400, {"error": "k must be an integer"})
+                    return
+                if k < 1:
+                    self._reply(400, {"error": "k must be >= 1"})
+                    return
+                k = min(k, MAX_K)  # bounded collect is the serving contract
+                q = (params.get("q") or [None])[0]
+                try:
                     self._reply(
                         200,
                         {
@@ -207,6 +222,10 @@ def make_http_server(service: SearchService, port: int = 0):
                             "results": service.similar(doc_id, q=q, k=k),
                         },
                     )
+                except ValueError as exc:
+                    # unknown doc_id (or a dataset without embeddings):
+                    # the resource does not exist — 404, not 500
+                    self._reply(404, {"error": str(exc)[:300]})
                 except Exception as exc:  # noqa: BLE001 — keep serving
                     self._reply(
                         500, {"error": f"{type(exc).__name__}: {exc}"[:300]}
@@ -224,6 +243,10 @@ def make_http_server(service: SearchService, port: int = 0):
             except ValueError:
                 self._reply(400, {"error": "k must be an integer"})
                 return
+            if k < 1:
+                self._reply(400, {"error": "k must be >= 1"})
+                return
+            k = min(k, MAX_K)
             if not q:
                 self._reply(400, {"error": "missing query parameter q"})
                 return

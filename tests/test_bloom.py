@@ -51,3 +51,21 @@ def test_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         q_join_bloom_prefilter(spark, sf_dir), _BLOOM_SQL, sf_dir, "join_bloom_prefilter"
     )
+
+
+def test_bloom_prefilter_reserved_column_clash_raises(spark):
+    """Round-7 ADVICE fix: a fact frame already carrying _bfarr (or a
+    _bfp position column) must fail loudly, not yield ambiguous
+    columns or silently-replaced data."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    dim = spark.range(10).select(F.col("id").alias("k"))
+    words, m_bits = bloom_build(dim, "k")
+    fact = spark.range(5).select(
+        F.col("id").alias("k"), F.lit(None).cast("array<bigint>").alias("_bfarr")
+    )
+    with pytest.raises(ValueError, match="reserve"):
+        bloom_prefilter(fact, "k", words, m_bits)

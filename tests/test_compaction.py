@@ -50,3 +50,26 @@ def test_compact_leaves_healthy_files_alone(spark, tmp_path):
     assert stats["bins_rewritten"] == 0
     assert stats["files_untouched"] == len(healthy)
     assert sorted(s for _, s in list_data_files(out)) == sorted(healthy)
+
+
+def test_compact_nested_layout_and_basename_collision(spark, tmp_path):
+    """Round-7 ADVICE fix: (a) input rows counted from the DISCOVERED
+    file list so nested batch-dir layouts compact correctly; (b) kept
+    files with identical basenames in different subdirs must not
+    collide (the old code's second link fell back to copy2, silently
+    overwriting the first — data loss)."""
+    import glob
+    import os
+    import shutil
+
+    t = tmp_path / "table"
+    spark.range(50).coalesce(1).write.parquet(str(t / "batch-a"))
+    src = glob.glob(str(t / "batch-a" / "*.parquet"))[0]
+    os.makedirs(t / "batch-b")
+    shutil.copy(src, t / "batch-b" / os.path.basename(src))  # same basename
+
+    out = tmp_path / "out"
+    # target 1 byte -> every file >= target -> all kept (the collision path)
+    stats = compact_table(spark, str(t), str(out), target_bytes=1)
+    assert stats["rows"] == 100
+    assert spark.read.parquet(str(out)).count() == 100

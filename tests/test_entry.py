@@ -172,3 +172,23 @@ def test_reverify_without_since_round_is_permanent(tmp_path):
         json.dumps({"a": {"hash_match": True, "err": None}})
     )
     assert reverify_names(str(tmp_path)) == ["a", "b"]
+
+
+def test_reverify_flake_green_then_red_stays_pinned(tmp_path):
+    """Round-7 ADVICE fix: 'latest evidence wins' — a name green in
+    round 3 but RED again in round 4 must stay pinned; green-once must
+    not permanently retire."""
+    import json
+
+    from searchengine_spark.registry import reverify_names
+
+    (tmp_path / "REVERIFY.json").write_text(
+        json.dumps({"names": ["q_flaky"], "since_round": 2})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps({"q_flaky": {"hash_match": True, "err": None}})
+    )
+    (tmp_path / "CORRECTNESS_r04.json").write_text(
+        json.dumps({"q_flaky": {"hash_match": False, "err": "drift again"}})
+    )
+    assert reverify_names(str(tmp_path)) == ["q_flaky"]

@@ -110,7 +110,15 @@ def test_similar_endpoint_hybrid_more_like_this(spark, sf_dir):
         assert status2 == 200 and 0 < len(p2["results"]) <= 5
 
         assert _get(port, "/similar?doc_id=abc")[0] == 400
-        assert _get(port, "/similar?doc_id=99999999")[0] == 500  # unknown id
+        assert _get(port, "/similar?doc_id=0&k=abc")[0] == 400
+        assert _get(port, "/similar?doc_id=0&k=0")[0] == 400
+        assert _get(port, "/similar?doc_id=99999999")[0] == 404  # unknown id
+        # unbounded k clamps to MAX_K instead of an unbounded collect
+        status3, p3 = _get(port, "/similar?doc_id=0&k=100000")
+        from searchengine_spark.serve import MAX_K
+
+        assert status3 == 200 and len(p3["results"]) <= MAX_K
+        assert _get(port, "/search?q=spark&k=0")[0] == 400
     finally:
         server.shutdown()
         server.server_close()
