@@ -408,12 +408,28 @@ def hard_negative_mine(
 
 # --------------------------------------------------------------- queries
 
+# Recall floor for the IVF audit: measured recall@10 of the fixed
+# probe-1/4 configuration is 0.5 / 0.5 / 0.8 at sf0.001/0.01/0.1
+# (deterministic — integer k-means, fixed seed), so 0.4 can never
+# flake yet still catches a broken index (wrong cells probed, empty
+# results, mis-assigned vectors all drive recall to ~0).
+IVF_RECALL_BOUND = 0.4
+IVF_K = 10
+
+
 def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
-    """IVF ANN top-10 for a fixed query vector (vec_id=3), probing 4
-    of the adaptively-sized centroid set. Rows-only driver check:
-    KMeans training is not SQL-expressible; recall and
-    partition-pruning are covered by tests/test_ann.py instead."""
+    """Bounded-recall AUDIT of IVF ANN search (round-7: formerly
+    rows-only — KMeans training is not SQL-expressible, but the
+    recall invariant IS hash-checkable). Runs the production search
+    (fixed query vector vec_id=3, probing ~1/4 of the adaptive
+    centroid set), compares against in-Spark brute-force top-10, and
+    emits ONE row the DuckDB twin states exactly: k, result count
+    (= LEAST(k, n-1) when the probed cells are healthy), and the
+    recall floor boolean. Raw neighbor lists remain available via
+    ivf_search_pruned; plan-level pruning is pinned in
+    tests/test_ann.py."""
     from searchengine_spark.io import load_table
+    from searchengine_spark.operators.similarity import cosine_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
     assigned, centroids = build_ivf_index(emb)
@@ -424,7 +440,36 @@ def q_ann_ivf_topk(spark, sf_dir: str) -> DataFrame:
     # probe a constant FRACTION (~1/4) of the adaptive centroid set —
     # a fixed probe count would silently shrink recall as nlist grows
     n_probe = max(4, len(centroids) // 4)
-    return ivf_search_pruned(assigned, centroids, qvec, k=10, n_probe=n_probe)
+    ivf = ivf_search_pruned(
+        assigned, centroids, qvec, k=IVF_K, n_probe=n_probe
+    ).select("vec_id")
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    brute = (
+        emb.filter(F.col("vec_id") != 3)
+        .select(
+            "vec_id",
+            F.round(cosine_expr(F.col("embedding"), qlit), 6).alias("c"),
+        )
+        .orderBy(F.desc("c"), F.asc("vec_id"))
+        .limit(IVF_K)
+        .select("vec_id")
+    )
+    caught = brute.join(ivf, "vec_id", "left_semi")
+    n_res = ivf.agg(F.count(F.lit(1)).alias("n_results"))
+    n_true = brute.agg(F.count(F.lit(1)).alias("_nt"))
+    n_caught = caught.agg(F.count(F.lit(1)).alias("_nc"))
+    return (
+        n_res.crossJoin(F.broadcast(n_true))
+        .crossJoin(F.broadcast(n_caught))
+        .select(
+            F.lit(IVF_K).cast("bigint").alias("k"),
+            "n_results",
+            (
+                F.col("_nc").cast("double") / F.col("_nt").cast("double")
+                >= F.lit(IVF_RECALL_BOUND)
+            ).alias("recall_ok"),
+        )
+    )
 
 
 EMB_DIM = 64  # embeddings test-table dimensionality
@@ -528,4 +573,10 @@ QUERIES = {
 ORACLES: dict[str, str] = {
     "ann_embedding_neardup": _neardup_oracle_sql(),
     "emb_hard_negatives": _hard_negatives_oracle_sql(),
+    "ann_ivf_topk": f"""
+        SELECT CAST({IVF_K} AS BIGINT) AS k,
+               CAST(LEAST({IVF_K}, (SELECT count(*) FROM embeddings) - 1)
+                    AS BIGINT) AS n_results,
+               TRUE AS recall_ok
+    """,
 }

@@ -103,13 +103,83 @@ def hll_rollup(partials: DataFrame) -> DataFrame:
     )
 
 
+# Invariant bounds the driver hash-checks (round-7: the former
+# rows-only registrations now emit bounded-error audit frames, so
+# every registry query is hash-checkable). Bounds are 2-3x the worst
+# error MEASURED across sf0.001/0.01/0.1 — tight enough to catch a
+# broken sketch, loose enough never to flake:
+#   approx_count_distinct(rsd=0.05): max observed rel-err 0.067 (sf0.1)
+#   Datasketches HLL union rollup:   max observed rel-err 0.008
+#   approx_percentile(acc=10000):    rank error ~1e-4
+ACD_REL_ERR_BOUND = 0.15  # 3x the requested rsd
+HLL_REL_ERR_BOUND = 0.05
+P50_RANK_BOUNDS = (0.45, 0.55)
+P99_RANK_BOUNDS = (0.97, 1.0)
+
+
 def q_approx_event_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return approx_user_stats(load_table(spark, sf_dir, "events"))
+    """Bounded-error AUDIT of the HLL++/quantile-sketch estimates: the
+    exact per-type counts (hash-checkable by DuckDB) plus booleans
+    asserting each estimate sits within its error bound. A sketch
+    implementation drifting out of bound flips a boolean and fails
+    the driver's hash — the strongest cross-engine statement possible
+    for engine-specific sketch outputs (the raw estimates stay
+    available via approx_user_stats)."""
+    ev = load_table(spark, sf_dir, "events")
+    ap = approx_user_stats(ev)
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    # rank-error check: fraction of values <= the sketch's percentile
+    # must bracket the target rank (the actual KLL guarantee)
+    ranks = (
+        ev.join(
+            F.broadcast(ap.select("event_type", "p50_value", "p99_value")),
+            "event_type",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.avg((F.col("value") <= F.col("p50_value")).cast("double")).alias("f50"),
+            F.avg((F.col("value") <= F.col("p99_value")).cast("double")).alias("f99"),
+        )
+    )
+    return (
+        exact.join(ap.select("event_type", "approx_users"), "event_type")
+        .join(ranks, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            "n_users",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                / F.col("n_users")
+                <= F.lit(ACD_REL_ERR_BOUND)
+            ).alias("users_err_ok"),
+            F.col("f50").between(*P50_RANK_BOUNDS).alias("p50_rank_ok"),
+            F.col("f99").between(*P99_RANK_BOUNDS).alias("p99_rank_ok"),
+        )
+    )
 
 
 def q_approx_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error AUDIT of the re-aggregatable Datasketches rollup:
+    merging bucket-level sketches must estimate per-type cardinality
+    within HLL_REL_ERR_BOUND of exact (raw estimates via
+    hll_rollup)."""
     ev = load_table(spark, sf_dir, "events")
-    return hll_rollup(hll_partial_sketches(ev))
+    merged = hll_rollup(hll_partial_sketches(ev))
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "n_users",
+        (
+            F.abs(F.col("approx_users") - F.col("n_users")) / F.col("n_users")
+            <= F.lit(HLL_REL_ERR_BOUND)
+        ).alias("rel_err_ok"),
+    )
 
 
 QUERIES = {
@@ -117,6 +187,23 @@ QUERIES = {
     "approx_hll_rollup_users": q_approx_hll_rollup_users,
 }
 
-# Deliberately no ORACLES: sketch outputs are engine-specific; the
-# error-bound contract is enforced by tests/test_approx.py.
-ORACLES: dict[str, str] = {}
+# The exact halves of the audit frames are fully SQL-expressible; the
+# booleans are the invariants — DuckDB states them as TRUE and the
+# driver's hash check enforces them.
+ORACLES: dict[str, str] = {
+    "approx_event_user_stats": """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS users_err_ok,
+               TRUE AS p50_rank_ok,
+               TRUE AS p99_rank_ok
+        FROM events GROUP BY event_type
+    """,
+    "approx_hll_rollup_users": """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS rel_err_ok
+        FROM events GROUP BY event_type
+    """,
+}

@@ -24,14 +24,11 @@ def test_every_query_key_has_callable_and_alias_parity(spark):
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert all(callable(fn) for fn in qs.values())
-    # exactly the documented rows-only set; everything else oracle'd
-    # (the stemmed/parity pair gained stem-dictionary oracles in r4)
+    # round 7: every registry query is hash-checkable — the former
+    # rows-only trio (ann_ivf_topk, approx_*) now emits bounded-error
+    # invariant frames with exact-count halves their DuckDB twins state
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "ann_ivf_topk",  # IVF assignment is engine-specific
-        "approx_event_user_stats",  # sketches: error-bound pytest, no hash twin
-        "approx_hll_rollup_users",
-    }
+    assert rows_only == set(), f"rows-only queries reappeared: {rows_only}"
 
 
 def test_registry_rotates_unverified_queries_to_front():
