@@ -272,6 +272,43 @@ def view_purchase_join_stream(
     )
 
 
+def hotkey_events_frame(
+    spark: SparkSession,
+    *,
+    n_events: int,
+    hot_user: int = 7,
+    hot_every: int = 5,
+    spacing_sec: int = 10,
+) -> DataFrame:
+    """Deterministic SKEWED synthetic event table: every
+    ``hot_every``-th event belongs to ONE hot user (1/hot_every of
+    total volume); the rest go to distinct cold users. Even event_ids
+    are views, odd are purchases, timestamps ``spacing_sec`` apart —
+    so cold users never self-match and the stream-stream join's
+    entire state and output concentrate on the hot key. This is the
+    state-store-skew scenario uniform testdata cannot exercise: on a
+    real cluster the hot key's state lands on a single state-store
+    partition while every other task idles (tests/test_skew_streaming
+    pins correctness; scripts/soak.py records the scaling ratio).
+    Same column set/flavor as the testdata events table
+    (TIMESTAMP_NTZ micros)."""
+    return spark.range(n_events).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2026-01-01 00:00:00"))
+            + F.expr(f"make_interval(0, 0, 0, 0, 0, 0, id * {spacing_sec})")
+        ).cast("timestamp_ntz").alias("ts"),
+        F.when(F.col("id") % hot_every == 0, F.lit(hot_user))
+        .otherwise(F.lit(1_000_000) + F.col("id"))
+        .alias("user_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("view"))
+        .otherwise(F.lit("purchase"))
+        .alias("event_type"),
+        ((F.col("id") % 9973).cast("double") / F.lit(100.0)).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+
 def enrich_stream_with_customers(
     events: DataFrame, customers: DataFrame
 ) -> DataFrame:
