@@ -66,6 +66,9 @@ PICKS = [
     ("rel_scd2_customer_tier", "gaps-and-islands: two customer-partitioned row_numbers, one keyed agg, one lead — zero self-joins"),
     ("text_word_pmi_pairs", "doc-keyed presence self-join (per-doc-vocab fan-out) -> pair agg pruned by MIN_COOC; idf lookups broadcast"),
     ("se_autocomplete_table", "vocabulary-only prefix explode (<=6x) + per-prefix rank window — never rescans documents"),
+    ("pipeline_curated_docs", "CAPPED production curate chain: bucket-size window shares the pair-join's (band, band_hash) Exchange; hot buckets pruned before pair enumeration"),
+    ("dedup_lsh_recall_audit", "capped banding vs prefix-filtered exact truth: one pair semi-join + three 1-row aggs combined by broadcast crossJoin"),
+    ("ann_ivf_topk", "IVF audit: partition-pruned probe scan + brute top-k TakeOrderedAndProject; verdict folded by 1-row broadcast crossJoins"),
 ]
 
 
