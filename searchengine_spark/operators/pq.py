@@ -1,0 +1,375 @@
+"""Product quantization (PQ) for embedding compression + ANN search.
+
+PQ (Jégou, Douze, Schmid — "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011) splits each d-dim vector into M
+subvectors and vector-quantizes each subspace independently with its
+own K-codeword codebook, so a vector compresses to M small codes
+(here 8 x 4 bits = 4 bytes for a 64-dim float vector, a 64x
+reduction) and query-time distance becomes a table lookup per
+subspace (asymmetric distance computation, ADC) — no float math per
+candidate at all.
+
+Spark-first decomposition (extends the reference's brute-force
+similarity surface, reference app.py:44-52, with the
+compressed-domain scale path — same role the IVF/int8 files play,
+operators/ann.py):
+
+- TRAIN: one exploded frame (vec_id, m, sub) carries every subspace;
+  a single deterministic Lloyd loop trains all M codebooks AT ONCE —
+  per-iteration work is one map-only nearest-codeword pass against
+  the (M*K*sub_dim)-int literal codebook array plus one
+  groupBy(m, code) floor-avg whose result (M*K*sub_dim bigints,
+  ~1 KiB here) is the only driver round-trip. Same exact fixed-point
+  integer arithmetic as operators/kmeans.py, so the unrolled-CTE
+  DuckDB twin reproduces training bit for bit and the driver
+  hash-checks codes AND search results end to end — no
+  invariant-only weakening.
+- ENCODE: map-only argmin per subspace (whole-stage codegen; the
+  codebook is a plan literal, nothing is shuffled or joined).
+- SEARCH (ADC): the M*K distance table is computed on the DRIVER
+  from the collected codebooks (M*K exact ints), broadcast as a
+  literal, and each row's approximate distance is M array lookups +
+  a sum — a pure map stage feeding TakeOrderedAndProject(k).
+
+100 TB shape: codebooks train on a SAMPLE (the Lloyd loop's input is
+any DataFrame — pass df.sample(...) at scale; codebook quality needs
+~1e5 rows, not the corpus); encode and ADC are embarrassingly
+parallel scans with zero shuffle; the ADC top-k is the same
+TakeOrderedAndProject pattern as BM25 top-k. Combine with the IVF
+partition pruning in operators/ann.py for the IVF-PQ layout FAISS
+uses at billion scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table, session_cached
+from searchengine_spark.operators.kmeans import FP_SCALE, fixed_point_vec
+
+EMB_DIM = 64
+M = 8  # subspaces
+SUB_DIM = EMB_DIM // M
+KPQ = 16  # codewords per subspace (4-bit codes)
+PQ_ITERS = 3
+PQ_K = 10
+PQ_QUERY_ID = 5  # fixed query vector for the oracle-checked search
+
+
+def _sub_frame(emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(id, m, sub array<bigint>) — every subspace of every vector in
+    ONE frame so the Lloyd loop trains all M codebooks per pass."""
+    slices = F.array(
+        *[
+            F.slice(fixed_point_vec(vec_col), m * SUB_DIM + 1, SUB_DIM)
+            for m in range(M)
+        ]
+    )
+    return emb.select(
+        F.col(id_col).alias("vec_id"), F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def _sq_dist(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _codebooks_literal(codebooks: list[list[list[int]]]) -> Column:
+    """array[m] of array[j] of struct(code, cvec) — the whole PQ
+    codebook as an in-plan constant (M*KPQ*SUB_DIM bigints)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("code"),
+                        F.array(*[F.lit(int(v)) for v in cvec]).alias("cvec"),
+                    )
+                    for j, cvec in enumerate(book)
+                ]
+            )
+            for book in codebooks
+        ]
+    )
+
+
+def _assign_codes(subs: DataFrame, codebooks: list[list[list[int]]]) -> DataFrame:
+    """Map-only nearest-codeword per (vec_id, m): adds (code, dist).
+    argmin with (dist, code) lexicographic tie-break — identical to
+    the kmeans assignment contract so the SQL twin's ROW_NUMBER
+    (ORDER BY dist, cluster) reproduces it."""
+    cbs = _codebooks_literal(codebooks)
+    best = F.array_min(
+        F.transform(
+            F.element_at(cbs, F.col("m") + 1),
+            lambda c: F.struct(
+                _sq_dist(F.col("sub"), c["cvec"]).alias("dist"),
+                c["code"].alias("code"),
+            ),
+        )
+    )
+    return (
+        subs.withColumn("_best", best)
+        .select(
+            "*",
+            F.col("_best")["code"].alias("code"),
+            F.col("_best")["dist"].alias("dist"),
+        )
+        .drop("_best")
+    )
+
+
+def _update_codebooks(
+    assigned: DataFrame, codebooks: list[list[list[int]]]
+) -> list[list[list[int]]]:
+    """One Lloyd update across ALL subspaces: floor-avg per
+    (m, code, pos); empty codewords keep their previous centroid
+    (all-or-nothing per codeword, same rule as kmeans)."""
+    comp = assigned.select(
+        "m", "code", F.posexplode("sub").alias("pos", "v")
+    )
+    rows = (
+        comp.groupBy("m", "code", "pos")
+        .agg(
+            F.floor(F.sum("v").cast("double") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("c")
+        )
+        .collect()
+    )
+    new = [[list(c) for c in book] for book in codebooks]
+    got: dict[tuple[int, int], list[int | None]] = {}
+    for r in rows:
+        got.setdefault((r["m"], r["code"]), [None] * SUB_DIM)[r["pos"]] = r["c"]
+    for (m, j), vec in got.items():
+        new[m][j] = [int(v) for v in vec]
+    return new
+
+
+def pq_train(
+    emb: DataFrame,
+    *,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Deterministic PQ training; returns (codes frame, codebooks).
+
+    codes frame: (vec_id, m, code, dist) under the final codebooks —
+    one row per subspace, the long-format PQ encoding. Codebook m is
+    initialized from the m-th subvectors of the first KPQ ids
+    (ordered), mirroring kmeans_fit_assign's init."""
+    subs = _sub_frame(emb, id_col=id_col, vec_col=vec_col).persist()
+    try:
+        init = subs.filter(F.col("vec_id") < KPQ).orderBy("vec_id", "m").collect()
+        codebooks: list[list[list[int]]] = [
+            [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
+        ]
+        for r in init:
+            codebooks[r["m"]][int(r["vec_id"])] = [int(v) for v in r["sub"]]
+        for _ in range(iters):
+            codebooks = _update_codebooks(
+                _assign_codes(subs, codebooks), codebooks
+            )
+        final = _assign_codes(subs, codebooks).select(
+            "vec_id", "m", "code", "dist"
+        )
+        from searchengine_spark.operators.dedup import _cut_lineage
+
+        return _cut_lineage(final), codebooks
+    finally:
+        subs.unpersist()
+
+
+def adc_distance_table(
+    qsub: list[list[int]], codebooks: list[list[list[int]]]
+) -> list[list[int]]:
+    """dt[m][j] = exact integer squared distance from the query's
+    m-th subvector to codeword j — M*KPQ ints, computed once on the
+    driver and broadcast as a plan literal."""
+    return [
+        [
+            sum((x - y) * (x - y) for x, y in zip(qsub[m], cvec))
+            for cvec in codebooks[m]
+        ]
+        for m in range(M)
+    ]
+
+
+def pq_search(
+    codes: DataFrame,
+    dtable: list[list[int]],
+    *,
+    k: int = PQ_K,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over the long-format codes frame: per-row table
+    lookup, one groupBy(vec_id) sum of M partials, then
+    TakeOrderedAndProject(k). No join, no float math."""
+    dt = F.array(
+        *[F.array(*[F.lit(int(d)) for d in row]) for row in dtable]
+    )
+    looked = codes.select(
+        "vec_id",
+        F.element_at(
+            F.element_at(dt, F.col("m") + 1), F.col("code") + 1
+        ).alias("_d"),
+    )
+    if exclude_id is not None:
+        looked = looked.filter(F.col("vec_id") != exclude_id)
+    return (
+        looked.groupBy("vec_id")
+        .agg(F.sum("_d").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def _cached_pq(spark: SparkSession, sf_dir: str):
+    def build():
+        # pq_train already cuts lineage (localCheckpoint), so the
+        # cached frame is materialized — no extra persist needed.
+        return pq_train(load_table(spark, sf_dir, "embeddings"))
+
+    return session_cached(spark, "pq_train", sf_dir, build)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, m, code, dist) — the full PQ encoding of the
+    embeddings table after PQ_ITERS exact Lloyd rounds, hash-checked
+    against the unrolled-CTE DuckDB twin."""
+    codes, _ = _cached_pq(spark, sf_dir)
+    return codes
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 for the fixed query vector (vec_id=PQ_QUERY_ID) in
+    the COMPRESSED domain: exact-integer distance-table lookups, so
+    the result hash-matches the SQL twin row for row."""
+    codes, codebooks = _cached_pq(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID)
+        .select(fixed_point_vec("embedding").alias("qv"))
+        .collect()[0]
+    )
+    qv = [int(v) for v in qrow["qv"]]
+    qsub = [qv[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
+    return pq_search(
+        codes,
+        adc_distance_table(qsub, codebooks),
+        k=PQ_K,
+        exclude_id=PQ_QUERY_ID,
+    )
+
+
+# --------------------------------------------------------------- oracles
+
+def _pq_ctes(iters: int = PQ_ITERS) -> str:
+    """Unrolled PQ Lloyd chain (all M subspaces at once), mirroring
+    pq_train step for step — same shape as kmeans._kmeans_ctes but
+    keyed by (m, code). Ends with `codes` = (vec_id, m, code, dist)
+    under the final codebooks."""
+    parts = [
+        f"""
+q AS (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+qs AS (
+  SELECT vec_id,
+         CAST((generate_subscripts(qv, 1) - 1) // {SUB_DIM} AS INTEGER) AS m,
+         CAST((generate_subscripts(qv, 1) - 1) % {SUB_DIM} AS INTEGER) AS spos,
+         unnest(qv) AS v
+  FROM q
+),
+c0 AS (
+  SELECT m, CAST(vec_id AS INTEGER) AS code, spos, v AS c
+  FROM qs WHERE vec_id < {KPQ}
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(
+            f"""
+a{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT qs.vec_id, qs.m, c.code,
+             CAST(SUM((qs.v - c.c) * (qs.v - c.c)) AS BIGINT) AS dist
+      FROM qs JOIN {prev} c ON qs.m = c.m AND qs.spos = c.spos
+      GROUP BY qs.vec_id, qs.m, c.code
+    ) d
+  ) WHERE rn = 1
+),
+c{i} AS (
+  SELECT p.m, p.code, p.spos, COALESCE(u.c, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT a.m, a.code, qs.spos,
+           CAST(floor(CAST(SUM(qs.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM qs JOIN a{i} a ON qs.vec_id = a.vec_id AND qs.m = a.m
+    GROUP BY a.m, a.code, qs.spos
+  ) u ON p.m = u.m AND p.code = u.code AND p.spos = u.spos
+)"""
+        )
+    parts.append(
+        f"""
+codes AS (
+  SELECT vec_id, m, code, dist FROM (
+    SELECT d.vec_id, d.m, d.code, d.dist,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT qs.vec_id, qs.m, c.code,
+             CAST(SUM((qs.v - c.c) * (qs.v - c.c)) AS BIGINT) AS dist
+      FROM qs JOIN c{iters} c ON qs.m = c.m AND qs.spos = c.spos
+      GROUP BY qs.vec_id, qs.m, c.code
+    ) d
+  ) WHERE rn = 1
+)"""
+    )
+    return "WITH " + ",".join(parts)
+
+
+QUERIES = {
+    "emb_pq_codes": q_pq_codes,
+    "emb_pq_adc_topk": q_pq_adc_topk,
+}
+
+ORACLES = {
+    "emb_pq_codes": f"""
+        {_pq_ctes()}
+        SELECT vec_id, CAST(m AS INTEGER) AS m, code, dist FROM codes
+    """,
+    "emb_pq_adc_topk": f"""
+        {_pq_ctes()}
+        , dt AS (
+          SELECT c.m, c.code,
+                 CAST(SUM((qs.v - c.c) * (qs.v - c.c)) AS BIGINT) AS d
+          FROM c{PQ_ITERS} c
+          JOIN qs ON qs.vec_id = {PQ_QUERY_ID}
+                 AND qs.m = c.m AND qs.spos = c.spos
+          GROUP BY c.m, c.code
+        )
+        SELECT codes.vec_id,
+               CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+        FROM codes JOIN dt ON codes.m = dt.m AND codes.code = dt.code
+        WHERE codes.vec_id <> {PQ_QUERY_ID}
+        GROUP BY codes.vec_id
+        ORDER BY adc_dist, vec_id
+        LIMIT {PQ_K}
+    """,
+}

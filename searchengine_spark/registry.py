@@ -40,6 +40,7 @@ _MODULES = (
     "relational.warehouse",
     "relational.advanced",
     "relational.incremental_agg",
+    "relational.rollup_rewrite",
     "relational.trending",
     "operators.dedup",
     "operators.graph",
@@ -74,6 +75,7 @@ _MODULES = (
     "operators.containment",
     "operators.lsh_eval",
     "operators.linkage",
+    "operators.pq",
     "text.analysis",
     "text.pmi",
     "text.lm",
