@@ -139,6 +139,12 @@ HEADLINE = [
     "text_word_pmi_pairs",
     "dedup_lsh_recall_audit",
     "se_mmr_rerank",
+    # round-7 additions: product-quantization training/encode and the
+    # compressed-domain ADC top-k, plus the hourly->daily
+    # materialized-rollup rewrite.
+    "emb_pq_codes",
+    "emb_pq_adc_topk",
+    "events_rollup_rewrite_daily",
 ]
 
 SERVE_QUERIES = [

@@ -69,6 +69,7 @@ PICKS = [
     ("pipeline_curated_docs", "CAPPED production curate chain: bucket-size window shares the pair-join's (band, band_hash) Exchange; hot buckets pruned before pair enumeration"),
     ("dedup_lsh_recall_audit", "capped banding vs prefix-filtered exact truth: one pair semi-join + three 1-row aggs combined by broadcast crossJoin"),
     ("ann_ivf_topk", "IVF audit: partition-pruned probe scan + brute top-k TakeOrderedAndProject; verdict folded by 1-row broadcast crossJoins"),
+    ("emb_pq_adc_topk", "PQ ADC search: literal distance-table lookups (no join, no float math) -> groupBy sum -> TakeOrderedAndProject(k)"),
 ]
 
 
