@@ -1,0 +1,320 @@
+"""IVF-PQ: the billion-scale ANN layout — coarse inverted-file
+partitioning + product-quantized RESIDUALS + cell-probed ADC search.
+
+This is the composition FAISS ships as `IVFx,PQy` (Jégou et al.
+2011 §V): the coarse quantizer (the deterministic Lloyd trainer of
+operators/kmeans.py, K cells) routes every vector to a cell; PQ
+codebooks train on the RESIDUAL x - centroid(cell) (residuals have
+far lower variance than raw vectors, so the same code budget buys a
+much finer quantization); a query probes only the N_PROBE nearest
+cells and ranks their members by table-lookup ADC distance.
+
+Spark-first shapes, all exact fixed-point integers:
+- coarse train = the kmeans module's loop (map-only assignment
+  against a literal centroid array + one keyed floor-avg per round);
+- residuals = one zip_with against the centroid literal indexed by
+  the row's cluster — map-only, no join;
+- PQ train = operators/pq.py's single exploded-subvector loop,
+  unchanged (it never looks at the extra cluster column);
+- search = cluster-membership filter against the N_PROBE literal +
+  per-cell distance-table lookup (the query's residual DIFFERS per
+  probed cell, so there is one M*KPQ table per cell — N_PROBE*M*KPQ
+  ints, still a trivial plan literal) -> groupBy sum ->
+  TakeOrderedAndProject.
+
+At 100 TB the codes table is WRITTEN partitioned by cell
+(partitionBy("cluster")), so the probe filter becomes partition
+pruning and a query touches N_PROBE/K of the index files — the same
+PartitionFilters mechanism tests/test_ann.py pins for plain IVF.
+
+Because every stage is exact integer arithmetic, the full pipeline —
+coarse Lloyd, residuals, residual-PQ Lloyd, probing, ADC — unrolls
+into one DuckDB CTE chain and the driver hash-checks the END-TO-END
+search result, not just a recall bound.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table, session_cached
+from searchengine_spark.operators.kmeans import (
+    ITERS,
+    K,
+    _assign,
+    _update_centroids,
+    fixed_point_vec,
+)
+from searchengine_spark.operators.pq import (
+    KPQ,
+    M,
+    PQ_ITERS,
+    PQ_K,
+    PQ_QUERY_ID,
+    SUB_DIM,
+    _assign_codes,
+    _update_codebooks,
+    adc_distance_table,
+)
+
+N_PROBE = 3  # cells probed out of K=8 — ~3/8 of the index scanned
+
+
+def residual_subs(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cluster, m, sub): each vector's cell plus its
+    RESIDUAL subvectors — one zip_with against the centroid literal
+    indexed by the row's cluster, then the subspace explode. Input is
+    the fixed-point (vec_id, qvec) frame."""
+    assigned = _assign(quant, cents)
+    cent_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents])
+    res = assigned.select(
+        "vec_id",
+        "cluster",
+        F.zip_with(
+            "qvec",
+            F.element_at(cent_lit, F.col("cluster") + 1),
+            lambda x, y: x - y,
+        ).alias("rvec"),
+    )
+    slices = F.array(
+        *[F.slice("rvec", m * SUB_DIM + 1, SUB_DIM) for m in range(M)]
+    )
+    return res.select(
+        "vec_id", "cluster", F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def ivfpq_train(
+    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
+    """Returns (codes, coarse_centroids, pq_codebooks) where codes =
+    (vec_id, cluster, m, code): each vector's cell plus the PQ
+    encoding of its residual."""
+    quant = emb.select(
+        F.col(id_col).alias("vec_id"), fixed_point_vec(vec_col).alias("qvec")
+    ).persist()
+    subs = None
+    try:
+        init = quant.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
+        cents = [[int(v) for v in r["qvec"]] for r in init]
+        for _ in range(ITERS):
+            cents = _update_centroids(_assign(quant, cents), cents)
+        subs = residual_subs(quant, cents).persist()
+        cb_init = (
+            subs.filter(F.col("vec_id") < KPQ).orderBy("vec_id", "m").collect()
+        )
+        codebooks: list[list[list[int]]] = [
+            [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
+        ]
+        for r in cb_init:
+            codebooks[r["m"]][int(r["vec_id"])] = [int(v) for v in r["sub"]]
+        for _ in range(PQ_ITERS):
+            codebooks = _update_codebooks(
+                _assign_codes(subs, codebooks), codebooks
+            )
+        codes = _assign_codes(subs, codebooks).select(
+            "vec_id", "cluster", "m", "code"
+        )
+        from searchengine_spark.operators.dedup import _cut_lineage
+
+        return _cut_lineage(codes), cents, codebooks
+    finally:
+        quant.unpersist()
+        if subs is not None:
+            subs.unpersist()
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    qv: list[int],
+    *,
+    k: int = PQ_K,
+    n_probe: int = N_PROBE,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """Probe the n_probe nearest cells and ADC-rank their members.
+
+    Driver side: n_probe cell picks + one distance table PER CELL
+    (the query residual differs per cell) — n_probe*M*KPQ exact ints
+    as plan literals. Executor side: membership filter + table
+    lookup + sum, zero joins."""
+    dim = len(qv)
+    cell_d = sorted(
+        (sum((qv[i] - c[i]) ** 2 for i in range(dim)), j)
+        for j, c in enumerate(cents)
+    )
+    probed = [j for _, j in cell_d[:n_probe]]
+    tables = []
+    for j in probed:
+        qres = [qv[i] - cents[j][i] for i in range(dim)]
+        qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
+        tables.append(adc_distance_table(qsub, codebooks))
+    dt_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in t])
+            for t in tables
+        ]
+    )
+    # 1-based index of the row's cluster within the probed list
+    # (0 = not probed); a when-chain over n_probe literals keeps it
+    # in codegen.
+    pos = F.lit(0)
+    for i, j in enumerate(probed):
+        pos = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(pos)
+    looked = codes.withColumn("_p", pos).filter(F.col("_p") > 0)
+    if exclude_id is not None:
+        looked = looked.filter(F.col("vec_id") != exclude_id)
+    return (
+        looked.select(
+            "vec_id",
+            F.element_at(
+                F.element_at(
+                    F.element_at(dt_lit, F.col("_p")), F.col("m") + 1
+                ),
+                F.col("code") + 1,
+            ).alias("_d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("_d").cast("bigint").alias("adc_dist"))
+        .orderBy("adc_dist", "vec_id")
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- queries
+
+def _cached(spark: SparkSession, sf_dir: str):
+    def build():
+        return ivfpq_train(load_table(spark, sf_dir, "embeddings"))
+
+    return session_cached(spark, "ivfpq_train", sf_dir, build)
+
+
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-10 for the fixed query vector: coarse cells,
+    residual PQ codes, N_PROBE probed cells, per-cell ADC tables —
+    hash-checked end to end against the unrolled SQL twin."""
+    codes, cents, codebooks = _cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = (
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID)
+        .select(fixed_point_vec("embedding").alias("qv"))
+        .collect()[0]
+    )
+    qv = [int(v) for v in qrow["qv"]]
+    return ivfpq_search(
+        codes, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
+    )
+
+
+# --------------------------------------------------------------- oracle
+
+def _ivfpq_sql() -> str:
+    """Unrolled twin: kmeans._kmeans_ctes supplies the coarse chain
+    (qc components, c{ITERS} centroids, fin assignment); this appends
+    the residual frame, the residual-PQ Lloyd rounds, the probe pick,
+    the per-cell distance tables, and the final ADC top-k."""
+    from searchengine_spark.operators.kmeans import _kmeans_ctes
+
+    cN = f"c{ITERS}"
+    parts = [
+        _kmeans_ctes(),
+        f"""
+, rq AS (
+  SELECT qc.vec_id,
+         CAST(qc.pos // {SUB_DIM} AS INTEGER) AS m,
+         CAST(qc.pos % {SUB_DIM} AS INTEGER) AS spos,
+         f.cluster AS cell,
+         qc.v - c.c AS v
+  FROM qc
+  JOIN fin f ON qc.vec_id = f.vec_id
+  JOIN {cN} c ON c.cluster = f.cluster AND c.pos = qc.pos
+),
+p0 AS (
+  SELECT m, CAST(vec_id AS INTEGER) AS code, spos, v AS c
+  FROM rq WHERE vec_id < {KPQ}
+)""",
+    ]
+    for i in range(1, PQ_ITERS + 1):
+        prev = f"p{i - 1}"
+        parts.append(
+            f"""
+, b{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT rq.vec_id, rq.m, p.code,
+             CAST(SUM((rq.v - p.c) * (rq.v - p.c)) AS BIGINT) AS dist
+      FROM rq JOIN {prev} p ON rq.m = p.m AND rq.spos = p.spos
+      GROUP BY rq.vec_id, rq.m, p.code
+    ) d
+  ) WHERE rn = 1
+),
+p{i} AS (
+  SELECT p.m, p.code, p.spos, COALESCE(u.c, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT b.m, b.code, rq.spos,
+           CAST(floor(CAST(SUM(rq.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM rq JOIN b{i} b ON rq.vec_id = b.vec_id AND rq.m = b.m
+    GROUP BY b.m, b.code, rq.spos
+  ) u ON p.m = u.m AND p.code = u.code AND p.spos = u.spos
+)"""
+        )
+    pN = f"p{PQ_ITERS}"
+    parts.append(
+        f"""
+, pcodes AS (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT d.vec_id, d.cell, d.m, d.code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT rq.vec_id, rq.cell, rq.m, p.code,
+             CAST(SUM((rq.v - p.c) * (rq.v - p.c)) AS BIGINT) AS dist
+      FROM rq JOIN {pN} p ON rq.m = p.m AND rq.spos = p.spos
+      GROUP BY rq.vec_id, rq.cell, rq.m, p.code
+    ) d
+  ) WHERE rn = 1
+),
+probed AS (
+  SELECT c.cluster
+  FROM {cN} c JOIN qc ON qc.pos = c.pos AND qc.vec_id = {PQ_QUERY_ID}
+  GROUP BY c.cluster
+  ORDER BY CAST(SUM((qc.v - c.c) * (qc.v - c.c)) AS BIGINT), c.cluster
+  LIMIT {N_PROBE}
+),
+qres AS (
+  SELECT c.cluster AS cell,
+         CAST(qc.pos // {SUB_DIM} AS INTEGER) AS m,
+         CAST(qc.pos % {SUB_DIM} AS INTEGER) AS spos,
+         qc.v - c.c AS v
+  FROM qc
+  JOIN {cN} c ON c.pos = qc.pos
+  WHERE qc.vec_id = {PQ_QUERY_ID}
+    AND c.cluster IN (SELECT cluster FROM probed)
+),
+dt AS (
+  SELECT q.cell, p.m, p.code,
+         CAST(SUM((q.v - p.c) * (q.v - p.c)) AS BIGINT) AS d
+  FROM qres q JOIN {pN} p ON p.m = q.m AND p.spos = q.spos
+  GROUP BY q.cell, p.m, p.code
+)
+SELECT pc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+FROM pcodes pc
+JOIN dt ON dt.cell = pc.cell AND dt.m = pc.m AND dt.code = pc.code
+WHERE pc.vec_id <> {PQ_QUERY_ID}
+GROUP BY pc.vec_id
+ORDER BY adc_dist, vec_id
+LIMIT {PQ_K}"""
+    )
+    return "".join(parts)
+
+
+QUERIES = {"emb_ivfpq_topk": q_ivfpq_topk}
+ORACLES = {"emb_ivfpq_topk": _ivfpq_sql()}

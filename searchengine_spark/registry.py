@@ -76,6 +76,7 @@ _MODULES = (
     "operators.lsh_eval",
     "operators.linkage",
     "operators.pq",
+    "operators.ivfpq",
     "text.analysis",
     "text.pmi",
     "text.lm",

@@ -1,0 +1,78 @@
+"""IVF-PQ (operators/ivfpq.py): coarse cells + residual PQ + probed
+ADC search, hash-checked end to end against the unrolled SQL twin."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.operators import ivfpq, pq
+from tests.helpers import assert_matches_oracle
+
+
+@pytest.fixture(scope="module")
+def trained(spark, sf_dir):
+    return ivfpq.ivfpq_train(load_table(spark, sf_dir, "embeddings"))
+
+
+def test_codes_carry_cell_and_code(trained):
+    codes, cents, codebooks = trained
+    assert len(cents) > 0 and len(codebooks) == pq.M
+    row = codes.agg(
+        F.countDistinct("vec_id").alias("nv"),
+        F.count(F.lit(1)).alias("n"),
+        F.min("cluster").alias("clo"),
+        F.max("cluster").alias("chi"),
+        F.max("code").alias("codehi"),
+    ).collect()[0]
+    assert row["n"] == row["nv"] * pq.M
+    assert 0 <= row["clo"] and row["chi"] < len(cents)
+    assert row["codehi"] < pq.KPQ
+
+
+def test_residual_quantization_beats_raw_pq_distortion(spark, sf_dir, trained):
+    """The point of encoding residuals: total quantization distortion
+    (sum of per-subspace assignment dists) must not exceed raw PQ's
+    on the same data — residuals have lower variance."""
+    _, cents, cbs_r = trained
+    emb = load_table(spark, sf_dir, "embeddings")
+    raw_codes, _ = pq.pq_train(emb)
+
+    quant = emb.select(
+        F.col("vec_id"), pq.fixed_point_vec("embedding").alias("qvec")
+    )
+    res_d = (
+        ivfpq._assign_codes(ivfpq.residual_subs(quant, cents), cbs_r)
+        .agg(F.sum("dist"))
+        .collect()[0][0]
+    )
+    raw_d = raw_codes.agg(F.sum("dist")).collect()[0][0]
+    assert res_d <= raw_d
+
+
+def test_probed_search_is_subset_of_cells(trained, spark, sf_dir):
+    codes, cents, codebooks = trained
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == pq.PQ_QUERY_ID)
+        .select(pq.fixed_point_vec("embedding").alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    hits = ivfpq.ivfpq_search(
+        codes, cents, codebooks, qv, exclude_id=pq.PQ_QUERY_ID
+    )
+    got = hits.join(
+        codes.select("vec_id", "cluster").distinct(), "vec_id"
+    ).select("cluster").distinct()
+    assert got.count() <= ivfpq.N_PROBE
+
+
+def test_ivfpq_topk_matches_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        ivfpq.q_ivfpq_topk(spark, sf_dir),
+        ivfpq.ORACLES["emb_ivfpq_topk"],
+        sf_dir,
+        name="emb_ivfpq_topk",
+    )
