@@ -158,13 +158,15 @@ def ivfpq_search(
             for t in tables
         ]
     )
-    # 1-based index of the row's cluster within the probed list
-    # (0 = not probed); a when-chain over n_probe literals keeps it
-    # in codegen.
+    # Membership as a plain `cluster IN (literals)` filter FIRST —
+    # on a cluster-partitioned index layout this is what plans as
+    # PartitionFilters (file-listing-time pruning); the 1-based
+    # probed-list position for table indexing is a when-chain over
+    # n_probe literals computed on the survivors only.
     pos = F.lit(0)
     for i, j in enumerate(probed):
         pos = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(pos)
-    looked = codes.withColumn("_p", pos).filter(F.col("_p") > 0)
+    looked = codes.filter(F.col("cluster").isin(probed)).withColumn("_p", pos)
     if exclude_id is not None:
         looked = looked.filter(F.col("vec_id") != exclude_id)
     return (
@@ -182,6 +184,19 @@ def ivfpq_search(
         .orderBy("adc_dist", "vec_id")
         .limit(k)
     )
+
+
+def write_ivfpq_index(codes: DataFrame, path: str) -> None:
+    """Persist the codes table partitioned by cell: the probe's
+    `cluster IN (...)` filter then prunes at FILE LISTING time — a
+    query touches n_probe/K of the index directories, the serving
+    layout the SCALE.md entry describes (same mechanism as
+    ann.write_ivf_index, with 4-byte PQ codes instead of vectors)."""
+    codes.write.mode("overwrite").partitionBy("cluster").parquet(path)
+
+
+def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
 
 
 # --------------------------------------------------------------- queries

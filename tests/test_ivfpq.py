@@ -69,6 +69,73 @@ def test_probed_search_is_subset_of_cells(trained, spark, sf_dir):
     assert got.count() <= ivfpq.N_PROBE
 
 
+def test_persisted_codes_prune_partitions(trained, spark, sf_dir):
+    """Cell-partitioned codes layout: the probe search must (a) match
+    the in-memory path and (b) scan only the probed cell directories
+    — PartitionFilters in the plan, and a corrupted NON-probed
+    partition is never opened."""
+    import os
+    import shutil
+    import tempfile
+
+    codes, cents, codebooks = trained
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == pq.PQ_QUERY_ID)
+        .select(pq.fixed_point_vec("embedding").alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    out = tempfile.mkdtemp(prefix="se_ivfpq_")
+    try:
+        ivfpq.write_ivfpq_index(codes, out)
+        disk = ivfpq.read_ivfpq_index(spark, out)
+        res = ivfpq.ivfpq_search(
+            disk, cents, codebooks, qv, exclude_id=pq.PQ_QUERY_ID
+        )
+        got = [(r.vec_id, r.adc_dist) for r in res.collect()]
+        mem = [
+            (r.vec_id, r.adc_dist)
+            for r in ivfpq.ivfpq_search(
+                codes, cents, codebooks, qv, exclude_id=pq.PQ_QUERY_ID
+            ).collect()
+        ]
+        assert got == mem and len(got) == pq.PQ_K
+
+        plan = res._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [cluster" in plan, plan
+
+        dim = len(qv)
+        probed = {
+            j
+            for _, j in sorted(
+                (sum((qv[i] - c[i]) ** 2 for i in range(dim)), j)
+                for j, c in enumerate(cents)
+            )[: ivfpq.N_PROBE]
+        }
+        victims = [
+            c
+            for c in range(len(cents))
+            if c not in probed and os.path.isdir(os.path.join(out, f"cluster={c}"))
+        ]
+        assert victims, "need a non-probed populated cell to corrupt"
+        with open(
+            os.path.join(out, f"cluster={victims[0]}", "part-corrupt.parquet"),
+            "wb",
+        ) as fh:
+            fh.write(b"not a parquet file")
+        fresh = ivfpq.read_ivfpq_index(spark, out)
+        again = [
+            (r.vec_id, r.adc_dist)
+            for r in ivfpq.ivfpq_search(
+                fresh, cents, codebooks, qv, exclude_id=pq.PQ_QUERY_ID
+            ).collect()
+        ]
+        assert again == mem  # pruned search never opens the corrupt file
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def test_ivfpq_topk_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         ivfpq.q_ivfpq_topk(spark, sf_dir),
