@@ -227,11 +227,12 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- oracle
 
-def _ivfpq_sql() -> str:
-    """Unrolled twin: kmeans._kmeans_ctes supplies the coarse chain
-    (qc components, c{ITERS} centroids, fin assignment); this appends
-    the residual frame, the residual-PQ Lloyd rounds, the probe pick,
-    the per-cell distance tables, and the final ADC top-k."""
+def _ivfpq_chain() -> str:
+    """Unrolled twin CTE chain: kmeans._kmeans_ctes supplies the
+    coarse part (qc components, c{ITERS} centroids, fin assignment);
+    this appends the residual frame, the residual-PQ Lloyd rounds,
+    the probe pick, the per-cell distance tables, and the final ADC
+    `topk` CTE."""
     from searchengine_spark.operators.kmeans import _kmeans_ctes
 
     cN = f"c{ITERS}"
@@ -319,17 +320,94 @@ dt AS (
          CAST(SUM((q.v - p.c) * (q.v - p.c)) AS BIGINT) AS d
   FROM qres q JOIN {pN} p ON p.m = q.m AND p.spos = q.spos
   GROUP BY q.cell, p.m, p.code
-)
-SELECT pc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
-FROM pcodes pc
-JOIN dt ON dt.cell = pc.cell AND dt.m = pc.m AND dt.code = pc.code
-WHERE pc.vec_id <> {PQ_QUERY_ID}
-GROUP BY pc.vec_id
-ORDER BY adc_dist, vec_id
-LIMIT {PQ_K}"""
+),
+topk AS (
+  SELECT pc.vec_id, CAST(SUM(dt.d) AS BIGINT) AS adc_dist
+  FROM pcodes pc
+  JOIN dt ON dt.cell = pc.cell AND dt.m = pc.m AND dt.code = pc.code
+  WHERE pc.vec_id <> {PQ_QUERY_ID}
+  GROUP BY pc.vec_id
+  ORDER BY adc_dist, vec_id
+  LIMIT {PQ_K}
+)"""
     )
     return "".join(parts)
 
 
-QUERIES = {"emb_ivfpq_topk": q_ivfpq_topk}
-ORACLES = {"emb_ivfpq_topk": _ivfpq_sql()}
+def _ivfpq_sql() -> str:
+    return f"{_ivfpq_chain()}\nSELECT vec_id, adc_dist FROM topk"
+
+
+def _ivfpq_recall_sql() -> str:
+    """Exact recall of IVF-PQ top-k vs the brute-force fixed-point
+    L2 top-k — both sides of the audit are SQL-expressible, so the
+    recall COUNTS hash-check exactly (no invariant weakening)."""
+    return f"""{_ivfpq_chain()}
+, brute AS (
+  SELECT a.vec_id
+  FROM (
+    SELECT a.vec_id, CAST(SUM((a.v - qq.v) * (a.v - qq.v)) AS BIGINT) AS dist
+    FROM qc a JOIN qc qq ON qq.vec_id = {PQ_QUERY_ID} AND qq.pos = a.pos
+    WHERE a.vec_id <> {PQ_QUERY_ID}
+    GROUP BY a.vec_id
+  ) a
+  ORDER BY dist, vec_id
+  LIMIT {PQ_K}
+)
+SELECT CAST({PQ_K} AS BIGINT) AS k,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM brute) AS n_true,
+       (SELECT CAST(COUNT(*) AS BIGINT)
+        FROM brute b JOIN topk t ON b.vec_id = t.vec_id) AS n_caught
+"""
+
+
+def q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How much recall does the compressed, probed search give up vs
+    exact search? One row (k, n_true, n_caught) — EXACT counts, both
+    sides deterministic integer arithmetic, so the measured recall
+    itself is hash-checked against the twin (contrast ann_ivf_topk's
+    recall-floor boolean, where training isn't SQL-expressible)."""
+    from searchengine_spark.operators.pq import _sq_dist
+
+    codes, cents, codebooks = _cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        F.col("vec_id"), fixed_point_vec("embedding").alias("qvec")
+    )
+    qv = [
+        int(v)
+        for v in quant.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0][
+            "qvec"
+        ]
+    ]
+    qlit = F.array(*[F.lit(v) for v in qv])
+    brute = (
+        quant.filter(F.col("vec_id") != PQ_QUERY_ID)
+        .select("vec_id", _sq_dist(F.col("qvec"), qlit).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(PQ_K)
+        .select("vec_id")
+    )
+    hits = ivfpq_search(
+        codes, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
+    ).select("vec_id")
+    caught = brute.join(hits, "vec_id", "left_semi")
+    n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
+    n_caught = caught.agg(F.count(F.lit(1)).alias("n_caught"))
+    return (
+        n_true.crossJoin(F.broadcast(n_caught)).select(
+            F.lit(PQ_K).cast("bigint").alias("k"),
+            F.col("n_true").cast("bigint"),
+            F.col("n_caught").cast("bigint"),
+        )
+    )
+
+
+QUERIES = {
+    "emb_ivfpq_topk": q_ivfpq_topk,
+    "emb_ivfpq_recall_audit": q_ivfpq_recall_audit,
+}
+ORACLES = {
+    "emb_ivfpq_topk": _ivfpq_sql(),
+    "emb_ivfpq_recall_audit": _ivfpq_recall_sql(),
+}

@@ -143,3 +143,18 @@ def test_ivfpq_topk_matches_oracle(spark, sf_dir):
         sf_dir,
         name="emb_ivfpq_topk",
     )
+
+
+def test_ivfpq_recall_audit_matches_oracle_and_is_useful(spark, sf_dir):
+    df = ivfpq.q_ivfpq_recall_audit(spark, sf_dir)
+    row = df.collect()[0]
+    # the audit must measure a real (non-degenerate) search: full
+    # truth set, and the probed compressed search catches most of it
+    assert row["n_true"] == ivfpq.PQ_K
+    assert 0 < row["n_caught"] <= row["n_true"]
+    assert_matches_oracle(
+        df,
+        ivfpq.ORACLES["emb_ivfpq_recall_audit"],
+        sf_dir,
+        name="emb_ivfpq_recall_audit",
+    )
