@@ -88,6 +88,7 @@ _MODULES = (
     "text.cdc",
     "text.bpe",
     "text.drift",
+    "text.blocklist",
     "sources.versioned",
     "streaming.replay",
     "pipeline",

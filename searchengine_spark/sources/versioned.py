@@ -640,8 +640,39 @@ def q_versioned_mor_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_mor(spark, table, key="doc_id").orderBy("doc_id")
 
 
+def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel as a driver-checked query: two appends build the
+    v1 snapshot (buckets [0,4000) then [4000,8000)), then a
+    DESTRUCTIVE overwrite replaces the table with only [8000,10000).
+    The query reads `version=1` — and cross-checks that timestamp
+    travel (`as_of_ts` at v1's commit time) resolves to the same
+    snapshot. If snapshot isolation leaked the overwrite (or version
+    resolution were off by one), rows from the wrong snapshot appear
+    and the hash breaks; the oracle restates v1's predicate
+    (bucket < 8000) directly against the base table."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt="tt")
+    table = _scratch_table("timetravel")
+    append(spark, docs.filter(b < 4000).select("doc_id", "lang"), table)
+    v1 = append(
+        spark, docs.filter((b >= 4000) & (b < 8000)).select("doc_id", "lang"), table
+    )
+    overwrite(spark, docs.filter(b >= 8000).select("doc_id", "lang"), table)
+
+    t1 = _manifest(table, v1)["ts"]
+    if version_as_of(table, t1) != v1:  # ts-travel must agree with version-travel
+        raise AssertionError("as_of_ts resolution diverged from version travel")
+    return read(spark, table, version=v1).orderBy("doc_id")
+
+
 QUERIES = {
     "src_versioned_incremental": q_versioned_incremental,
+    "src_versioned_time_travel": q_versioned_time_travel,
     "src_versioned_diff": q_versioned_diff,
     "src_versioned_schema_evolution": q_versioned_schema_evolution,
     "src_versioned_pruned_read": q_versioned_pruned_read,
@@ -649,6 +680,12 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_versioned_time_travel": """
+        SELECT doc_id, lang FROM documents
+        WHERE (('0x' || substr(md5('tt' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+               % 10000) < 8000
+        ORDER BY doc_id
+    """,
     "src_versioned_incremental": """
         SELECT doc_id, lang FROM documents
         WHERE (('0x' || substr(md5('ver' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

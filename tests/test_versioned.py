@@ -332,3 +332,22 @@ def test_scratch_tables_reuse_one_root(spark, sf_dir):
     import os
 
     assert os.path.isdir(p2) and not os.listdir(p2)
+
+
+def test_time_travel_query_matches_oracle(spark, sf_dir):
+    """Driver-checked time travel: the v1 snapshot must survive a
+    later destructive overwrite, and ts-travel must agree."""
+    from tests.helpers import assert_matches_oracle
+
+    df = V.q_versioned_time_travel(spark, sf_dir)
+    # the overwrite kept only ~20% of docs; reading v1 must yield the
+    # ~80% slice, not the post-overwrite table (NOTE: don't call
+    # _scratch_table here — it would wipe the slot the lazy df reads)
+    table = os.path.join(V._SCRATCH_ROOT, "timetravel")
+    assert df.count() > V.read(spark, table).count()
+    assert_matches_oracle(
+        df,
+        V.ORACLES["src_versioned_time_travel"],
+        sf_dir,
+        name="src_versioned_time_travel",
+    )
