@@ -182,9 +182,39 @@ def q_approx_hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_BINS = 4
+BIN_POP_TOL = 0.05  # each bin within ±5% of n/N_BINS (measured ~1e-3)
+
+
+def q_approx_equal_count_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-error AUDIT of sketch-based equal-population binning —
+    the 100 TB replacement for a global NTILE window. Every bin must
+    exist and hold n/N_BINS rows within BIN_POP_TOL; the exact total
+    is hash-checked, the per-bin populations are engine-specific (the
+    cutpoints come from the sketch) so they enter as booleans."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    binned = equal_count_bins(orders, "o_totalprice", N_BINS)
+    total = binned.count()
+    target = total / N_BINS
+    return (
+        binned.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            "bin",
+            F.lit(total).cast("bigint").alias("n_total"),
+            (
+                F.abs(F.col("_n") - F.lit(target)) / F.lit(target)
+                <= F.lit(BIN_POP_TOL)
+            ).alias("pop_ok"),
+        )
+        .orderBy("bin")
+    )
+
+
 QUERIES = {
     "approx_event_user_stats": q_approx_event_user_stats,
     "approx_hll_rollup_users": q_approx_hll_rollup_users,
+    "approx_equal_count_bins": q_approx_equal_count_bins,
 }
 
 # The exact halves of the audit frames are fully SQL-expressible; the
@@ -205,5 +235,12 @@ ORACLES: dict[str, str] = {
                CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
                TRUE AS rel_err_ok
         FROM events GROUP BY event_type
+    """,
+    "approx_equal_count_bins": f"""
+        SELECT CAST(r.bin AS BIGINT) AS bin,
+               (SELECT CAST(count(*) AS BIGINT) FROM orders) AS n_total,
+               TRUE AS pop_ok
+        FROM range(1, {N_BINS + 1}) AS r(bin)
+        ORDER BY bin
     """,
 }

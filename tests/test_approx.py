@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from searchengine_spark.io import load_table
+from searchengine_spark.operators import approx as A
 from searchengine_spark.operators.approx import (
     approx_user_stats,
     hll_partial_sketches,
@@ -100,3 +101,20 @@ def test_equal_count_bins_matches_exact_ntile(spark, sf_dir):
     }
     for b in (1, 2, 3):
         assert stats[b][1] <= stats[b + 1][0] + 1e-9
+
+
+def test_equal_count_bins_audit_matches_oracle(spark, sf_dir):
+    """Driver-checked NTILE-replacement audit: all bins present, each
+    within tolerance of equal population, total exact."""
+    from tests.helpers import assert_matches_oracle
+
+    df = A.q_approx_equal_count_bins(spark, sf_dir)
+    rows = df.collect()
+    assert [r["bin"] for r in rows] == list(range(1, A.N_BINS + 1))
+    assert all(r["pop_ok"] for r in rows)
+    assert_matches_oracle(
+        df,
+        A.ORACLES["approx_equal_count_bins"],
+        sf_dir,
+        name="approx_equal_count_bins",
+    )
