@@ -145,6 +145,13 @@ HEADLINE = [
     "emb_pq_codes",
     "emb_pq_adc_topk",
     "events_rollup_rewrite_daily",
+    # round-7 (cont.): the composed IVF-PQ search (single query and
+    # the batch-amortized serving path), the blocklist policy map,
+    # and the versioned time-travel read.
+    "emb_ivfpq_topk",
+    "emb_ivfpq_batch_topk",
+    "text_blocklist_filter",
+    "src_versioned_time_travel",
 ]
 
 SERVE_QUERIES = [

@@ -58,6 +58,10 @@ PICKS = [
     ("se_best_passage", "RANGE window over HIT positions only (tiny per-doc state); top-doc semi-join bounds the token explode"),
     ("se_eval_retrieval_metrics", "qrels + rankings from ONE broadcast query fan-out over tf; windows partition per query_id only"),
     ("events_decayed_trending", "one scan, map-side partial agg into |event_type| groups; the anchor ts is a broadcast 1-row frame"),
+    ("emb_ivfpq_topk", "probe = cluster IN literals (partition-prunable on the serving layout); per-cell ADC tables are plan literals; one keyed sum + TakeOrderedAndProject"),
+    ("emb_ivfpq_batch_topk", "ONE codes scan amortized over the query batch: broadcast (qid,cell,m,code) distance tables join + qid-partitioned window top-k — no per-query plans, no global sort"),
+    ("text_blocklist_filter", "entire ban-list policy in one whole-stage-codegen map over the scan — no shuffle, no UDF, no explode"),
+    ("approx_equal_count_bins", "sketch cutpoints in one pass + CASE bin assignment as a map stage; the audit agg is N_BINS rows"),
     ("se_postings_varint_compression", "delta-gap + varint cost as per-row array folds over cached postings — map-only, zero new Exchange"),
     ("dedup_record_linkage_pairs", "two-pass affix blocking: equi-joins on 6-char block keys + integer levenshtein verify — pigeonhole-exact, no cartesian"),
     ("dedup_containment_pairs", "asymmetric prefix filter: A-prefix x B-full-postings equi-join, integer-exact containment verify"),

@@ -186,6 +186,120 @@ def ivfpq_search(
     )
 
 
+def ivfpq_batch_search(
+    spark: SparkSession,
+    codes: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    queries: DataFrame,
+    *,
+    k: int = PQ_K,
+    n_probe: int = N_PROBE,
+) -> DataFrame:
+    """Batch ADC search: rank every query in ``queries`` (a
+    (qid, qvec) fixed-point frame) in ONE pass over the codes table.
+
+    This is the serving pattern that actually runs at scale — online
+    search amortizes nothing, but training-data mining (hard-negative
+    sweeps, SemDeDup, eval-set retrieval) issues MILLIONS of queries,
+    and per-query driver literals (ivfpq_search) would mean a plan
+    per query. Here everything stays relational, with no collect of
+    query vectors:
+
+      probe pick  — queries x centroids (K-row broadcast) -> keyed
+                    sum -> per-qid row_number <= n_probe;
+      dist tables — query residuals x codebooks (M*KPQ broadcast)
+                    -> one (qid, cell, m, code) keyed sum;
+      ADC         — codes JOIN broadcast(tables) on (cell, m, code):
+                    the fact-table scan happens ONCE for the whole
+                    batch, per-query top-k is a qid-partitioned
+                    window (never a global sort).
+
+    At B queries the broadcast is B*n_probe*M*KPQ rows (~100 bytes
+    each); past ~10^5 queries flip the hint off and let AQE pick a
+    shuffled hash join — the shape stays one scan either way. On a
+    cluster-partitioned layout (write_ivfpq_index) the dt join's cell
+    key enables dynamic partition pruning instead of the single-query
+    path's literal IN filter."""
+    from pyspark.sql import Window
+
+    cent_df = spark.createDataFrame(
+        [
+            (j, p, int(c))
+            for j, cv in enumerate(cents)
+            for p, c in enumerate(cv)
+        ],
+        "cluster int, pos int, c bigint",
+    )
+    cb_df = spark.createDataFrame(
+        [
+            (m, code, s, int(v))
+            for m, cb in enumerate(codebooks)
+            for code, sub in enumerate(cb)
+            for s, v in enumerate(sub)
+        ],
+        "m int, code int, spos int, c bigint",
+    )
+
+    qexp = queries.select("qid", F.posexplode("qvec").alias("pos", "v"))
+    sq = (F.col("v") - F.col("c")) * (F.col("v") - F.col("c"))
+    cell_dist = (
+        qexp.join(F.broadcast(cent_df), "pos")
+        .groupBy("qid", "cluster")
+        .agg(F.sum(sq).cast("bigint").alias("dist"))
+    )
+    w_probe = Window.partitionBy("qid").orderBy("dist", "cluster")
+    probed = (
+        cell_dist.withColumn("rn", F.row_number().over(w_probe))
+        .filter(F.col("rn") <= n_probe)
+        .select("qid", F.col("cluster").alias("cell"))
+    )
+    cent_cells = cent_df.select(
+        F.col("cluster").alias("cell"), "pos", "c"
+    )
+    qres = (
+        qexp.join(probed, "qid")
+        .join(F.broadcast(cent_cells), ["cell", "pos"])
+        .select(
+            "qid",
+            "cell",
+            (F.col("pos") / SUB_DIM).cast("int").alias("m"),
+            (F.col("pos") % SUB_DIM).cast("int").alias("spos"),
+            (F.col("v") - F.col("c")).alias("v"),
+        )
+    )
+    dt = (
+        qres.join(F.broadcast(cb_df), ["m", "spos"])
+        .groupBy("qid", "cell", "m", "code")
+        .agg(F.sum(sq).cast("bigint").alias("d"))
+        .select(
+            "qid",
+            "cell",
+            F.col("m").alias("dm"),
+            F.col("code").alias("dcode"),
+            "d",
+        )
+    )
+    scored = (
+        codes.join(
+            F.broadcast(dt),
+            (codes["cluster"] == dt["cell"])
+            & (codes["m"] == dt["dm"])
+            & (codes["code"] == dt["dcode"]),
+        )
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    w_rank = Window.partitionBy("qid").orderBy("adc_dist", "vec_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= k)
+        .select("qid", "vec_id", "adc_dist")
+        .orderBy("qid", "adc_dist", "vec_id")
+    )
+
+
 def write_ivfpq_index(codes: DataFrame, path: str) -> None:
     """Persist the codes table partitioned by cell: the probe's
     `cluster IN (...)` filter then prunes at FILE LISTING time — a
@@ -223,6 +337,22 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         codes, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
     )
+
+
+BATCH_QUERY_IDS = [1, 5, 9, 42]  # includes PQ_QUERY_ID for cross-checks
+
+
+def q_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query IVF-PQ top-10 for a fixed query batch, one codes
+    scan for the whole batch — the relational serving path
+    (ivfpq_batch_search) hash-checked end to end against the same
+    unrolled twin as the single-query path, extended per-qid."""
+    codes, cents, codebooks = _cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"), fixed_point_vec("embedding").alias("qvec")
+    )
+    return ivfpq_batch_search(spark, codes, cents, codebooks, queries)
 
 
 # --------------------------------------------------------------- oracle
@@ -403,11 +533,68 @@ def q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq_batch_sql() -> str:
+    """Batch twin: reuses the chain up through `pcodes` (the trained
+    index is query-independent; the chain's single-query topk CTE
+    goes unreferenced, which DuckDB never materializes), then keys
+    probe pick, residuals, distance tables, and top-k by qid."""
+    qids = ", ".join(str(q) for q in BATCH_QUERY_IDS)
+    cN = f"c{ITERS}"
+    pN = f"p{PQ_ITERS}"
+    return f"""{_ivfpq_chain()}
+, bpd AS (
+  SELECT qc.vec_id AS qid, c.cluster,
+         CAST(SUM((qc.v - c.c) * (qc.v - c.c)) AS BIGINT) AS dist
+  FROM qc JOIN {cN} c ON c.pos = qc.pos
+  WHERE qc.vec_id IN ({qids})
+  GROUP BY qc.vec_id, c.cluster
+),
+bprobed AS (
+  SELECT qid, cluster AS cell FROM (
+    SELECT qid, cluster,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY dist, cluster) AS rn
+    FROM bpd
+  ) WHERE rn <= {N_PROBE}
+),
+bqres AS (
+  SELECT qc.vec_id AS qid, b.cell,
+         CAST(qc.pos // {SUB_DIM} AS INTEGER) AS m,
+         CAST(qc.pos % {SUB_DIM} AS INTEGER) AS spos,
+         qc.v - c.c AS v
+  FROM qc
+  JOIN bprobed b ON b.qid = qc.vec_id
+  JOIN {cN} c ON c.pos = qc.pos AND c.cluster = b.cell
+  WHERE qc.vec_id IN ({qids})
+),
+bdt AS (
+  SELECT q.qid, q.cell, p.m, p.code,
+         CAST(SUM((q.v - p.c) * (q.v - p.c)) AS BIGINT) AS d
+  FROM bqres q JOIN {pN} p ON p.m = q.m AND p.spos = q.spos
+  GROUP BY q.qid, q.cell, p.m, p.code
+),
+bscored AS (
+  SELECT bdt.qid, pc.vec_id, CAST(SUM(bdt.d) AS BIGINT) AS adc_dist
+  FROM pcodes pc
+  JOIN bdt ON bdt.cell = pc.cell AND bdt.m = pc.m AND bdt.code = pc.code
+  WHERE pc.vec_id <> bdt.qid
+  GROUP BY bdt.qid, pc.vec_id
+)
+SELECT qid, vec_id, adc_dist FROM (
+  SELECT qid, vec_id, adc_dist,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc_dist, vec_id) AS rn
+  FROM bscored
+) WHERE rn <= {PQ_K}
+ORDER BY qid, adc_dist, vec_id
+"""
+
+
 QUERIES = {
     "emb_ivfpq_topk": q_ivfpq_topk,
     "emb_ivfpq_recall_audit": q_ivfpq_recall_audit,
+    "emb_ivfpq_batch_topk": q_ivfpq_batch_topk,
 }
 ORACLES = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_ivfpq_recall_audit": _ivfpq_recall_sql(),
+    "emb_ivfpq_batch_topk": _ivfpq_batch_sql(),
 }

@@ -158,3 +158,44 @@ def test_ivfpq_recall_audit_matches_oracle_and_is_useful(spark, sf_dir):
         sf_dir,
         name="emb_ivfpq_recall_audit",
     )
+
+
+def test_batch_search_agrees_with_single_query_path(spark, sf_dir, trained):
+    """The relational batch path and the literal-table single-query
+    path are independent implementations of the same search — for
+    every qid in the batch their top-k must be identical."""
+    codes, cents, codebooks = trained
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id").isin(ivfpq.BATCH_QUERY_IDS)).select(
+        F.col("vec_id").alias("qid"),
+        ivfpq.fixed_point_vec("embedding").alias("qvec"),
+    )
+    batch = ivfpq.ivfpq_batch_search(spark, codes, cents, codebooks, queries)
+    got = {}
+    for r in batch.collect():
+        got.setdefault(r["qid"], []).append((r["vec_id"], r["adc_dist"]))
+    assert set(got) == set(ivfpq.BATCH_QUERY_IDS)
+    for qid in ivfpq.BATCH_QUERY_IDS:
+        qv = [
+            int(v)
+            for v in emb.filter(F.col("vec_id") == qid)
+            .select(ivfpq.fixed_point_vec("embedding").alias("q"))
+            .collect()[0]["q"]
+        ]
+        single = [
+            (r["vec_id"], r["adc_dist"])
+            for r in ivfpq.ivfpq_search(
+                codes, cents, codebooks, qv, exclude_id=qid
+            ).collect()
+        ]
+        assert got[qid] == single, f"qid={qid} diverged"
+
+
+def test_batch_topk_matches_oracle(spark, sf_dir):
+    df = ivfpq.q_ivfpq_batch_topk(spark, sf_dir)
+    assert_matches_oracle(
+        df,
+        ivfpq.ORACLES["emb_ivfpq_batch_topk"],
+        sf_dir,
+        name="emb_ivfpq_batch_topk",
+    )
