@@ -89,6 +89,7 @@ _MODULES = (
     "text.bpe",
     "text.drift",
     "text.blocklist",
+    "text.intradoc",
     "sources.versioned",
     "streaming.replay",
     "pipeline",
