@@ -227,8 +227,122 @@ ORDER BY zkey, o_orderkey
 """
 
 
-QUERIES = {"layout_zorder_keys": q_layout_zorder_keys}
-ORACLES = {"layout_zorder_keys": _ZORDER_SQL}
+# ------------------------------------------- distributed footer manifest
+
+N_LAYOUT_BUCKETS = 8
+
+
+def footer_stats_manifest(spark, files: list[str], key_col: str) -> DataFrame:
+    """Per-file (path, n_rows, key_min, key_max) collected from
+    parquet FOOTERS ONLY, as a DISTRIBUTED job: the file list is a
+    DataFrame and each executor reads its partition's footers via
+    pyarrow inside mapInPandas. This is the manifest-build step
+    itself at scale — a 100 TB table has ~10^5-10^6 files, so stats
+    collection (Delta's `CONVERT TO DELTA`, Iceberg's
+    `add_files`/migrate) must be a cluster job, not the driver loop
+    `sources/versioned.py:_file_stats` uses for its per-commit
+    handful of files. Arrow-batched; one footer read (~KB) per file,
+    never the data pages."""
+    import pandas as pd  # noqa: PLC0415 — executor-side import
+
+    paths = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def scan(batches):
+        import pyarrow.parquet as pq
+
+        for pdf in batches:
+            out = []
+            for p in pdf["path"]:
+                md = pq.ParquetFile(p).metadata
+                idx = md.schema.to_arrow_schema().get_field_index(key_col)
+                lo = hi = None
+                for g in range(md.num_row_groups):
+                    st = md.row_group(g).column(idx).statistics
+                    lo = st.min if lo is None else min(lo, st.min)
+                    hi = st.max if hi is None else max(hi, st.max)
+                out.append((p, md.num_rows, lo, hi))
+            yield pd.DataFrame(
+                out, columns=["path", "n_rows", "key_min", "key_max"]
+            )
+
+    return paths.repartition(max(1, min(len(files), 32))).mapInPandas(
+        scan, "path string, n_rows long, key_min long, key_max long"
+    )
+
+
+def q_layout_footer_stats(spark, sf_dir: str) -> DataFrame:
+    """End-to-end manifest build: lineitem is written as a
+    deterministic 8-bucket partitioned layout (md5 bucket of
+    l_orderkey; one shuffle task per bucket so each bucket is exactly
+    one file), then the manifest is collected from footers only by
+    the distributed scanner and rolled up per bucket. INT64 footer
+    min/max are exact (never truncated), so the footer-derived stats
+    must equal the data-derived stats the oracle computes — a wrong
+    bucket route, a lost row, or a misread footer all break the
+    hash."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+    from searchengine_spark.sources.versioned import _scratch_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    out = _scratch_table("layout_footer")
+    (
+        li.withColumn(
+            "bucket",
+            hash_bucket(
+                F.col("l_orderkey"), n_buckets=N_LAYOUT_BUCKETS, salt="layout"
+            ),
+        )
+        .repartition(N_LAYOUT_BUCKETS, "bucket")
+        .write.partitionBy("bucket")
+        .mode("overwrite")
+        .parquet(out)
+    )
+    import glob as _glob
+    import os as _os
+
+    files = sorted(
+        _glob.glob(_os.path.join(out, "bucket=*", "*.parquet"))
+    )
+    man = footer_stats_manifest(spark, files, "l_orderkey")
+    return (
+        man.withColumn(
+            "bucket", F.regexp_extract("path", r"bucket=(\d+)", 1).cast("bigint")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("n_rows").alias("n_rows"),
+            F.min("key_min").alias("key_min"),
+            F.max("key_max").alias("key_max"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_FOOTER_SQL = f"""
+    SELECT ('0x' || substr(md5('layout' || CAST(l_orderkey AS VARCHAR)), 1, 15))::BIGINT
+            % {N_LAYOUT_BUCKETS} AS bucket,
+           CAST(1 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS key_min,
+           CAST(MAX(l_orderkey) AS BIGINT) AS key_max
+    FROM lineitem
+    GROUP BY 1
+    ORDER BY bucket
+"""
+
+
+QUERIES = {
+    "layout_zorder_keys": q_layout_zorder_keys,
+    "layout_footer_stats": q_layout_footer_stats,
+}
+ORACLES = {
+    "layout_zorder_keys": _ZORDER_SQL,
+    "layout_footer_stats": _FOOTER_SQL,
+}
 
 
 def row_groups_touched(path: str, constraints: list[tuple[str, object, object]]) -> tuple[int, int]:

@@ -120,3 +120,35 @@ def test_zorder_keys_query_matches_oracle(spark, sf_dir):
     assert_matches_oracle(
         q_layout_zorder_keys(spark, sf_dir), _ZORDER_SQL, sf_dir, "layout_zorder_keys"
     )
+
+
+def test_footer_stats_manifest_matches_oracle(spark, sf_dir):
+    """Distributed footer-only manifest build over the bucketed
+    layout: footer stats must equal data-derived truth per bucket."""
+    from searchengine_spark.operators import layout as L
+    from tests.helpers import assert_matches_oracle
+
+    df = L.q_layout_footer_stats(spark, sf_dir)
+    rows = df.collect()
+    assert [r["bucket"] for r in rows] == list(range(L.N_LAYOUT_BUCKETS))
+    assert all(r["n_files"] == 1 for r in rows)
+    assert all(r["key_min"] <= r["key_max"] for r in rows)
+    assert_matches_oracle(
+        df, L.ORACLES["layout_footer_stats"], sf_dir, "layout_footer_stats"
+    )
+
+
+def test_footer_scanner_reads_multiple_row_groups(spark, tmp_path):
+    """A file with several row groups must fold min/max across ALL of
+    them (regression guard for first-group-only bugs)."""
+    from searchengine_spark.operators.layout import footer_stats_manifest
+
+    p = str(tmp_path / "multi.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({"k": list(range(1000))})
+    pq.write_table(t, p, row_group_size=100)  # 10 row groups
+    assert pq.ParquetFile(p).metadata.num_row_groups == 10
+    row = footer_stats_manifest(spark, [p], "k").collect()[0]
+    assert (row["n_rows"], row["key_min"], row["key_max"]) == (1000, 0, 999)
