@@ -126,6 +126,34 @@ def hourly_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> Da
     )
 
 
+def hll_rollup_stream(events: DataFrame, *, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling rollup carrying an HLL++ distinct-user estimate.
+
+    Exact COUNT(DISTINCT) is not allowed in streaming aggregations
+    (it needs unbounded per-group state); approx_count_distinct IS —
+    its register-max merge is commutative, so the estimate is
+    micro-batch-order independent and the per-group state is the
+    fixed ~1.5 KB sketch. This is how a production stream reports
+    per-window uniques; the replay query audits the estimate against
+    batch truth (rel-err bound), upgrading the combination of
+    sketches + watermarked windows to a driver-checked row."""
+    return (
+        with_instant_ts(events, "ts")
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.approx_count_distinct("user_id", 0.05).alias("approx_users"),
+        )
+        .select(
+            instant_to_ntz(F.col("window").start).alias("window_start"),
+            "event_type",
+            "n_events",
+            "approx_users",
+        )
+    )
+
+
 def sliding_rollup_stream(
     events: DataFrame,
     *,

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.streaming.events import (
     dedup_stream,
+    hll_rollup_stream,
     hourly_rollup_stream,
     read_events_stream,
     run_to_memory,
@@ -63,6 +64,57 @@ def q_stream_hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         output_mode="complete",
     )
     return spark.table(name)
+
+
+def q_stream_hll_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed HLL++ uniques inside a watermarked streaming agg,
+    audited against batch truth: exact n_events/n_users hash-check
+    directly; the stream's sketch estimate enters as an error-bound
+    boolean (same convention as operators/approx.py — engine-specific
+    estimates can't hash cross-engine, their error bound can).
+
+    Per-window cardinalities are SMALL (3-300 users), where rsd is a
+    poor yardstick: HLL++'s integer estimates are routinely off by 1
+    at n<10 (rel-err 0.33) and the measured worst across sf0.001-0.1
+    is abs-diff 4 / rel-err 0.167 (n=24). Bound: abs-diff <=
+    greatest(2, 0.3*n) — ~2x worst measured on both axes, still tight
+    enough that a broken sketch (or a window that lost rows) trips
+    it."""
+    from searchengine_spark.streaming.events import with_instant_ts, instant_to_ntz
+
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    name = _sink_name("hll")
+    run_to_memory(
+        hll_rollup_stream(stream, watermark=REPLAY_WATERMARK),
+        name,
+        output_mode="complete",
+    )
+    from searchengine_spark.io import load_table
+
+    exact = (
+        with_instant_ts(load_table(spark, sf_dir, "events"), "ts")
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+        .select(
+            instant_to_ntz(F.col("window").start).alias("window_start"),
+            "event_type",
+            "n_users",
+        )
+    )
+    return (
+        spark.table(name)
+        .join(exact, ["window_start", "event_type"])
+        .select(
+            "window_start",
+            "event_type",
+            "n_events",
+            "n_users",
+            (
+                F.abs(F.col("approx_users") - F.col("n_users"))
+                <= F.greatest(F.lit(2.0), F.col("n_users") * 0.3)
+            ).alias("users_err_ok"),
+        )
+    )
 
 
 def q_stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -326,6 +378,7 @@ QUERIES = {
     "stream_rollup_ivm_replay": q_stream_rollup_ivm_replay,
     "stream_view_purchase_join_replay": q_stream_view_purchase_join_replay,
     "stream_view_purchase_left_join_replay": q_stream_view_purchase_left_join_replay,
+    "stream_hll_rollup_replay": q_stream_hll_rollup_replay,
     "stream_session_window_replay": q_stream_session_window_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
@@ -371,6 +424,17 @@ ORACLES = {
         SELECT date_trunc('hour', ts) AS window_start, event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    # Exact halves of the streaming-HLL audit; the estimate's error
+    # bound enters as an oracle-stated TRUE (operators/approx.py
+    # convention).
+    "stream_hll_rollup_replay": """
+        SELECT date_trunc('hour', ts) AS window_start, event_type,
+               COUNT(*) AS n_events,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+               TRUE AS users_err_ok
         FROM events
         GROUP BY 1, 2
     """,

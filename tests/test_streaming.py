@@ -221,3 +221,25 @@ def test_left_outer_join_replay_emits_unmatched_views(spark, sf_dir):
     assert unmatched + matched_views == n_views
     assert unmatched > 0  # the flush really happened
     got.unpersist()
+
+
+def test_hll_rollup_replay_matches_oracle_and_bounds(spark, sf_dir):
+    """Streaming HLL++ uniques per window: exact halves hash-match
+    the batch oracle, the sketch estimate sits within its rel-err
+    bound in EVERY window."""
+    from searchengine_spark.streaming.replay import (
+        ORACLES,
+        q_stream_hll_rollup_replay,
+    )
+    from tests.helpers import assert_matches_oracle
+
+    got = q_stream_hll_rollup_replay(spark, sf_dir).cache()
+    assert got.count() > 0
+    assert got.filter(~F.col("users_err_ok")).count() == 0
+    assert_matches_oracle(
+        got,
+        ORACLES["stream_hll_rollup_replay"],
+        sf_dir,
+        name="stream_hll_rollup_replay",
+    )
+    got.unpersist()
