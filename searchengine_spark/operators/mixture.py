@@ -74,7 +74,58 @@ def _weights_values_sql() -> str:
     return ", ".join(f"('{k}', {v})" for k, v in SOURCE_WEIGHTS.items())
 
 
-QUERIES = {"mix_resample_by_source": q_mixture_resample}
+# ------------------------------------- temperature (alpha) sampling
+
+ALPHA = 0.3  # mT5's temperature: w_g ∝ p_g^alpha, alpha<1 lifts the tail
+TEMP_SALT = "mixtemp"
+
+
+def temperature_resample(
+    df: DataFrame, group_col: str, id_col: str, *, alpha: float = ALPHA
+) -> DataFrame:
+    """Temperature-scaled mixing (Xue et al. 2021, mT5 §3.2; the
+    GPT-3 data-mixing rule): target weights are DERIVED from the
+    corpus itself as p_g^alpha, so over-represented groups (here:
+    English at ~40% of documents) are down-sampled toward the
+    flattened distribution instead of toward hand-picked weights.
+
+    Same scale shape as mixture_resample: |groups|-row aggregates +
+    a broadcast rate table back onto the scan. Cross-engine float
+    discipline: the only transcendental (pow) is rounded to 6
+    decimals before entering the rate arithmetic, and every
+    subsequent double op is mirrored in the same order by the twin
+    (see memory: round-6 float discipline)."""
+    spark = df.sparkSession
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("tot"))
+    w = counts.crossJoin(F.broadcast(total)).select(
+        group_col,
+        "n",
+        F.round(F.pow(F.col("n") / F.col("tot"), F.lit(alpha)), 6).alias("wt"),
+    )
+    scale = w.agg(F.min(F.col("n") / F.col("wt")).alias("scale"))
+    rates = w.crossJoin(F.broadcast(scale)).select(
+        group_col,
+        F.floor(F.col("scale") * F.col("wt") / F.col("n") * N_BUCKETS)
+        .cast("bigint")
+        .alias("cutoff"),
+    )
+    return df.join(F.broadcast(rates), group_col).filter(
+        hash_bucket(F.col(id_col), salt=TEMP_SALT) < F.col("cutoff")
+    )
+
+
+def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_resample(docs, "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+QUERIES = {
+    "mix_resample_by_source": q_mixture_resample,
+    "mix_temperature_resample": q_temperature_resample,
+}
 
 ORACLES = {
     "mix_resample_by_source": f"""
@@ -91,5 +142,23 @@ ORACLES = {
         SELECT d.doc_id, d.source
         FROM documents d JOIN rates r USING (source)
         WHERE {_bucket_sql("d.doc_id", MIX_SALT)} < r.cutoff
+    """,
+    "mix_temperature_resample": f"""
+        WITH counts AS (
+          SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+        ),
+        t AS (SELECT SUM(n) AS tot FROM counts),
+        w AS (
+          SELECT lang, n, round(pow(n / t.tot, {ALPHA}), 6) AS wt
+          FROM counts, t
+        ),
+        s AS (SELECT MIN(n / wt) AS scale FROM w),
+        rates AS (
+          SELECT lang, CAST(floor(s.scale * wt / n * {N_BUCKETS}) AS BIGINT) AS cutoff
+          FROM w, s
+        )
+        SELECT d.doc_id, d.lang
+        FROM documents d JOIN rates r USING (lang)
+        WHERE {_bucket_sql("d.doc_id", TEMP_SALT)} < r.cutoff
     """,
 }

@@ -52,3 +52,34 @@ def test_argmin_group_kept_nearly_whole(spark):
     # rare is the binding constraint: keep ~all of it; common sampled to match.
     assert got["rare"] >= 195
     assert got["common"] == pytest.approx(200, rel=0.15)
+
+
+def test_temperature_flattens_toward_alpha_distribution(spark):
+    from searchengine_spark.operators.mixture import temperature_resample
+
+    df = _docs(spark, {"en": 4000, "fr": 500, "de": 500})
+    out = temperature_resample(df, "source", "doc_id", alpha=0.3)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+    # targets: p^0.3 normalized over (0.8, 0.1, 0.1) -> (0.47, 0.26, 0.26)
+    # with the tail groups as the binding constraint (kept ~whole)
+    assert got["fr"] >= 490 and got["de"] >= 490
+    # en drops from 8x the tail to ~1.8x of it
+    assert got["en"] == pytest.approx(1.8 * got["fr"], rel=0.15)
+
+
+def test_temperature_resample_matches_oracle(spark, sf_dir):
+    from searchengine_spark.operators.mixture import ORACLES, q_temperature_resample
+    from tests.helpers import assert_matches_oracle
+
+    df = q_temperature_resample(spark, sf_dir)
+    # non-degenerate: something was actually dropped, en most of all
+    from searchengine_spark.io import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < df.count() < n_docs
+    assert_matches_oracle(
+        df,
+        ORACLES["mix_temperature_resample"],
+        sf_dir,
+        name="mix_temperature_resample",
+    )
