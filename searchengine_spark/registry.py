@@ -69,6 +69,7 @@ _MODULES = (
     "operators.decontamination",
     "operators.moments",
     "operators.heavy_hitters",
+    "operators.cms",
     "operators.itemsets",
     "operators.simhash",
     "operators.privacy",
