@@ -152,6 +152,14 @@ HEADLINE = [
     "emb_ivfpq_batch_topk",
     "text_blocklist_filter",
     "src_versioned_time_travel",
+    # round-7 (cont. 2): intra-doc scrub (doc-keyed windows +
+    # reassembly), the relational CMS, temperature mixing, the
+    # distributed footer-manifest build, and streaming HLL uniques.
+    "text_intra_doc_scrub",
+    "approx_cms_word_counts",
+    "mix_temperature_resample",
+    "layout_footer_stats",
+    "stream_hll_rollup_replay",
 ]
 
 SERVE_QUERIES = [

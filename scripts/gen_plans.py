@@ -62,6 +62,9 @@ PICKS = [
     ("emb_ivfpq_batch_topk", "ONE codes scan amortized over the query batch: broadcast (qid,cell,m,code) distance tables join + qid-partitioned window top-k — no per-query plans, no global sort"),
     ("text_blocklist_filter", "entire ban-list policy in one whole-stage-codegen map over the scan — no shuffle, no UDF, no explode"),
     ("approx_equal_count_bins", "sketch cutpoints in one pass + CASE bin assignment as a map stage; the audit agg is N_BINS rows"),
+    ("text_intra_doc_scrub", "every stage doc_id-keyed: gram lead, first-occurrence min, covering max, ordered reassembly — state bounded by doc length, one doc_id shuffle"),
+    ("approx_cms_word_counts", "D-way explode -> one keyed agg with map-side partials (<= D*W cells per partition); probes broadcast-join the D*W counter table"),
+    ("mix_temperature_resample", "|groups|-row derived-rate table broadcast back onto the scan; corpus never shuffles, filter in whole-stage codegen"),
     ("se_postings_varint_compression", "delta-gap + varint cost as per-row array folds over cached postings — map-only, zero new Exchange"),
     ("dedup_record_linkage_pairs", "two-pass affix blocking: equi-joins on 6-char block keys + integer levenshtein verify — pigeonhole-exact, no cartesian"),
     ("dedup_containment_pairs", "asymmetric prefix filter: A-prefix x B-full-postings equi-join, integer-exact containment verify"),
