@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from searchengine_spark.event_time import event_time_seconds
+from searchengine_spark.event_time import event_time_micros, event_time_seconds
 from searchengine_spark.io import load_table
 
 
@@ -73,6 +73,87 @@ def q_asof_purchase_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("signup_ts").isNotNull(),
             event_time_seconds(joined, "ts") - event_time_seconds(joined, "signup_ts"),
         ).alias("gap_seconds"),
+    )
+
+
+ASOF_FWD_TOL_S = 86400  # forward match horizon: 1 day
+
+
+def asof_join_next_event(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    tolerance_s: int | None = None,
+    right_ts_alias: str = "matched_ts",
+) -> DataFrame:
+    """FORWARD as-of: for each left row, the smallest right.ts >=
+    left.ts per key, optionally only within ``tolerance_s`` (pandas
+    merge_asof direction='forward', tolerance=...). Same single-
+    shuffle union trick as asof_join_last_event, mirrored: left rows
+    sort BEFORE right rows on ts ties (so an exactly-simultaneous
+    right row matches), and first(ignorenulls) looks FORWARD."""
+    l_tagged = left.select(
+        F.col(key), F.col(ts), F.lit(1).alias("_tag"), F.col("event_id")
+    )
+    r_tagged = right.select(
+        F.col(key),
+        F.col(ts),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast("bigint").alias("event_id"),
+    )
+    unioned = l_tagged.unionByName(r_tagged).withColumn(
+        "_r_ts", F.when(F.col("_tag") == 0, F.col(ts))
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts).asc(), F.col("_tag").desc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    out = (
+        unioned.withColumn(
+            right_ts_alias, F.first("_r_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("_tag") == 1)
+        .drop("_tag", "_r_ts")
+    )
+    if tolerance_s is not None:
+        gap_us = event_time_micros(out, right_ts_alias) - event_time_micros(
+            out, ts
+        )
+        out = out.withColumn(
+            right_ts_alias,
+            F.when(gap_us <= tolerance_s * 1_000_000, F.col(right_ts_alias)),
+        )
+    return out
+
+
+def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each signup matched to the user's NEXT purchase within 1 day —
+    the time-to-convert question the backward as-of can't answer.
+    The nearest following purchase is the MIN of the tolerance-
+    filtered set, so the window implementation and the oracle's
+    LEFT JOIN + MIN agree exactly."""
+    ev = load_table(spark, sf_dir, "events")
+    signups = ev.filter(F.col("event_type") == "signup")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    joined = asof_join_next_event(
+        signups,
+        purchases,
+        tolerance_s=ASOF_FWD_TOL_S,
+        right_ts_alias="purchase_ts",
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "purchase_ts",
+        F.when(
+            F.col("purchase_ts").isNotNull(),
+            event_time_seconds(joined, "purchase_ts")
+            - event_time_seconds(joined, "ts"),
+        ).alias("secs_to_convert"),
     )
 
 
@@ -378,6 +459,7 @@ QUERIES = {
     "rel_lateral_top2_orders": q_lateral_top2_orders,
     "rel_ntile_customer_value": q_ntile_customer_value,
     "rel_asof_purchase_signup": q_asof_purchase_signup,
+    "rel_asof_forward_next_purchase": q_asof_forward_next_purchase,
     "rel_interval_clicks_before_purchase": q_clicks_before_purchase,
     "rel_grouping_sets_revenue": q_grouping_sets_revenue,
     "rel_price_histogram": q_price_histogram,
@@ -528,6 +610,19 @@ ORACLES = {
         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
           ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    "rel_asof_forward_next_purchase": f"""
+        SELECT s.event_id, s.user_id, s.ts,
+               MIN(p.ts) AS purchase_ts,
+               CASE WHEN MIN(p.ts) IS NOT NULL
+                    THEN (epoch_us(MIN(p.ts)) // 1000000)
+                         - (epoch_us(s.ts) // 1000000)
+               END AS secs_to_convert
+        FROM (SELECT * FROM events WHERE event_type = 'signup') s
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+         AND epoch_us(p.ts) - epoch_us(s.ts) <= {ASOF_FWD_TOL_S * 1_000_000}
+        GROUP BY s.event_id, s.user_id, s.ts
     """,
     "rel_rollup_revenue": """
         SELECT l_returnflag, l_linestatus, COUNT(*) AS n_items,
