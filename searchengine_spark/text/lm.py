@@ -128,6 +128,70 @@ def score_perplexity(
     )
 
 
+# ------------------------------------------- stupid backoff (Brants 2007)
+
+SB_LAMBDA = 0.4  # the fixed backoff penalty from Brants et al. 2007
+SB_SALT = "lmsb"  # train/score hash split
+
+
+def stupid_backoff_scores(
+    train_docs: DataFrame, score_docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_backoff, sb_ppl): score one corpus under
+    a stupid-backoff bigram model trained on ANOTHER (Brants et al.
+    2007, "Large Language Models in Machine Translation") —
+    S(w|v) = c(v,w)/c(v) if seen, else 0.4*c(w)/N, else 0.4/N.
+
+    Stupid backoff exists precisely for the distributed regime: no
+    discount renormalization means the model is nothing but raw
+    count tables — exactly the keyed aggs MapReduce (and Spark)
+    produce — and scoring is two left joins. Unlike the add-alpha
+    self-scored ppl, this pairing (train half / score half) makes
+    unseen transitions REAL, so the backoff branch and its n_backoff
+    counter are exercised in the checked output."""
+    train_bg = _doc_bigrams(train_docs, text_col=text_col)
+    pair_counts = train_bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    ctx_counts = pair_counts.groupBy("v").agg(F.sum("c_vw").alias("c_v"))
+    uni = (
+        train_docs.select(F.explode(raw_tokens_column(text_col)).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    n_tok = uni.agg(F.sum("c_w").alias("n_tok"))
+
+    bg = _doc_bigrams(score_docs, text_col=text_col)
+    scored = (
+        bg.join(pair_counts.join(ctx_counts, "v"), ["v", "w"], "left")
+        .join(uni.withColumnRenamed("t", "w"), "w", "left")
+        .crossJoin(F.broadcast(n_tok))
+        .select(
+            "doc_id",
+            F.col("c_vw").isNull().cast("long").alias("backed_off"),
+            F.coalesce(
+                F.log(F.col("c_vw") / F.col("c_v")),
+                F.log(F.lit(SB_LAMBDA) * F.col("c_w") / F.col("n_tok")),
+                F.log(F.lit(SB_LAMBDA) / F.col("n_tok")),
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("backed_off").cast("long").alias("n_backoff"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("sb_ppl"),
+    )
+
+
+def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt=SB_SALT)
+    return stupid_backoff_scores(
+        docs.filter(b < 5000), docs.filter(b >= 5000)
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- queries
 
 
@@ -144,7 +208,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_perplexity(docs, bigrams=bg)
 
 
-QUERIES = {"text_lm_perplexity": q_lm_perplexity}
+QUERIES = {
+    "text_lm_perplexity": q_lm_perplexity,
+    "text_lm_stupid_backoff": q_lm_stupid_backoff,
+}
 
 # DuckDB twin: identical train + score over the same raw tokens.
 _LM_SQL = f"""
@@ -188,4 +255,68 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 FROM scored GROUP BY doc_id
 """
 
-ORACLES = {"text_lm_perplexity": _LM_SQL}
+_SB_SQL = f"""
+WITH split AS (
+  SELECT *,
+         ('0x' || substr(md5('{SB_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 AS bk
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text')} AS toks FROM split WHERE bk < 5000
+),
+stoks AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text')} AS toks FROM split WHERE bk >= 5000
+),
+tbg AS (
+  SELECT s.v AS v, s.w AS w FROM (
+    SELECT unnest(list_transform(
+             generate_series(0, len(toks) - 2),
+             i -> struct_pack(v := toks[i + 1], w := toks[i + 2])
+           )) AS s
+    FROM ttoks WHERE len(toks) >= 2
+  )
+),
+pair_counts AS (SELECT v, w, count(*) AS c_vw FROM tbg GROUP BY v, w),
+ctx_counts AS (SELECT v, sum(c_vw) AS c_v FROM pair_counts GROUP BY v),
+uni AS (
+  SELECT t, count(*) AS c_w
+  FROM (SELECT unnest(toks) AS t FROM ttoks) GROUP BY t
+),
+n AS (SELECT sum(c_w) AS n_tok FROM uni),
+model AS (
+  SELECT p.v, p.w, p.c_vw, c.c_v
+  FROM pair_counts p JOIN ctx_counts c ON p.v = c.v
+),
+sbg AS (
+  SELECT doc_id, s.v AS v, s.w AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, len(toks) - 2),
+             i -> struct_pack(v := toks[i + 1], w := toks[i + 2])
+           )) AS s
+    FROM stoks WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT sbg.doc_id,
+         CASE WHEN m.c_vw IS NULL THEN 1 ELSE 0 END AS backed_off,
+         COALESCE(
+           ln(m.c_vw / m.c_v),
+           ln({SB_LAMBDA} * u.c_w / (SELECT n_tok FROM n)),
+           ln({SB_LAMBDA} / (SELECT n_tok FROM n))
+         ) AS lp
+  FROM sbg
+  LEFT JOIN model m ON sbg.v = m.v AND sbg.w = m.w
+  LEFT JOIN uni u ON u.t = sbg.w
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(backed_off)::BIGINT AS n_backoff,
+       round(exp(-avg(lp)), 6) AS sb_ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+ORACLES = {
+    "text_lm_perplexity": _LM_SQL,
+    "text_lm_stupid_backoff": _SB_SQL,
+}

@@ -63,3 +63,51 @@ def test_low_perplexity_flags_repetitive_text(spark):
     )
     out = {r.doc_id: r.ppl for r in score_perplexity(docs).collect()}
     assert out[1] < out[3]
+
+
+def test_stupid_backoff_semantics(spark):
+    """Seen pair -> ML ratio; unseen pair, seen word -> 0.4*c(w)/N;
+    unseen word -> 0.4/N — checked against hand computation."""
+    import math
+
+    from searchengine_spark.text.lm import stupid_backoff_scores
+
+    train = spark.createDataFrame(
+        [(0, "a b a b c")], ["doc_id", "text"]
+    )  # c(a,b)=2 c(b,a)=1 c(b,c)=1; c_v: a=2 b=2; uni a=2 b=2 c=1, N=5
+    score = spark.createDataFrame(
+        [(1, "a b x"), (2, "c a")], ["doc_id", "text"]
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in stupid_backoff_scores(train, score).collect()
+    }
+    # doc 1: (a,b) seen: ln(2/2); (b,x) unseen word: ln(0.4/5)
+    lp1 = (math.log(2 / 2) + math.log(0.4 / 5)) / 2
+    assert rows[1]["n_backoff"] == 1
+    assert rows[1]["sb_ppl"] == round(math.exp(-lp1), 6)
+    # doc 2: (c,a) unseen pair, seen word a: ln(0.4*2/5)
+    lp2 = math.log(0.4 * 2 / 5)
+    assert rows[2]["n_backoff"] == 1
+    assert rows[2]["sb_ppl"] == round(math.exp(-lp2), 6)
+
+
+def test_stupid_backoff_matches_oracle_and_backs_off(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.text import lm
+    from tests.helpers import assert_matches_oracle
+
+    df = lm.q_lm_stupid_backoff(spark, sf_dir).cache()
+    agg = df.agg(
+        F.sum("n_backoff").alias("nb"), F.sum("n_bigrams").alias("n")
+    ).collect()[0]
+    # the split makes unseen transitions real, but most mass is seen
+    assert 0 < agg["nb"] < agg["n"]
+    assert_matches_oracle(
+        df,
+        lm.ORACLES["text_lm_stupid_backoff"],
+        sf_dir,
+        name="text_lm_stupid_backoff",
+    )
+    df.unpersist()
