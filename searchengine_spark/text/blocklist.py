@@ -108,5 +108,73 @@ def _blocklist_sql() -> str:
     """
 
 
-QUERIES = {"text_blocklist_filter": q_blocklist_filter}
-ORACLES = {"text_blocklist_filter": _blocklist_sql()}
+def blocklist_audit_join(docs: DataFrame, spark: SparkSession) -> DataFrame:
+    """The JOIN form of the same policy — the scale path for ban
+    lists too large to inline (millions of entries): the ban list is
+    a TABLE, the document side emits its word n-grams map-side, and
+    candidates come from an equi-join on the n-gram (broadcast while
+    the list is small; a shuffled hash join on the uniform n-gram key
+    when it is not — either way cost is |grams| + |list|, never
+    |docs| * |list| the way N contains() probes per row would be).
+    Hits dedup per (doc, phrase) so presence semantics match the
+    inline form exactly; docs with no hits come back via the left
+    join with zeroes. All BLOCKLIST entries are 2-word phrases, so
+    bigrams are the only gram width needed here; mixed-width lists
+    emit one gram frame per distinct width."""
+    ban = spark.createDataFrame(
+        [(p, s) for p, s in BLOCKLIST], "phrase string, sev int"
+    )
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), " ").alias("w")
+    )
+    grams = toks.filter(F.size("w") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w) - 2), "
+                "i -> concat(w[i], ' ', w[i + 1]))"
+            )
+        ).alias("phrase"),
+    )
+    hits = (
+        grams.join(F.broadcast(ban), "phrase")
+        .select("doc_id", "phrase", "sev")
+        .distinct()
+    )
+    per_doc = hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("_nh"),
+        F.sum("sev").alias("_sv"),
+        F.max((F.col("sev") >= 3).cast("int")).alias("_hard"),
+    )
+    return (
+        docs.select("doc_id")
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("_nh"), F.lit(0)).cast("bigint").alias("n_hits"),
+            F.coalesce(F.col("_sv"), F.lit(0)).cast("bigint").alias("sev_total"),
+            (
+                (F.coalesce(F.col("_hard"), F.lit(0)) > 0)
+                | (F.coalesce(F.col("_sv"), F.lit(0)) >= DROP_TOTAL)
+            ).alias("dropped"),
+        )
+    )
+
+
+def q_blocklist_join_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-form blocklist audit — must produce byte-identical rows
+    to the inline form (same oracle), proving the scale path."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return blocklist_audit_join(docs, spark).orderBy("doc_id")
+
+
+QUERIES = {
+    "text_blocklist_filter": q_blocklist_filter,
+    "text_blocklist_join_filter": q_blocklist_join_filter,
+}
+ORACLES = {
+    "text_blocklist_filter": _blocklist_sql(),
+    # identical semantics by design: the join form is checked against
+    # the SAME twin, so inline and join paths can never drift apart
+    "text_blocklist_join_filter": _blocklist_sql(),
+}

@@ -44,3 +44,26 @@ def test_blocklist_filter_matches_oracle_and_is_nondegenerate(spark, sf_dir):
         sf_dir,
         name="text_blocklist_filter",
     )
+
+
+def test_join_form_identical_to_inline_form(spark, sf_dir):
+    """Two independent implementations of the same policy — the
+    inline contains() fold and the n-gram equi-join — must agree row
+    for row on the corpus."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    inline = B.blocklist_audit(docs)
+    joined = B.blocklist_audit_join(docs, spark)
+    assert inline.exceptAll(joined).count() == 0
+    assert joined.exceptAll(inline).count() == 0
+
+
+def test_join_form_matches_oracle(spark, sf_dir):
+    df = B.q_blocklist_join_filter(spark, sf_dir)
+    assert_matches_oracle(
+        df,
+        B.ORACLES["text_blocklist_join_filter"],
+        sf_dir,
+        name="text_blocklist_join_filter",
+    )
