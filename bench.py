@@ -160,6 +160,11 @@ HEADLINE = [
     "mix_temperature_resample",
     "layout_footer_stats",
     "stream_hll_rollup_replay",
+    # round-7 (cont. 3): cross-corpus stupid-backoff scoring, the
+    # forward as-of conversion join, and the join-form blocklist.
+    "text_lm_stupid_backoff",
+    "rel_asof_forward_next_purchase",
+    "text_blocklist_join_filter",
 ]
 
 SERVE_QUERIES = [
