@@ -141,6 +141,23 @@ QUERIES = (
     "split_leakage_safe",
     "text_char_entropy",
     "se_best_passage",
+    # round-7 additions: the composed IVF-PQ search (iterative coarse
+    # + residual-PQ training is the heaviest new shape; probe cost
+    # must track n_probe/K of the index, train ~linear in vectors),
+    # intra-doc scrub (token explode + three doc-keyed windows),
+    # the relational CMS (D-way explode, state bounded at D*W cells
+    # per partition regardless of scale — watch it stay FLAT-ish per
+    # token), the forward as-of (union window), cross-corpus stupid
+    # backoff (model join grows with train vocab^2 worst case), the
+    # join-form blocklist (|grams| x broadcast list), and the
+    # distributed footer-manifest build (write + footer-only read).
+    "emb_ivfpq_topk",
+    "text_intra_doc_scrub",
+    "approx_cms_word_counts",
+    "rel_asof_forward_next_purchase",
+    "text_lm_stupid_backoff",
+    "text_blocklist_join_filter",
+    "layout_footer_stats",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
