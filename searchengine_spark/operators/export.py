@@ -110,6 +110,57 @@ def write_shards(
     }
 
 
+SHARD_BYTE_BUDGET = 4096
+
+
+def byte_budget_shards(
+    df: DataFrame,
+    id_col: str,
+    bytes_col,
+    *,
+    budget: int = SHARD_BYTE_BUDGET,
+    salt: str = "shuf",
+) -> DataFrame:
+    """(id, n_bytes, shard_id): greedy byte-budget packing in the
+    deterministic shuffled order — the webdataset/tar convention
+    where shards target a BYTE size (sequential-read granularity for
+    the loader), not a row count, because document sizes vary.
+
+    Same two-level distributed prefix sum as global_shuffle_index,
+    weighted by bytes instead of 1: per-bucket byte totals ->
+    constant-size exclusive-offset window -> broadcast back ->
+    within-bucket running sum. shard_id = cum_bytes_before // budget
+    (greedy fill: a document is assigned by its start offset, so a
+    shard may overshoot by at most one document — the standard
+    contract). Shares the 'shuf' salt with the row-count sharding so
+    both layouts agree on the global order."""
+    from pyspark.sql import Window
+
+    rows = df.withColumn("_b", hash_bucket(F.col(id_col), salt=salt))
+    totals = rows.groupBy("_b").agg(F.sum(bytes_col).alias("_n"))
+    off_win = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_win), F.lit(0))
+    ).select("_b", "_off")
+    in_win = (
+        Window.partitionBy("_b")
+        .orderBy(F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_cumb",
+            F.col("_off") + F.coalesce(F.sum(bytes_col).over(in_win), F.lit(0)),
+        )
+        .select(
+            id_col,
+            F.col(bytes_col).cast("bigint").alias("n_bytes"),
+            F.expr(f"CAST(_cumb DIV {budget} AS BIGINT)").alias("shard_id"),
+        )
+    )
+
+
 # --------------------------------------------------------------- queries
 
 
@@ -140,5 +191,45 @@ _SHARD_SQL = f"""
 """
 
 
-QUERIES = {"export_shard_assignment": q_export_shard_assignment}
-ORACLES = {"export_shard_assignment": _SHARD_SQL}
+def q_export_byte_budget_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-budget packing over documents (weight = length(text)):
+    the distributed weighted prefix sum must equal the running-sum
+    window the oracle states — a lost byte, a wrong offset, or an
+    unstable within-bucket order all shift every later shard id."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("_bytes")
+    )
+    return byte_budget_shards(docs, "doc_id", "_bytes").orderBy("doc_id")
+
+
+_BYTE_SHARD_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, length(text) AS n_bytes,
+             ('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 10000 AS b
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_bytes,
+             COALESCE(SUM(n_bytes) OVER (
+               ORDER BY b, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cumb
+      FROM h
+    )
+    SELECT doc_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(cumb // {SHARD_BYTE_BUDGET} AS BIGINT) AS shard_id
+    FROM r
+    ORDER BY doc_id
+"""
+
+
+QUERIES = {
+    "export_shard_assignment": q_export_shard_assignment,
+    "export_byte_budget_shards": q_export_byte_budget_shards,
+}
+ORACLES = {
+    "export_shard_assignment": _SHARD_SQL,
+    "export_byte_budget_shards": _BYTE_SHARD_SQL,
+}

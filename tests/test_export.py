@@ -48,3 +48,34 @@ def test_write_shards_one_file_each_and_manifest(spark, tmp_path):
         files = glob.glob(os.path.join(out, f"shard={shard}", "*.parquet"))
         assert len(files) == 1  # the shard fits one task by construction
         assert spark.read.parquet(files[0]).count() == n
+
+
+def test_byte_budget_shards_contract(spark, sf_dir):
+    """Greedy byte packing: shard byte sums stay within budget + one
+    document, shards are contiguous in the shuffled order, and the
+    assignment hash-matches the running-sum oracle."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators import export as E
+    from tests.helpers import assert_matches_oracle
+
+    df = E.q_export_byte_budget_shards(spark, sf_dir).cache()
+    budget = E.SHARD_BYTE_BUDGET
+    max_doc = df.agg(F.max("n_bytes")).collect()[0][0]
+    per_shard = df.groupBy("shard_id").agg(F.sum("n_bytes").alias("s"))
+    n_shards = per_shard.count()
+    assert n_shards > 1  # packing actually splits the corpus
+    # every shard fits budget + at most one straddling document
+    assert per_shard.filter(F.col("s") > budget + max_doc).count() == 0
+    # all but the last shard are FULL past the budget line minus one doc
+    assert (
+        per_shard.filter(F.col("s") < budget - max_doc).count() <= 1
+    )
+    assert_matches_oracle(
+        df,
+        E.ORACLES["export_byte_budget_shards"],
+        sf_dir,
+        name="export_byte_budget_shards",
+    )
+    df.unpersist()
