@@ -108,6 +108,67 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EC_SCALE = 10**6
+EC_ITERS = 3
+
+
+def eigenvector_centrality(
+    edges: DataFrame, *, iters: int = EC_ITERS, scale: int = EC_SCALE
+) -> DataFrame:
+    """(node, ec_fp): power-iteration eigenvector centrality in exact
+    scaled integers. Complements PageRank on the same graph: no
+    degree normalization and no teleport means mass concentrates in
+    DENSE subgraphs — on a near-dup graph that ranks members of tight
+    duplicate cliques above well-connected chain nodes, which is the
+    right exemplar signal when clusters vary in cohesion (PageRank's
+    r/deg split treats a clique edge and a chain edge identically).
+
+    Per round: one src-keyed join + dst-keyed sum (same shuffle shape
+    as pagerank_fixed_point), then an integer re-normalization by the
+    round's max (1-row broadcast; `x * scale // mx` truncates the
+    same in Spark `div` and DuckDB `//` on positives). Renormalizing
+    each round bounds values at scale*deg_max, so the whole loop
+    stays in bigint — no float norm anywhere, the driver hash-checks
+    the full iteration against the unrolled twin."""
+    from searchengine_spark.operators.dedup import _cut_lineage
+
+    ed = edges.persist()
+    try:
+        v = (
+            ed.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("r", F.lit(int(scale)).cast("bigint"))
+        )
+        for _ in range(iters):
+            s = (
+                ed.join(v, ed.src == v.node)
+                .groupBy("dst")
+                .agg(F.sum("r").alias("s"))
+            )
+            m = s.agg(F.max("s").alias("mx"))
+            v = s.crossJoin(F.broadcast(m)).select(
+                F.col("dst").alias("node"),
+                F.expr(f"CAST(s * {scale} DIV mx AS BIGINT)").alias("r"),
+            )
+        return _cut_lineage(v.select("node", F.col("r").alias("ec_fp")))
+    finally:
+        ed.unpersist()
+
+
+def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eigenvector centrality over the LSH near-dup candidate graph."""
+    from searchengine_spark.operators.dedup import (
+        _shingles,
+        minhash_bands,
+        neardup_candidate_pairs,
+    )
+
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    return eigenvector_centrality(symmetrize(pairs)).select(
+        F.col("node").alias("doc_id"), "ec_fp"
+    )
+
+
 def triangle_counts(pairs: DataFrame) -> DataFrame:
     """(doc_id, n_triangles) for every node in >= 1 triangle of the
     (a < b) undirected edge list.
@@ -164,6 +225,7 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dedup_pagerank_centrality": q_pagerank_centrality,
+    "dedup_eigenvector_centrality": q_eigenvector_centrality,
     "dedup_triangle_counts": q_triangle_counts,
 }
 
@@ -237,7 +299,45 @@ def _triangle_oracle() -> str:
     FROM members GROUP BY doc_id"""
 
 
+def _ec_oracle(iters: int = EC_ITERS, scale: int = EC_SCALE) -> str:
+    from searchengine_spark.operators.dedup import _BANDS_CTE
+
+    head = f"""{_BANDS_CTE},
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM bands l JOIN bands r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    v0 AS (SELECT DISTINCT src AS node, {scale}::BIGINT AS r FROM edges)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    s{i} AS (
+      SELECT e.dst AS node, CAST(SUM(p.r) AS BIGINT) AS s
+      FROM edges e JOIN v{i - 1} p ON e.src = p.node
+      GROUP BY e.dst
+    ),
+    m{i} AS (SELECT MAX(s) AS mx FROM s{i}),
+    v{i} AS (
+      SELECT node, CAST(s * {scale} // mx AS BIGINT) AS r FROM s{i}, m{i}
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS doc_id, r AS ec_fp FROM v{iters}"
+    )
+
+
 ORACLES = {
     "dedup_pagerank_centrality": _oracle(),
+    "dedup_eigenvector_centrality": _ec_oracle(),
     "dedup_triangle_counts": _triangle_oracle(),
 }

@@ -61,3 +61,35 @@ def test_triangle_counts_on_known_graph(spark):
     got = {r["doc_id"]: r["n_triangles"] for r in triangle_counts(df).collect()}
     assert got == {0: 3, 1: 3, 2: 3, 3: 3}
     assert sum(got.values()) == 4 * 3  # 4 triangles x 3 members
+
+
+def test_eigenvector_centrality_prefers_dense_clique(spark):
+    """A 4-clique's members must outrank the members of a 4-chain of
+    the same size — the signal EC adds over degree/PageRank."""
+    from searchengine_spark.operators.graph import (
+        eigenvector_centrality,
+        symmetrize,
+    )
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    chain = [(10, 11), (11, 12), (12, 13)]
+    pairs = spark.createDataFrame(
+        clique + chain, ["doc_a", "doc_b"]
+    )
+    got = {
+        r["node"]: r["ec_fp"]
+        for r in eigenvector_centrality(symmetrize(pairs)).collect()
+    }
+    assert min(got[n] for n in range(4)) > max(got[n] for n in (10, 11, 12, 13))
+
+
+def test_eigenvector_centrality_matches_oracle(spark, sf_dir):
+    from searchengine_spark.operators import graph as G
+    from tests.helpers import assert_matches_oracle
+
+    assert_matches_oracle(
+        G.q_eigenvector_centrality(spark, sf_dir),
+        G.ORACLES["dedup_eigenvector_centrality"],
+        sf_dir,
+        name="dedup_eigenvector_centrality",
+    )
