@@ -165,6 +165,8 @@ HEADLINE = [
     "text_lm_stupid_backoff",
     "rel_asof_forward_next_purchase",
     "text_blocklist_join_filter",
+    "export_byte_budget_shards",
+    "dedup_eigenvector_centrality",
 ]
 
 SERVE_QUERIES = [

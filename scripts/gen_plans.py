@@ -67,6 +67,8 @@ PICKS = [
     ("mix_temperature_resample", "|groups|-row derived-rate table broadcast back onto the scan; corpus never shuffles, filter in whole-stage codegen"),
     ("text_lm_stupid_backoff", "model = raw count tables (no renormalization); scoring = two left joins on (v,w)/w + one doc-keyed agg — the shape stupid backoff was invented for"),
     ("rel_asof_forward_next_purchase", "forward as-of via the single-shuffle union-and-carry window (left-first tie order, first-following lookup); no range-join blowup"),
+    ("export_byte_budget_shards", "weighted distributed prefix sum: bucket byte totals -> constant-size offsets window -> broadcast back; no table-scale sort"),
+    ("dedup_eigenvector_centrality", "per round: one src-keyed join + dst-keyed sum + 1-row max broadcast renormalization — all integer, lineage cut after the loop"),
     ("se_postings_varint_compression", "delta-gap + varint cost as per-row array folds over cached postings — map-only, zero new Exchange"),
     ("dedup_record_linkage_pairs", "two-pass affix blocking: equi-joins on 6-char block keys + integer levenshtein verify — pigeonhole-exact, no cartesian"),
     ("dedup_containment_pairs", "asymmetric prefix filter: A-prefix x B-full-postings equi-join, integer-exact containment verify"),
