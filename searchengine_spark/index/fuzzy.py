@@ -185,7 +185,37 @@ def q_fuzzy_term_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_term_matches(vocab, FUZZY_QUERY_TERMS)
 
 
-QUERIES = {"se_fuzzy_term_match": q_fuzzy_term_match}
+# Pre-tokenized typo'd query batch for the end-to-end corrected
+# search: every term is either an exact vocabulary hit, a one-edit
+# typo of one (correcting per the min-dist/max-df/lexicographic
+# rule), or unreachable (dropped from the query).
+CORRECTED_BATCH: dict[str, list[str]] = {
+    "q_typo_join": ["joim", "windoe"],
+    "q_typo_table": ["fastt", "tabel"],
+    "q_mixed": ["spark", "qqqqq"],
+}
+CORRECTED_K = 10
+
+
+def q_search_corrected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Did-you-mean end to end: the typo'd batch is corrected via ONE
+    SymSpell variant join, then the corrected batch is BM25-scored in
+    one pass — driver-checked against a twin that restates BOTH the
+    correction rule and the scoring, so a wrong correction surfaces
+    as a ranking mismatch, not just a term diff."""
+    from searchengine_spark.index.queries import _index
+
+    idx = _index(spark, sf_dir)
+    results, _corrections = search_many_corrected(
+        idx, dict(CORRECTED_BATCH), k=CORRECTED_K, round_scores=6
+    )
+    return results
+
+
+QUERIES = {
+    "se_fuzzy_term_match": q_fuzzy_term_match,
+    "se_search_corrected": q_search_corrected,
+}
 
 
 def _oracle() -> str:
@@ -206,4 +236,57 @@ def _oracle() -> str:
     """
 
 
-ORACLES = {"se_fuzzy_term_match": _oracle()}
+def _corrected_oracle() -> str:
+    from searchengine_spark.index.queries import _INDEX_CTES, B, K1
+
+    typo_vals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, terms in CORRECTED_BATCH.items()
+        for t in terms
+    )
+    return f"""{_INDEX_CTES},
+    typos(query_id, term) AS (SELECT * FROM (VALUES {typo_vals})),
+    cand AS (
+      SELECT t.query_id, t.term, v.word,
+             levenshtein(t.term, v.word) AS dist, v.doc_freq
+      FROM typos t CROSS JOIN idf v
+      WHERE levenshtein(t.term, v.word) <= {MAX_DIST}
+    ),
+    qterms AS (
+      SELECT query_id, word FROM (
+        SELECT query_id, term, word,
+               ROW_NUMBER() OVER (
+                 PARTITION BY query_id, term
+                 ORDER BY dist, doc_freq DESC, word
+               ) AS rk
+        FROM cand
+      ) WHERE rk = 1
+    ),
+    scored AS (
+      SELECT q.query_id, tf.doc_id,
+             idf.idf * (tf.term_freq * {K1 + 1.0}) /
+               (tf.term_freq + {K1} * (1.0 - {B} + {B} * dl.doc_length /
+                 (SELECT avgdl FROM params))) AS term_score
+      FROM tf
+      JOIN qterms q ON tf.word = q.word
+      JOIN idf ON tf.word = idf.word
+      JOIN dl ON tf.doc_id = dl.doc_id
+    ),
+    totals AS (
+      SELECT query_id, doc_id, round(sum(term_score), 6) AS total_score
+      FROM scored GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, total_score, rnk FROM (
+      SELECT query_id, doc_id, total_score,
+             ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY total_score DESC, doc_id ASC
+             ) AS rnk
+      FROM totals
+    ) WHERE rnk <= {CORRECTED_K}
+    """
+
+
+ORACLES = {
+    "se_fuzzy_term_match": _oracle(),
+    "se_search_corrected": _corrected_oracle(),
+}

@@ -125,3 +125,36 @@ def test_search_many_corrected_equals_clean_batch(spark, sf_dir):
     want = search_many(idx, clean, k=5)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     assert corrections == {"sparkk": "spark", "joim": "join", "windoe": "window"}
+
+
+def test_search_corrected_end_to_end(spark, sf_dir):
+    """Typos correct then rank: corrected results equal searching the
+    intended clean terms directly; oracle restates correction+scoring."""
+    from searchengine_spark.index import fuzzy as FZ
+    from searchengine_spark.index.bm25 import search_many
+    from searchengine_spark.index.queries import _index
+    from tests.helpers import assert_matches_oracle
+
+    df = FZ.q_search_corrected(spark, sf_dir).cache()
+    idx = _index(spark, sf_dir)
+    clean = search_many(
+        idx,
+        {
+            "q_typo_join": ["join", "window"],
+            # "tabel" is 2 edits from "table" (transposition) and
+            # nothing in vocab is within 1 — it drops entirely
+            "q_typo_table": ["fast"],
+            "q_mixed": ["spark"],
+        },
+        k=FZ.CORRECTED_K,
+        round_scores=6,
+    )
+    assert df.exceptAll(clean).count() == 0
+    assert clean.exceptAll(df).count() == 0
+    assert_matches_oracle(
+        df,
+        FZ.ORACLES["se_search_corrected"],
+        sf_dir,
+        name="se_search_corrected",
+    )
+    df.unpersist()
