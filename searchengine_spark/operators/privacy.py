@@ -113,6 +113,53 @@ def q_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EM_EPS_SCALE = 8.0  # 2*sensitivity/eps for the Gumbel-trick scores
+EM_K = 5
+
+
+def q_dp_exponential_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential-mechanism top-k selection (via the Gumbel trick:
+    adding independent Gumbel(2/eps) noise to utilities and taking
+    the arg-top-k is EXACTLY one exponential-mechanism draw per slot,
+    Durfee & Rogers 2019): release WHICH k nations have the most
+    customers without releasing exact counts. Same derandomized-noise
+    convention as q_dp_noisy_counts — the per-key md5 uniform stands
+    in for the RNG so the release is reproducible and the twin checks
+    the full selection, ranking included. Gumbel = -b*ln(-ln(u));
+    scores round to 6 BEFORE ranking so the k-cutoff is reproducible
+    across engines. The released frame carries the noisy score, never
+    the true count."""
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("em"), F.col("c_nationkey").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_HASH_BITS))
+    gumbel = -F.lit(EM_EPS_SCALE) * F.log(-F.log(u))
+    from pyspark.sql import Window
+
+    noisy = counts.select(
+        "c_nationkey", F.round(F.col("n") + gumbel, 6).alias("noisy_score")
+    )
+    w = Window.orderBy(F.desc("noisy_score"), F.asc("c_nationkey"))
+    return (
+        noisy.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= EM_K)
+        .select("rnk", "c_nationkey", "noisy_score")
+        .orderBy("rnk")
+    )
+
+
 _AUDIT_SQL = f"""
 SELECT c_nationkey, c_mktsegment,
        count(*)::BIGINT AS group_n,
@@ -160,13 +207,40 @@ SELECT c_nationkey,
 FROM seeded
 """
 
+_EM_SQL = f"""
+WITH counts AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n FROM customer GROUP BY c_nationkey
+),
+seeded AS (
+  SELECT c_nationkey, n,
+         (CAST(('0x' || substr(md5('em' || CAST(c_nationkey AS VARCHAR)), 1, 13))
+               AS BIGINT) + 0.5) / {float(2 ** _HASH_BITS)!r} AS u
+  FROM counts
+),
+noisy AS (
+  SELECT c_nationkey,
+         round(n + (-{EM_EPS_SCALE!r}) * ln(-ln(u)), 6) AS noisy_score
+  FROM seeded
+)
+SELECT rnk, c_nationkey, noisy_score FROM (
+  SELECT c_nationkey, noisy_score,
+         ROW_NUMBER() OVER (
+           ORDER BY noisy_score DESC, c_nationkey ASC
+         ) AS rnk
+  FROM noisy
+) WHERE rnk <= {EM_K}
+ORDER BY rnk
+"""
+
 QUERIES = {
     "privacy_k_anonymity_audit": q_k_anonymity_audit,
     "privacy_k_anonymize_generalize": q_k_anonymize_generalize,
     "privacy_dp_noisy_counts": q_dp_noisy_counts,
+    "privacy_dp_exponential_topk": q_dp_exponential_topk,
 }
 ORACLES = {
     "privacy_k_anonymity_audit": _AUDIT_SQL,
     "privacy_k_anonymize_generalize": _GENERALIZE_SQL,
     "privacy_dp_noisy_counts": _DP_SQL,
+    "privacy_dp_exponential_topk": _EM_SQL,
 }

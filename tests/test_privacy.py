@@ -37,3 +37,23 @@ def test_generalization_conserves_rows_and_raises_k(spark, sf_dir):
             # surviving named groups were already k-anonymous
             assert before[(r["c_nationkey"], r["segment_gen"])] >= K_ANON
         assert r["published"] == int(r["group_n"] >= K_ANON)
+
+
+def test_dp_exponential_topk_matches_oracle(spark, sf_dir):
+    """Gumbel-trick exponential mechanism: k rows released, ranking
+    deterministic under the seeded noise, no raw counts in the frame."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import privacy as P
+    from tests.helpers import assert_matches_oracle
+
+    df = P.q_dp_exponential_topk(spark, sf_dir)
+    rows = df.collect()
+    assert [r["rnk"] for r in rows] == list(range(1, P.EM_K + 1))
+    assert "n" not in df.columns  # the release never carries truth
+    assert_matches_oracle(
+        df,
+        P.ORACLES["privacy_dp_exponential_topk"],
+        sf_dir,
+        name="privacy_dp_exponential_topk",
+    )
