@@ -689,6 +689,46 @@ def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(None, pairs, shingles=sh)
 
 
+def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: for every LSH candidate pair, the
+    number of agreeing MinHash signature slots (whose expectation
+    over the hash family is NUM_HASHES * Jaccard) next to the EXACT
+    shingle Jaccard. Both columns are deterministic integer/md5
+    arithmetic, so the audit hash-checks exactly — this is the QA
+    frame that catches a broken hash family, a signature computed
+    over the wrong shingle set, or a banding bug inflating agreement,
+    none of which the recall audit alone can localize. Cost: the
+    candidate set joined twice against vocabulary-bounded per-doc
+    frames — verification-stage sized, never corpus x corpus."""
+    sh = _shingles(spark, sf_dir)
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    sigs = sh.select(
+        "doc_id", shingle_hashes(F.col("shingles")).alias("hashes")
+    ).select(
+        "doc_id",
+        F.array(*minhash_signature_cols(F.col("hashes"))).alias("sig"),
+    )
+    matched = (
+        jaccard_pairs(None, pairs, shingles=sh)
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+    )
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return matched.select(
+        "doc_a", "doc_b", agree.alias("n_sig_match"), "jaccard"
+    ).orderBy("doc_a", "doc_b")
+
+
 INCR_NEW_FRACTION = 0.10
 
 
@@ -764,6 +804,13 @@ bands AS (
 
 _BANDS_CTE = _bands_sql()
 
+_SIG_MATCH_TERMS = " + ".join(
+    f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
+    for i in range(NUM_HASHES)
+)
+
+
+
 def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cached span table per (session, sf_dir): detection feeds both
     # the span query and the removal query (same policy as the index /
@@ -813,6 +860,7 @@ QUERIES = {
     "dedup_neardup_pairs_capped": q_neardup_pairs_capped,
     "dedup_hot_buckets": q_hot_buckets,
     "dedup_neardup_jaccard": q_neardup_jaccard,
+    "dedup_minhash_accuracy": q_minhash_accuracy,
     "dedup_duplicate_clusters": q_duplicate_clusters,
     "dedup_incremental_pairs": q_incremental_neardup,
     "dedup_cross_doc_spans": q_cross_doc_spans,
@@ -974,6 +1022,27 @@ ORACLES = {
         SELECT band, band_hash, CAST(COUNT(*) AS BIGINT) AS n_docs
         FROM bands GROUP BY band, band_hash
         HAVING COUNT(*) > {CAP_MAX_BUCKET}
+    """,
+    "dedup_minhash_accuracy": f"""{_BANDS_CTE},
+        pairs AS (
+          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+          FROM bands l JOIN bands r
+            ON l.band = r.band AND l.band_hash = r.band_hash
+           AND l.doc_id < r.doc_id
+        ),
+        shsets AS (
+          SELECT doc_id, list_distinct(shingles) AS shset FROM sh
+        )
+        SELECT p.doc_a, p.doc_b,
+               CAST({_SIG_MATCH_TERMS} AS BIGINT) AS n_sig_match,
+               round(len(list_intersect(x.shset, y.shset))
+                     / len(list_distinct(list_concat(x.shset, y.shset))), 6) AS jaccard
+        FROM pairs p
+        JOIN sig a ON a.doc_id = p.doc_a
+        JOIN sig b ON b.doc_id = p.doc_b
+        JOIN shsets x ON x.doc_id = p.doc_a
+        JOIN shsets y ON y.doc_id = p.doc_b
+        ORDER BY doc_a, doc_b
     """,
     "dedup_neardup_jaccard": f"""{_BANDS_CTE},
         pairs AS (

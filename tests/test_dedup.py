@@ -529,3 +529,32 @@ class TestHotBucketCap:
         got = {(p.doc_a, p.doc_b) for p in neardup_candidate_pairs(bands).collect()}
         boiler = [(a, b) for a, b in got if a >= 100_000 and b >= 100_000]
         assert len(boiler) == 10 * 9 // 2  # all pairs of the 10 copies
+
+
+def test_minhash_accuracy_audit(spark, sf_dir):
+    """Per candidate pair: signature agreement tracks exact Jaccard
+    (bucket-mates agree on most slots), and the frame hash-matches."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import dedup as D
+    from tests.helpers import assert_matches_oracle
+
+    df = D.q_minhash_accuracy(spark, sf_dir).cache()
+    rows = df.collect()
+    assert rows, "banding produced no candidate pairs"
+    assert all(0 <= r["n_sig_match"] <= D.NUM_HASHES for r in rows)
+    # LSH candidates share >= 1 full band by construction
+    assert all(r["n_sig_match"] >= D.BAND_SIZE for r in rows)
+    # the estimator tracks truth in aggregate: mean |est - jaccard|
+    # stays under 2 sigma of a NUM_HASHES-sample mean
+    err = df.agg(
+        F.avg(F.abs(F.col("n_sig_match") / D.NUM_HASHES - F.col("jaccard")))
+    ).collect()[0][0]
+    assert err < 0.25
+    assert_matches_oracle(
+        df,
+        D.ORACLES["dedup_minhash_accuracy"],
+        sf_dir,
+        name="dedup_minhash_accuracy",
+    )
+    df.unpersist()
