@@ -167,6 +167,9 @@ HEADLINE = [
     "text_blocklist_join_filter",
     "export_byte_budget_shards",
     "dedup_eigenvector_centrality",
+    "se_search_corrected",
+    "privacy_dp_exponential_topk",
+    "dedup_minhash_accuracy",
 ]
 
 SERVE_QUERIES = [
