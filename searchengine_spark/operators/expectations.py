@@ -73,10 +73,55 @@ def run_checks(df: DataFrame, checks: list[Check]) -> DataFrame:
     )
 
 
+def ts_in_range(col_secs: Column, name: str, lo_s: int, hi_s: int) -> Check:
+    """Event-time freshness/sanity: count of rows whose epoch-seconds
+    fall outside [lo_s, hi_s) — the temporal contract a windowed
+    pipeline assumes (a 1970 default or a far-future clock skew lands
+    here, not silently in some watermark's discard pile). Takes the
+    PRE-BUILT seconds column so callers route through the
+    flavor-agnostic event_time helpers."""
+    m = F.sum(
+        F.when((col_secs < lo_s) | (col_secs >= hi_s), 1).otherwise(0)
+    )
+    return Check(name, m, F.col(f"m_{name}") == 0.0)
+
+
 # --------------------------------------------------------------- queries
 
 ORDER_STATUSES = ["O", "F", "P"]
 MIN_ORDER_ROWS = 100
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+EVENTS_TS_LO = 1704067200  # 2024-01-01T00:00:00Z
+EVENTS_TS_HI = 1706745600  # 2024-02-01T00:00:00Z
+MIN_EVENT_ROWS = 500
+
+
+def q_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The contract the streaming topologies assume of `events`:
+    unique non-null event ids, closed type enum, non-negative value,
+    and — the check the orders suite has no analog for — event time
+    confined to the expected month, via the flavor-agnostic epoch
+    seconds (a nanos/NTZ drift or an epoch-default ts trips it
+    before a watermark silently eats the rows)."""
+    from searchengine_spark.event_time import event_time_seconds
+
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("_ts_s", event_time_seconds(ev, "ts"))
+    return run_checks(
+        ev,
+        [
+            completeness("event_id"),
+            uniqueness("event_id"),
+            completeness("user_id"),
+            in_set("event_type", EVENT_TYPES),
+            non_negative("value"),
+            ts_in_range(
+                F.col("_ts_s"), "ts_in_month", EVENTS_TS_LO, EVENTS_TS_HI
+            ),
+            min_rows(MIN_EVENT_ROWS),
+        ],
+    )
 
 
 def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,6 +183,7 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "dq_orders_expectations": q_orders_expectations,
+    "dq_events_expectations": q_events_expectations,
     "dq_referential_integrity": q_referential_integrity,
 }
 
@@ -163,7 +209,40 @@ SELECT (SELECT count(*) FROM orders)::BIGINT AS n_orders,
             THEN 1 ELSE 0 END AS fk_intact
 """
 
+_TYPES_SQL = ", ".join(f"'{t}'" for t in EVENT_TYPES)
+
+_EVENTS_DQ_SQL = f"""
+    WITH m AS (
+      SELECT
+        AVG(CASE WHEN event_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_id,
+        COUNT(DISTINCT event_id)::DOUBLE / COUNT(*) AS u_id,
+        AVG(CASE WHEN user_id IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_user,
+        CAST(SUM(CASE WHEN event_type IN ({_TYPES_SQL})
+                      OR event_type IS NULL THEN 0 ELSE 1 END) AS DOUBLE) AS bad_type,
+        CAST(SUM(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS DOUBLE) AS neg_value,
+        CAST(SUM(CASE WHEN epoch_us(ts) // 1000000 < {EVENTS_TS_LO}
+                      OR epoch_us(ts) // 1000000 >= {EVENTS_TS_HI}
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS ts_out,
+        CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM events
+    )
+    SELECT 'completeness_event_id' AS constraint, round(c_id, 6) AS metric, c_id >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'uniqueness_event_id', round(u_id, 6), u_id >= 1.0 FROM m
+    UNION ALL
+    SELECT 'completeness_user_id', round(c_user, 6), c_user >= 1.0 FROM m
+    UNION ALL
+    SELECT 'in_set_event_type', round(bad_type, 6), bad_type = 0.0 FROM m
+    UNION ALL
+    SELECT 'non_negative_value', round(neg_value, 6), neg_value = 0.0 FROM m
+    UNION ALL
+    SELECT 'ts_in_month', round(ts_out, 6), ts_out = 0.0 FROM m
+    UNION ALL
+    SELECT 'min_rows', round(n_rows, 6), n_rows >= {MIN_EVENT_ROWS}.0 FROM m
+"""
+
 ORACLES = {
+    "dq_events_expectations": _EVENTS_DQ_SQL,
     "dq_referential_integrity": _REF_INTEGRITY_SQL,
     "dq_orders_expectations": f"""
         WITH m AS (

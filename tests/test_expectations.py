@@ -57,3 +57,41 @@ def test_single_aggregation_job(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # one aggregation pass: no join, no extra scan beyond the input
     assert plan.count("Scan ") <= 1 and "Join" not in plan
+
+
+def test_events_expectations_all_pass_and_match_oracle(spark, sf_dir):
+    """Temporal DQ on the streaming-source table: every constraint
+    (incl. the event-time month bound) passes on clean testdata, and
+    the verdict frame hash-matches."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import expectations as X
+    from tests.helpers import assert_matches_oracle
+
+    df = X.q_events_expectations(spark, sf_dir).cache()
+    assert df.count() == 7
+    assert df.filter(~F.col("passed")).count() == 0
+    assert_matches_oracle(
+        df,
+        X.ORACLES["dq_events_expectations"],
+        sf_dir,
+        name="dq_events_expectations",
+    )
+    df.unpersist()
+
+
+def test_ts_in_range_catches_epoch_default(spark):
+    """A 1970 epoch-default timestamp must trip the temporal check."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators import expectations as X
+
+    df = spark.createDataFrame(
+        [(1, 1704100000), (2, 0)], ["event_id", "secs"]
+    )
+    out = X.run_checks(
+        df,
+        [X.ts_in_range(F.col("secs"), "ts_in_month",
+                       X.EVENTS_TS_LO, X.EVENTS_TS_HI)],
+    ).collect()[0]
+    assert out["metric"] == 1.0 and not out["passed"]
