@@ -124,6 +124,67 @@ def q_events_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMB_DIM_EXPECTED = 64
+EMB_NORM_LO, EMB_NORM_HI = 0.99, 1.01  # squared-norm band for unit vectors
+MIN_EMB_ROWS = 100
+
+
+def q_embeddings_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-quality DQ — the broken-encoder contract: a crashed or
+    truncated embedding job shows up as nulls, wrong dimensionality,
+    NaN elements, or zero/denormalized vectors, and every ANN
+    structure downstream (LSH, IVF, PQ) silently degrades instead of
+    failing. One pass over array-typed columns: each constraint's
+    metric is a VIOLATION COUNT (exact integers cross-engine; the
+    norm band is only ever compared, never emitted, and real vectors
+    sit ~1e-7 from 1.0 — nowhere near the 0.99/1.01 boundaries, so
+    float ulp cannot flip a count)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm_sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    has_nan = F.exists("embedding", lambda x: F.isnan(x))
+    ev = emb.select(
+        "vec_id",
+        "embedding",
+        norm_sq.alias("_nsq"),
+        has_nan.alias("_nan"),
+    )
+    checks = [
+        completeness("embedding"),
+        Check(
+            "dim_is_expected",
+            F.sum(
+                F.when(
+                    F.size("embedding") != EMB_DIM_EXPECTED, 1
+                ).otherwise(0)
+            ),
+            F.col("m_dim_is_expected") == 0.0,
+        ),
+        Check(
+            "no_nan_elements",
+            F.sum(F.when(F.col("_nan"), 1).otherwise(0)),
+            F.col("m_no_nan_elements") == 0.0,
+        ),
+        Check(
+            "unit_norm_band",
+            F.sum(
+                F.when(
+                    (F.col("_nsq") < EMB_NORM_LO)
+                    | (F.col("_nsq") > EMB_NORM_HI),
+                    1,
+                ).otherwise(0)
+            ),
+            F.col("m_unit_norm_band") == 0.0,
+        ),
+        uniqueness("vec_id"),
+        min_rows(MIN_EMB_ROWS),
+    ]
+    return run_checks(ev, checks)
+
+
 def q_orders_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The contract a downstream join pipeline assumes of `orders`:
     unique non-null key, non-negative money, closed status enum,
@@ -184,6 +245,7 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "dq_orders_expectations": q_orders_expectations,
     "dq_events_expectations": q_events_expectations,
+    "dq_embeddings_expectations": q_embeddings_expectations,
     "dq_referential_integrity": q_referential_integrity,
 }
 
@@ -241,8 +303,38 @@ _EVENTS_DQ_SQL = f"""
     SELECT 'min_rows', round(n_rows, 6), n_rows >= {MIN_EVENT_ROWS}.0 FROM m
 """
 
+_EMB_DQ_SQL = f"""
+    WITH m AS (
+      SELECT
+        AVG(CASE WHEN embedding IS NOT NULL THEN 1.0 ELSE 0.0 END) AS c_emb,
+        CAST(SUM(CASE WHEN len(embedding) <> {EMB_DIM_EXPECTED} THEN 1 ELSE 0 END) AS DOUBLE) AS bad_dim,
+        CAST(SUM(CASE WHEN len(list_filter(embedding, x -> isnan(x))) > 0
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS nan_rows,
+        CAST(SUM(CASE WHEN list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * x), 'sum') < {EMB_NORM_LO}
+                      OR list_aggregate(list_transform(embedding,
+                           x -> CAST(x AS DOUBLE) * x), 'sum') > {EMB_NORM_HI}
+                      THEN 1 ELSE 0 END) AS DOUBLE) AS bad_norm,
+        COUNT(DISTINCT vec_id)::DOUBLE / COUNT(*) AS u_id,
+        CAST(COUNT(*) AS DOUBLE) AS n_rows
+      FROM embeddings
+    )
+    SELECT 'completeness_embedding' AS constraint, round(c_emb, 6) AS metric, c_emb >= 1.0 AS passed FROM m
+    UNION ALL
+    SELECT 'dim_is_expected', round(bad_dim, 6), bad_dim = 0.0 FROM m
+    UNION ALL
+    SELECT 'no_nan_elements', round(nan_rows, 6), nan_rows = 0.0 FROM m
+    UNION ALL
+    SELECT 'unit_norm_band', round(bad_norm, 6), bad_norm = 0.0 FROM m
+    UNION ALL
+    SELECT 'uniqueness_vec_id', round(u_id, 6), u_id >= 1.0 FROM m
+    UNION ALL
+    SELECT 'min_rows', round(n_rows, 6), n_rows >= {MIN_EMB_ROWS}.0 FROM m
+"""
+
 ORACLES = {
     "dq_events_expectations": _EVENTS_DQ_SQL,
+    "dq_embeddings_expectations": _EMB_DQ_SQL,
     "dq_referential_integrity": _REF_INTEGRITY_SQL,
     "dq_orders_expectations": f"""
         WITH m AS (
