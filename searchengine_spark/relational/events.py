@@ -508,7 +508,31 @@ SELECT count(*)::BIGINT AS n_converted,
 FROM lat
 """
 
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day — the product-analytics ratio that
+    rolling-7d actives doesn't give (MAU is one global distinct, not
+    a per-day window). Two keyed aggregates: per-day distinct users
+    (uniform day keys) and one corpus-wide distinct broadcast back as
+    a 1-row frame; the ratio rounds to 6 on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    dau = ev.groupBy(
+        F.date_trunc("day", F.col("ts")).alias("day_start")
+    ).agg(F.countDistinct("user_id").alias("dau"))
+    mau = ev.agg(F.countDistinct("user_id").alias("mau"))
+    return (
+        dau.crossJoin(F.broadcast(mau))
+        .select(
+            "day_start",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day_start")
+    )
+
+
 QUERIES = {
+    "events_stickiness": q_events_stickiness,
     "events_transitions": q_events_transitions,
     "events_funnel_latency_quantiles": q_events_funnel_latency_quantiles,
     "events_anomaly_zscore": q_events_anomaly_zscore,
@@ -528,7 +552,21 @@ QUERIES = {
     "events_type_stats": q_events_type_stats,
 }
 
+_STICKINESS_SQL = """
+    WITH dau AS (
+      SELECT date_trunc('day', ts) AS day_start,
+             count(DISTINCT user_id)::BIGINT AS dau
+      FROM events GROUP BY 1
+    ),
+    mau AS (SELECT count(DISTINCT user_id)::BIGINT AS mau FROM events)
+    SELECT day_start, dau, mau.mau,
+           round(dau * 1.0 / mau.mau, 6) AS stickiness
+    FROM dau, mau
+    ORDER BY day_start
+"""
+
 ORACLES = {
+    "events_stickiness": _STICKINESS_SQL,
     "events_funnel_latency_quantiles": _FUNNEL_LATENCY_SQL,
     "events_transitions": """
         WITH seq AS (

@@ -70,3 +70,24 @@ def test_first_touch_one_row_per_user_day(spark, sf_dir):
         .count()
     )
     assert n_user_days == expect
+
+
+def test_events_stickiness_matches_oracle(spark, sf_dir):
+    """DAU/MAU per day: full month of days, ratio in (0, 1]."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.relational import events as EV
+    from tests.helpers import assert_matches_oracle
+
+    df = EV.q_events_stickiness(spark, sf_dir).cache()
+    rows = df.collect()
+    assert len(rows) >= 28  # the events span a month of days
+    assert all(0 < r["stickiness"] <= 1.0 for r in rows)
+    assert all(r["dau"] <= r["mau"] for r in rows)
+    assert_matches_oracle(
+        df,
+        EV.ORACLES["events_stickiness"],
+        sf_dir,
+        name="events_stickiness",
+    )
+    df.unpersist()
