@@ -531,8 +531,37 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activity heatmap by (weekday, hour) — the load-profile table
+    behind capacity planning and anomaly baselines. Day-of-week comes
+    from pure epoch-integer arithmetic ((days+3) % 7, 0 = Monday)
+    instead of engine calendar functions, because Spark's dayofweek
+    (1=Sunday) and DuckDB's dayofweek (0=Sunday) disagree — the
+    integer form is identical everywhere and stays in whole-stage
+    codegen. One keyed agg over a bounded 7x24 key space."""
+    ev = load_table(spark, sf_dir, "events")
+    secs = event_time_seconds(ev, "ts")
+    days = exact_floor_div(secs, 86400)
+    return (
+        ev.select(
+            ((days + 3) % 7).alias("dow"),
+            exact_floor_div(secs % 86400, 3600).alias("hour"),
+            "value",
+        )
+        .groupBy("dow", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(28,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("dow", "hour")
+    )
+
+
 QUERIES = {
     "events_stickiness": q_events_stickiness,
+    "events_weekday_hour_heatmap": q_events_weekday_hour_heatmap,
     "events_transitions": q_events_transitions,
     "events_funnel_latency_quantiles": q_events_funnel_latency_quantiles,
     "events_anomaly_zscore": q_events_anomaly_zscore,
@@ -565,8 +594,19 @@ _STICKINESS_SQL = """
     ORDER BY day_start
 """
 
+_HEATMAP_SQL = """
+    SELECT ((epoch_us(ts) // 1000000) // 86400 + 3) % 7 AS dow,
+           ((epoch_us(ts) // 1000000) % 86400) // 3600 AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY dow, hour
+"""
+
 ORACLES = {
     "events_stickiness": _STICKINESS_SQL,
+    "events_weekday_hour_heatmap": _HEATMAP_SQL,
     "events_funnel_latency_quantiles": _FUNNEL_LATENCY_SQL,
     "events_transitions": """
         WITH seq AS (

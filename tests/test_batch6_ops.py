@@ -91,3 +91,26 @@ def test_events_stickiness_matches_oracle(spark, sf_dir):
         name="events_stickiness",
     )
     df.unpersist()
+
+
+def test_weekday_hour_heatmap_matches_oracle(spark, sf_dir):
+    """7x24 load profile with engine-independent integer dow."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.relational import events as EV
+    from tests.helpers import assert_matches_oracle
+
+    df = EV.q_events_weekday_hour_heatmap(spark, sf_dir).cache()
+    agg = df.agg(
+        F.min("dow"), F.max("dow"), F.min("hour"), F.max("hour"),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    assert (agg[0], agg[1]) == (0, 6) and (agg[2], agg[3]) == (0, 23)
+    assert agg[4] >= 160  # ~all of the 168 cells populated
+    assert_matches_oracle(
+        df,
+        EV.ORACLES["events_weekday_hour_heatmap"],
+        sf_dir,
+        name="events_weekday_hour_heatmap",
+    )
+    df.unpersist()
