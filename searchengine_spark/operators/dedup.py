@@ -198,8 +198,22 @@ def minhash_bands(
     ).select("doc_id", F.col("bb.band").alias("band"), F.col("bb.band_hash").alias("band_hash"))
 
 
+# Production default for the hot-bucket guard, shared by every
+# registry entry point that enumerates candidate pairs (the standalone
+# dedup queries, the centrality/triangle graph family, and — via
+# pipeline.CURATE_MAX_BUCKET / lsh_eval.AUDIT_MAX_BUCKET — the curate
+# chain and the recall audit). 64 keeps recall on real near-dup groups
+# (which are small once exact dedup ran upstream) while bounding the
+# per-bucket pair output at 64^2/2; anything bigger is templated
+# boilerplate that needs a policy, not pair enumeration. Uncapped is
+# OPT-IN (max_bucket=None), never a default — the round-7 verdict's
+# O(B^3) triangle hazard was exactly an uncapped default reaching the
+# graph queries.
+DEFAULT_MAX_BUCKET = 64
+
+
 def neardup_candidate_pairs(
-    bands: DataFrame, *, max_bucket: int | None = None
+    bands: DataFrame, *, max_bucket: int | None = DEFAULT_MAX_BUCKET
 ) -> DataFrame:
     """Self-join on (band, band_hash): the LSH candidate generation.
 
@@ -221,7 +235,10 @@ def neardup_candidate_pairs(
     groups is untouched: a true near-dup pair of docs that are not
     boilerplate shares SOME bucket of size <= max_bucket with high
     probability, and exact dedup upstream has already collapsed
-    byte-identical copies. Default None = uncapped (the oracle path).
+    byte-identical copies. The default is CAPPED at DEFAULT_MAX_BUCKET
+    (the production shape; every oracle mirrors the cap with a
+    sized/keepb CTE so parity holds on any corpus); pass
+    ``max_bucket=None`` explicitly for the uncapped research path.
 
     The bucket-size count reuses the join's own hash partitioning:
     the window count and the self-join key the same (band, band_hash)
@@ -296,7 +313,11 @@ def jaccard_pairs(
 
 
 def incremental_neardup_pairs(
-    new_docs: DataFrame, existing_bands: DataFrame, *, text_col: str = "text"
+    new_docs: DataFrame,
+    existing_bands: DataFrame,
+    *,
+    text_col: str = "text",
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
 ) -> DataFrame:
     """Near-dup pairs between a NEW batch and an EXISTING corpus,
     without re-banding the corpus: band only the new docs and
@@ -308,11 +329,27 @@ def incremental_neardup_pairs(
     Pairs within the new batch itself are also caught (the new bands
     participate on both sides). Output: (doc_a < doc_b) distinct, with
     doc_a/doc_b ordering independent of which side is 'new'.
+
+    ``max_bucket`` applies the same hot-bucket guard as the batch path,
+    measured on the COMBINED bucket size (batch + corpus) — exactly the
+    size the bootstrap self-join would have seen, so a boilerplate
+    bucket that is hot in aggregate is excluded even when each
+    increment alone is small. One extra keyed aggregate over the union;
+    the join keys are unchanged.
     """
     # cache: new_bands feeds BOTH join inputs below; uncached, the
     # tokenize->shingle->MinHash pipeline for the batch would run twice.
     new_bands = minhash_bands(new_docs, text_col=text_col).cache()
     all_bands = existing_bands.unionByName(new_bands)
+    if max_bucket is not None:
+        keep = (
+            all_bands.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bsz"))
+            .filter(F.col("_bsz") <= F.lit(max_bucket))
+            .select("band", "band_hash")
+        )
+        all_bands = all_bands.join(keep, ["band", "band_hash"], "left_semi")
+        new_bands = new_bands.join(keep, ["band", "band_hash"], "left_semi")
     new_only = new_bands.select(
         F.col("doc_id").alias("n_id"), "band", "band_hash"
     )
@@ -804,6 +841,28 @@ bands AS (
 
 _BANDS_CTE = _bands_sql()
 
+# DuckDB mirror of the DEFAULT_MAX_BUCKET hot-bucket guard — appended
+# directly after _BANDS_CTE by every oracle whose Spark twin calls
+# neardup_candidate_pairs with the capped default. Same sized/keepb CTE
+# shape the round-7 curate oracles proved (pipeline.py): parity holds
+# on ANY corpus, including one where the cap binds, not just the test
+# SFs whose buckets happen to stay under it.
+_CAPPED_CAND_CTE = f""",
+    sized AS (
+      SELECT doc_id, band, band_hash,
+             COUNT(*) OVER (PARTITION BY band, band_hash) AS bsz
+      FROM bands
+    ),
+    keepb AS (
+      SELECT doc_id, band, band_hash FROM sized WHERE bsz <= {DEFAULT_MAX_BUCKET}
+    ),
+    cand AS (
+      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+      FROM keepb l JOIN keepb r
+        ON l.band = r.band AND l.band_hash = r.band_hash
+       AND l.doc_id < r.doc_id
+    )"""
+
 _SIG_MATCH_TERMS = " + ".join(
     f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END"
     for i in range(NUM_HASHES)
@@ -871,17 +930,12 @@ QUERIES = {
 # CTE (min reachable label == connected component representative).
 _CLUSTERS_SQL = (
     _BANDS_CTE.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
+    + _CAPPED_CAND_CTE
     + """,
-    pairs AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id
-    ),
     edges AS (
-      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION
-      SELECT doc_b AS src, doc_a AS dst FROM pairs
+      SELECT doc_b AS src, doc_a AS dst FROM cand
     ),
     reach AS (
       SELECT src AS node, src AS lab FROM edges
@@ -986,23 +1040,19 @@ ORACLES = {
         FROM documents GROUP BY md5(text)
     """,
     "dedup_minhash_bands": f"{_BANDS_CTE} SELECT doc_id, band, band_hash FROM bands",
-    # incremental contract: full-corpus LSH pairs with >= 1 side in
-    # the deterministic 10% "new batch" (same md5 bucket rule as
-    # operators/sampling).
-    "dedup_incremental_pairs": f"""{_BANDS_CTE}
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM bands l JOIN bands r
-          ON l.band = r.band AND l.band_hash = r.band_hash
-         AND l.doc_id < r.doc_id
-        WHERE (('0x' || substr(md5('incr' || CAST(l.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
-           OR (('0x' || substr(md5('incr' || CAST(r.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
+    # incremental contract: capped full-corpus LSH pairs with >= 1
+    # side in the deterministic 10% "new batch" (same md5 bucket rule
+    # as operators/sampling). The cap is measured on the COMBINED
+    # bucket (batch + corpus bands = the full corpus bands), exactly
+    # what the Spark path's union-sized guard computes.
+    "dedup_incremental_pairs": f"""{_BANDS_CTE}{_CAPPED_CAND_CTE}
+        SELECT doc_a, doc_b FROM cand
+        WHERE (('0x' || substr(md5('incr' || CAST(doc_a AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
+           OR (('0x' || substr(md5('incr' || CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
     """,
     "dedup_duplicate_clusters": _CLUSTERS_SQL,
-    "dedup_neardup_pairs": f"""{_BANDS_CTE}
-        SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-        FROM bands l JOIN bands r
-          ON l.band = r.band AND l.band_hash = r.band_hash
-         AND l.doc_id < r.doc_id
+    "dedup_neardup_pairs": f"""{_BANDS_CTE}{_CAPPED_CAND_CTE}
+        SELECT doc_a, doc_b FROM cand
     """,
     "dedup_neardup_pairs_capped": f"""{_BANDS_CTE},
         sized AS (
@@ -1023,13 +1073,7 @@ ORACLES = {
         FROM bands GROUP BY band, band_hash
         HAVING COUNT(*) > {CAP_MAX_BUCKET}
     """,
-    "dedup_minhash_accuracy": f"""{_BANDS_CTE},
-        pairs AS (
-          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-          FROM bands l JOIN bands r
-            ON l.band = r.band AND l.band_hash = r.band_hash
-           AND l.doc_id < r.doc_id
-        ),
+    "dedup_minhash_accuracy": f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
         shsets AS (
           SELECT doc_id, list_distinct(shingles) AS shset FROM sh
         )
@@ -1037,27 +1081,21 @@ ORACLES = {
                CAST({_SIG_MATCH_TERMS} AS BIGINT) AS n_sig_match,
                round(len(list_intersect(x.shset, y.shset))
                      / len(list_distinct(list_concat(x.shset, y.shset))), 6) AS jaccard
-        FROM pairs p
+        FROM cand p
         JOIN sig a ON a.doc_id = p.doc_a
         JOIN sig b ON b.doc_id = p.doc_b
         JOIN shsets x ON x.doc_id = p.doc_a
         JOIN shsets y ON y.doc_id = p.doc_b
         ORDER BY doc_a, doc_b
     """,
-    "dedup_neardup_jaccard": f"""{_BANDS_CTE},
-        pairs AS (
-          SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-          FROM bands l JOIN bands r
-            ON l.band = r.band AND l.band_hash = r.band_hash
-           AND l.doc_id < r.doc_id
-        ),
+    "dedup_neardup_jaccard": f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
         shsets AS (
           SELECT doc_id, list_distinct(shingles) AS shset FROM sh
         )
         SELECT doc_a, doc_b,
                round(len(list_intersect(a.shset, b.shset))
                      / len(list_distinct(list_concat(a.shset, b.shset))), 6) AS jaccard
-        FROM pairs
+        FROM cand
         JOIN shsets a ON a.doc_id = doc_a
         JOIN shsets b ON b.doc_id = doc_b
     """,

@@ -95,7 +95,13 @@ def pagerank_fixed_point(
 
 def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the LSH near-dup candidate graph: which document
-    is the most central exemplar of its duplicate neighborhood."""
+    is the most central exemplar of its duplicate neighborhood.
+
+    The candidate graph is built with the DEFAULT_MAX_BUCKET hot-bucket
+    cap (dedup.neardup_candidate_pairs's default): a B-doc boilerplate
+    bucket would otherwise inject a B-clique — B^2/2 edges feeding
+    every iteration's join — into the graph. The oracle mirrors the cap
+    (dedup._CAPPED_CAND_CTE)."""
     from searchengine_spark.operators.dedup import (
         _shingles,
         minhash_bands,
@@ -156,7 +162,8 @@ def eigenvector_centrality(
 
 
 def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Eigenvector centrality over the LSH near-dup candidate graph."""
+    """Eigenvector centrality over the LSH near-dup candidate graph
+    (hot-bucket-capped input — see q_pagerank_centrality)."""
     from searchengine_spark.operators.dedup import (
         _shingles,
         minhash_bands,
@@ -211,6 +218,14 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
 
 
 def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the hot-bucket-capped candidate graph.
+
+    The cap matters MOST here: an uncapped B-doc boilerplate bucket is
+    a B-clique, and the wedge-close enumeration over a clique is
+    O(B^3) — the one shape in the repo that turns a single hot key
+    into cubic work. With DEFAULT_MAX_BUCKET the per-bucket work is
+    bounded at cap^3 regardless of corpus size
+    (tests/test_graph_cap.py plants the hot bucket and proves it)."""
     from searchengine_spark.operators.dedup import (
         _shingles,
         minhash_bands,
@@ -231,15 +246,9 @@ QUERIES = {
 
 
 def _oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
-    from searchengine_spark.operators.dedup import _BANDS_CTE
+    from searchengine_spark.operators.dedup import _BANDS_CTE, _CAPPED_CAND_CTE
 
-    head = f"""{_BANDS_CTE},
-    cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id
-    ),
+    head = f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION
@@ -277,15 +286,9 @@ def _oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
 
 
 def _triangle_oracle() -> str:
-    from searchengine_spark.operators.dedup import _BANDS_CTE
+    from searchengine_spark.operators.dedup import _BANDS_CTE, _CAPPED_CAND_CTE
 
-    return f"""{_BANDS_CTE},
-    cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id
-    ),
+    return f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
     tri AS (
       SELECT ab.doc_a AS a, ab.doc_b AS b, bc.doc_b AS c
       FROM cand ab
@@ -300,15 +303,9 @@ def _triangle_oracle() -> str:
 
 
 def _ec_oracle(iters: int = EC_ITERS, scale: int = EC_SCALE) -> str:
-    from searchengine_spark.operators.dedup import _BANDS_CTE
+    from searchengine_spark.operators.dedup import _BANDS_CTE, _CAPPED_CAND_CTE
 
-    head = f"""{_BANDS_CTE},
-    cand AS (
-      SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-      FROM bands l JOIN bands r
-        ON l.band = r.band AND l.band_hash = r.band_hash
-       AND l.doc_id < r.doc_id
-    ),
+    head = f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
     edges AS (
       SELECT doc_a AS src, doc_b AS dst FROM cand
       UNION

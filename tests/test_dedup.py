@@ -522,13 +522,21 @@ class TestHotBucketCap:
         finally:
             bands.unpersist()
 
-    def test_uncapped_path_unchanged(self, planted):
-        # Default (max_bucket=None) must keep emitting every pair — the
+    def test_uncapped_optin_and_subcap_default_unchanged(self, planted):
+        # Since round 8 the DEFAULT is capped (DEFAULT_MAX_BUCKET);
+        # uncapped is opt-in via max_bucket=None. For sub-cap buckets
+        # (10 copies < 64) BOTH paths must emit every pair — the
         # oracle-checked contract for dedup_neardup_pairs.
         bands = minhash_bands(planted.filter(F.col("doc_id") < 100_010))
-        got = {(p.doc_a, p.doc_b) for p in neardup_candidate_pairs(bands).collect()}
-        boiler = [(a, b) for a, b in got if a >= 100_000 and b >= 100_000]
-        assert len(boiler) == 10 * 9 // 2  # all pairs of the 10 copies
+        for mb in (None, "default"):
+            pairs = (
+                neardup_candidate_pairs(bands)
+                if mb == "default"
+                else neardup_candidate_pairs(bands, max_bucket=None)
+            )
+            got = {(p.doc_a, p.doc_b) for p in pairs.collect()}
+            boiler = [(a, b) for a, b in got if a >= 100_000 and b >= 100_000]
+            assert len(boiler) == 10 * 9 // 2  # all pairs of the 10 copies
 
 
 def test_minhash_accuracy_audit(spark, sf_dir):
