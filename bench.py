@@ -378,6 +378,27 @@ def _write_detail(out: dict) -> None:
         ]
         n = max(rounds, default=0) + 1
     path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+    if explicit is None and os.path.exists(path):
+        # The inference mis-stamps exactly once per round if bench runs
+        # AFTER the driver's CORRECTNESS/BENCH snapshot (round 7's
+        # driver detail landed as r08 this way). Never clobber silently:
+        # keep the incumbent aside and shout that the round stamp is
+        # unreliable — the driver should export SPARK_GRAFT_BENCH_ROUND
+        # (or pass --round N) to stamp authoritatively.
+        prev = os.path.join(here, f"BENCH_DETAIL_r{n:02d}_prev.json")
+        try:
+            os.replace(path, prev)
+        except OSError:
+            prev = None
+        print(
+            f"bench: WARNING inferred round {n} but {os.path.basename(path)} "
+            "already exists — the inference is only valid when bench runs "
+            "BEFORE the driver snapshot. "
+            + (f"Previous file kept as {os.path.basename(prev)}. " if prev else "")
+            + "Set SPARK_GRAFT_BENCH_ROUND or pass --round N to stamp "
+            "authoritatively.",
+            file=sys.stderr,
+        )
     try:
         with open(path, "w") as fh:
             json.dump(out, fh, indent=1, sort_keys=True)

@@ -28,10 +28,16 @@ import sys
 
 
 def _latest_two(repo_root: str) -> tuple[str, str]:
+    # A round can carry two detail files: the in-round run
+    # (BENCH_DETAIL_rNN.json) and the driver's post-round run
+    # (BENCH_DETAIL_rNN_driver.json — round 7's landed mis-stamped as
+    # r08 and was renamed to its true round). Prefer the _driver
+    # variant when both exist: the driver harness is what the NEXT
+    # round's driver numbers compare against.
     files = {}
-    for p in glob.glob(os.path.join(repo_root, "BENCH_DETAIL_r*.json")):
-        m = re.search(r"BENCH_DETAIL_r(\d+)\.json$", p)
-        if m:
+    for p in sorted(glob.glob(os.path.join(repo_root, "BENCH_DETAIL_r*.json"))):
+        m = re.search(r"BENCH_DETAIL_r(\d+)(_driver)?\.json$", p)
+        if m and (m.group(2) or int(m.group(1)) not in files):
             files[int(m.group(1))] = p
     if len(files) < 2:
         sys.exit(
