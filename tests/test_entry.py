@@ -157,6 +157,37 @@ def test_reverify_rows_only_row_never_retires_pin(tmp_path):
     assert reverify_names(str(tmp_path)) == ["q_rows_only"]
 
 
+def test_reverify_flake_green_then_red_stays_pinned(tmp_path):
+    """Flake-retirement semantics (round-7 advice item): a pin that
+    goes green in round N but RED again in round N+2 must stay pinned
+    — retirement follows the LATEST driver evidence, not 'any green
+    after since_round'. The reverse order (red then green) retires."""
+    import json
+
+    from searchengine_spark.registry import reverify_names
+
+    (tmp_path / "REVERIFY.json").write_text(
+        json.dumps({"names": ["q_flaky", "q_healed_late"], "since_round": 2})
+    )
+    (tmp_path / "CORRECTNESS_r03.json").write_text(
+        json.dumps(
+            {
+                "q_flaky": {"hash_match": True, "err": None},
+                "q_healed_late": {"hash_match": False, "err": "boom"},
+            }
+        )
+    )
+    (tmp_path / "CORRECTNESS_r05.json").write_text(
+        json.dumps(
+            {
+                "q_flaky": {"hash_match": False, "err": "hash mismatch"},
+                "q_healed_late": {"hash_match": True, "err": None},
+            }
+        )
+    )
+    assert reverify_names(str(tmp_path)) == ["q_flaky"]
+
+
 def test_reverify_without_since_round_is_permanent(tmp_path):
     """Legacy/omitted since_round: pins never auto-retire (safe
     default) even when the latest round shows them green."""
