@@ -158,6 +158,20 @@ QUERIES = (
     "text_lm_stupid_backoff",
     "text_blocklist_join_filter",
     "layout_footer_stats",
+    # round-8 additions (round-7 verdict item 3 — the late-r7 operators
+    # landed after the soak regen): PQ codebook training (iterative
+    # Lloyd's, M*K driver collect per iteration — cost must track
+    # vectors linearly), the batch IVF-PQ serving path (ONE codes scan
+    # + broadcast distance tables — must stay index-probe-shaped, not
+    # corpus-shaped), the HLL-inside-watermarked-rollup replay
+    # (stateful streaming state growth), and eigenvector centrality
+    # (iterative join-per-round over the capped candidate graph; also
+    # in HEAVY_X10 below — the uncapped-input risk the round-8 cap
+    # closed).
+    "emb_pq_codes",
+    "emb_ivfpq_batch_topk",
+    "stream_hll_rollup_replay",
+    "dedup_eigenvector_centrality",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
@@ -174,6 +188,10 @@ HEAVY_X10 = (
     "split_leakage_safe",
     "dedup_pagerank_centrality",
     "pipeline_curated_docs",
+    # round-8: iterative power method over the candidate graph — the
+    # profile (join per round x graph that grows with dup-group size
+    # under replication) HEAVY_X10 exists for.
+    "dedup_eigenvector_centrality",
 )
 # x10 linear bound; pair-output families legitimately exceed 10 a bit
 # (replication makes every doc a 10-way clone -> pair OUTPUT grows
@@ -342,17 +360,32 @@ def main() -> None:
         r["remeasured"] = True
 
     # ---- x10 heavy pass: fresh x1 + x10 per query, cache-cleared ----
+    # Output rows are observed inline (pyspark Observation riding the
+    # same noop write — no second execution): pair-output families'
+    # TRUE result grows ~factor^2 under replication, so their honest
+    # bound is seconds-per-output-row, not raw wall ratio. rows_x* and
+    # norm_ratio_x10 = (t10/rows10)/(t1/rows1) make that checkable
+    # (round-7 verdict item 5) instead of a prose caveat.
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    def timed_noop_with_rows(df) -> tuple[float, int]:
+        obs = Observation()
+        t0 = time.perf_counter()
+        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3), int(obs.get["n"])
+
     heavy: dict[str, dict] = {name: {} for name in HEAVY_X10}
     for factor in (1, 10):
         spark.catalog.clearCache()
         sf_dir = build_scaled(spark, factor)
         for name in HEAVY_X10:
-            t0 = time.perf_counter()
             try:
-                queries[name](spark, sf_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                heavy[name][f"x{factor}"] = round(time.perf_counter() - t0, 3)
+                sec, rows = timed_noop_with_rows(queries[name](spark, sf_dir))
+                heavy[name][f"x{factor}"] = sec
+                heavy[name][f"rows_x{factor}"] = rows
             except Exception as exc:  # noqa: BLE001 — record, keep soaking
                 heavy[name][f"x{factor}"] = -1.0
                 heavy[name][f"x{factor}_err"] = f"{type(exc).__name__}: {exc}"[:200]
@@ -363,19 +396,22 @@ def main() -> None:
             for factor in (1, 10):
                 spark.catalog.clearCache()
                 sf_dir = build_scaled(spark, factor)
-                t0 = time.perf_counter()
                 try:
-                    queries[name](spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                    r[f"x{factor}"] = min(
-                        r[f"x{factor}"], round(time.perf_counter() - t0, 3)
-                    )
+                    sec, _rows = timed_noop_with_rows(queries[name](spark, sf_dir))
+                    r[f"x{factor}"] = min(r[f"x{factor}"], sec)
                 except Exception:  # noqa: BLE001 — keep the original record
                     pass
             r["remeasured"] = True
         if r.get("x1", 0) > 0 and r.get("x10", 0) > 0:
             r["ratio_x10"] = round(r["x10"] / r["x1"], 2)
+            rows1, rows10 = r.get("rows_x1", 0), r.get("rows_x10", 0)
+            if rows1 > 0 and rows10 > 0:
+                # per-output-row time ratio: ~1 means the raw blow-up is
+                # output volume (legitimate under clone replication),
+                # >>1 means the ENGINE got slower per row — a real bug.
+                r["norm_ratio_x10"] = round(
+                    (r["x10"] / rows10) / (r["x1"] / rows1), 2
+                )
 
     # ---- hot-key streaming soak: skewed replay at x1 and x5 ----
     hotkey: dict[str, float | str] = {}
@@ -432,7 +468,12 @@ def main() -> None:
         "a >10x breach). Pair-output families (prefix join, LSH audit) "
         "legitimately run hot under replication: every doc becomes a "
         "10-way clone, so their TRUE pair OUTPUT grows ~100x by "
-        "construction — judge runtime against that, not against 10."
+        "construction. rows_x* record the observed output size and "
+        "norm_ratio_x10 = (t10/rows10)/(t1/rows1) is the per-output-row "
+        "slowdown — ~1 means the raw blow-up is output volume; >>1 "
+        "means the engine got slower per row (a real regression). "
+        "tests/test_soak_doc.py pins the normalized bound for the "
+        "pair-output family instead of a prose caveat."
     )
     report["stream_hotkey"] = hotkey
     with open("/root/repo/SOAK.json", "w") as fh:

@@ -18,6 +18,13 @@ MAX_RATIO = 5.0
 MAX_RATIO_X10 = 12.0
 MAX_RATIO_X10_PAIR = 40.0
 PAIR_OUTPUT_HEAVY = {"dedup_prefix_jaccard_pairs", "dedup_lsh_recall_audit"}
+# Round-8: the prefix join's honest bound is PER-OUTPUT-ROW time
+# (rows_x* are observed inline; norm_ratio_x10 ~ 1 means the raw
+# blow-up was output volume). The LSH audit keeps the raw pair bound:
+# its OUTPUT is a fixed 1-row frame, so output normalization cannot
+# apply — its cost genuinely tracks the pair volume it scans.
+MAX_NORM_RATIO_X10 = 5.0
+NORMALIZED_PAIR_HEAVY = {"dedup_prefix_jaccard_pairs"}
 
 
 def _soak_mod():
@@ -63,6 +70,15 @@ def test_soak_heavy_x10_recorded_and_bounded():
         assert r["ratio_x10"] <= bound, (
             f"{name}: x10 ratio {r['ratio_x10']} exceeds {bound} — triage"
         )
+        if name in NORMALIZED_PAIR_HEAVY:
+            assert r.get("rows_x1", 0) > 0 and r.get("rows_x10", 0) > 0, (
+                f"{name}: output rows not recorded — rerun scripts/soak.py"
+            )
+            assert r["norm_ratio_x10"] <= MAX_NORM_RATIO_X10, (
+                f"{name}: per-output-row slowdown {r['norm_ratio_x10']} "
+                f"exceeds {MAX_NORM_RATIO_X10} — the engine, not the output "
+                "volume, got slower; triage"
+            )
 
 
 def test_soak_hotkey_stream_recorded_and_linear():
