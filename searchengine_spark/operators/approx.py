@@ -211,10 +211,165 @@ def q_approx_equal_count_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- KMV distinct sketch
+
+KMV_K = 64  # sketch size; rsd ~ 1/sqrt(K-2) ~ 0.13
+KMV_SPACE = 1 << 60  # md5 15-hex-digit hash space
+KMV_SALT = "kmv"
+
+
+def _kmv_hash(col):
+    """The repo's md5-bigint convention, salted for this sketch — the
+    SAME deterministic hash in both engines is what makes a SKETCH
+    hash-checkable: unlike HLL (implementation-defined), every KMV
+    number below is exact arithmetic over md5 values."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(KMV_SALT), col.cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def kmv_user_sketches(events: DataFrame, *, k: int = KMV_K) -> DataFrame:
+    """(event_type, user_id, h) — the K MINIMUM hash VALUES per group.
+
+    KMV (Bar-Yossef et al. 2002) is the mergeable distinct sketch HLL
+    does not replace when you need SET OPERATIONS: two KMV sketches
+    union (take the K smallest of the union) and intersect (count
+    common members below the union threshold) with known error, while
+    HLL only unions. State per group is K hashes; the per-group top-K
+    is a keyed window rank — the same shuffle as any grouped top-k.
+    """
+    from pyspark.sql import Window
+
+    du = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .withColumn("h", _kmv_hash(F.col("user_id")))
+    )
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("user_id"))
+    return du.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= F.lit(k)
+    ).drop("_r")
+
+
+def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event type: exact distinct users next to the KMV estimate
+    (K-1)*M/kth_min — bit-identical in both engines because the
+    sketch IS deterministic md5 arithmetic, so the driver hash-checks
+    the estimator itself, not just an error bound."""
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_user_sketches(events)
+    agg = sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("sketch_size"), F.max("h").alias("kth_min")
+    )
+    exact = (
+        events.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("exact_users"))
+    )
+    est = F.when(
+        F.col("sketch_size") < F.lit(KMV_K), F.col("sketch_size").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(KMV_K - 1)) * F.lit(float(KMV_SPACE)) / F.col("kth_min"), 6
+        )
+    )
+    return (
+        agg.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_users").cast("bigint").alias("exact_users"),
+            F.col("sketch_size").cast("bigint").alias("sketch_size"),
+            F.col("kth_min").cast("bigint").alias("kth_min"),
+            est.alias("est_users"),
+            (
+                F.abs(est - F.col("exact_users")) / F.col("exact_users")
+                <= F.lit(0.5)
+            ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def q_kmv_view_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The operation HLL cannot do: estimate |viewers ∩ purchasers|
+    from two mergeable sketches. Union sketch = K smallest of the
+    merged hash sets; θ = its max; jaccard ≈ (members of BOTH sets
+    below θ) / |union sketch|; intersection ≈ jaccard * union
+    estimate. Every quantity is md5 arithmetic → exact twin."""
+    events = load_table(spark, sf_dir, "events")
+    sk = kmv_user_sketches(events).filter(
+        F.col("event_type").isin("view", "purchase")
+    )
+    a = sk.filter(F.col("event_type") == "view").select("user_id", "h")
+    b = sk.filter(F.col("event_type") == "purchase").select("user_id", "h")
+    from pyspark.sql import Window
+
+    merged = a.unionByName(b).distinct()
+    w = Window.orderBy(F.asc("h"), F.asc("user_id"))  # 2K rows — constant
+    uni = merged.withColumn("_r", F.row_number().over(w)).filter(
+        F.col("_r") <= F.lit(KMV_K)
+    )
+    theta = uni.agg(
+        F.max("h").alias("theta"), F.count(F.lit(1)).alias("m_union")
+    )
+    both = uni.join(a.select("user_id"), "user_id", "left_semi").join(
+        b.select("user_id"), "user_id", "left_semi"
+    )
+    matched = both.agg(F.count(F.lit(1)).alias("m_both"))
+    du = events.select("event_type", "user_id").distinct()
+    va = du.filter(F.col("event_type") == "view").select("user_id")
+    vb = du.filter(F.col("event_type") == "purchase").select("user_id")
+    exact_i = (
+        va.join(vb, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    exact_u = (
+        va.unionByName(vb).distinct().agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    est_union = F.when(
+        F.col("m_union") < F.lit(KMV_K), F.col("m_union").cast("double")
+    ).otherwise(
+        F.round(
+            F.lit(float(KMV_K - 1)) * F.lit(float(KMV_SPACE)) / F.col("theta"), 6
+        )
+    )
+    jac = F.round(F.col("m_both") / F.col("m_union"), 6)
+    est_i = F.round(jac * est_union, 6)
+    return (
+        theta.crossJoin(F.broadcast(matched))
+        .crossJoin(F.broadcast(exact_i))
+        .crossJoin(F.broadcast(exact_u))
+        .select(
+            F.col("m_union").cast("bigint").alias("m_union"),
+            F.col("m_both").cast("bigint").alias("m_both"),
+            F.col("exact_union").cast("bigint").alias("exact_union"),
+            F.col("exact_intersection").cast("bigint").alias("exact_intersection"),
+            est_union.alias("est_union"),
+            jac.alias("est_jaccard"),
+            est_i.alias("est_intersection"),
+            (
+                F.abs(est_i - F.col("exact_intersection"))
+                <= F.greatest(
+                    F.lit(16.0), F.lit(0.5) * F.col("exact_intersection")
+                )
+            ).alias("within_bound"),
+        )
+    )
+
+
 QUERIES = {
     "approx_event_user_stats": q_approx_event_user_stats,
     "approx_hll_rollup_users": q_approx_hll_rollup_users,
     "approx_equal_count_bins": q_approx_equal_count_bins,
+    "approx_kmv_distinct_users": q_kmv_distinct_users,
+    "approx_kmv_view_purchase_overlap": q_kmv_view_purchase_overlap,
 }
 
 # The exact halves of the audit frames are fully SQL-expressible; the
@@ -242,5 +397,105 @@ ORACLES: dict[str, str] = {
                TRUE AS pop_ok
         FROM range(1, {N_BINS + 1}) AS r(bin)
         ORDER BY bin
+    """,
+    # The KMV twins are EXACT (not invariant frames): the sketch is
+    # deterministic md5 arithmetic, so DuckDB recomputes the estimator
+    # itself — kth-min hash, estimate, jaccard, and the bound booleans
+    # all hash-check bit-for-bit.
+    "approx_kmv_distinct_users": f"""
+        WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+        hashed AS (
+          SELECT event_type, user_id,
+                 ('0x' || substr(md5('{KMV_SALT}' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM du
+        ),
+        sk AS (
+          SELECT event_type, user_id, h FROM (
+            SELECT event_type, user_id, h,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY h ASC, user_id ASC
+                   ) AS r
+            FROM hashed
+          ) WHERE r <= {KMV_K}
+        ),
+        agg AS (
+          SELECT event_type, COUNT(*)::BIGINT AS sketch_size,
+                 MAX(h)::BIGINT AS kth_min
+          FROM sk GROUP BY event_type
+        ),
+        exact AS (
+          SELECT event_type, COUNT(*)::BIGINT AS exact_users
+          FROM du GROUP BY event_type
+        ),
+        est AS (
+          SELECT a.event_type, e.exact_users, a.sketch_size, a.kth_min,
+                 CASE WHEN a.sketch_size < {KMV_K}
+                      THEN CAST(a.sketch_size AS DOUBLE)
+                      ELSE ROUND({float(KMV_K - 1)} * {float(KMV_SPACE)} / a.kth_min, 6)
+                 END AS est_users
+          FROM agg a JOIN exact e USING (event_type)
+        )
+        SELECT event_type, exact_users, sketch_size, kth_min, est_users,
+               (ABS(est_users - exact_users) / exact_users <= 0.5) AS within_bound
+        FROM est
+        ORDER BY event_type
+    """,
+    "approx_kmv_view_purchase_overlap": f"""
+        WITH du AS (
+          SELECT DISTINCT event_type, user_id FROM events
+          WHERE event_type IN ('view', 'purchase')
+        ),
+        hashed AS (
+          SELECT event_type, user_id,
+                 ('0x' || substr(md5('{KMV_SALT}' || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+          FROM du
+        ),
+        sk AS (
+          SELECT event_type, user_id, h FROM (
+            SELECT event_type, user_id, h,
+                   ROW_NUMBER() OVER (
+                     PARTITION BY event_type ORDER BY h ASC, user_id ASC
+                   ) AS r
+            FROM hashed
+          ) WHERE r <= {KMV_K}
+        ),
+        a AS (SELECT user_id, h FROM sk WHERE event_type = 'view'),
+        b AS (SELECT user_id, h FROM sk WHERE event_type = 'purchase'),
+        merged AS (SELECT DISTINCT user_id, h FROM (SELECT * FROM a UNION ALL SELECT * FROM b)),
+        uni AS (
+          SELECT user_id, h FROM (
+            SELECT user_id, h,
+                   ROW_NUMBER() OVER (ORDER BY h ASC, user_id ASC) AS r
+            FROM merged
+          ) WHERE r <= {KMV_K}
+        ),
+        th AS (SELECT MAX(h) AS theta, COUNT(*)::BIGINT AS m_union FROM uni),
+        bm AS (
+          SELECT COUNT(*)::BIGINT AS m_both FROM uni u
+          WHERE EXISTS (SELECT 1 FROM a WHERE a.user_id = u.user_id)
+            AND EXISTS (SELECT 1 FROM b WHERE b.user_id = u.user_id)
+        ),
+        va AS (SELECT user_id FROM du WHERE event_type = 'view'),
+        vb AS (SELECT user_id FROM du WHERE event_type = 'purchase'),
+        ei AS (
+          SELECT COUNT(*)::BIGINT AS exact_intersection FROM va
+          WHERE EXISTS (SELECT 1 FROM vb WHERE vb.user_id = va.user_id)
+        ),
+        eu AS (SELECT COUNT(DISTINCT user_id)::BIGINT AS exact_union FROM du),
+        calc AS (
+          SELECT th.m_union, bm.m_both, eu.exact_union, ei.exact_intersection,
+                 CASE WHEN th.m_union < {KMV_K}
+                      THEN CAST(th.m_union AS DOUBLE)
+                      ELSE ROUND({float(KMV_K - 1)} * {float(KMV_SPACE)} / th.theta, 6)
+                 END AS est_union,
+                 ROUND(CAST(bm.m_both AS DOUBLE) / th.m_union, 6) AS est_jaccard
+          FROM th, bm, ei, eu
+        )
+        SELECT m_union, m_both, exact_union, exact_intersection,
+               est_union, est_jaccard,
+               ROUND(est_jaccard * est_union, 6) AS est_intersection,
+               (ABS(ROUND(est_jaccard * est_union, 6) - exact_intersection)
+                 <= GREATEST(16.0, 0.5 * exact_intersection)) AS within_bound
+        FROM calc
     """,
 }
