@@ -225,11 +225,141 @@ _BYTE_SHARD_SQL = f"""
 """
 
 
+PACK_WINDOW_TOKENS = 512
+PACK_RANGE = 1_000  # doc_id bucket width for the two-level prefix sum
+
+
+def packed_windows(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    window: int = PACK_WINDOW_TOKENS,
+) -> DataFrame:
+    """(doc_id, window_id, tok_start, tok_end, n_span): fixed-size
+    context-window packing of the corpus token stream — the training
+    convention where documents are concatenated in corpus order and
+    cut into exactly-``window``-token examples, SPLITTING documents
+    across window boundaries (GPT-style packing; contrast
+    byte_budget_shards, which keeps documents whole and lets shards
+    overshoot). ``tok_start``/``tok_end`` are the within-document
+    token range each window takes, so every token lands in exactly
+    one window and no padding is ever emitted except in the final
+    window.
+
+    Scale shape: the same two-level distributed prefix sum as
+    global_shuffle_index, but bucketed by MONOTONE doc_id ranges
+    (order must be corpus order, not hashed-shuffle order, and
+    (range, doc_id) order == doc_id order) — per-range token totals,
+    constant-size offsets window, broadcast back, within-range running
+    sum. The window fan-out per document is ceil(n_tok/window)+1 rows
+    max, emitted by a sequence() explode — never a join.
+    """
+    from pyspark.sql import Window
+
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    toks = docs.select(
+        "doc_id",
+        F.size(raw_tokens_column(F.col(text_col))).cast("bigint").alias("n_tok"),
+    ).filter(F.col("n_tok") > 0)
+    rows = toks.withColumn("_b", F.expr(f"CAST(doc_id DIV {PACK_RANGE} AS BIGINT)"))
+    totals = rows.groupBy("_b").agg(F.sum("n_tok").alias("_n"))
+    off_win = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(off_win), F.lit(0))
+    ).select("_b", "_off")
+    in_win = (
+        Window.partitionBy("_b")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w = F.lit(int(window)).cast("bigint")
+    return (
+        rows.join(F.broadcast(offsets), "_b")
+        .withColumn(
+            "_gstart",
+            (F.col("_off") + F.coalesce(F.sum("n_tok").over(in_win), F.lit(0))).cast(
+                "bigint"
+            ),
+        )
+        .withColumn(
+            "window_id",
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST(_gstart DIV {window} AS BIGINT)"),
+                    F.expr(f"CAST((_gstart + n_tok - 1) DIV {window} AS BIGINT)"),
+                )
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("window_id").cast("bigint").alias("window_id"),
+            F.greatest(F.lit(0).cast("bigint"), w * F.col("window_id") - F.col("_gstart"))
+            .cast("bigint")
+            .alias("tok_start"),
+            F.least(F.col("n_tok"), w * (F.col("window_id") + 1) - F.col("_gstart"))
+            .cast("bigint")
+            .alias("tok_end"),
+        )
+        .withColumn("n_span", (F.col("tok_end") - F.col("tok_start")).cast("bigint"))
+    )
+
+
+def q_export_packed_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing over documents: every (doc, window)
+    span of the 512-token packed stream. The oracle restates the
+    packing as ONE running-sum window + generate_series — any lost
+    token, off-by-one boundary, or unstable order shifts every later
+    span and breaks the hash."""
+    from searchengine_spark.io import load_table
+
+    return packed_windows(load_table(spark, sf_dir, "documents")).orderBy(
+        "doc_id", "window_id"
+    )
+
+
+def _packed_sql(window: int = PACK_WINDOW_TOKENS) -> str:
+    from searchengine_spark.text.tokenizer import sql_raw_tokens_expr
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len({sql_raw_tokens_expr("text")}) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    nz AS (SELECT * FROM t WHERE n_tok > 0),
+    pre AS (
+      SELECT doc_id, n_tok,
+             CAST(COALESCE(SUM(n_tok) OVER (
+               ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS BIGINT) AS gstart
+      FROM nz
+    ),
+    spans AS (
+      SELECT doc_id, n_tok, gstart,
+             unnest(generate_series(gstart // {window},
+                                    (gstart + n_tok - 1) // {window})) AS wid
+      FROM pre
+    )
+    SELECT doc_id,
+           CAST(wid AS BIGINT) AS window_id,
+           CAST(GREATEST(0, wid * {window} - gstart) AS BIGINT) AS tok_start,
+           CAST(LEAST(n_tok, (wid + 1) * {window} - gstart) AS BIGINT) AS tok_end,
+           CAST(LEAST(n_tok, (wid + 1) * {window} - gstart)
+                - GREATEST(0, wid * {window} - gstart) AS BIGINT) AS n_span
+    FROM spans
+    ORDER BY doc_id, window_id
+    """
+
+
 QUERIES = {
     "export_shard_assignment": q_export_shard_assignment,
     "export_byte_budget_shards": q_export_byte_budget_shards,
+    "export_packed_windows": q_export_packed_windows,
 }
 ORACLES = {
     "export_shard_assignment": _SHARD_SQL,
     "export_byte_budget_shards": _BYTE_SHARD_SQL,
+    "export_packed_windows": _packed_sql(),
 }
