@@ -153,9 +153,69 @@ def q_skew_salted_join_stats(spark, sf_dir: str) -> DataFrame:
     ).drop("type_weight")
 
 
+def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
+    """One-row skew audit of a prospective join/groupBy key: the
+    numbers a planner (or a human sizing a 1000-executor job) needs
+    BEFORE shuffling 100 TB on ``key`` — distinct-key count, heaviest
+    key's share, top-10 share, the sorted-rank Gini of the key-count
+    distribution, and the p50/p99 per-key counts. max_share ~ 1/n_keys
+    and gini ~ 0 mean a clean uniform key; max_share >> 1/n_keys says
+    salt it (replicated_salt_join above) or expect one straggler task.
+
+    Scale shape: ONE keyed count over the fact (the same shuffle the
+    audited operation would do), then all ranking/aggregation runs on
+    the n_keys-row COUNT frame — the single-task sorts here are over
+    keys, never rows, which is the whole point of profiling before
+    shuffling. Everything is integer arithmetic until the final
+    round(…, 6), so the frame hash-checks exactly; the Gini uses the
+    sorted-rank formulation G = (2*sum(i*c_i) - (n+1)*sum(c)) /
+    (n*sum(c)) with the ascending (count, key) tie order mirrored in
+    the oracle."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+    asc = Window.orderBy(F.asc("c"), F.asc(key))
+    desc = Window.orderBy(F.desc("c"), F.desc(key))
+    ranked = counts.withColumn("i", F.row_number().over(asc)).withColumn(
+        "j", F.row_number().over(desc)
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("c").alias("n_rows"),
+        F.max("c").alias("max_count"),
+        F.sum(F.col("i") * F.col("c")).alias("_ic"),
+        F.sum(F.when(F.col("j") <= 10, F.col("c")).otherwise(F.lit(0))).alias("_t10"),
+        F.percentile(F.col("c"), F.lit(0.5)).alias("_p50"),
+        F.percentile(F.col("c"), F.lit(0.99)).alias("_p99"),
+    ).select(
+        F.col("n_keys").cast("bigint").alias("n_keys"),
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("max_count").cast("bigint").alias("max_count"),
+        F.round(F.col("max_count") / F.col("n_rows"), 6).alias("max_share"),
+        F.round(F.col("_t10") / F.col("n_rows"), 6).alias("top10_share"),
+        F.round(
+            (2 * F.col("_ic") - (F.col("n_keys") + 1) * F.col("n_rows"))
+            / (F.col("n_keys") * F.col("n_rows")),
+            6,
+        ).alias("gini"),
+        F.round(F.col("_p50"), 6).alias("p50_count"),
+        F.round(F.col("_p99"), 6).alias("p99_count"),
+    )
+
+
+def q_skew_key_profile(spark, sf_dir: str) -> DataFrame:
+    """Key-skew audit of events.user_id — the join key every
+    sessionization/attribution/funnel query in relational/events.py
+    shuffles on."""
+    from searchengine_spark.io import load_table
+
+    return key_skew_profile(load_table(spark, sf_dir, "events"), "user_id")
+
+
 QUERIES = {
     "skew_salted_lang_stats": q_skew_salted_lang_stats,
     "skew_salted_join_stats": q_skew_salted_join_stats,
+    "skew_key_profile": q_skew_key_profile,
 }
 
 ORACLES = {
@@ -175,5 +235,28 @@ ORACLES = {
                     AS DOUBLE) AS weighted_value
         FROM events e JOIN dim d ON e.event_type = d.event_type
         GROUP BY e.event_type, d.type_weight
+    """,
+    "skew_key_profile": """
+        WITH counts AS (
+          SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY user_id
+        ),
+        ranked AS (
+          SELECT c,
+                 ROW_NUMBER() OVER (ORDER BY c ASC, user_id ASC) AS i,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, user_id DESC) AS j
+          FROM counts
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(c) AS BIGINT) AS n_rows,
+               CAST(MAX(c) AS BIGINT) AS max_count,
+               ROUND(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+                 AS max_share,
+               ROUND(CAST(SUM(CASE WHEN j <= 10 THEN c ELSE 0 END) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE), 6) AS top10_share,
+               ROUND(CAST(2 * SUM(i * c) - (COUNT(*) + 1) * SUM(c) AS DOUBLE)
+                     / CAST(COUNT(*) * SUM(c) AS DOUBLE), 6) AS gini,
+               ROUND(quantile_cont(c, 0.5), 6) AS p50_count,
+               ROUND(quantile_cont(c, 0.99), 6) AS p99_count
+        FROM ranked
     """,
 }
