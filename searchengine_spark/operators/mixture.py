@@ -122,9 +122,62 @@ def q_temperature_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def curriculum_interleave(
+    df: DataFrame, group_col: str, order_col: str, id_col: str
+) -> DataFrame:
+    """(id, group, curriculum_rank, interleave_key): a GLOBAL training
+    order that (a) runs each source's documents in curriculum order
+    (``order_col`` descending — e.g. longest/highest-quality first)
+    and (b) round-robins across sources so no training stretch is
+    single-source — the standard curriculum + source-interleave
+    schedule, WITHOUT the global sort that naively produces it.
+
+    interleave_key = curriculum_rank * n_groups + group_index is a
+    bijection into the target order: sorting by it round-robins
+    rank-0 docs of every source, then rank-1, and so on. Computing it
+    needs only per-GROUP windows (the same shuffle as any per-source
+    ranking) plus a broadcast |groups|-row index table — at 100 TB
+    the trainer's loader sorts shards by the key it already has,
+    and nothing ever sorted the corpus globally.
+    """
+    from pyspark.sql import Window
+
+    groups = df.select(group_col).distinct()
+    gw = Window.orderBy(group_col)  # |groups| rows — constant-size
+    gidx = groups.withColumn("_gidx", F.row_number().over(gw) - 1)
+    n_groups = gidx.agg(F.count(F.lit(1)).alias("_ng"))
+    per = Window.partitionBy(group_col).orderBy(
+        F.desc(order_col), F.asc(id_col)
+    )
+    return (
+        df.withColumn("curriculum_rank", (F.row_number().over(per) - 1).cast("bigint"))
+        .join(F.broadcast(gidx), group_col)
+        .crossJoin(F.broadcast(n_groups))
+        .select(
+            id_col,
+            group_col,
+            "curriculum_rank",
+            (F.col("curriculum_rank") * F.col("_ng") + F.col("_gidx"))
+            .cast("bigint")
+            .alias("interleave_key"),
+        )
+    )
+
+
+def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum (longest-first) + source-interleaved global training
+    order over documents — every doc gets its position in the schedule
+    without a corpus-wide sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    return curriculum_interleave(docs, "source", "n_chars", "doc_id").orderBy(
+        "doc_id"
+    )
+
+
 QUERIES = {
     "mix_resample_by_source": q_mixture_resample,
     "mix_temperature_resample": q_temperature_resample,
+    "mix_curriculum_interleave": q_curriculum_interleave,
 }
 
 ORACLES = {
@@ -160,5 +213,24 @@ ORACLES = {
         SELECT d.doc_id, d.lang
         FROM documents d JOIN rates r USING (lang)
         WHERE {_bucket_sql("d.doc_id", TEMP_SALT)} < r.cutoff
+    """,
+    "mix_curriculum_interleave": """
+        WITH gidx AS (
+          SELECT source,
+                 ROW_NUMBER() OVER (ORDER BY source) - 1 AS gi
+          FROM (SELECT DISTINCT source FROM documents)
+        ),
+        ng AS (SELECT COUNT(*) AS n FROM gidx),
+        ranked AS (
+          SELECT doc_id, source,
+                 CAST(ROW_NUMBER() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id ASC
+                 ) - 1 AS BIGINT) AS curriculum_rank
+          FROM documents
+        )
+        SELECT r.doc_id, r.source, r.curriculum_rank,
+               CAST(r.curriculum_rank * ng.n + g.gi AS BIGINT) AS interleave_key
+        FROM ranked r JOIN gidx g USING (source), ng
+        ORDER BY r.doc_id
     """,
 }
