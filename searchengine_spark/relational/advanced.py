@@ -252,6 +252,54 @@ def q_winsorized_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# robust-z cutoff: 3.5 (Iglewicz & Hoaglin 1993) x 1.4826 (the
+# MAD-to-sigma consistency constant for normal data) = 5.1891 exactly
+# — kept as one decimal literal so both engines compare against the
+# identical double.
+MAD_CUT = 5.1891
+
+
+def q_events_value_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median + MAD (median absolute deviation) + robust-outlier count
+    per event type — the dispersion gate a single corrupt extreme
+    value cannot poison, unlike the mean/std z-score family
+    (events_anomaly_zscore): median and MAD both have a 50% breakdown
+    point. Three keyed passes, each the winsorized-clip shape (exact
+    per-type percentile, tiny cut table broadcast back onto the
+    scan); every cutoff is rounded to 6 decimals before comparison so
+    the outlier boundary is identical cross-engine. At 100 TB swap
+    the exact percentiles for the KLL approx_percentile — same
+    topology, no per-group sort."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", "value")
+        .filter(F.col("value").isNotNull())
+    )
+    med = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.5)), 6).alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.round(F.abs(F.col("value") - F.col("med")), 6)
+    )
+    mad = dev.groupBy("event_type", "med").agg(
+        F.round(F.percentile("adev", F.lit(0.5)), 6).alias("mad")
+    )
+    flagged = dev.drop("med").join(F.broadcast(mad), "event_type")
+    return (
+        flagged.groupBy("event_type", "med", "mad")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.when(
+                    F.col("adev") > F.round(F.lit(MAD_CUT) * F.col("mad"), 6),
+                    F.lit(1),
+                ).otherwise(F.lit(0))
+            ).alias("n_outliers"),
+        )
+        .select("event_type", "n_events", "med", "mad", "n_outliers")
+    )
+
+
 def q_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-touch attribution per purchase: which of the user's
     views inside the 30-minute window get credit, under the three
@@ -468,6 +516,7 @@ QUERIES = {
     "rel_retained_churned": q_active_not_churned,
     "rel_price_quartiles": q_price_quartiles,
     "rel_unpivot_lineitem": q_unpivot_lineitem_measures,
+    "events_value_mad": q_events_value_mad,
     "events_winsorized_stats": q_winsorized_event_stats,
     "events_attribution_credit": q_attribution_credit,
 }
@@ -504,6 +553,33 @@ ORACLES = {
                MAX(CASE WHEN rk = n_touches THEN view_id END) AS last_touch_view,
                round(1.0 / n_touches, 6) AS linear_credit
         FROM ranked GROUP BY purchase_id, user_id, n_touches
+    """,
+    "events_value_mad": """
+        WITH ev AS (
+          SELECT event_type, value FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+          SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+          FROM ev GROUP BY event_type
+        ),
+        dev AS (
+          SELECT e.event_type, m.med,
+                 round(abs(e.value - m.med), 6) AS adev
+          FROM ev e JOIN med m USING (event_type)
+        ),
+        mad AS (
+          SELECT event_type, med,
+                 round(quantile_cont(adev, 0.5), 6) AS mad
+          FROM dev GROUP BY event_type, med
+        )
+        SELECT d.event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(m.med) AS med,
+               MAX(m.mad) AS mad,
+               CAST(SUM(CASE WHEN d.adev > round(5.1891 * m.mad, 6)
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        FROM dev d JOIN mad m USING (event_type)
+        GROUP BY d.event_type
     """,
     "events_winsorized_stats": """
         WITH ev AS (
