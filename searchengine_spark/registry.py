@@ -30,6 +30,7 @@ _MODULES = (
     "index.feedback",
     "index.evaluation",
     "index.compression",
+    "index.maxscore",
     "index.autocomplete",
     "index.keywords",
     "index.mmr",
