@@ -912,6 +912,43 @@ def q_hot_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    3-shingles appearing for the FIRST time in corpus (doc_id) order —
+    the redundancy metric that tells a curation pipeline how much new
+    content each document actually contributes (near-1 novelty early,
+    decaying as the corpus saturates; boilerplate-heavy docs crater
+    it). Complements pair-based dedup: novelty is per-DOC and needs no
+    candidate generation at all.
+
+    Scale shape: one gram-keyed MIN aggregate (first-seeing doc per
+    gram) + an equi-join back on the gram — both keyed on the uniform
+    shingle string, no pair blowup possible, and the shingle scan is
+    the session-cached frame every other dedup query shares."""
+    sh = _shingles(spark, sf_dir)
+    grams = sh.select(
+        "doc_id", F.explode(F.array_distinct("shingles")).alias("g")
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    return (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_novel").cast("bigint").alias("n_novel"),
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
@@ -924,6 +961,7 @@ QUERIES = {
     "dedup_incremental_pairs": q_incremental_neardup,
     "dedup_cross_doc_spans": q_cross_doc_spans,
     "dedup_span_scrubbed_docs": q_span_scrubbed_docs,
+    "dedup_ngram_novelty": q_ngram_novelty,
 }
 
 # The cluster oracle reaches the same fixed point with a recursive
@@ -1032,6 +1070,25 @@ LEFT JOIN ncut USING (doc_id)
 """
 
 ORACLES = {
+    # novelty reuses the shared toks/sh CTEs (DuckDB prunes the unused
+    # sig/bands CTEs) so the shingle definition can never drift.
+    "dedup_ngram_novelty": f"""{_BANDS_CTE},
+        grams AS (
+          SELECT DISTINCT doc_id, unnest(shingles) AS g FROM sh
+        ),
+        firstseen AS (
+          SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_grams,
+               CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_novel,
+               ROUND(CAST(SUM(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END)
+                          AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        FROM grams JOIN firstseen USING (g)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
     "dedup_cross_doc_spans": _CROSS_DOC_SPANS_SQL,
     "dedup_span_scrubbed_docs": _SPAN_SCRUB_SQL,
     "dedup_exact": """

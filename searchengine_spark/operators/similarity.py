@@ -110,10 +110,47 @@ def q_label_centroid_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TRUNC_DIM = 16  # Matryoshka-style prefix truncation (vs the full 64)
+
+
+def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation audit: top-k recall of PREFIX-truncated
+    cosine (first TRUNC_DIM dims) against full-dimension cosine for
+    the probe vector — the measurement behind Matryoshka-style
+    dimension reduction (Kusupati et al. 2022): serve a cheap 16-dim
+    first pass if (and only if) its recall against the 64-dim truth
+    holds up. 4x fewer multiply-adds and 4x smaller scan per skipped
+    dim tier at 100 TB, so this one number decides real money.
+
+    Both top-k lists are the brute cosine_topk shape (round-6 scores,
+    id tiebreak); recall is an exact integer overlap count, so the
+    whole audit hash-checks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    full = cosine_topk(base, qv)
+    trunc = cosine_topk(
+        base.select("vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("embedding")),
+        qv.select(F.slice("qvec", 1, TRUNC_DIM).alias("qvec")),
+    )
+    n_overlap = full.join(
+        trunc.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return n_overlap.select(
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.lit(TRUNC_DIM).cast("bigint").alias("dim_trunc"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(TOP_K), 6).alias("recall"),
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_embedding_norms": q_embedding_norms,
     "sim_label_centroids": q_label_centroid_sim,
+    "sim_dim_truncation_recall": q_dim_truncation_recall,
 }
 
 _DOT = "list_dot_product(l.e, q.e)"
@@ -153,5 +190,43 @@ ORACLES = {
         SELECT label, COUNT(*) AS dim,
                round(sqrt(SUM(c * c)), 6) AS centroid_norm
         FROM centroid GROUP BY label
+    """,
+    "sim_dim_truncation_recall": f"""
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        l AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE vec_id <> {QUERY_VEC_ID}
+        ),
+        fullk AS (
+          SELECT vec_id,
+                 round(list_dot_product(l.e, q.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+          FROM l, q
+          ORDER BY cosine DESC, vec_id ASC
+          LIMIT {TOP_K}
+        ),
+        qt AS (SELECT list_slice(e, 1, {TRUNC_DIM}) AS e FROM q),
+        lt AS (SELECT vec_id, list_slice(e, 1, {TRUNC_DIM}) AS e FROM l),
+        trunck AS (
+          SELECT vec_id,
+                 round(list_dot_product(lt.e, qt.e)
+                       / (sqrt(list_dot_product(lt.e, lt.e))
+                          * sqrt(list_dot_product(qt.e, qt.e))), 6) AS cosine
+          FROM lt, qt
+          ORDER BY cosine DESC, vec_id ASC
+          LIMIT {TOP_K}
+        ),
+        ov AS (
+          SELECT COUNT(*)::BIGINT AS n_overlap FROM fullk
+          WHERE EXISTS (SELECT 1 FROM trunck t WHERE t.vec_id = fullk.vec_id)
+        )
+        SELECT CAST({TOP_K} AS BIGINT) AS k,
+               CAST({TRUNC_DIM} AS BIGINT) AS dim_trunc,
+               n_overlap,
+               ROUND(CAST(n_overlap AS DOUBLE) / {TOP_K}, 6) AS recall
+        FROM ov
     """,
 }
