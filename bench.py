@@ -170,6 +170,22 @@ HEADLINE = [
     "se_search_corrected",
     "privacy_dp_exponential_topk",
     "dedup_minhash_accuracy",
+    # round-8 additions: context-window packing (two-level prefix sum
+    # + sequence explode), the key-skew join audit, the interleaved
+    # curriculum order, and the KMV distinct sketch with set ops.
+    "export_packed_windows",
+    "skew_key_profile",
+    "mix_curriculum_interleave",
+    "approx_kmv_distinct_users",
+    "approx_kmv_view_purchase_overlap",
+    # round-8 (cont.): MaxScore dynamic pruning (exact top-k with
+    # skipped postings) and the MAD robust dispersion gate.
+    "se_maxscore_topk",
+    "events_value_mad",
+    # round-8 (cont. 2): corpus n-gram novelty decay and the
+    # Matryoshka dimension-truncation recall audit.
+    "dedup_ngram_novelty",
+    "sim_dim_truncation_recall",
 ]
 
 SERVE_QUERIES = [

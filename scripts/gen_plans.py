@@ -81,6 +81,13 @@ PICKS = [
     ("dedup_lsh_recall_audit", "capped banding vs prefix-filtered exact truth: one pair semi-join + three 1-row aggs combined by broadcast crossJoin"),
     ("ann_ivf_topk", "IVF audit: partition-pruned probe scan + brute top-k TakeOrderedAndProject; verdict folded by 1-row broadcast crossJoins"),
     ("emb_pq_adc_topk", "PQ ADC search: literal distance-table lookups (no join, no float math) -> groupBy sum -> TakeOrderedAndProject(k)"),
+    ("export_packed_windows", "context-window packing: monotone-range prefix sum (constant-size offsets window, broadcast back) + bounded sequence() explode — corpus order preserved, never globally sorted"),
+    ("skew_key_profile", "one fact-scale keyed count; every ranking/percentile after it runs on the n_keys-row count frame — the audit costs the same shuffle it is sizing"),
+    ("mix_curriculum_interleave", "per-source window rank + broadcast |groups| index table + 1-row count crossJoin — a global training order with no global sort"),
+    ("approx_kmv_distinct_users", "KMV sketch as a grouped top-K window over distinct (type,user) hashes; estimator arithmetic on the K-row-per-group frame"),
+    ("se_maxscore_topk", "MaxScore pruning: ub/suffix/theta machinery on <=|query| rows; corpus work = top-ub term's postings + essential-term semi-join, non-essential postings never scanned"),
+    ("events_value_mad", "three keyed passes, each percentile cuts broadcast back onto the scan; outlier boundary compared on round-6 constants"),
+    ("dedup_ngram_novelty", "gram-keyed MIN agg + equi-join back on the gram — per-doc redundancy with no candidate pairs, shares the session shingle cache"),
 ]
 
 

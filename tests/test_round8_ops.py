@@ -1,0 +1,338 @@
+"""Round-8 operators: context-window packing, key-skew profiling,
+curriculum interleave ordering, and the KMV distinct sketch with set
+operations. Each gets semantic invariants on planted frames plus the
+driver-mirroring oracle parity check on the fixture tables."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from searchengine_spark.registry import all_oracles, all_queries
+from tests.helpers import assert_matches_oracle
+
+QUERIES = all_queries()
+ORACLES = all_oracles()
+
+
+# ------------------------------------------------ packed windows
+
+
+def test_packed_windows_cover_every_token_exactly_once(spark):
+    from searchengine_spark.operators.export import packed_windows
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),          # 3 tokens
+            (2, " ".join(["word"] * 7)),       # 7 tokens -> crosses w=4
+            (3, ""),                            # 0 tokens -> dropped
+            (10, " ".join(["tok"] * 4)),       # exactly one window
+        ],
+        "doc_id long, text string",
+    )
+    out = packed_windows(docs, window=4).orderBy("doc_id", "window_id").collect()
+    # total span tokens == total tokens (nothing lost, nothing doubled)
+    assert sum(r.n_span for r in out) == 3 + 7 + 4
+    # doc 3 (empty) contributes nothing
+    assert all(r.doc_id != 3 for r in out)
+    # stream: doc1 [0,3) | doc2 [3,10) | doc10 [10,14) with w=4:
+    # windows: w0=[0,4) -> doc1 all + doc2 tok0; w1 -> doc2 toks1-4;
+    # w2 -> doc2 toks5-6 + doc10 toks0-1; w3 -> doc10 toks2-3
+    got = [(r.doc_id, r.window_id, r.tok_start, r.tok_end) for r in out]
+    assert got == [
+        (1, 0, 0, 3),
+        (2, 0, 0, 1),
+        (2, 1, 1, 5),
+        (2, 2, 5, 7),
+        (10, 2, 0, 2),
+        (10, 3, 2, 4),
+    ]
+
+
+def test_packed_windows_full_windows_hold_exactly_w_tokens(spark, sf_dir):
+    from searchengine_spark.operators.export import PACK_WINDOW_TOKENS
+
+    df = QUERIES["export_packed_windows"](spark, sf_dir)
+    per_win = df.groupBy("window_id").agg(F.sum("n_span").alias("tot"))
+    mx = per_win.agg(F.max("window_id").alias("m")).collect()[0].m
+    bad = per_win.filter(
+        (F.col("window_id") < mx) & (F.col("tot") != PACK_WINDOW_TOKENS)
+    ).count()
+    assert bad == 0, "a non-final window is not exactly full"
+
+
+def test_packed_windows_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["export_packed_windows"](spark, sf_dir),
+        ORACLES["export_packed_windows"],
+        sf_dir,
+        name="export_packed_windows",
+    )
+
+
+# ------------------------------------------------ key-skew profile
+
+
+def test_key_skew_profile_uniform_vs_hot(spark):
+    from searchengine_spark.operators.skew import key_skew_profile
+
+    uniform = spark.createDataFrame(
+        [(i % 10,) for i in range(100)], "k long"
+    )
+    u = key_skew_profile(uniform, "k").collect()[0]
+    assert u.n_keys == 10 and u.n_rows == 100
+    assert u.max_share == 0.1 and u.gini == 0.0
+
+    hot = spark.createDataFrame(
+        [(0,)] * 91 + [(i,) for i in range(1, 10)], "k long"
+    )
+    h = key_skew_profile(hot, "k").collect()[0]
+    assert h.n_keys == 10 and h.max_count == 91
+    assert h.max_share == 0.91
+    assert h.gini > 0.7, "hot key not reflected in gini"
+
+
+def test_key_skew_profile_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["skew_key_profile"](spark, sf_dir),
+        ORACLES["skew_key_profile"],
+        sf_dir,
+        name="skew_key_profile",
+    )
+
+
+# ------------------------------------------------ curriculum interleave
+
+
+def test_curriculum_interleave_round_robins_sources(spark):
+    from searchengine_spark.operators.mixture import curriculum_interleave
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", 100), (2, "a", 90), (3, "a", 80),
+            (4, "b", 50), (5, "b", 40),
+            (6, "c", 10),
+        ],
+        "doc_id long, source string, n_chars long",
+    )
+    out = curriculum_interleave(docs, "source", "n_chars", "doc_id")
+    rows = sorted(out.collect(), key=lambda r: r.interleave_key)
+    # keys injective
+    assert len({r.interleave_key for r in rows}) == len(rows)
+    # schedule starts with each source's best doc, in source order:
+    # a's longest (1), b's longest (4), c's only (6), then rank-1 docs
+    assert [r.doc_id for r in rows[:3]] == [1, 4, 6]
+    assert [r.doc_id for r in rows[3:5]] == [2, 5]
+    # within a source the schedule is curriculum order (desc n_chars)
+    a_order = [r.doc_id for r in rows if r.source == "a"]
+    assert a_order == [1, 2, 3]
+
+
+def test_curriculum_interleave_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["mix_curriculum_interleave"](spark, sf_dir),
+        ORACLES["mix_curriculum_interleave"],
+        sf_dir,
+        name="mix_curriculum_interleave",
+    )
+
+
+# ------------------------------------------------ KMV sketch
+
+
+def test_kmv_estimates_accurate_and_bounded(spark, sf_dir):
+    df = QUERIES["approx_kmv_distinct_users"](spark, sf_dir)
+    rows = df.collect()
+    assert rows, "no event types"
+    for r in rows:
+        assert r.within_bound, (
+            f"{r.event_type}: est {r.est_users} vs exact {r.exact_users}"
+        )
+        if r.sketch_size < 64:
+            assert r.est_users == float(r.exact_users)  # sub-K is exact
+
+
+def test_kmv_overlap_bounded(spark, sf_dir):
+    r = QUERIES["approx_kmv_view_purchase_overlap"](spark, sf_dir).collect()[0]
+    assert r.m_both <= r.m_union
+    assert r.exact_intersection <= r.exact_union
+    assert r.within_bound, (
+        f"intersection est {r.est_intersection} vs exact {r.exact_intersection}"
+    )
+
+
+def test_kmv_planted_partial_overlap(spark):
+    """The fixture events are degenerate for set ops (every user does
+    every event type, jaccard == 1), so exercise the sketch math on a
+    planted 1/3-overlap population: 300 viewers (0..299), 300
+    purchasers (200..499), true jaccard = 100/500 = 0.2."""
+    from searchengine_spark.operators.approx import KMV_K, kmv_user_sketches
+
+    rows = [("view", u) for u in range(300)] + [
+        ("purchase", u) for u in range(200, 500)
+    ]
+    events = spark.createDataFrame(rows, "event_type string, user_id long")
+    sk = kmv_user_sketches(events)
+    sizes = {r.event_type: r.n for r in sk.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {"view": KMV_K, "purchase": KMV_K}
+    # estimator on the planted frame: per-type estimate within 40% of 300
+    agg = sk.groupBy("event_type").agg(F.max("h").alias("kth")).collect()
+    for r in agg:
+        est = (KMV_K - 1) * float(1 << 60) / r.kth
+        assert abs(est - 300) / 300 <= 0.4, f"{r.event_type}: est {est}"
+
+
+@pytest.mark.parametrize(
+    "name", ["approx_kmv_distinct_users", "approx_kmv_view_purchase_overlap"]
+)
+def test_kmv_oracles(spark, sf_dir, name):
+    assert_matches_oracle(
+        QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir, name=name
+    )
+
+
+# ------------------------------------------------ MaxScore pruning
+
+
+def test_maxscore_equals_exhaustive_topk(spark, sf_dir):
+    """The whole point of dynamic pruning: candidates shrink, the
+    top-k does not change by even one rank or rounded score."""
+    pruned = QUERIES["se_maxscore_topk"](spark, sf_dir).collect()
+    exhaustive = QUERIES["se_bm25_topk"](spark, sf_dir).collect()
+    assert [(r.doc_id, r.total_score) for r in pruned] == [
+        (r.doc_id, r.total_score) for r in exhaustive
+    ]
+    r0 = pruned[0]
+    assert r0.n_candidates < r0.n_match_any, "pruning never pruned"
+    assert 1 <= r0.n_essential_terms < 4
+
+
+def test_maxscore_safe_when_fewer_than_k_matches(spark):
+    """θ0 falls back to -inf when the first pass has < k docs — every
+    term becomes essential and the result is just exhaustive top-k."""
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.index.maxscore import maxscore_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta unrelated words"),
+            (3, "gamma delta something else entirely"),
+        ],
+        "doc_id long, text string",
+    )
+    idx = build_index(docs)
+    out = maxscore_topk(idx, ["alpha", "gamma"], k=10).collect()
+    assert {r.doc_id for r in out} == {1, 2, 3}
+    assert out[0].n_essential_terms == 2  # nothing prunable below -inf
+
+
+def test_maxscore_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["se_maxscore_topk"](spark, sf_dir),
+        ORACLES["se_maxscore_topk"],
+        sf_dir,
+        name="se_maxscore_topk",
+    )
+
+
+# ------------------------------------------------ MAD robust stats
+
+
+def test_mad_resists_extreme_outlier(spark, tmp_path, monkeypatch):
+    """Planted: 9 values at 10 plus one at 1000. Mean/std would be
+    dragged to ~109/~313 (z of the outlier ~ 2.8, borderline); median
+    and MAD ignore it completely — med=10, mad=0, and exactly the one
+    extreme row is flagged."""
+    import os
+
+    from searchengine_spark.relational.advanced import MAD_CUT, q_events_value_mad
+
+    assert abs(MAD_CUT - 3.5 * 1.4826) < 1e-12
+    d = str(tmp_path)
+    rows = [(i, "click", 10.0) for i in range(9)] + [(9, "click", 1000.0)]
+    spark.createDataFrame(
+        rows, "event_id long, event_type string, value double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = q_events_value_mad(spark, d).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.med, r.mad, r.n_outliers) == (10.0, 0.0, 1)
+
+
+def test_mad_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["events_value_mad"](spark, sf_dir),
+        ORACLES["events_value_mad"],
+        sf_dir,
+        name="events_value_mad",
+    )
+
+
+# ------------------------------------------------ n-gram novelty
+
+
+def test_ngram_novelty_decays_and_detects_duplicates(spark, sf_dir):
+    df = QUERIES["dedup_ngram_novelty"](spark, sf_dir)
+    rows = df.collect()
+    assert rows[0].novelty == 1.0, "the first doc must be fully novel"
+    assert all(0 <= r.n_novel <= r.n_grams for r in rows)
+    # the corpus saturates: later docs are on average less novel
+    mid = len(rows) // 2
+    first_half = sum(r.novelty for r in rows[:mid]) / mid
+    second_half = sum(r.novelty for r in rows[mid:]) / (len(rows) - mid)
+    assert second_half < first_half, "no novelty decay over corpus order"
+
+
+def test_ngram_novelty_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["dedup_ngram_novelty"](spark, sf_dir),
+        ORACLES["dedup_ngram_novelty"],
+        sf_dir,
+        name="dedup_ngram_novelty",
+    )
+
+
+# ------------------------------------------------ truncation recall
+
+
+def test_dim_truncation_recall_bounds(spark, sf_dir):
+    r = QUERIES["sim_dim_truncation_recall"](spark, sf_dir).collect()[0]
+    assert r.k == 10 and r.dim_trunc == 16
+    assert 0 <= r.n_overlap <= r.k
+    assert abs(r.recall - r.n_overlap / r.k) < 1e-9
+
+
+def test_dim_truncation_identity_when_full_width(spark, sf_dir):
+    """Truncating to the FULL width must reproduce the full top-k
+    exactly — recall 1.0 by construction."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        cosine_topk,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    full = {r.vec_id for r in cosine_topk(base, qv).collect()}
+    wide = {
+        r.vec_id
+        for r in cosine_topk(
+            base.select("vec_id", F.slice("embedding", 1, 64).alias("embedding")),
+            qv.select(F.slice("qvec", 1, 64).alias("qvec")),
+        ).collect()
+    }
+    assert full == wide
+
+
+def test_dim_truncation_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["sim_dim_truncation_recall"](spark, sf_dir),
+        ORACLES["sim_dim_truncation_recall"],
+        sf_dir,
+        name="sim_dim_truncation_recall",
+    )
