@@ -369,12 +369,16 @@ def main() -> None:
     from pyspark.sql import Observation
     from pyspark.sql import functions as F
 
-    def timed_noop_with_rows(df) -> tuple[float, int]:
+    def timed_noop_with_rows(build) -> tuple[float, int]:
+        # `build` is a THUNK: frame construction must run inside the
+        # timer — the iterative queries checkpoint EAGERLY during
+        # construction, so timing only the write would miss the whole
+        # computation (pagerank showed 0.026 s before this fix).
         obs = Observation()
         t0 = time.perf_counter()
-        df.observe(obs, F.count(F.lit(1)).alias("n")).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        build().observe(obs, F.count(F.lit(1)).alias("n")).write.format(
+            "noop"
+        ).mode("overwrite").save()
         return round(time.perf_counter() - t0, 3), int(obs.get["n"])
 
     heavy: dict[str, dict] = {name: {} for name in HEAVY_X10}
@@ -383,7 +387,9 @@ def main() -> None:
         sf_dir = build_scaled(spark, factor)
         for name in HEAVY_X10:
             try:
-                sec, rows = timed_noop_with_rows(queries[name](spark, sf_dir))
+                sec, rows = timed_noop_with_rows(
+                    lambda: queries[name](spark, sf_dir)
+                )
                 heavy[name][f"x{factor}"] = sec
                 heavy[name][f"rows_x{factor}"] = rows
             except Exception as exc:  # noqa: BLE001 — record, keep soaking
@@ -397,7 +403,9 @@ def main() -> None:
                 spark.catalog.clearCache()
                 sf_dir = build_scaled(spark, factor)
                 try:
-                    sec, _rows = timed_noop_with_rows(queries[name](spark, sf_dir))
+                    sec, _rows = timed_noop_with_rows(
+                        lambda: queries[name](spark, sf_dir)
+                    )
                     r[f"x{factor}"] = min(r[f"x{factor}"], sec)
                 except Exception:  # noqa: BLE001 — keep the original record
                     pass
