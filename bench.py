@@ -186,6 +186,9 @@ HEADLINE = [
     # Matryoshka dimension-truncation recall audit.
     "dedup_ngram_novelty",
     "sim_dim_truncation_recall",
+    # round-8 (cont. 3): keep-longest survivorship over near-dup
+    # clusters (the actionable end of the dedup chain).
+    "dedup_cluster_survivorship",
 ]
 
 SERVE_QUERIES = [

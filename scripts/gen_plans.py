@@ -88,6 +88,7 @@ PICKS = [
     ("se_maxscore_topk", "MaxScore pruning: ub/suffix/theta machinery on <=|query| rows; corpus work = top-ub term's postings + essential-term semi-join, non-essential postings never scanned"),
     ("events_value_mad", "three keyed passes, each percentile cuts broadcast back onto the scan; outlier boundary compared on round-6 constants"),
     ("dedup_ngram_novelty", "gram-keyed MIN agg + equi-join back on the gram — per-doc redundancy with no candidate pairs, shares the session shingle cache"),
+    ("dedup_cluster_survivorship", "keep-longest canonical per near-dup cluster: ONE window pass keyed on component (tiny partitions) yields canonical + member count — no per-cluster argmax join"),
 ]
 
 

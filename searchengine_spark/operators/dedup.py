@@ -949,6 +949,50 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def cluster_survivorship(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """(doc_id, component, canonical_id, is_canonical, n_members):
+    survivorship policy over duplicate clusters — within every
+    near-dup cluster keep the LONGEST document (``n_chars`` desc, tie
+    broken by min doc_id) as canonical; all other members map to it.
+    This is the step that turns clustering into an actionable dedup:
+    a curation pipeline drops the non-canonical rows, and downstream
+    provenance (citations, URL maps) re-points through canonical_id.
+
+    Keep-longest is the Lee et al. (2022) NearDup convention (their
+    dedup keeps one representative per cluster); longest-first keeps
+    the superset doc when a cluster is {page, page+boilerplate-strip}.
+
+    Scale shape: one shuffle keyed on ``component`` (clusters are a
+    handful of docs each, so window partitions are tiny), zero joins
+    after it — canonical and member counts come from the SAME window
+    pass (full-frame first/count), not a per-cluster argmax join.
+    """
+    from pyspark.sql import Window
+
+    member = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    wfull = (
+        Window.partitionBy("component")
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return member.select(
+        "doc_id",
+        "component",
+        F.first("doc_id").over(wfull).alias("canonical_id"),
+        (F.col("doc_id") == F.first("doc_id").over(wfull)).alias("is_canonical"),
+        F.count(F.lit(1)).over(wfull).cast("bigint").alias("n_members"),
+    )
+
+
+def q_cluster_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-doc selection (keep-longest) over the transitive
+    near-dup clusters, with the replacement map for dropped members."""
+    docs = load_table(spark, sf_dir, "documents")
+    return cluster_survivorship(
+        docs, q_duplicate_clusters(spark, sf_dir)
+    ).orderBy("doc_id")
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_bands": q_minhash_bands,
@@ -962,11 +1006,14 @@ QUERIES = {
     "dedup_cross_doc_spans": q_cross_doc_spans,
     "dedup_span_scrubbed_docs": q_span_scrubbed_docs,
     "dedup_ngram_novelty": q_ngram_novelty,
+    "dedup_cluster_survivorship": q_cluster_survivorship,
 }
 
 # The cluster oracle reaches the same fixed point with a recursive
 # CTE (min reachable label == connected component representative).
-_CLUSTERS_SQL = (
+# Shared as a CTE chain so the survivorship oracle builds on the
+# IDENTICAL component definition instead of restating it.
+_COMP_CTE = (
     _BANDS_CTE.replace("WITH toks AS", "WITH RECURSIVE toks AS", 1)
     + _CAPPED_CAND_CTE
     + """,
@@ -980,11 +1027,15 @@ _CLUSTERS_SQL = (
       UNION
       SELECT e.src AS node, r.lab
       FROM reach r JOIN edges e ON e.dst = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(lab) AS component
+      FROM reach GROUP BY node
     )
-    SELECT node AS doc_id, MIN(lab) AS component
-    FROM reach GROUP BY node
 """
 )
+
+_CLUSTERS_SQL = _COMP_CTE + " SELECT doc_id, component FROM comp"
 
 # DuckDB twin of cross_doc_spans: same positional shingles, df-cap,
 # hash equi-join, and gaps-and-islands chaining.
@@ -1108,6 +1159,29 @@ ORACLES = {
            OR (('0x' || substr(md5('incr' || CAST(doc_b AS VARCHAR)), 1, 15))::BIGINT % 10000) < 1000
     """,
     "dedup_duplicate_clusters": _CLUSTERS_SQL,
+    # survivorship builds on the SAME comp CTE: keep-longest
+    # (n_chars DESC, doc_id ASC) via one window ranking per component.
+    "dedup_cluster_survivorship": _COMP_CTE
+    + """,
+    member AS (
+      SELECT c.doc_id, c.component, d.n_chars
+      FROM comp c JOIN documents d USING (doc_id)
+    ),
+    ranked AS (
+      SELECT doc_id, component,
+             FIRST_VALUE(doc_id) OVER (
+               PARTITION BY component
+               ORDER BY n_chars DESC, doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+             ) AS canonical_id,
+             CAST(COUNT(*) OVER (PARTITION BY component) AS BIGINT)
+               AS n_members
+      FROM member
+    )
+    SELECT doc_id, component, canonical_id,
+           doc_id = canonical_id AS is_canonical, n_members
+    FROM ranked ORDER BY doc_id
+    """,
     "dedup_neardup_pairs": f"""{_BANDS_CTE}{_CAPPED_CAND_CTE}
         SELECT doc_a, doc_b FROM cand
     """,

@@ -336,3 +336,43 @@ def test_dim_truncation_oracle(spark, sf_dir):
         sf_dir,
         name="sim_dim_truncation_recall",
     )
+
+
+# ------------------------------------------------ cluster survivorship
+
+
+def test_survivorship_keeps_longest_not_min_id(spark):
+    from searchengine_spark.operators.dedup import cluster_survivorship
+
+    # cluster {1,2,9}: doc 9 is LONGEST -> canonical despite max id;
+    # proves the policy is keep-longest, not the component label
+    # (min id = 1). Singleton cluster {5} maps to itself.
+    docs = spark.createDataFrame(
+        [(1, 100), (2, 80), (9, 300), (5, 50)], "doc_id long, n_chars long"
+    )
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (9, 1), (5, 5)], "doc_id long, component long"
+    )
+    rows = {r.doc_id: r for r in cluster_survivorship(docs, clusters).collect()}
+    assert rows[1].canonical_id == 9 and not rows[1].is_canonical
+    assert rows[2].canonical_id == 9 and rows[2].n_members == 3
+    assert rows[9].is_canonical
+    assert rows[5].canonical_id == 5 and rows[5].is_canonical
+
+
+def test_survivorship_one_canonical_per_component(spark, sf_dir):
+    df = QUERIES["dedup_cluster_survivorship"](spark, sf_dir)
+    per = df.groupBy("component").agg(
+        F.sum(F.col("is_canonical").cast("long")).alias("n_canon"),
+        F.countDistinct("canonical_id").alias("n_ids"),
+    )
+    assert per.filter((F.col("n_canon") != 1) | (F.col("n_ids") != 1)).count() == 0
+
+
+def test_survivorship_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["dedup_cluster_survivorship"](spark, sf_dir),
+        ORACLES["dedup_cluster_survivorship"],
+        sf_dir,
+        name="dedup_cluster_survivorship",
+    )
