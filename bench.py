@@ -189,6 +189,8 @@ HEADLINE = [
     # round-8 (cont. 3): keep-longest survivorship over near-dup
     # clusters (the actionable end of the dedup chain).
     "dedup_cluster_survivorship",
+    # round-8 (cont. 4): DSIR importance-resampled data selection.
+    "mix_dsir_selection",
 ]
 
 SERVE_QUERIES = [

@@ -174,10 +174,203 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------- DSIR selection
+
+DSIR_B = 512  # hashed-bigram feature buckets (broadcastable table)
+DSIR_TARGET_SOURCES = ("src1", "src7", "src14")  # the "domain" exemplar
+DSIR_SELECT_Q = 0.8  # keep the top 20% by Gumbel-perturbed weight
+DSIR_SALT = "dsir"
+DSIR_GUMBEL_SALT = "dsirg"
+_DSIR_HASH_BITS = 52  # 13 hex digits, same as the privacy Gumbel
+
+
+def dsir_bucketed_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, b): one row per BIGRAM OCCURRENCE, hashed into
+    ``DSIR_B`` feature buckets — the hashed n-gram features of Data
+    Selection via Importance Resampling (Xie et al., NeurIPS 2023).
+    Raw token stream (stopwords kept): importance estimation wants the
+    full style signal, not the retrieval-pruned one."""
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    toked = docs.select(
+        "doc_id", "source", raw_tokens_column("text").alias("_toks")
+    ).filter(F.size("_toks") >= 2)
+    grams = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(_toks) - 1),"
+                " i -> concat(_toks[i-1], ' ', _toks[i]))"
+            )
+        ).alias("g"),
+    )
+    return grams.select(
+        "doc_id",
+        "source",
+        hash_bucket(F.col("g"), n_buckets=DSIR_B, salt=DSIR_SALT).alias("b"),
+    )
+
+
+def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: per-doc importance weight = sum over its
+    hashed bigrams of ln(p_target(b)/p_raw(b)) (add-1 smoothed bag-of-
+    features models, target = the ``DSIR_TARGET_SOURCES`` domain), then
+    Gumbel-perturbed top-quantile selection — the paper's importance
+    RESAMPLING, derandomized with the repo's seeded-md5 Gumbel so the
+    exact selected SET is oracle-checked.
+
+    Exact-decimal discipline: the per-bucket log-ratio is integerized
+    (round(lr*1e6) as bigint) BEFORE the per-doc sum, so document
+    scores are order-independent integer sums — no float-associativity
+    drift between engines; ln() appears only on identical scalar
+    inputs. Selection threshold = exact 0.8 percentile of the integer
+    keys (at 100 TB: approx_percentile, same topology — cf. the MAD
+    gate note in SCALE.md).
+
+    Scale shape: corpus work is one tokenize scan + one groupBy on the
+    uniform 512-bucket key + one per-doc aggregate; the bucket model
+    table (512 rows) and the two scalar totals broadcast. Nothing
+    corpus-sized is ever sorted or collected.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gb = dsir_bucketed_grams(docs)
+    is_t = F.col("source").isin(*DSIR_TARGET_SOURCES).cast("long")
+    per_b = gb.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"), F.sum(is_t).alias("ct")
+    )
+    tot = gb.agg(
+        F.count(F.lit(1)).alias("nr"), F.sum(is_t).alias("nt")
+    )
+    bf = float(DSIR_B)
+    lr = F.log((F.col("ct") + 1.0) / (F.col("nt") + bf)) - F.log(
+        (F.col("cr") + 1.0) / (F.col("nr") + bf)
+    )
+    lrt = (
+        per_b.crossJoin(F.broadcast(tot))
+        .select("b", F.round(lr * 1e6).cast("bigint").alias("li"))
+    )
+    scored = (
+        gb.join(F.broadcast(lrt), "b")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_grams"),
+            F.sum("li").alias("li_sum"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(DSIR_GUMBEL_SALT), F.col("doc_id").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_DSIR_HASH_BITS))
+    gi = F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
+    keyed = scored.withColumn("key_i", F.col("li_sum") + gi)
+    th = keyed.agg(
+        F.percentile(F.col("key_i").cast("double"), F.lit(DSIR_SELECT_Q)).alias(
+            "_t"
+        )
+    )
+    return (
+        keyed.crossJoin(F.broadcast(th))
+        .select(
+            "doc_id",
+            "source",
+            "n_grams",
+            F.round(F.col("li_sum") / 1e6, 6).alias("log_w"),
+            F.round(F.col("key_i") / 1e6, 6).alias("sel_key"),
+            (F.col("key_i").cast("double") >= F.col("_t")).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_DSIR_TARGET_SQL = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+
+
+def _dsir_sql() -> str:
+    from searchengine_spark.text.tokenizer import sql_raw_tokens_expr
+
+    return f"""
+        WITH toked AS (
+          SELECT doc_id, source, {sql_raw_tokens_expr('text')} AS toks
+          FROM documents
+        ),
+        filt AS (SELECT * FROM toked WHERE len(toks) >= 2),
+        gb AS (
+          SELECT doc_id, source,
+                 (('0x' || substr(md5('{DSIR_SALT}' || g), 1, 15))::BIGINT
+                   % {DSIR_B}) AS b
+          FROM (
+            SELECT doc_id, source,
+                   unnest(list_transform(
+                     generate_series(1, len(toks) - 1),
+                     i -> toks[i] || ' ' || toks[i + 1]
+                   )) AS g
+            FROM filt
+          )
+        ),
+        per_b AS (
+          SELECT b, CAST(COUNT(*) AS BIGINT) AS cr,
+                 CAST(SUM(CASE WHEN source IN ({_DSIR_TARGET_SQL})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS ct
+          FROM gb GROUP BY b
+        ),
+        tot AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS nr,
+                 CAST(SUM(CASE WHEN source IN ({_DSIR_TARGET_SQL})
+                          THEN 1 ELSE 0 END) AS BIGINT) AS nt
+          FROM gb
+        ),
+        lrt AS (
+          SELECT b,
+                 CAST(round((ln((ct + 1.0) / (nt + {DSIR_B}.0))
+                           - ln((cr + 1.0) / (nr + {DSIR_B}.0))) * 1000000.0)
+                      AS BIGINT) AS li
+          FROM per_b, tot
+        ),
+        scored AS (
+          SELECT g.doc_id, g.source,
+                 CAST(COUNT(*) AS BIGINT) AS n_grams,
+                 CAST(SUM(li) AS BIGINT) AS li_sum
+          FROM gb g JOIN lrt USING (b)
+          GROUP BY g.doc_id, g.source
+        ),
+        keyed AS (
+          SELECT *,
+                 li_sum + CAST(round(-ln(-ln(
+                   (('0x' || substr(md5('{DSIR_GUMBEL_SALT}'
+                       || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                   / {float(2**_DSIR_HASH_BITS)!r}
+                 )) * 1000000.0) AS BIGINT) AS key_i
+          FROM scored
+        ),
+        th AS (
+          SELECT quantile_cont(CAST(key_i AS DOUBLE), {DSIR_SELECT_Q})
+                   AS t FROM keyed
+        )
+        SELECT doc_id, source, n_grams,
+               round(li_sum / 1000000.0, 6) AS log_w,
+               round(key_i / 1000000.0, 6) AS sel_key,
+               CAST(key_i AS DOUBLE) >= t AS selected
+        FROM keyed, th
+        ORDER BY doc_id
+    """
+
+
 QUERIES = {
     "mix_resample_by_source": q_mixture_resample,
     "mix_temperature_resample": q_temperature_resample,
     "mix_curriculum_interleave": q_curriculum_interleave,
+    "mix_dsir_selection": q_dsir_selection,
 }
 
 ORACLES = {
@@ -233,4 +426,5 @@ ORACLES = {
         FROM ranked r JOIN gidx g USING (source), ng
         ORDER BY r.doc_id
     """,
+    "mix_dsir_selection": _dsir_sql(),
 }

@@ -376,3 +376,60 @@ def test_survivorship_oracle(spark, sf_dir):
         sf_dir,
         name="dedup_cluster_survivorship",
     )
+
+
+# ------------------------------------------------ DSIR selection
+
+
+@pytest.fixture(scope="module")
+def dsir_planted_dir(spark, tmp_path_factory):
+    """Two disjoint vocabularies: target docs (src1) speak vocab A,
+    off-domain docs (src9) speak vocab B — except one src9 doc written
+    in vocab A. DSIR must rank by CONTENT, not the source label."""
+    import os
+
+    A = "quantum lattice theorem spectral manifold operator hilbert eigenvalue "
+    B = "pasta recipe tomato basil garlic simmer saucepan oregano "
+    rows = [(i, "src1", (A * 6) + f"tail{i}") for i in range(6)]
+    rows += [(10 + i, "src9", (B * 6) + f"tail{10+i}") for i in range(6)]
+    rows += [(99, "src9", (A * 6) + "tail99")]  # in-domain content, wrong label
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    d = str(tmp_path_factory.mktemp("dsir"))
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    return d
+
+
+def test_dsir_ranks_by_content_not_label(spark, dsir_planted_dir):
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["mix_dsir_selection"](spark, dsir_planted_dir).collect()
+    }
+    vocab_b_max = max(rows[i].log_w for i in range(10, 16))
+    # the mislabeled vocab-A doc outranks EVERY vocab-B doc
+    assert rows[99].log_w > vocab_b_max
+    # and target-domain docs all score above the off-domain ones
+    assert min(rows[i].log_w for i in range(6)) > vocab_b_max
+
+
+def test_dsir_selects_top_quantile(spark, sf_dir):
+    from searchengine_spark.operators.mixture import DSIR_SELECT_Q
+
+    df = QUERIES["mix_dsir_selection"](spark, sf_dir)
+    n = df.count()
+    sel = df.filter("selected").count()
+    # >= because percentile ties are all kept
+    assert sel >= round(n * (1 - DSIR_SELECT_Q)) - 1
+    assert sel <= n * (1 - DSIR_SELECT_Q) + max(2, 0.02 * n)
+    # selection = exactly the top rows by sel_key
+    mn_sel = df.filter("selected").agg(F.min("sel_key")).collect()[0][0]
+    mx_rej = df.filter("NOT selected").agg(F.max("sel_key")).collect()[0][0]
+    assert mn_sel >= mx_rej
+
+
+def test_dsir_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["mix_dsir_selection"](spark, sf_dir),
+        ORACLES["mix_dsir_selection"],
+        sf_dir,
+        name="mix_dsir_selection",
+    )
