@@ -191,6 +191,7 @@ HEADLINE = [
     "dedup_cluster_survivorship",
     # round-8 (cont. 4): DSIR importance-resampled data selection.
     "mix_dsir_selection",
+    "export_length_buckets",
 ]
 
 SERVE_QUERIES = [

@@ -353,13 +353,141 @@ def _packed_sql(window: int = PACK_WINDOW_TOKENS) -> str:
     """
 
 
+# --------------------------------------------- length-bucketed batching
+
+LEN_BUCKET_MAX_POW = 20  # buckets 1,2,4,...,2^20 tokens; longer -> 2^21
+
+
+def _pow2_bucket_case():
+    """Next-power-of-two bucket as a pure 21-branch CASE chain — NO
+    log2/ceil float math (2.0000000000000004-style ulp drift would
+    flip buckets at exact powers of two between engines) and no
+    lookup join. Returns (Spark Column fn over an int column name,
+    SQL CASE string over an expr)."""
+    powers = [1 << i for i in range(LEN_BUCKET_MAX_POW + 1)]
+
+    def col_fn(n: str):
+        c = F.lit(1 << (LEN_BUCKET_MAX_POW + 1)).cast("bigint")
+        for p in reversed(powers):
+            c = F.when(F.col(n) <= p, F.lit(p).cast("bigint")).otherwise(c)
+        return c
+
+    def sql_fn(expr: str) -> str:
+        whens = " ".join(f"WHEN {expr} <= {p} THEN {p}" for p in powers)
+        return (
+            f"CAST(CASE {whens} ELSE {1 << (LEN_BUCKET_MAX_POW + 1)} END"
+            " AS BIGINT)"
+        )
+
+    return col_fn, sql_fn
+
+
+def length_buckets(docs: DataFrame, *, text_col: str = "text") -> DataFrame:
+    """(bucket_tokens, n_docs, sum_tokens, padded_tokens, efficiency,
+    naive_efficiency): the length-bucketed batching audit — pad each
+    document to the next power-of-two token length and batch within
+    the bucket (the standard padding-waste mitigation for non-packed
+    training/inference). ``efficiency`` = real/padded tokens per
+    bucket; ``naive_efficiency`` is the same ratio if the whole
+    corpus padded to its longest document — the number bucketing is
+    beating. Contrast packed_windows, which eliminates padding by
+    splitting docs; bucketing keeps documents whole (needed for
+    contrastive/reward training where truncation changes the label).
+
+    Scale shape: one tokenize scan -> per-doc count (map-only) ->
+    groupBy on <=22 bucket values; the corpus-wide totals fold in as
+    a 1-row broadcast. Nothing wider than 22 rows past the scan.
+    """
+    from searchengine_spark.text.tokenizer import raw_tokens_column
+
+    col_fn, _ = _pow2_bucket_case()
+    per_doc = docs.select(
+        F.size(raw_tokens_column(text_col)).cast("bigint").alias("n_tok")
+    ).filter(F.col("n_tok") >= 1)
+    bucketed = per_doc.select("n_tok", col_fn("n_tok").alias("bucket_tokens"))
+    per_bucket = bucketed.groupBy("bucket_tokens").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").alias("sum_tokens"),
+    )
+    tot = per_doc.agg(
+        F.sum("n_tok").alias("_sum_all"),
+        F.count(F.lit(1)).alias("_n_all"),
+        F.max("n_tok").alias("_max_tok"),
+    )
+    return (
+        per_bucket.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket_tokens",
+            "n_docs",
+            F.col("sum_tokens").cast("bigint").alias("sum_tokens"),
+            (F.col("n_docs") * F.col("bucket_tokens"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            F.round(
+                F.col("sum_tokens") / (F.col("n_docs") * F.col("bucket_tokens")),
+                6,
+            ).alias("efficiency"),
+            F.round(
+                F.col("_sum_all") / (F.col("_n_all") * F.col("_max_tok")), 6
+            ).alias("naive_efficiency"),
+        )
+        .orderBy("bucket_tokens")
+    )
+
+
+def q_export_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-efficiency audit of power-of-two length bucketing over
+    the documents table."""
+    from searchengine_spark.io import load_table
+
+    return length_buckets(load_table(spark, sf_dir, "documents"))
+
+
+def _length_buckets_sql() -> str:
+    from searchengine_spark.text.tokenizer import sql_raw_tokens_expr
+
+    _, sql_fn = _pow2_bucket_case()
+    return f"""
+        WITH per_doc AS (
+          SELECT CAST(len({sql_raw_tokens_expr('text')}) AS BIGINT) AS n_tok
+          FROM documents
+        ),
+        filt AS (SELECT n_tok FROM per_doc WHERE n_tok >= 1),
+        bucketed AS (
+          SELECT n_tok, {sql_fn('n_tok')} AS bucket_tokens FROM filt
+        ),
+        per_bucket AS (
+          SELECT bucket_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+          FROM bucketed GROUP BY bucket_tokens
+        ),
+        tot AS (
+          SELECT CAST(SUM(n_tok) AS BIGINT) AS sum_all,
+                 CAST(COUNT(*) AS BIGINT) AS n_all,
+                 CAST(MAX(n_tok) AS BIGINT) AS max_tok
+          FROM filt
+        )
+        SELECT bucket_tokens, n_docs, sum_tokens,
+               CAST(n_docs * bucket_tokens AS BIGINT) AS padded_tokens,
+               round(CAST(sum_tokens AS DOUBLE)
+                     / (n_docs * bucket_tokens), 6) AS efficiency,
+               round(CAST(sum_all AS DOUBLE) / (n_all * max_tok), 6)
+                 AS naive_efficiency
+        FROM per_bucket, tot
+        ORDER BY bucket_tokens
+    """
+
+
 QUERIES = {
     "export_shard_assignment": q_export_shard_assignment,
     "export_byte_budget_shards": q_export_byte_budget_shards,
     "export_packed_windows": q_export_packed_windows,
+    "export_length_buckets": q_export_length_buckets,
 }
 ORACLES = {
     "export_shard_assignment": _SHARD_SQL,
     "export_byte_budget_shards": _BYTE_SHARD_SQL,
     "export_packed_windows": _packed_sql(),
+    "export_length_buckets": _length_buckets_sql(),
 }

@@ -433,3 +433,48 @@ def test_dsir_oracle(spark, sf_dir):
         sf_dir,
         name="mix_dsir_selection",
     )
+
+
+# ------------------------------------------------ length buckets
+
+
+def test_length_bucket_boundaries_exact(spark):
+    from searchengine_spark.operators.export import length_buckets
+
+    # 8 tokens must land in bucket 8 (NOT 16 — the float-log2 ulp
+    # trap), 9 in 16, 1 in 1.
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(["tok"] * 8)),
+            (2, " ".join(["tok"] * 9)),
+            (3, "tok"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.bucket_tokens: r for r in length_buckets(docs).collect()}
+    assert set(rows) == {8, 16, 1}
+    assert rows[8].n_docs == 1 and rows[8].sum_tokens == 8
+    assert rows[8].efficiency == 1.0
+    assert rows[16].sum_tokens == 9 and rows[16].padded_tokens == 16
+    assert rows[1].efficiency == 1.0
+
+
+def test_length_buckets_beat_naive_padding(spark, sf_dir):
+    df = QUERIES["export_length_buckets"](spark, sf_dir).collect()
+    sum_tok = sum(r.sum_tokens for r in df)
+    padded = sum(r.padded_tokens for r in df)
+    bucketed_eff = sum_tok / padded
+    assert bucketed_eff > df[0].naive_efficiency, (
+        "bucketing did not beat pad-to-longest"
+    )
+    # every bucket is at least half full on average by construction
+    assert all(r.efficiency > 0.5 for r in df)
+
+
+def test_length_buckets_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["export_length_buckets"](spark, sf_dir),
+        ORACLES["export_length_buckets"],
+        sf_dir,
+        name="export_length_buckets",
+    )
