@@ -192,6 +192,7 @@ HEADLINE = [
     # round-8 (cont. 4): DSIR importance-resampled data selection.
     "mix_dsir_selection",
     "export_length_buckets",
+    "se_chunk_retrieval_recall",
 ]
 
 SERVE_QUERIES = [

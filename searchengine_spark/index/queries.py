@@ -150,23 +150,34 @@ WITH tok AS (
 )
 """
 
-_INDEX_BODY = """,
-dl AS (
-  SELECT doc_id, count(*)::BIGINT AS doc_length FROM tok GROUP BY doc_id
+_INDEX_BODY_TPL = """,
+{p}dl AS (
+  SELECT doc_id, count(*)::BIGINT AS doc_length FROM {p}tok GROUP BY doc_id
 ),
-tf AS (
+{p}tf AS (
   SELECT doc_id, word, count(*)::BIGINT AS term_freq
-  FROM tok GROUP BY doc_id, word
+  FROM {p}tok GROUP BY doc_id, word
 ),
-params AS (
-  SELECT count(*)::BIGINT AS n_docs, sum(doc_length) / count(*) AS avgdl FROM dl
+{p}params AS (
+  SELECT count(*)::BIGINT AS n_docs, sum(doc_length) / count(*) AS avgdl FROM {p}dl
 ),
-idf AS (
+{p}idf AS (
   SELECT word, count(*)::BIGINT AS doc_freq,
-         log10((SELECT n_docs FROM params) / count(*)) AS idf
-  FROM tf GROUP BY word
+         log10((SELECT n_docs FROM {p}params) / count(*)) AS idf
+  FROM {p}tf GROUP BY word
 )
 """
+
+
+def index_body_sql(prefix: str = "") -> str:
+    """The BM25 index CTE chain ({p}dl/{p}tf/{p}params/{p}idf over a
+    ``{p}tok`` CTE) with every name prefixed — so a second index in
+    the same oracle (e.g. the CHUNK index in index/ragrecall.py)
+    shares this definition verbatim instead of restating it."""
+    return _INDEX_BODY_TPL.replace("{p}", prefix)
+
+
+_INDEX_BODY = index_body_sql()
 
 _INDEX_CTES = _TOK_CTE + _INDEX_BODY
 _STEM_INDEX_CTES = _STEM_TOK_CTE + _INDEX_BODY

@@ -31,6 +31,7 @@ _MODULES = (
     "index.evaluation",
     "index.compression",
     "index.maxscore",
+    "index.ragrecall",
     "index.autocomplete",
     "index.keywords",
     "index.mmr",

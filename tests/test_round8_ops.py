@@ -478,3 +478,29 @@ def test_length_buckets_oracle(spark, sf_dir):
         sf_dir,
         name="export_length_buckets",
     )
+
+
+# ------------------------------------------------ RAG chunk recall
+
+
+def test_chunk_recall_invariants(spark, sf_dir):
+    from searchengine_spark.index.ragrecall import RAG_CHUNK_K
+
+    rows = QUERIES["se_chunk_retrieval_recall"](spark, sf_dir).collect()
+    assert len(rows) == 3  # one per BATCH_QUERIES entry
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_overlap <= min(r.n_doc_topk, r.n_chunk_docs)
+        assert r.n_chunk_docs <= RAG_CHUNK_K
+        assert r.recall == round(r.n_overlap / r.n_doc_topk, 6)
+        # chunk retrieval is not useless on this corpus
+        assert r.n_overlap > 0
+
+
+def test_chunk_recall_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["se_chunk_retrieval_recall"](spark, sf_dir),
+        ORACLES["se_chunk_retrieval_recall"],
+        sf_dir,
+        name="se_chunk_retrieval_recall",
+    )
