@@ -193,6 +193,7 @@ HEADLINE = [
     "mix_dsir_selection",
     "export_length_buckets",
     "se_chunk_retrieval_recall",
+    "events_cuped_adjusted",
 ]
 
 SERVE_QUERIES = [

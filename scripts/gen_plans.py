@@ -92,6 +92,7 @@ PICKS = [
     ("mix_dsir_selection", "DSIR: tokenize scan -> 512-bucket keyed agg -> broadcast log-ratio table back -> per-doc integer sum; threshold is a 1-row percentile crossJoin — nothing corpus-sized sorted"),
     ("export_length_buckets", "padding audit: map-only token count + 21-branch CASE bucket (no float log2, no lookup join) -> groupBy on <=22 keys + 1-row broadcast totals"),
     ("se_chunk_retrieval_recall", "RAG audit: two shared-machinery BM25 searches (doc + chunk index, both session-cached), parent map = integer div (no join), overlap = per-query semi-join on tiny top-k frames"),
+    ("events_cuped_adjusted", "CUPED: one scan -> per-user integer cents sums -> 2-row variant agg + 1-row global agg broadcast; all float math on final scalars only"),
 ]
 
 

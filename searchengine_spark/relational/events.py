@@ -559,9 +559,212 @@ def q_events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+CUPED_SALT = "cuped"
+
+
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction for A/B readouts (Deng et al., WSDM
+    2013): adjust each user's experiment-period metric Y by their
+    PRE-period value X — Y_cuped = Y - θ(X - E[X]), θ = cov(X,Y)/
+    var(X) — cutting metric variance without biasing the treatment
+    difference. Assignment is the repo's derandomized md5 coin
+    (user_id -> A/B), the period split is the corpus time midpoint,
+    and the metric is per-user summed value in CENTS — integer
+    accumulators end-to-end, so every covariance/variance input is an
+    exact bigint in both engines and the only float ops are the final
+    identical scalar expressions.
+
+    Per variant: user count, raw and CUPED-adjusted mean (back in
+    value units), and the variance ratio var(Y_cuped)/var(Y) — the
+    number CUPED exists to shrink (var(Y-θX) = var_y - 2θcov + θ²
+    var_x, all from the same integer sums).
+
+    Scale shape: one scan -> per-user conditional sums (keyed on the
+    uniform user_id) -> a 2-row variant aggregate + a 1-row global
+    aggregate folded by broadcast crossJoin. Production note: at
+    1e9+ users move the Σxy/Σx² accumulators to decimal(38,0) — the
+    fixture's cents sums stay far below 2^63, but the headroom
+    argument is per-corpus.
+    """
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = event_time_seconds(ev, "ts")
+    rng = ev.select(secs.alias("s")).agg(
+        F.min("s").alias("_mn"), F.max("s").alias("_mx")
+    )
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        ev.select(
+            "user_id",
+            secs.alias("s"),
+            F.coalesce(cents, F.lit(0)).alias("c"),
+        )
+        .crossJoin(F.broadcast(rng))
+        .withColumn(
+            "_mid", exact_floor_div(F.col("_mn") + F.col("_mx"), 2)
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("s") < F.col("_mid"), F.col("c")).otherwise(0))
+            .alias("x"),
+            F.sum(F.when(F.col("s") >= F.col("_mid"), F.col("c")).otherwise(0))
+            .alias("y"),
+        )
+        .withColumn(
+            "variant",
+            F.when(hash_bucket(F.col("user_id"), n_buckets=2, salt=CUPED_SALT) == 0,
+                   F.lit("A")).otherwise(F.lit("B")),
+        )
+    )
+    sums = lambda df, keys: df.groupBy(*keys).agg(  # noqa: E731
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    glob = sums(per_user, []).select(
+        F.col("n").alias("gn"),
+        F.col("sx").alias("gsx"),
+        F.col("sy").alias("gsy"),
+        F.col("sxy").alias("gsxy"),
+        F.col("sxx").alias("gsxx"),
+    )
+    d = F.col("gn").cast("double")
+    theta_num = F.col("gsxy").cast("double") - (
+        F.col("gsx").cast("double") * F.col("gsy").cast("double") / d
+    )
+    theta_den = F.col("gsxx").cast("double") - (
+        F.col("gsx").cast("double") * F.col("gsx").cast("double") / d
+    )
+    per_v = sums(per_user, ["variant"]).crossJoin(F.broadcast(glob))
+    nv = F.col("n").cast("double")
+    theta = theta_num / theta_den
+    mean_x_v = F.col("sx").cast("double") / nv
+    mean_x_all = F.col("gsx").cast("double") / d
+    mean_y_v = F.col("sy").cast("double") / nv
+    var_y = F.col("syy").cast("double") / nv - mean_y_v * mean_y_v
+    cov_v = F.col("sxy").cast("double") / nv - mean_x_v * mean_y_v
+    var_x_v = F.col("sxx").cast("double") / nv - mean_x_v * mean_x_v
+    var_cuped = var_y - 2.0 * theta * cov_v + theta * theta * var_x_v
+    return per_v.select(
+        "variant",
+        F.col("n").cast("bigint").alias("n_users"),
+        F.round(mean_y_v / 100.0, 6).alias("mean_value"),
+        F.round((mean_y_v - theta * (mean_x_v - mean_x_all)) / 100.0, 6).alias(
+            "mean_value_cuped"
+        ),
+        F.round(theta, 6).alias("theta"),
+        F.round(var_cuped / var_y, 6).alias("var_ratio"),
+    ).orderBy("variant")
+
+
+_CUPED_SQL = f"""
+WITH rng AS (
+  SELECT MIN(epoch_us(ts) // 1000000) AS mn,
+         MAX(epoch_us(ts) // 1000000) AS mx
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN (epoch_us(ts) // 1000000)
+                            < (rng.mn + rng.mx) // 2
+                  THEN CAST(round(COALESCE(value, 0) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN (epoch_us(ts) // 1000000)
+                            >= (rng.mn + rng.mx) // 2
+                  THEN CAST(round(COALESCE(value, 0) * 100) AS BIGINT)
+                  ELSE 0 END) AS BIGINT) AS y
+  FROM events, rng
+  GROUP BY user_id
+),
+tagged AS (
+  SELECT *,
+         CASE WHEN (('0x' || substr(md5('{CUPED_SALT}'
+                || CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 2) = 0
+              THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+),
+gtot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS gn,
+         CAST(SUM(x) AS BIGINT) AS gsx,
+         CAST(SUM(y) AS BIGINT) AS gsy,
+         CAST(SUM(x * y) AS BIGINT) AS gsxy,
+         CAST(SUM(x * x) AS BIGINT) AS gsxx
+  FROM tagged
+),
+per_v AS (
+  SELECT variant,
+         CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM tagged GROUP BY variant
+)
+SELECT variant,
+       n AS n_users,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0, 6)
+         AS mean_value,
+       round((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+              - ((CAST(gsxy AS DOUBLE)
+                  - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+                    / CAST(gn AS DOUBLE))
+                 / (CAST(gsxx AS DOUBLE)
+                    - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+                      / CAST(gn AS DOUBLE)))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)
+                   - CAST(gsx AS DOUBLE) / CAST(gn AS DOUBLE)))
+             / 100.0, 6) AS mean_value_cuped,
+       round((CAST(gsxy AS DOUBLE)
+              - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+                / CAST(gn AS DOUBLE))
+             / (CAST(gsxx AS DOUBLE)
+                - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+                  / CAST(gn AS DOUBLE)), 6) AS theta,
+       round((
+         (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+          - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+            * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         - 2.0 * ((CAST(gsxy AS DOUBLE)
+                   - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+                     / CAST(gn AS DOUBLE))
+                  / (CAST(gsxx AS DOUBLE)
+                     - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+                       / CAST(gn AS DOUBLE)))
+               * (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+         + ((CAST(gsxy AS DOUBLE)
+             - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+               / CAST(gn AS DOUBLE))
+            / (CAST(gsxx AS DOUBLE)
+               - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+                 / CAST(gn AS DOUBLE)))
+           * ((CAST(gsxy AS DOUBLE)
+               - CAST(gsx AS DOUBLE) * CAST(gsy AS DOUBLE)
+                 / CAST(gn AS DOUBLE))
+              / (CAST(gsxx AS DOUBLE)
+                 - CAST(gsx AS DOUBLE) * CAST(gsx AS DOUBLE)
+                   / CAST(gn AS DOUBLE)))
+           * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+       ) / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))), 6) AS var_ratio
+FROM per_v, gtot
+ORDER BY variant
+"""
+
+
 QUERIES = {
     "events_stickiness": q_events_stickiness,
     "events_weekday_hour_heatmap": q_events_weekday_hour_heatmap,
+    "events_cuped_adjusted": q_events_cuped,
     "events_transitions": q_events_transitions,
     "events_funnel_latency_quantiles": q_events_funnel_latency_quantiles,
     "events_anomaly_zscore": q_events_anomaly_zscore,
@@ -607,6 +810,7 @@ _HEATMAP_SQL = """
 ORACLES = {
     "events_stickiness": _STICKINESS_SQL,
     "events_weekday_hour_heatmap": _HEATMAP_SQL,
+    "events_cuped_adjusted": _CUPED_SQL,
     "events_funnel_latency_quantiles": _FUNNEL_LATENCY_SQL,
     "events_transitions": """
         WITH seq AS (

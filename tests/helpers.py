@@ -20,6 +20,10 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
             p = table_path(sf_dir, t)
             if not os.path.exists(p):
                 continue  # planted-fixture dirs carry only the tables under test
+            if os.path.isdir(p):
+                # Spark-written table (directory of part files) from a
+                # planted fixture — glob the parts for DuckDB.
+                p = os.path.join(p, "*.parquet")
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
         return con.execute(sql).df()
     finally:

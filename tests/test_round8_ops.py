@@ -504,3 +504,75 @@ def test_chunk_recall_oracle(spark, sf_dir):
         sf_dir,
         name="se_chunk_retrieval_recall",
     )
+
+
+# ------------------------------------------------ CUPED
+
+
+def test_cuped_math_consistency(spark, sf_dir):
+    rows = QUERIES["events_cuped_adjusted"](spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {"A", "B"}
+    # one shared theta
+    assert rows[0].theta == rows[1].theta
+    for r in rows:
+        assert r.n_users > 0 and r.var_ratio > 0
+    # CUPED adjustment is a zero-sum reshuffle around the global mean:
+    # the user-weighted mean of adjusted values equals the weighted
+    # mean of raw values (theta * sum_v n_v (mean_x_v - mean_x) = 0)
+    n = sum(r.n_users for r in rows)
+    raw = sum(r.mean_value * r.n_users for r in rows) / n
+    adj = sum(r.mean_value_cuped * r.n_users for r in rows) / n
+    assert abs(raw - adj) < 1e-4
+
+
+def test_cuped_reduces_variance_when_correlated(spark, tmp_path_factory):
+    import os
+    from datetime import datetime, timedelta
+
+    # planted: per-user pre and post totals strongly correlated
+    # (heavy users stay heavy), so CUPED must cut pooled variance.
+    base = datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(40):
+        spend = 10.0 + 5.0 * (u % 7)  # user-level propensity
+        for j in range(4):  # pre-period events
+            rows.append((eid, base + timedelta(hours=j), u, "view", spend, "{}"))
+            eid += 1
+        for j in range(4):  # post-period events, same propensity + noise
+            rows.append(
+                (
+                    eid,
+                    base + timedelta(days=20, hours=j),
+                    u,
+                    "view",
+                    spend + (u % 3) - 1.0,
+                    "{}",
+                )
+            )
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("cuped"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["events_cuped_adjusted"](spark, d).collect()
+    for r in out:
+        assert r.var_ratio < 0.5, f"CUPED failed to cut variance: {r}"
+    assert_matches_oracle(
+        QUERIES["events_cuped_adjusted"](spark, d),
+        ORACLES["events_cuped_adjusted"],
+        d,
+        name="events_cuped_adjusted_planted",
+    )
+
+
+def test_cuped_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["events_cuped_adjusted"](spark, sf_dir),
+        ORACLES["events_cuped_adjusted"],
+        sf_dir,
+        name="events_cuped_adjusted",
+    )
