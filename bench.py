@@ -194,6 +194,7 @@ HEADLINE = [
     "export_length_buckets",
     "se_chunk_retrieval_recall",
     "events_cuped_adjusted",
+    "dq_benford_orders",
 ]
 
 SERVE_QUERIES = [

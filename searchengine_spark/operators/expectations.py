@@ -242,7 +242,88 @@ def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+import math as _math
+
+# Benford first-digit expectation, computed ONCE in Python so both
+# engines compare against the same rounded literals (log10 inside
+# either engine would be a per-engine float).
+BENFORD_P = {d: round(_math.log10(1.0 + 1.0 / d), 6) for d in range(1, 10)}
+BENFORD_FLAG = 0.02  # |frac - expected| above this marks the digit
+
+
+def q_benford_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit audit over o_totalprice — the
+    classic financial-data fabrication/truncation check (synthetic or
+    clipped amounts drift from log10(1+1/d)). First digit comes from
+    INTEGER cents (round(x*100) -> bigint -> first char), never from
+    float log10/double-to-string formatting, so both engines bucket
+    identically. One scan-agg over a 9-value key; expectations are
+    Python-computed literals shared with the oracle.
+
+    Deviations on synthetic TPC-H totals are EXPECTED to be large
+    (uniform-ish totals are exactly what Benford flags) — the audit
+    reports them; the DQ judgement is the flag column.
+    """
+    from searchengine_spark.io import load_table
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 0
+    )
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    per = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+    tot = per.agg(F.sum("n_orders").alias("_n"))
+    expected = F.element_at(
+        F.create_map(
+            *[F.lit(x) for d, p in BENFORD_P.items() for x in (d, p)]
+        ),
+        F.col("digit"),
+    )
+    frac = F.round(F.col("n_orders") / F.col("_n"), 6)
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n_orders").cast("bigint").alias("n_orders"),
+            frac.alias("frac"),
+            expected.alias("benford_expected"),
+            F.round(frac - expected, 6).alias("deviation"),
+            (F.abs(frac - expected) > F.lit(BENFORD_FLAG)).alias("flagged"),
+        )
+        .orderBy("digit")
+    )
+
+
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_P.items()
+)
+
+_BENFORD_SQL = f"""
+WITH per AS (
+  SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                     AS VARCHAR), 1, 1) AS INT) AS digit,
+         CAST(COUNT(*) AS BIGINT) AS n_orders
+  FROM orders WHERE o_totalprice > 0
+  GROUP BY 1
+),
+tot AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n FROM per)
+SELECT digit, n_orders,
+       round(CAST(n_orders AS DOUBLE) / n, 6) AS frac,
+       (CASE digit {_BENFORD_CASE} END) AS benford_expected,
+       round(round(CAST(n_orders AS DOUBLE) / n, 6)
+             - (CASE digit {_BENFORD_CASE} END), 6) AS deviation,
+       abs(round(CAST(n_orders AS DOUBLE) / n, 6)
+           - (CASE digit {_BENFORD_CASE} END)) > {BENFORD_FLAG} AS flagged
+FROM per, tot
+ORDER BY digit
+"""
+
+
 QUERIES = {
+    "dq_benford_orders": q_benford_orders,
     "dq_orders_expectations": q_orders_expectations,
     "dq_events_expectations": q_events_expectations,
     "dq_embeddings_expectations": q_embeddings_expectations,
@@ -333,6 +414,7 @@ _EMB_DQ_SQL = f"""
 """
 
 ORACLES = {
+    "dq_benford_orders": _BENFORD_SQL,
     "dq_events_expectations": _EVENTS_DQ_SQL,
     "dq_embeddings_expectations": _EMB_DQ_SQL,
     "dq_referential_integrity": _REF_INTEGRITY_SQL,

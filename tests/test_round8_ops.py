@@ -576,3 +576,45 @@ def test_cuped_oracle(spark, sf_dir):
         sf_dir,
         name="events_cuped_adjusted",
     )
+
+
+# ------------------------------------------------ Benford audit
+
+
+def test_benford_conforming_data_not_flagged(spark, tmp_path_factory):
+    import os
+
+    from searchengine_spark.operators.expectations import BENFORD_P
+
+    # plant amounts whose first-digit counts match Benford exactly
+    rows = []
+    for d, p in BENFORD_P.items():
+        rows += [(float(d) * 10.0,)] * round(1000 * p)
+    orders = spark.createDataFrame(rows, "o_totalprice double")
+    dirp = str(tmp_path_factory.mktemp("benford"))
+    orders.write.mode("overwrite").parquet(os.path.join(dirp, "orders.parquet"))
+    out = QUERIES["dq_benford_orders"](spark, dirp).collect()
+    assert len(out) == 9
+    assert all(not r.flagged for r in out), out
+    assert_matches_oracle(
+        QUERIES["dq_benford_orders"](spark, dirp),
+        ORACLES["dq_benford_orders"],
+        dirp,
+        name="dq_benford_orders_planted",
+    )
+
+
+def test_benford_flags_synthetic_uniform_totals(spark, sf_dir):
+    out = QUERIES["dq_benford_orders"](spark, sf_dir).collect()
+    # TPC-H-ish uniform totals are exactly what Benford flags
+    assert sum(r.flagged for r in out) >= 5
+    assert abs(sum(r.frac for r in out) - 1.0) < 1e-4
+
+
+def test_benford_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["dq_benford_orders"](spark, sf_dir),
+        ORACLES["dq_benford_orders"],
+        sf_dir,
+        name="dq_benford_orders",
+    )
