@@ -172,6 +172,20 @@ QUERIES = (
     "emb_ivfpq_batch_topk",
     "stream_hll_rollup_replay",
     "dedup_eigenvector_centrality",
+    # round-8 operators with scale-sensitive shapes: MaxScore (the
+    # essential-term candidate set must shrink work, not add a pass),
+    # packed windows (two-level prefix sum — offsets window must stay
+    # constant-size), DSIR (512-bucket model joins + percentile
+    # threshold), cluster survivorship (window over components that
+    # MERGE under replication — cluster growth is the risk), chunk
+    # retrieval recall (a second, chunk-fanout index build per run),
+    # and the gram-keyed novelty join.
+    "se_maxscore_topk",
+    "export_packed_windows",
+    "mix_dsir_selection",
+    "dedup_cluster_survivorship",
+    "se_chunk_retrieval_recall",
+    "dedup_ngram_novelty",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
