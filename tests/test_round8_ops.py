@@ -618,3 +618,48 @@ def test_benford_oracle(spark, sf_dir):
         sf_dir,
         name="dq_benford_orders",
     )
+
+
+# ------------------------------------------------ plan-shape pins
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dsir_plan_broadcasts_model_table(spark, sf_dir):
+    plan = _plan(QUERIES["mix_dsir_selection"](spark, sf_dir))
+    # the 512-row log-ratio table must hash-join broadcast onto the
+    # gram scan; a SortMergeJoin here would shuffle the corpus twice
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cuped_plan_has_no_real_joins(spark, sf_dir):
+    plan = _plan(QUERIES["events_cuped_adjusted"](spark, sf_dir))
+    # scalar range + global sums fold in as 1-row broadcasts only
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_survivorship_plan_is_one_window_pass(spark):
+    from searchengine_spark.operators.dedup import cluster_survivorship
+
+    docs = spark.createDataFrame([(1, 10), (2, 20)], "doc_id long, n_chars long")
+    clusters = spark.createDataFrame([(1, 1), (2, 1)], "doc_id long, component long")
+    plan = _plan(cluster_survivorship(docs, clusters))
+    # policy itself adds a Window, never a per-cluster argmax join
+    assert "Window" in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_maxscore_plan_semi_joins_and_topk(spark, sf_dir):
+    plan = _plan(QUERIES["se_maxscore_topk"](spark, sf_dir))
+    assert "LeftSemi" in plan  # candidates skip non-essential postings
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_length_buckets_plan_stays_scan_shaped(spark, sf_dir):
+    plan = _plan(QUERIES["export_length_buckets"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
