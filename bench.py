@@ -195,6 +195,7 @@ HEADLINE = [
     "se_chunk_retrieval_recall",
     "events_cuped_adjusted",
     "dq_benford_orders",
+    "approx_quantile_sample",
 ]
 
 SERVE_QUERIES = [

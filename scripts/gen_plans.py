@@ -93,6 +93,8 @@ PICKS = [
     ("export_length_buckets", "padding audit: map-only token count + 21-branch CASE bucket (no float log2, no lookup join) -> groupBy on <=22 keys + 1-row broadcast totals"),
     ("se_chunk_retrieval_recall", "RAG audit: two shared-machinery BM25 searches (doc + chunk index, both session-cached), parent map = integer div (no join), overlap = per-query semi-join on tiny top-k frames"),
     ("events_cuped_adjusted", "CUPED: one scan -> per-user integer cents sums -> 2-row variant agg + 1-row global agg broadcast; all float math on final scalars only"),
+    ("dq_benford_orders", "Benford: scan-agg over a 9-value integer-cents first-digit key + 1-row total broadcast; expectations are constant literals, no log10 in either engine"),
+    ("approx_quantile_sample", "quantile sketch: TakeOrderedAndProject(K) by md5 hash (never a global sort), percentile on the K-row sample, rank audit = one conditional agg keyed by 4 labels"),
 ]
 
 

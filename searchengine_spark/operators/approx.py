@@ -364,7 +364,131 @@ def q_kmv_view_purchase_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- sample-quantile audit
+
+QS_K = 1024  # hash-reservoir size
+QS_SALT = "qsample"
+QS_QUANTILES = (0.25, 0.5, 0.9, 0.99)
+# DKW: sup_x |F_sample(x) - F(x)| <= sqrt(ln(2/delta)/(2K)) = 0.051
+# at delta = 0.01, K = 1024 — plus 1/K discretization slack.
+QS_BOUND = 0.06
+
+
+def q_quantile_sample_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile estimation by deterministic hash reservoir
+    (the scale-path replacement for exact per-group sorts): keep the
+    QS_K rows with the SMALLEST md5(event_id) — a uniform row sample
+    any engine reproduces bit-for-bit and any two partitions merge by
+    keeping the joint K smallest — estimate quantiles on the sample,
+    then audit each estimate's TRUE rank in the full data against the
+    DKW(+1/K) bound. The bracket check (frac_lt <= q+eps AND frac_le
+    >= q-eps) is robust to point masses, where a one-sided rank test
+    would false-alarm.
+
+    Scale shape: the sample is TakeOrderedAndProject(K) by hash —
+    never a global sort of the data, and mergeable across splits by
+    construction; the rank audit is one conditional aggregate keyed
+    by the 4 quantile labels (map-side partial). Completes the sketch
+    family: CMS (frequency), HLL/KMV (distinct), this (quantiles).
+    """
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_id", "value")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(QS_SALT), F.col("event_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    sample = (
+        ev.select("value", h.alias("h")).orderBy("h", "value").limit(QS_K)
+    )
+    ests = sample.agg(
+        *[
+            F.round(F.percentile("value", F.lit(q)), 6).alias(f"_e{i}")
+            for i, q in enumerate(QS_QUANTILES)
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({q} AS DOUBLE), _e{i}" for i, q in enumerate(QS_QUANTILES)
+    )
+    est_rows = ests.selectExpr(
+        f"stack({len(QS_QUANTILES)}, {stack_args}) AS (q, est)"
+    )
+    audited = (
+        ev.crossJoin(F.broadcast(est_rows))
+        .groupBy("q", "est")
+        .agg(
+            F.sum((F.col("value") < F.col("est")).cast("long")).alias("n_lt"),
+            F.sum((F.col("value") <= F.col("est")).cast("long")).alias("n_le"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    frac_lt = F.round(F.col("n_lt") / F.col("n"), 6)
+    frac_le = F.round(F.col("n_le") / F.col("n"), 6)
+    return audited.select(
+        "q",
+        "est",
+        frac_lt.alias("frac_lt"),
+        frac_le.alias("frac_le"),
+        (
+            (frac_lt <= F.col("q") + F.lit(QS_BOUND))
+            & (frac_le >= F.col("q") - F.lit(QS_BOUND))
+        ).alias("within_bound"),
+    ).orderBy("q")
+
+
+_QS_EST_SQL = " UNION ALL ".join(
+    f"SELECT CAST({q} AS DOUBLE) AS q,"
+    f" round(quantile_cont(value, {q}), 6) AS est FROM qsample"
+    for q in QS_QUANTILES
+)
+
+_QS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, value FROM events WHERE value IS NOT NULL
+),
+qsample AS (
+  SELECT value FROM (
+    SELECT value,
+           ('0x' || substr(md5('{QS_SALT}' || CAST(event_id AS VARCHAR)),
+            1, 15))::BIGINT AS h
+    FROM ev ORDER BY h, value LIMIT {QS_K}
+  )
+),
+ests AS ({_QS_EST_SQL}),
+audited AS (
+  SELECT e.q, e.est,
+         CAST(SUM(CASE WHEN v.value < e.est THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lt,
+         CAST(SUM(CASE WHEN v.value <= e.est THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_le,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev v, ests e
+  GROUP BY e.q, e.est
+)
+SELECT q, est,
+       round(CAST(n_lt AS DOUBLE) / n, 6) AS frac_lt,
+       round(CAST(n_le AS DOUBLE) / n, 6) AS frac_le,
+       (round(CAST(n_lt AS DOUBLE) / n, 6) <= q + {QS_BOUND}
+        AND round(CAST(n_le AS DOUBLE) / n, 6) >= q - {QS_BOUND})
+         AS within_bound
+FROM audited
+ORDER BY q
+"""
+
+
 QUERIES = {
+    "approx_quantile_sample": q_quantile_sample_audit,
     "approx_event_user_stats": q_approx_event_user_stats,
     "approx_hll_rollup_users": q_approx_hll_rollup_users,
     "approx_equal_count_bins": q_approx_equal_count_bins,
@@ -376,6 +500,7 @@ QUERIES = {
 # booleans are the invariants — DuckDB states them as TRUE and the
 # driver's hash check enforces them.
 ORACLES: dict[str, str] = {
+    "approx_quantile_sample": _QS_SQL,
     "approx_event_user_stats": """
         SELECT event_type,
                CAST(count(*) AS BIGINT) AS n_events,

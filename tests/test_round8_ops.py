@@ -663,3 +663,47 @@ def test_length_buckets_plan_stays_scan_shaped(spark, sf_dir):
     plan = _plan(QUERIES["export_length_buckets"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+# ------------------------------------------------ quantile sample
+
+
+def test_quantile_sample_brackets_and_monotone(spark, sf_dir):
+    rows = QUERIES["approx_quantile_sample"](spark, sf_dir).collect()
+    assert [r.q for r in rows] == [0.25, 0.5, 0.9, 0.99]
+    assert all(r.within_bound for r in rows)
+    ests = [r.est for r in rows]
+    assert ests == sorted(ests), "quantile estimates must be monotone"
+    for r in rows:
+        assert r.frac_lt <= r.frac_le
+
+
+def test_quantile_sample_survives_heavy_point_mass(spark, tmp_path_factory):
+    import os
+
+    # 80% of values identical: a one-sided rank test at q=0.5 would
+    # false-alarm (frac_le jumps to ~1.0); the bracket check must not.
+    rows = [(i, float(7)) for i in range(800)]
+    rows += [(800 + i, 1000.0 + i) for i in range(200)]
+    ev = spark.createDataFrame(rows, "event_id long, value double")
+    d = str(tmp_path_factory.mktemp("qs"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["approx_quantile_sample"](spark, d).collect()
+    mid = [r for r in out if r.q == 0.5][0]
+    assert mid.est == 7.0
+    assert mid.within_bound  # frac_lt=0 <= 0.56 and frac_le=0.8 >= 0.44
+    assert_matches_oracle(
+        QUERIES["approx_quantile_sample"](spark, d),
+        ORACLES["approx_quantile_sample"],
+        d,
+        name="approx_quantile_sample_planted",
+    )
+
+
+def test_quantile_sample_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["approx_quantile_sample"](spark, sf_dir),
+        ORACLES["approx_quantile_sample"],
+        sf_dir,
+        name="approx_quantile_sample",
+    )
