@@ -196,6 +196,7 @@ HEADLINE = [
     "events_cuped_adjusted",
     "dq_benford_orders",
     "approx_quantile_sample",
+    "events_watermark_sizing",
 ]
 
 SERVE_QUERIES = [

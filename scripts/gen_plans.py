@@ -95,6 +95,7 @@ PICKS = [
     ("events_cuped_adjusted", "CUPED: one scan -> per-user integer cents sums -> 2-row variant agg + 1-row global agg broadcast; all float math on final scalars only"),
     ("dq_benford_orders", "Benford: scan-agg over a 9-value integer-cents first-digit key + 1-row total broadcast; expectations are constant literals, no log10 in either engine"),
     ("approx_quantile_sample", "quantile sketch: TakeOrderedAndProject(K) by md5 hash (never a global sort), percentile on the K-row sample, rank audit = one conditional agg keyed by 4 labels"),
+    ("events_watermark_sizing", "watermark what-if: arrival-order running max via bucketed two-level prefix pattern (per-hour maxima + constant-size cumulative window broadcast back) — no global-order window over the stream"),
 ]
 
 

@@ -559,6 +559,129 @@ def q_events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+WM_JITTER_S = 3600  # simulated network delay: md5 jitter in [0, 1h)
+WM_JITTER_SALT = "arrjit"
+WM_CANDIDATES = (300, 1800, 7200)  # watermarks under audit
+WM_BUCKET_S = 3600  # monotone arrival-hour ranges for the 2-level max
+
+
+def q_events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark sizing what-if: under a deterministic hash-jitter
+    arrival model (each event delayed md5(event_id) mod 1h), how many
+    events would a `withWatermark(W)` drop, for candidate Ws? This is
+    the batch simulation practitioners run before picking a watermark
+    — the drop-rate-vs-state-size tradeoff made measurable. An event
+    drops iff its event time is more than W behind the running MAX
+    event time in arrival order (Spark's watermark rule, inclusive
+    max is equivalent: a row that sets the max is never late).
+
+    Scale shape: the arrival-order running max is the packed_windows
+    two-level pattern — per-arrival-hour bucket maxima, a
+    constant-size cumulative window over the bucket frame broadcast
+    back, and a within-bucket running max — so no global-order window
+    ever sees the full stream. The verdict fold is one conditional
+    aggregate stacked to |WM_CANDIDATES| rows.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    s = event_time_seconds(ev, "ts")
+    jit = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(WM_JITTER_SALT), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(WM_JITTER_S),
+    )
+    base = ev.select(
+        "event_id", s.alias("s"), (s + jit).alias("arr")
+    ).withColumn("b", exact_floor_div(F.col("arr"), WM_BUCKET_S))
+    per_b = base.groupBy("b").agg(F.max("s").alias("bmax"))
+    bw = Window.orderBy("b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow - 1
+    )
+    prev = per_b.select(
+        "b", F.max("bmax").over(bw).alias("prev_max")
+    )
+    ww = Window.partitionBy("b").orderBy("arr", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tracked = (
+        base.join(F.broadcast(prev), "b")
+        .withColumn("wmax", F.max("s").over(ww))
+        .withColumn(
+            "runmax",
+            F.greatest(F.coalesce(F.col("prev_max"), F.col("wmax")), F.col("wmax")),
+        )
+    )
+    agg = tracked.agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                (F.col("s") < F.col("runmax") - F.lit(w)).cast("long")
+            ).alias(f"_d{w}")
+            for w in WM_CANDIDATES
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({w} AS BIGINT), _d{w}" for w in WM_CANDIDATES
+    )
+    rows = agg.selectExpr(
+        "_n", f"stack({len(WM_CANDIDATES)}, {stack_args}) AS (watermark_s, n_dropped)"
+    )
+    return rows.select(
+        "watermark_s",
+        F.col("_n").cast("bigint").alias("n_events"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.round(F.col("n_dropped") / F.col("_n"), 6).alias("frac_dropped"),
+    ).orderBy("watermark_s")
+
+
+_WM_DROP_SQL = ", ".join(
+    f"""CAST(SUM(CASE WHEN s < runmax - {w} THEN 1 ELSE 0 END) AS BIGINT)
+        AS d{w}"""
+    for w in WM_CANDIDATES
+)
+_WM_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT CAST({w} AS BIGINT) AS watermark_s, n AS n_events,"
+    f" d{w} AS n_dropped,"
+    f" round(CAST(d{w} AS DOUBLE) / n, 6) AS frac_dropped FROM agg"
+    for w in WM_CANDIDATES
+)
+
+_WM_SQL = f"""
+WITH base AS (
+  SELECT event_id,
+         (epoch_us(ts) // 1000000) AS s,
+         (epoch_us(ts) // 1000000)
+           + (('0x' || substr(md5('{WM_JITTER_SALT}'
+              || CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % {WM_JITTER_S})
+           AS arr
+  FROM events
+),
+tracked AS (
+  SELECT s,
+         MAX(s) OVER (ORDER BY arr, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS runmax
+  FROM base
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, {_WM_DROP_SQL}
+  FROM tracked
+)
+{_WM_ROWS_SQL}
+ORDER BY watermark_s
+"""
+
+
 CUPED_SALT = "cuped"
 
 
@@ -765,6 +888,7 @@ QUERIES = {
     "events_stickiness": q_events_stickiness,
     "events_weekday_hour_heatmap": q_events_weekday_hour_heatmap,
     "events_cuped_adjusted": q_events_cuped,
+    "events_watermark_sizing": q_events_watermark_sizing,
     "events_transitions": q_events_transitions,
     "events_funnel_latency_quantiles": q_events_funnel_latency_quantiles,
     "events_anomaly_zscore": q_events_anomaly_zscore,
@@ -811,6 +935,7 @@ ORACLES = {
     "events_stickiness": _STICKINESS_SQL,
     "events_weekday_hour_heatmap": _HEATMAP_SQL,
     "events_cuped_adjusted": _CUPED_SQL,
+    "events_watermark_sizing": _WM_SQL,
     "events_funnel_latency_quantiles": _FUNNEL_LATENCY_SQL,
     "events_transitions": """
         WITH seq AS (

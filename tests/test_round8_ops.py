@@ -707,3 +707,71 @@ def test_quantile_sample_oracle(spark, sf_dir):
         sf_dir,
         name="approx_quantile_sample",
     )
+
+
+# ------------------------------------------------ watermark sizing
+
+
+def test_watermark_sizing_invariants(spark, sf_dir):
+    rows = QUERIES["events_watermark_sizing"](spark, sf_dir).collect()
+    assert [r.watermark_s for r in rows] == [300, 1800, 7200]
+    drops = [r.n_dropped for r in rows]
+    assert drops == sorted(drops, reverse=True), "drop rate must fall with W"
+    # jitter < 3600s, so any watermark >= the jitter bound drops nothing
+    assert rows[-1].n_dropped == 0
+
+
+def test_watermark_two_level_runmax_matches_global_window(spark, sf_dir):
+    """The bucketed prefix-max decomposition must equal the naive
+    single-partition global window it replaces at scale."""
+    from pyspark.sql import Window
+
+    from searchengine_spark.event_time import event_time_seconds
+    from searchengine_spark.io import load_table
+    from searchengine_spark.relational.events import (
+        WM_JITTER_S,
+        WM_JITTER_SALT,
+        WM_CANDIDATES,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    s = event_time_seconds(ev, "ts")
+    jit = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(WM_JITTER_SALT), F.col("event_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(WM_JITTER_S),
+    )
+    base = ev.select("event_id", s.alias("s"), (s + jit).alias("arr"))
+    gw = Window.orderBy("arr", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    naive = base.withColumn("runmax", F.max("s").over(gw))
+    expected = {
+        w: naive.filter(F.col("s") < F.col("runmax") - w).count()
+        for w in WM_CANDIDATES
+    }
+    got = {
+        r.watermark_s: r.n_dropped
+        for r in QUERIES["events_watermark_sizing"](spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_watermark_sizing_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["events_watermark_sizing"](spark, sf_dir),
+        ORACLES["events_watermark_sizing"],
+        sf_dir,
+        name="events_watermark_sizing",
+    )
