@@ -197,6 +197,7 @@ HEADLINE = [
     "dq_benford_orders",
     "approx_quantile_sample",
     "events_watermark_sizing",
+    "sample_stratified_exact",
 ]
 
 SERVE_QUERIES = [

@@ -274,7 +274,68 @@ def q_weighted_pps(spark, sf_dir: str) -> DataFrame:
     return weighted_pps_sample(docs, "doc_id", "n_chars", PPS_N)
 
 
+# Exact stratified allocation as a RATIONAL num/den so the per-group
+# keep count ceil(n_g * num / den) is integer arithmetic in both
+# engines — float fractions (0.2 * n) sit ulps off integers and flip
+# ceil() per-engine.
+STRAT_NUM, STRAT_DEN = 1, 5  # 20% per stratum
+STRAT_SALT = "strat"
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    *,
+    num: int = STRAT_NUM,
+    den: int = STRAT_DEN,
+    salt: str = STRAT_SALT,
+) -> DataFrame:
+    """EXACTLY ceil(n_g·num/den) rows per stratum, chosen by md5 rank
+    — proportional allocation with deterministic membership. The
+    distinction from `deterministic_sample` per group: the hash-
+    threshold form hits the fraction only in EXPECTATION (a small or
+    unlucky stratum can land far off); rank-based allocation is exact
+    per stratum, which is what a train-set composition contract
+    needs. One shuffle keyed on the stratum; the rank window sorts
+    only within each stratum."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
+    cw = Window.partitionBy(stratum_col)
+    return (
+        df.withColumn("_r", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(cw))
+        .filter(F.col("_r") <= F.expr(f"(_n * {num} + {den - 1}) div {den}"))
+        .drop("_r", "_n")
+    )
+
+
+def q_stratified_exact(spark, sf_dir: str) -> DataFrame:
+    """Exact 20%-per-language stratified sample of documents."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        stratified_exact_sample(docs, "lang", "doc_id")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES = {
+    "sample_stratified_exact": q_stratified_exact,
     "split_leakage_safe": q_leakage_safe_split,
     "sample_documents_10pct": q_sample_documents,
     "split_train_val_test": q_split_distribution,
@@ -285,6 +346,22 @@ QUERIES = {
 from searchengine_spark.operators.dedup import _CLUSTERS_SQL as _DEDUP_CLUSTERS_SQL  # noqa: E402
 
 ORACLES = {
+    "sample_stratified_exact": f"""
+        WITH ranked AS (
+          SELECT doc_id, lang,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('{STRAT_SALT}'
+                             || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT ASC,
+                            doc_id ASC
+                 ) AS r,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM documents
+        )
+        SELECT doc_id, lang FROM ranked
+        WHERE r <= (n * {STRAT_NUM} + {STRAT_DEN - 1}) // {STRAT_DEN}
+        ORDER BY doc_id
+    """,
     "split_leakage_safe": f"""
         SELECT d.doc_id,
                COALESCE(c.component, d.doc_id) AS rep,

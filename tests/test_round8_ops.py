@@ -775,3 +775,47 @@ def test_watermark_sizing_oracle(spark, sf_dir):
         sf_dir,
         name="events_watermark_sizing",
     )
+
+
+# ------------------------------------------------ stratified sample
+
+
+def test_stratified_allocation_is_exact_per_stratum(spark, sf_dir):
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import STRAT_DEN, STRAT_NUM
+
+    docs = load_table(spark, sf_dir, "documents")
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    kept = {
+        r.lang: r.n
+        for r in QUERIES["sample_stratified_exact"](spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for lang, n in totals.items():
+        want = -(-n * STRAT_NUM // STRAT_DEN)  # ceil
+        assert kept.get(lang, 0) == want, (lang, n, want, kept.get(lang))
+
+
+def test_stratified_beats_threshold_sampling_on_small_strata(spark):
+    # a 3-row stratum must yield exactly ceil(3/5)=1 row — the case
+    # where hash-THRESHOLD sampling returns 0..3 rows by luck
+    from searchengine_spark.operators.sampling import stratified_exact_sample
+
+    docs = spark.createDataFrame(
+        [(i, "tiny") for i in range(3)] + [(100 + i, "big") for i in range(50)],
+        "doc_id long, lang string",
+    )
+    out = stratified_exact_sample(docs, "lang", "doc_id").groupBy("lang").count()
+    rows = {r.lang: r["count"] for r in out.collect()}
+    assert rows == {"tiny": 1, "big": 10}
+
+
+def test_stratified_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["sample_stratified_exact"](spark, sf_dir),
+        ORACLES["sample_stratified_exact"],
+        sf_dir,
+        name="sample_stratified_exact",
+    )
