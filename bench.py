@@ -198,6 +198,7 @@ HEADLINE = [
     "approx_quantile_sample",
     "events_watermark_sizing",
     "sample_stratified_exact",
+    "events_conversion_ab",
 ]
 
 SERVE_QUERIES = [

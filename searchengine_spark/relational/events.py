@@ -884,7 +884,116 @@ ORDER BY variant
 """
 
 
+Z_CRIT = 1.96  # two-sided 5%
+
+
+def q_events_conversion_ab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for conversion (any purchase) under the
+    SAME derandomized A/B assignment as events_cuped_adjusted — the
+    binary-metric half of the experimentation readout (CUPED covers
+    the continuous metric). All inputs to the statistic are integer
+    user/conversion counts from one keyed aggregate; p̂, the pooled
+    SE, and z are identical scalar float expressions on the 1-row
+    frame, so the full verdict (z, significance) hash-matches. Under
+    a hash assignment with no real treatment, significance should be
+    a 5% event — the audit's null behavior is part of the point."""
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    ev = load_table(spark, sf_dir, "events")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max((F.col("event_type") == "purchase").cast("long")).alias(
+                "conv"
+            )
+        )
+        .withColumn(
+            "va", (hash_bucket(F.col("user_id"), n_buckets=2, salt=CUPED_SALT) == 0)
+        )
+    )
+    agg = per_user.agg(
+        F.sum(F.col("va").cast("long")).alias("n_a"),
+        F.sum((~F.col("va")).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("va"), F.col("conv")).otherwise(0)).alias("conv_a"),
+        F.sum(F.when(~F.col("va"), F.col("conv")).otherwise(0)).alias("conv_b"),
+    )
+    pa = F.col("conv_a").cast("double") / F.col("n_a").cast("double")
+    pb = F.col("conv_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    # degenerate pooled rate (0 or 1) forces pa == pb, so z is 0 by
+    # definition — and the SE formula would divide by zero
+    z = F.when(
+        (F.col("conv_a") + F.col("conv_b") == 0)
+        | (F.col("conv_a") + F.col("conv_b") == F.col("n_a") + F.col("n_b")),
+        F.lit(0.0),
+    ).otherwise(F.round((pa - pb) / se, 6))
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("conv_a").cast("bigint").alias("conv_a"),
+        F.round(pa, 6).alias("rate_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.col("conv_b").cast("bigint").alias("conv_b"),
+        F.round(pb, 6).alias("rate_b"),
+        z.alias("z_score"),
+        (F.abs(z) > F.lit(Z_CRIT)).alias("significant"),
+    )
+
+
+_AB_Z_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+         (('0x' || substr(md5('{{salt}}' || CAST(user_id AS VARCHAR)),
+           1, 15))::BIGINT % 2) = 0 AS va
+  FROM events GROUP BY user_id
+),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN va THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         CAST(SUM(CASE WHEN NOT va THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         CAST(SUM(CASE WHEN va THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         CAST(SUM(CASE WHEN NOT va THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+  FROM per_user
+)
+SELECT n_a, conv_a,
+       round(CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE), 6) AS rate_a,
+       n_b, conv_b,
+       round(CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS rate_b,
+       CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN 0.0
+            ELSE round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) END AS z_score,
+       abs(CASE WHEN conv_a + conv_b = 0 OR conv_a + conv_b = n_a + n_b
+            THEN 0.0
+            ELSE round((CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+              - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+             / sqrt((CAST(conv_a + conv_b AS DOUBLE)
+                     / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+                             / CAST(n_a + n_b AS DOUBLE))
+                    * (1.0 / CAST(n_a AS DOUBLE)
+                       + 1.0 / CAST(n_b AS DOUBLE))), 6) END) > {Z_CRIT} AS significant
+FROM agg
+"""
+
+
 QUERIES = {
+    "events_conversion_ab": q_events_conversion_ab,
     "events_stickiness": q_events_stickiness,
     "events_weekday_hour_heatmap": q_events_weekday_hour_heatmap,
     "events_cuped_adjusted": q_events_cuped,
@@ -936,6 +1045,7 @@ ORACLES = {
     "events_weekday_hour_heatmap": _HEATMAP_SQL,
     "events_cuped_adjusted": _CUPED_SQL,
     "events_watermark_sizing": _WM_SQL,
+    "events_conversion_ab": _AB_Z_SQL.replace("{salt}", CUPED_SALT),
     "events_funnel_latency_quantiles": _FUNNEL_LATENCY_SQL,
     "events_transitions": """
         WITH seq AS (

@@ -819,3 +819,52 @@ def test_stratified_oracle(spark, sf_dir):
         sf_dir,
         name="sample_stratified_exact",
     )
+
+
+# ------------------------------------------------ conversion z-test
+
+
+def test_conversion_ab_fixture_is_degenerate_and_guarded(spark, sf_dir):
+    r = QUERIES["events_conversion_ab"](spark, sf_dir).collect()[0]
+    # every fixture user purchases at least once -> pooled rate 1.0,
+    # the SE denominator would be 0; the guard must yield z = 0
+    assert r.rate_a == 1.0 and r.rate_b == 1.0
+    assert r.z_score == 0.0 and not r.significant
+
+
+def test_conversion_ab_nondegenerate_planted(spark, tmp_path_factory):
+    import os
+    from datetime import datetime
+
+    # ~third of users purchase -> non-degenerate SE path in BOTH
+    # engines, verdict hash-checked via the oracle
+    ts = datetime(2024, 1, 1)
+    rows = []
+    for u in range(90):
+        etype = "purchase" if u % 3 == 0 else "view"
+        rows.append((u, ts, u, etype, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("abz"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = QUERIES["events_conversion_ab"](spark, d).collect()[0]
+    assert 0.0 < r.rate_a < 1.0 and 0.0 < r.rate_b < 1.0
+    assert r.significant == (abs(r.z_score) > 1.96)
+    assert_matches_oracle(
+        QUERIES["events_conversion_ab"](spark, d),
+        ORACLES["events_conversion_ab"],
+        d,
+        name="events_conversion_ab_planted",
+    )
+
+
+def test_conversion_ab_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["events_conversion_ab"](spark, sf_dir),
+        ORACLES["events_conversion_ab"],
+        sf_dir,
+        name="events_conversion_ab",
+    )
