@@ -199,6 +199,7 @@ HEADLINE = [
     "events_watermark_sizing",
     "sample_stratified_exact",
     "events_conversion_ab",
+    "approx_kmv_merge_audit",
 ]
 
 SERVE_QUERIES = [

@@ -487,7 +487,151 @@ ORDER BY q
 """
 
 
+KMV_SPLIT_SALT = "kmvsplit"
+
+
+def q_kmv_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The property the sketch family's whole scale story rests on,
+    stated as a hash-checked invariant: KMV sketches are MERGEABLE.
+    Split the events by a hash coin, sketch each half independently,
+    merge (union, keep the K smallest per group), and compare against
+    the sketch of the whole — per event type the merged and whole
+    sketches must be IDENTICAL element sets (not merely same-size):
+    any global top-K element is in the top-K of its own half, so
+    distributed sketching loses nothing. At 100 TB this is why
+    per-partition sketches + a tiny merge replace a global distinct.
+    """
+    from pyspark.sql import Window
+
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    events = load_table(spark, sf_dir, "events")
+    coin = hash_bucket(F.col("event_id"), n_buckets=2, salt=KMV_SPLIT_SALT)
+    half_a = kmv_user_sketches(events.filter(coin == 0))
+    half_b = kmv_user_sketches(events.filter(coin == 1))
+    pooled = half_a.unionByName(half_b).distinct()
+    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("user_id"))
+    merged = (
+        pooled.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= F.lit(KMV_K))
+        .drop("_r")
+    )
+    whole = kmv_user_sketches(events)
+    magg = merged.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_merged"),
+        F.max("h").alias("kth_merged"),
+    )
+    wagg = whole.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_whole"),
+        F.max("h").alias("kth_whole"),
+    )
+    only_m = merged.join(whole, ["event_type", "user_id", "h"], "left_anti")
+    only_w = whole.join(merged, ["event_type", "user_id", "h"], "left_anti")
+    asym = (
+        only_m.unionByName(only_w)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_diff"))
+    )
+    return (
+        magg.join(wagg, "event_type")
+        .join(asym, "event_type", "left")
+        .na.fill({"n_diff": 0})
+        .select(
+            "event_type",
+            "n_merged",
+            "n_whole",
+            F.col("kth_merged").cast("bigint").alias("kth_merged"),
+            F.col("kth_whole").cast("bigint").alias("kth_whole"),
+            (
+                (F.col("n_diff") == 0)
+                & (F.col("n_merged") == F.col("n_whole"))
+                & (F.col("kth_merged") == F.col("kth_whole"))
+            ).alias("merge_lossless"),
+        )
+        .orderBy("event_type")
+    )
+
+
+_KMV_HALF_SQL = """
+  SELECT event_type, user_id, h FROM (
+    SELECT event_type, user_id, h,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY h ASC, user_id ASC
+           ) AS r
+    FROM (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5('{salt}' || CAST(user_id AS VARCHAR)),
+              1, 15))::BIGINT AS h
+      FROM events
+      WHERE (('0x' || substr(md5('{split}' || CAST(event_id AS VARCHAR)),
+              1, 15))::BIGINT % 2) = {side}
+    )
+  ) WHERE r <= {k}
+"""
+
+_KMV_MERGE_SQL = f"""
+WITH ha AS ({_KMV_HALF_SQL.format(salt=KMV_SALT, split=KMV_SPLIT_SALT, side=0, k=KMV_K)}),
+hb AS ({_KMV_HALF_SQL.format(salt=KMV_SALT, split=KMV_SPLIT_SALT, side=1, k=KMV_K)}),
+pooled AS (SELECT DISTINCT * FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)),
+merged AS (
+  SELECT event_type, user_id, h FROM (
+    SELECT event_type, user_id, h,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY h ASC, user_id ASC
+           ) AS r
+    FROM pooled
+  ) WHERE r <= {KMV_K}
+),
+whole AS (
+  SELECT event_type, user_id, h FROM (
+    SELECT event_type, user_id, h,
+           ROW_NUMBER() OVER (
+             PARTITION BY event_type ORDER BY h ASC, user_id ASC
+           ) AS r
+    FROM (
+      SELECT DISTINCT event_type, user_id,
+             ('0x' || substr(md5('{KMV_SALT}' || CAST(user_id AS VARCHAR)),
+              1, 15))::BIGINT AS h
+      FROM events
+    )
+  ) WHERE r <= {KMV_K}
+),
+magg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_merged,
+         MAX(h)::BIGINT AS kth_merged
+  FROM merged GROUP BY event_type
+),
+wagg AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_whole,
+         MAX(h)::BIGINT AS kth_whole
+  FROM whole GROUP BY event_type
+),
+asym AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_diff FROM (
+    SELECT m.event_type FROM merged m
+    WHERE NOT EXISTS (SELECT 1 FROM whole w
+                      WHERE w.event_type = m.event_type
+                        AND w.user_id = m.user_id AND w.h = m.h)
+    UNION ALL
+    SELECT w.event_type FROM whole w
+    WHERE NOT EXISTS (SELECT 1 FROM merged m
+                      WHERE m.event_type = w.event_type
+                        AND m.user_id = w.user_id AND m.h = w.h)
+  ) GROUP BY event_type
+)
+SELECT m.event_type, m.n_merged, w.n_whole, m.kth_merged, w.kth_whole,
+       (COALESCE(a.n_diff, 0) = 0
+        AND m.n_merged = w.n_whole
+        AND m.kth_merged = w.kth_whole) AS merge_lossless
+FROM magg m
+JOIN wagg w USING (event_type)
+LEFT JOIN asym a ON a.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
 QUERIES = {
+    "approx_kmv_merge_audit": q_kmv_merge_audit,
     "approx_quantile_sample": q_quantile_sample_audit,
     "approx_event_user_stats": q_approx_event_user_stats,
     "approx_hll_rollup_users": q_approx_hll_rollup_users,
@@ -500,6 +644,7 @@ QUERIES = {
 # booleans are the invariants — DuckDB states them as TRUE and the
 # driver's hash check enforces them.
 ORACLES: dict[str, str] = {
+    "approx_kmv_merge_audit": _KMV_MERGE_SQL,
     "approx_quantile_sample": _QS_SQL,
     "approx_event_user_stats": """
         SELECT event_type,

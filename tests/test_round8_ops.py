@@ -868,3 +868,56 @@ def test_conversion_ab_oracle(spark, sf_dir):
         sf_dir,
         name="events_conversion_ab",
     )
+
+
+# ------------------------------------------------ KMV mergeability
+
+
+def test_kmv_merge_lossless_on_fixture(spark, sf_dir):
+    rows = QUERIES["approx_kmv_merge_audit"](spark, sf_dir).collect()
+    assert len(rows) >= 3
+    assert all(r.merge_lossless for r in rows)
+    for r in rows:
+        assert r.n_merged == r.n_whole
+        assert r.kth_merged == r.kth_whole
+
+
+def test_kmv_merge_lossless_under_k(spark, tmp_path_factory):
+    import os
+    from datetime import datetime
+
+    from searchengine_spark.operators.approx import KMV_K
+
+    # fewer distinct users than K: both half-sketches are partial and
+    # overlap arbitrarily; the merge must still equal the whole sketch
+    ts = datetime(2024, 1, 1)
+    rows = []
+    for u in range(30):
+        rows.append((u, ts, u, "view", 1.0, "{}"))
+        rows.append((1000 + u, ts, u, "view", 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("kmvm"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = QUERIES["approx_kmv_merge_audit"](spark, d).collect()
+    assert len(out) == 1
+    assert out[0].n_whole == 30 < KMV_K
+    assert out[0].merge_lossless
+    assert_matches_oracle(
+        QUERIES["approx_kmv_merge_audit"](spark, d),
+        ORACLES["approx_kmv_merge_audit"],
+        d,
+        name="approx_kmv_merge_audit_planted",
+    )
+
+
+def test_kmv_merge_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["approx_kmv_merge_audit"](spark, sf_dir),
+        ORACLES["approx_kmv_merge_audit"],
+        sf_dir,
+        name="approx_kmv_merge_audit",
+    )
