@@ -186,6 +186,13 @@ QUERIES = (
     "dedup_cluster_survivorship",
     "se_chunk_retrieval_recall",
     "dedup_ngram_novelty",
+    # round-8 late adds: the arrival-order two-level running max (its
+    # bucket frame grows with the time span), the global hash top-K
+    # reservoir (TakeOrdered must stay K-bounded), and the KMV merge
+    # (anti-join identity over K-per-group frames).
+    "events_watermark_sizing",
+    "approx_quantile_sample",
+    "approx_kmv_merge_audit",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
