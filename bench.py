@@ -200,6 +200,7 @@ HEADLINE = [
     "sample_stratified_exact",
     "events_conversion_ab",
     "approx_kmv_merge_audit",
+    "privacy_rr_frequency",
 ]
 
 SERVE_QUERIES = [

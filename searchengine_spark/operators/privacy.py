@@ -232,13 +232,133 @@ SELECT rnk, c_nationkey, noisy_score FROM (
 ORDER BY rnk
 """
 
+# ------------------------------------------- local DP: randomized response
+
+RR_P = 0.75  # keep the true bit with p, else report a fair coin
+# eps = ln((p + (1-p)/2) / ((1-p)/2)) = ln(7) for p = 0.75
+RR_KEEP_SALT = "rrkeep"
+RR_COIN_SALT = "rrcoin"
+# |pi_hat - pi| <= (1/p) * sqrt(ln(2/0.01) / (2 n)) whp; +1/(p*n) slack
+RR_DELTA_LN = 5.2983  # ln(2/0.01) rounded to the shared literal
+
+
+def _rr_uniform(salt: str):
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_HASH_BITS))
+
+
+def q_rr_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCAL differential privacy — Warner (1965) randomized response,
+    the mechanism behind RAPPOR: each user reports their true bit
+    ("did I ever hit an error event") with probability p, otherwise a
+    fair coin, and the aggregator debiases pî = (mean_report −
+    (1−p)/2)/p. eps = ln((p+(1−p)/2)/((1−p)/2)) = ln 7 at p = 0.75.
+    Completes the privacy family's third model: k-anonymity
+    (syntactic), central DP (noisy counts / EM top-k), and now local
+    DP, where the TRUE bit never has to leave the user's row.
+
+    Derandomized per repo convention: both the keep-coin and the
+    noise-coin are seeded md5 uniforms, so the exact released counts
+    — and the debiased estimate's error against the true rate, which
+    a production release would not emit but the audit must — are
+    hash-checked. Integer counts feed identical scalar float
+    expressions; one user-keyed aggregate, 1-row output.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "error").cast("long")).alias("b")
+    )
+    keep = _rr_uniform(RR_KEEP_SALT) < F.lit(RR_P)
+    coin = (_rr_uniform(RR_COIN_SALT) < F.lit(0.5)).cast("long")
+    reported = per_user.select(
+        "b", F.when(keep, F.col("b")).otherwise(coin).alias("r")
+    )
+    agg = reported.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("b").alias("n_true"),
+        F.sum("r").alias("n_reported"),
+    )
+    nd = F.col("n").cast("double")
+    mean_r = F.col("n_reported").cast("double") / nd
+    est = (mean_r - F.lit((1.0 - RR_P) / 2.0)) / F.lit(RR_P)
+    true_frac = F.col("n_true").cast("double") / nd
+    bound = (
+        F.lit(1.0 / RR_P) * F.sqrt(F.lit(RR_DELTA_LN) / (F.lit(2.0) * nd))
+        + F.lit(1.0 / RR_P) / nd
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("n_reported").cast("bigint").alias("n_reported"),
+        F.round(true_frac, 6).alias("true_frac"),
+        F.round(est, 6).alias("est_frac"),
+        F.round(F.abs(est - true_frac), 6).alias("abs_err"),
+        (F.abs(est - true_frac) <= bound).alias("within_bound"),
+    )
+
+
+_RR_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS b
+  FROM events GROUP BY user_id
+),
+reported AS (
+  SELECT b,
+         CASE WHEN ((('0x' || substr(md5('{RR_KEEP_SALT}'
+                || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                / {float(2 ** _HASH_BITS)!r}) < {RR_P}
+              THEN b
+              ELSE CASE WHEN ((('0x' || substr(md5('{RR_COIN_SALT}'
+                     || CAST(user_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                     / {float(2 ** _HASH_BITS)!r}) < 0.5
+                   THEN 1 ELSE 0 END
+         END AS r
+  FROM per_user
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(b) AS BIGINT) AS n_true,
+         CAST(SUM(r) AS BIGINT) AS n_reported
+  FROM reported
+)
+SELECT n AS n_users, n_reported,
+       round(CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE), 6) AS true_frac,
+       round((CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE)
+              - {(1.0 - RR_P) / 2.0}) / {RR_P}, 6) AS est_frac,
+       round(abs((CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE)
+              - {(1.0 - RR_P) / 2.0}) / {RR_P}
+             - CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS abs_err,
+       abs((CAST(n_reported AS DOUBLE) / CAST(n AS DOUBLE)
+              - {(1.0 - RR_P) / 2.0}) / {RR_P}
+           - CAST(n_true AS DOUBLE) / CAST(n AS DOUBLE))
+         <= ({1.0 / RR_P} * sqrt({RR_DELTA_LN}
+             / (2.0 * CAST(n AS DOUBLE)))
+             + {1.0 / RR_P} / CAST(n AS DOUBLE)) AS within_bound
+FROM agg
+"""
+
+
 QUERIES = {
+    "privacy_rr_frequency": q_rr_frequency,
     "privacy_k_anonymity_audit": q_k_anonymity_audit,
     "privacy_k_anonymize_generalize": q_k_anonymize_generalize,
     "privacy_dp_noisy_counts": q_dp_noisy_counts,
     "privacy_dp_exponential_topk": q_dp_exponential_topk,
 }
 ORACLES = {
+    "privacy_rr_frequency": _RR_SQL,
     "privacy_k_anonymity_audit": _AUDIT_SQL,
     "privacy_k_anonymize_generalize": _GENERALIZE_SQL,
     "privacy_dp_noisy_counts": _DP_SQL,

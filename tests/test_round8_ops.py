@@ -921,3 +921,46 @@ def test_kmv_merge_oracle(spark, sf_dir):
         sf_dir,
         name="approx_kmv_merge_audit",
     )
+
+
+# ------------------------------------------------ randomized response
+
+
+def test_rr_debiasing_recovers_planted_rate(spark, tmp_path_factory):
+    import os
+    from datetime import datetime
+
+    ts = datetime(2024, 1, 1)
+    rows = []
+    for u in range(400):  # ~25% true rate, n large enough for the bound
+        etype = "error" if u % 4 == 0 else "view"
+        rows.append((u, ts, u, etype, 1.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("rr"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = QUERIES["privacy_rr_frequency"](spark, d).collect()[0]
+    assert r.true_frac == 0.25
+    assert r.within_bound
+    # the noisy report must NOT equal the truth (privacy actually on)
+    assert r.n_reported != 100
+    assert_matches_oracle(
+        QUERIES["privacy_rr_frequency"](spark, d),
+        ORACLES["privacy_rr_frequency"],
+        d,
+        name="privacy_rr_frequency_planted",
+    )
+
+
+def test_rr_oracle(spark, sf_dir):
+    r = QUERIES["privacy_rr_frequency"](spark, sf_dir).collect()[0]
+    assert r.within_bound
+    assert_matches_oracle(
+        QUERIES["privacy_rr_frequency"](spark, sf_dir),
+        ORACLES["privacy_rr_frequency"],
+        sf_dir,
+        name="privacy_rr_frequency",
+    )
