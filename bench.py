@@ -201,6 +201,7 @@ HEADLINE = [
     "events_conversion_ab",
     "approx_kmv_merge_audit",
     "privacy_rr_frequency",
+    "text_zipf_slope",
 ]
 
 SERVE_QUERIES = [

@@ -99,6 +99,7 @@ PICKS = [
     ("approx_kmv_merge_audit", "mergeability proof: two half-sketches (grouped top-K windows on filtered scans) + K-row-per-group merge window + anti-join identity check — every frame after the scans is K-rows-per-group"),
     ("sample_stratified_exact", "exact allocation: one stratum-keyed shuffle, rank window within strata, integer-rational keep bound in whole-stage codegen"),
     ("privacy_rr_frequency", "local DP: per-user seeded coin arithmetic entirely in codegen on the user-keyed agg; 1-row debias fold"),
+    ("text_zipf_slope", "corpus health probe: token-count agg + TakeOrderedAndProject(100); OLS on the 100-row frame with order-independent decimal accumulators"),
 ]
 
 

@@ -301,7 +301,117 @@ WINDOW w AS (ORDER BY total_chars DESC, source ASC
 """
 
 
+ZIPF_TOP_N = 100
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit: OLS slope of ln(count) on ln(rank)
+    over the top-100 raw tokens — natural corpora sit near slope −1;
+    a corpus of templated/boilerplate text (or one mangled by a bad
+    extraction pass) drifts far off, making this a cheap whole-corpus
+    health probe. Per-row ln runs on identical (rank, count) integers
+    in both engines; every OLS accumulator term is rounded to 12
+    decimals and summed as DECIMAL(28,12), so the 100-term sums are
+    order-independent exactly like the repo's money sums — no float
+    fold ever depends on execution order.
+
+    Scale shape: one token count agg + TakeOrderedAndProject(100);
+    everything after is a 100-row frame."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(_raw_tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(ZIPF_TOP_N)
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("word"))  # 100 rows
+    xy = counts.withColumn("rank", F.row_number().over(w)).select(
+        F.round(F.log(F.col("rank").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("n").cast("double")), 12).alias("y"),
+    )
+    dec = "decimal(28,12)"
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / kd
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / kd
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / kd
+    # degenerate corpus (single word / identical counts): no slope —
+    # NULL stats, zipf_like false, instead of an ANSI divide-by-zero
+    ok = (varx > F.lit(0.0)) & (vary > F.lit(0.0))
+    slope = F.when(ok, cov / varx)
+    return sums.select(
+        F.col("k").cast("bigint").alias("n_words"),
+        F.round(slope, 6).alias("slope"),
+        F.round(
+            F.when(ok, (F.col("sy") - slope * F.col("sx")) / kd), 6
+        ).alias("intercept"),
+        F.round(F.when(ok, cov * cov / (varx * vary)), 6).alias("r2"),
+        F.coalesce(
+            (slope >= F.lit(-1.5)) & (slope <= F.lit(-0.5)), F.lit(False)
+        ).alias("zipf_like"),
+    )
+
+
+_ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_RAW_TOK_SQL}) AS word FROM documents)
+  GROUP BY word
+  ORDER BY n DESC, word ASC
+  LIMIT {ZIPF_TOP_N}
+),
+xy AS (
+  SELECT round(ln(CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word ASC)
+                       AS DOUBLE)), 12) AS x,
+         round(ln(CAST(n AS DOUBLE)), 12) AS y
+  FROM counts
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+  FROM xy
+)
+SELECT k AS n_words,
+       CASE WHEN ok THEN round(cov / varx, 6) END AS slope,
+       CASE WHEN ok THEN round((sy - (cov / varx) * sx)
+                               / CAST(k AS DOUBLE), 6) END AS intercept,
+       CASE WHEN ok THEN round((cov * cov) / (varx * vary), 6) END AS r2,
+       COALESCE((cov / varx) >= -1.5 AND (cov / varx) <= -0.5
+                AND ok, FALSE) AS zipf_like
+FROM (
+  SELECT *,
+         (sxy - sx * sy / CAST(k AS DOUBLE)) AS cov,
+         (sxx - sx * sx / CAST(k AS DOUBLE)) AS varx,
+         (syy - sy * sy / CAST(k AS DOUBLE)) AS vary,
+         (sxx - sx * sx / CAST(k AS DOUBLE)) > 0.0
+         AND (syy - sy * sy / CAST(k AS DOUBLE)) > 0.0 AS ok
+  FROM sums
+)
+"""
+
+
 QUERIES = {
+    "text_zipf_slope": q_zipf_slope,
     "text_source_pareto": q_source_pareto,
     "text_char_entropy": q_char_entropy,
     "text_readability": q_readability,
@@ -314,6 +424,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_zipf_slope": _ZIPF_SQL,
     "text_source_pareto": _SOURCE_PARETO_SQL,
     "text_char_entropy": """
         WITH chars AS (

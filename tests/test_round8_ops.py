@@ -964,3 +964,66 @@ def test_rr_oracle(spark, sf_dir):
         sf_dir,
         name="privacy_rr_frequency",
     )
+
+
+# ------------------------------------------------ Zipf slope
+
+
+def test_zipf_detects_planted_power_law(spark, tmp_path_factory):
+    import os
+
+    # word_i appears floor(3000/i) times -> rank-frequency slope ~ -1
+    # (pure-alpha words: digits are tokenizer delimiters)
+    words = []
+    for i in range(1, 51):
+        name = "w" + chr(97 + (i - 1) // 26) + chr(97 + (i - 1) % 26)
+        words += [name] * (3000 // i)
+    docs = spark.createDataFrame(
+        [(1, " ".join(words))], "doc_id long, text string"
+    )
+    d = str(tmp_path_factory.mktemp("zipf"))
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    r = QUERIES["text_zipf_slope"](spark, d).collect()[0]
+    assert r.zipf_like, r
+    assert -1.1 < r.slope < -0.9
+    assert r.r2 > 0.99
+    assert_matches_oracle(
+        QUERIES["text_zipf_slope"](spark, d),
+        ORACLES["text_zipf_slope"],
+        d,
+        name="text_zipf_slope_planted",
+    )
+
+
+def test_zipf_flags_uniform_fixture(spark, sf_dir):
+    r = QUERIES["text_zipf_slope"](spark, sf_dir).collect()[0]
+    # the synthetic corpus is near-uniform: the probe must SAY so
+    assert not r.zipf_like
+    assert r.slope > -0.5
+
+
+def test_zipf_oracle(spark, sf_dir):
+    assert_matches_oracle(
+        QUERIES["text_zipf_slope"](spark, sf_dir),
+        ORACLES["text_zipf_slope"],
+        sf_dir,
+        name="text_zipf_slope",
+    )
+
+
+def test_zipf_degenerate_single_word_corpus(spark, tmp_path_factory):
+    import os
+
+    docs = spark.createDataFrame(
+        [(1, "same same same same")], "doc_id long, text string"
+    )
+    d = str(tmp_path_factory.mktemp("zipfdeg"))
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    r = QUERIES["text_zipf_slope"](spark, d).collect()[0]
+    assert r.n_words == 1 and r.slope is None and not r.zipf_like
+    assert_matches_oracle(
+        QUERIES["text_zipf_slope"](spark, d),
+        ORACLES["text_zipf_slope"],
+        d,
+        name="text_zipf_slope_degenerate",
+    )
