@@ -134,23 +134,44 @@ def curriculum_interleave(
 
     interleave_key = curriculum_rank * n_groups + group_index is a
     bijection into the target order: sorting by it round-robins
-    rank-0 docs of every source, then rank-1, and so on. Computing it
-    needs only per-GROUP windows (the same shuffle as any per-source
-    ranking) plus a broadcast |groups|-row index table — at 100 TB
-    the trainer's loader sorts shards by the key it already has,
-    and nothing ever sorted the corpus globally.
+    rank-0 docs of every source, then rank-1, and so on. The trainer's
+    loader sorts shards by the key it already has — nothing ever sorts
+    the corpus globally.
+
+    The per-source rank itself is NOT a naive per-group window (with
+    O(10) sources at 100 TB each window partition would be ~1/10 of
+    the corpus sorted in ONE task): it goes through
+    `distrank.distributed_rank` — value-range buckets on ``order_col``
+    (one 1-row min/max broadcast fold), per-(source, bucket) counts,
+    exclusive offsets over the tiny count frame, then a window keyed
+    on (source, bucket) so each source's sort spreads over ~4096
+    tasks. Rank-identical to ROW_NUMBER() OVER (PARTITION BY source
+    ORDER BY order_col DESC, id ASC) — the DuckDB oracle states the
+    plain window.
     """
     from pyspark.sql import Window
+
+    from searchengine_spark.operators.distrank import (
+        distributed_rank,
+        range_bucket,
+    )
 
     groups = df.select(group_col).distinct()
     gw = Window.orderBy(group_col)  # |groups| rows — constant-size
     gidx = groups.withColumn("_gidx", F.row_number().over(gw) - 1)
     n_groups = gidx.agg(F.count(F.lit(1)).alias("_ng"))
-    per = Window.partitionBy(group_col).orderBy(
-        F.desc(order_col), F.asc(id_col)
+    ext, bucket = range_bucket(df, order_col, descending=True)
+    ranked = distributed_rank(
+        ext,
+        [group_col],
+        [F.desc(order_col), F.asc(id_col)],
+        bucket,
+        rank_name="_crk",
     )
     return (
-        df.withColumn("curriculum_rank", (F.row_number().over(per) - 1).cast("bigint"))
+        ranked.withColumn(
+            "curriculum_rank", (F.col("_crk") - 1).cast("bigint")
+        )
         .join(F.broadcast(gidx), group_col)
         .crossJoin(F.broadcast(n_groups))
         .select(

@@ -124,22 +124,28 @@ def sample_per_group_quota(
     Rank is row_number over (hash_bucket, id) within the group — the
     id tiebreak makes the pick total-ordered, so the same records
     survive on every run/partitioning; a different salt draws an
-    independent sample. Scale shape: one shuffle on the group key;
-    groups are processed independently, so a skewed giant group costs
-    one task's sort of that group, not a global sort (for truly
-    pathological single-source corpora, pre-aggregate with a salted
-    two-phase top-k — operators/skew.py — before this).
-    """
-    from pyspark.sql import Window
+    independent sample.
 
-    w = Window.partitionBy(group_col).orderBy(
-        hash_bucket(F.col(id_col), salt=salt).asc(), F.col(id_col).asc()
+    Scale shape: the per-group rank goes through
+    `distrank.distributed_rank` — the uniform hash_bucket value is
+    its own monotone bucket (quantized 16:1), so a giant group's sort
+    spreads over ~625 tasks instead of one — and ``quota`` prunes
+    every bucket whose exclusive offset already reaches it BEFORE the
+    window, so the surviving work is O(groups x quota) rows, not the
+    corpus. Row-identical to the plain per-group window the DuckDB
+    oracle states.
+    """
+    from searchengine_spark.operators.distrank import distributed_rank
+
+    ranked = distributed_rank(
+        df.withColumn("_hb", hash_bucket(F.col(id_col), salt=salt)),
+        [group_col],
+        [F.asc("_hb"), F.asc(id_col)],
+        F.expr("_hb div 16"),
+        rank_name="_rk",
+        max_rank=quota,
     )
-    return (
-        df.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") <= quota)
-        .drop("_rk")
-    )
+    return ranked.filter(F.col("_rk") <= quota).drop("_rk", "_hb")
 
 
 def weighted_pps_sample(
@@ -297,9 +303,19 @@ def stratified_exact_sample(
     threshold form hits the fraction only in EXPECTATION (a small or
     unlucky stratum can land far off); rank-based allocation is exact
     per stratum, which is what a train-set composition contract
-    needs. One shuffle keyed on the stratum; the rank window sorts
-    only within each stratum."""
-    from pyspark.sql import Window
+    needs.
+
+    Scale shape: the per-stratum rank goes through
+    `distrank.distributed_rank`, NOT a naive per-stratum window (with
+    ~5 language strata at 100 TB each window partition would be ~1/5
+    of the corpus sorted in one task). The md5 rank key bucketizes
+    naturally — its top bits ARE a uniform monotone bucket (h DIV
+    2^48 -> 4096 equal-width buckets) — and the exact per-stratum
+    keep count ceil(n*num/den) prunes every bucket whose exclusive
+    offset already exceeds it BEFORE the window, so only ~num/den of
+    each stratum is ever sorted (in ~4096-way parallel). Rank- and
+    row-identical to the plain window the DuckDB oracle states."""
+    from searchengine_spark.operators.distrank import distributed_rank
 
     h = F.conv(
         F.substring(
@@ -312,13 +328,19 @@ def stratified_exact_sample(
         16,
         10,
     ).cast("bigint")
-    w = Window.partitionBy(stratum_col).orderBy(h.asc(), F.col(id_col).asc())
-    cw = Window.partitionBy(stratum_col)
+    keep = F.expr(f"(_gn * {num} + {den - 1}) div {den}")
+    ranked = distributed_rank(
+        df.withColumn("_h", h),
+        [stratum_col],
+        [F.asc("_h"), F.asc(id_col)],
+        F.expr(f"_h div {1 << 48}"),
+        rank_name="_r",
+        max_rank=keep,
+        group_count_name="_n",
+    )
     return (
-        df.withColumn("_r", F.row_number().over(w))
-        .withColumn("_n", F.count(F.lit(1)).over(cw))
-        .filter(F.col("_r") <= F.expr(f"(_n * {num} + {den - 1}) div {den}"))
-        .drop("_r", "_n")
+        ranked.filter(F.col("_r") <= F.expr(f"(_n * {num} + {den - 1}) div {den}"))
+        .drop("_r", "_n", "_h")
     )
 
 

@@ -163,31 +163,55 @@ def key_skew_profile(df: DataFrame, key: str) -> DataFrame:
     salt it (replicated_salt_join above) or expect one straggler task.
 
     Scale shape: ONE keyed count over the fact (the same shuffle the
-    audited operation would do), then all ranking/aggregation runs on
-    the n_keys-row COUNT frame — the single-task sorts here are over
-    keys, never rows, which is the whole point of profiling before
-    shuffling. Everything is integer arithmetic until the final
-    round(…, 6), so the frame hash-checks exactly; the Gini uses the
-    sorted-rank formulation G = (2*sum(i*c_i) - (n+1)*sum(c)) /
-    (n*sum(c)) with the ascending (count, key) tie order mirrored in
-    the oracle."""
+    audited operation would do), then everything runs on the
+    COUNT-VALUE HISTOGRAM (c -> number of keys with count c) — NOT on
+    a per-key rank window. For `user_id` at 100 TB the count frame is
+    ~1e9 keys, and an unpartitioned ROW_NUMBER over it is a
+    single-task sort of a billion rows; the histogram instead has at
+    most sqrt(2*n_rows) distinct values (the c's are distinct
+    positive integers summing to n_rows), so its one ordered prefix
+    window is over a provably tiny frame (~1.4e6 rows at 1e12
+    events). Per-key ranks are never materialized: keys sharing a
+    count c occupy a CONSECUTIVE rank run [off_c+1, off_c+n_c] in the
+    ascending (count, key) order and contribute identically, so
+    sum(i*c) folds to sum_c c*(n_c*off_c + n_c*(n_c+1)/2) — exact
+    integers, the key tiebreak provably irrelevant. top10_share is a
+    limit-10 (TakeOrderedAndProject) over the count frame; p50/p99
+    are frequency-weighted percentiles over the histogram. Everything
+    is integer arithmetic until the final round(…, 6), so the frame
+    hash-checks exactly against the oracle's plain rank-window
+    formulation (sum(i*c) fits int64 to ~1e9 keys x ~1e12 rows; use
+    decimal(38,0) accumulators beyond that — same expressions).
+    The Gini stays the sorted-rank formulation
+    G = (2*sum(i*c_i) - (n+1)*sum(c)) / (n*sum(c))."""
     from pyspark.sql import Window
 
     counts = df.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
-    asc = Window.orderBy(F.asc("c"), F.asc(key))
-    desc = Window.orderBy(F.desc("c"), F.desc(key))
-    ranked = counts.withColumn("i", F.row_number().over(asc)).withColumn(
-        "j", F.row_number().over(desc)
+    hist = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_c"))
+    off_w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    hist_off = hist.withColumn(
+        "_offc", F.coalesce(F.sum("n_c").over(off_w), F.lit(0))
     )
-    return ranked.agg(
-        F.count(F.lit(1)).alias("n_keys"),
-        F.sum("c").alias("n_rows"),
+    stats = hist_off.agg(
+        F.sum("n_c").alias("n_keys"),
+        F.sum(F.col("c") * F.col("n_c")).alias("n_rows"),
         F.max("c").alias("max_count"),
-        F.sum(F.col("i") * F.col("c")).alias("_ic"),
-        F.sum(F.when(F.col("j") <= 10, F.col("c")).otherwise(F.lit(0))).alias("_t10"),
-        F.percentile(F.col("c"), F.lit(0.5)).alias("_p50"),
-        F.percentile(F.col("c"), F.lit(0.99)).alias("_p99"),
-    ).select(
+        F.sum(
+            F.col("c")
+            * (
+                F.col("n_c") * F.col("_offc")
+                + F.expr("n_c * (n_c + 1) div 2")
+            )
+        ).alias("_ic"),
+        F.percentile(F.col("c"), F.lit(0.5), F.col("n_c")).alias("_p50"),
+        F.percentile(F.col("c"), F.lit(0.99), F.col("n_c")).alias("_p99"),
+    )
+    t10 = (
+        counts.orderBy(F.desc("c"), F.desc(key))
+        .limit(10)
+        .agg(F.sum("c").alias("_t10"))
+    )
+    return stats.crossJoin(F.broadcast(t10)).select(
         F.col("n_keys").cast("bigint").alias("n_keys"),
         F.col("n_rows").cast("bigint").alias("n_rows"),
         F.col("max_count").cast("bigint").alias("max_count"),
