@@ -105,9 +105,14 @@ def maxscore_topk(
             .alias("th")
         )
     )
+    # Conservative pruning boundary: ub/suffix_ub are ROUND(...,6), so
+    # the stored bound can UNDER-state the true term contribution by
+    # up to ~0.5e-6 per term; keeping terms within 1e-6 of theta makes
+    # the rounding bias harmless (extra candidates cost a few rows,
+    # a wrongly-pruned term would cost exactness on adversarial ties).
     essential = (
         ordered.crossJoin(F.broadcast(theta))
-        .filter(F.col("suffix_ub") >= F.col("th"))
+        .filter(F.col("suffix_ub") >= F.col("th") - F.lit(1e-6))
         .select("word")
     )
     candidates = (
@@ -188,7 +193,9 @@ theta AS (
   FROM pk
 ),
 essential AS (
-  SELECT word FROM ordered, theta WHERE suffix_ub >= th
+  -- conservative boundary, mirrors the Spark path: ROUND(...,6)
+  -- bounds can under-state by ~0.5e-6/term, so keep within 1e-6
+  SELECT word FROM ordered, theta WHERE suffix_ub >= th - 0.000001
 ),
 cand AS (
   SELECT DISTINCT doc_id FROM ts

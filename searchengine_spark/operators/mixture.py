@@ -308,7 +308,15 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_grams",
             F.round(F.col("li_sum") / 1e6, 6).alias("log_w"),
             F.round(F.col("key_i") / 1e6, 6).alias("sel_key"),
-            (F.col("key_i").cast("double") >= F.col("_t")).alias("selected"),
+            # round-6 discipline at the float boundary: Spark's
+            # percentile and DuckDB's quantile_cont interpolate the
+            # threshold with different expression orders, so compare
+            # ROUNDED key vs ROUNDED threshold (a 1-ulp interpolation
+            # difference must not flip `selected` on a boundary doc)
+            (
+                F.round(F.col("key_i") / 1e6, 6)
+                >= F.round(F.col("_t") / 1e6, 6)
+            ).alias("selected"),
         )
         .orderBy("doc_id")
     )
@@ -381,7 +389,11 @@ def _dsir_sql() -> str:
         SELECT doc_id, source, n_grams,
                round(li_sum / 1000000.0, 6) AS log_w,
                round(key_i / 1000000.0, 6) AS sel_key,
-               CAST(key_i AS DOUBLE) >= t AS selected
+               -- rounded comparison on both sides (round-6 float
+               -- discipline): quantile_cont vs Spark percentile may
+               -- differ by 1 ulp at the interpolation boundary
+               round(key_i / 1000000.0, 6) >= round(t / 1000000.0, 6)
+                 AS selected
         FROM keyed, th
         ORDER BY doc_id
     """

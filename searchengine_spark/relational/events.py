@@ -562,7 +562,18 @@ def q_events_weekday_hour_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame
 WM_JITTER_S = 3600  # simulated network delay: md5 jitter in [0, 1h)
 WM_JITTER_SALT = "arrjit"
 WM_CANDIDATES = (300, 1800, 7200)  # watermarks under audit
-WM_BUCKET_S = 3600  # monotone arrival-hour ranges for the 2-level max
+# Two-level running-max bucket SIZING RULE: the arrival-time bucket
+# width is derived from VOLUME, not wall-clock — a fixed 1h bucket
+# puts an hour of global traffic in one window partition at real
+# event rates. n_buckets = clamp(ceil(n / WM_TARGET_BUCKET_ROWS), 1,
+# WM_MAX_BUCKETS), width = ceil(arrival_span / n_buckets): average
+# rows per within-bucket window stays ~max(TARGET, n / MAX_BUCKETS)
+# (task-sized at any n; ~1e6 rows/bucket at 1e12 events), and the
+# bucket-frame cumulative window stays <= WM_MAX_BUCKETS rows.
+# Arrival-skewed streams (flash traffic) can still overload one
+# bucket — sub-bucket by a second-level key if profiled (same trick).
+WM_TARGET_BUCKET_ROWS = 1 << 16
+WM_MAX_BUCKETS = 1 << 20
 
 
 def q_events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -576,13 +587,34 @@ def q_events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
     max is equivalent: a row that sets the max is never late).
 
     Scale shape: the arrival-order running max is the packed_windows
-    two-level pattern — per-arrival-hour bucket maxima, a
-    constant-size cumulative window over the bucket frame broadcast
-    back, and a within-bucket running max — so no global-order window
-    ever sees the full stream. The verdict fold is one conditional
-    aggregate stacked to |WM_CANDIDATES| rows.
+    two-level pattern — per-arrival-range bucket maxima, a bounded
+    cumulative window over the bucket frame broadcast back, and a
+    within-bucket running max — so no global-order window ever sees
+    the full stream. The bucket width is sized FROM VOLUME (one 1-row
+    count/min/max fold; see WM_TARGET_BUCKET_ROWS for the rule), so
+    per-bucket rows stay task-sized at any event rate — a fixed
+    wall-clock bucket would put an hour of global traffic in one
+    window partition. Bucketing affects only the physical split: the
+    two-level max equals the naive global running max for ANY width
+    (pinned by test), and the oracle states the global window. The
+    verdict fold is one conditional aggregate stacked to
+    |WM_CANDIDATES| rows.
     """
     ev = load_table(spark, sf_dir, "events")
+    return watermark_drop_frame(ev)
+
+
+def watermark_drop_frame(
+    ev: DataFrame,
+    *,
+    target_bucket_rows: int = WM_TARGET_BUCKET_ROWS,
+    max_buckets: int = WM_MAX_BUCKETS,
+) -> DataFrame:
+    """Core of q_events_watermark_sizing with the volume-sizing knobs
+    exposed: ``target_bucket_rows`` caps the average rows per
+    within-bucket window (tests shrink it to force a genuinely
+    multi-bucket split on small fixtures); results are identical for
+    ANY sizing — bucketing is purely the physical split."""
     s = event_time_seconds(ev, "ts")
     jit = F.pmod(
         F.conv(
@@ -600,9 +632,27 @@ def q_events_watermark_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint"),
         F.lit(WM_JITTER_S),
     )
-    base = ev.select(
-        "event_id", s.alias("s"), (s + jit).alias("arr")
-    ).withColumn("b", exact_floor_div(F.col("arr"), WM_BUCKET_S))
+    raw = ev.select("event_id", s.alias("s"), (s + jit).alias("arr"))
+    sizing = raw.agg(
+        F.count(F.lit(1)).alias("_wn"),
+        F.min("arr").alias("_wa0"),
+        F.max("arr").alias("_wa1"),
+    )
+    base = (
+        raw.crossJoin(F.broadcast(sizing))
+        .withColumn(
+            "_wnb",
+            F.expr(
+                f"least(greatest((_wn + {target_bucket_rows - 1})"
+                f" div {target_bucket_rows}, 1), {max_buckets})"
+            ),
+        )
+        .withColumn(
+            "_ww", F.expr("greatest((_wa1 - _wa0 + _wnb) div _wnb, 1)")
+        )
+        .withColumn("b", F.expr("(arr - _wa0) div _ww"))
+        .drop("_wn", "_wa0", "_wa1", "_wnb", "_ww")
+    )
     per_b = base.groupBy("b").agg(F.max("s").alias("bmax"))
     bw = Window.orderBy("b").rowsBetween(
         Window.unboundedPreceding, Window.currentRow - 1

@@ -767,6 +767,32 @@ def test_watermark_two_level_runmax_matches_global_window(spark, sf_dir):
     }
     assert got == expected
 
+    # force a genuinely MULTI-bucket split (the volume-derived default
+    # yields one bucket at fixture scale) — same answer for any width
+    from searchengine_spark.relational.events import watermark_drop_frame
+
+    forced = watermark_drop_frame(ev, target_bucket_rows=64)
+    got_multi = {r.watermark_s: r.n_dropped for r in forced.collect()}
+    assert got_multi == expected
+
+
+def test_watermark_plan_partitions_running_max_by_bucket(spark, sf_dir):
+    """The within-bucket running max must be a PARTITIONED window (by
+    the volume-sized arrival bucket b) — never an unpartitioned
+    global-order max over the stream."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.relational.events import watermark_drop_frame
+
+    ev = load_table(spark, sf_dir, "events")
+    plan = _plan(watermark_drop_frame(ev, target_bucket_rows=64))
+    import re
+
+    specs = re.findall(r"max\(s#\d+L?\) windowspecdefinition\(([^)]*)\)", plan)
+    arr_specs = [s for s in specs if "arr#" in s]  # the running-max window
+    assert arr_specs, "expected the arrival-order running-max window"
+    for s in arr_specs:
+        assert s.startswith("b#"), f"running max not partitioned by bucket: {s}"
+
 
 def test_watermark_sizing_oracle(spark, sf_dir):
     assert_matches_oracle(
