@@ -202,6 +202,15 @@ HEADLINE = [
     "approx_kmv_merge_audit",
     "privacy_rr_frequency",
     "text_zipf_slope",
+    # round-9 additions: Heaps'-law vocabulary growth (tokenize scan +
+    # keyed min-bucket agg), the A-ES weighted reservoir (pure
+    # TakeOrdered), token-budget filling (two-level prefix sum over
+    # the priority order), and the no-partition distributed rank.
+    "text_heaps_vocab_growth",
+    "sample_aes_weighted_topn",
+    "mix_token_budget_fill",
+    "export_global_order_rank",
+    "sim_centroid_outliers",
 ]
 
 SERVE_QUERIES = [

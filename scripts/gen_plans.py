@@ -100,6 +100,17 @@ PICKS = [
     ("sample_stratified_exact", "exact allocation: one stratum-keyed shuffle, rank window within strata, integer-rational keep bound in whole-stage codegen"),
     ("privacy_rr_frequency", "local DP: per-user seeded coin arithmetic entirely in codegen on the user-keyed agg; 1-row debias fold"),
     ("text_zipf_slope", "corpus health probe: token-count agg + TakeOrderedAndProject(100); OLS on the 100-row frame with order-independent decimal accumulators"),
+    # round-9 picks: the distributed-rank adopters (the window must be
+    # keyed on (group, _db), never the group alone), the rewritten
+    # skew profile (no per-key rank window at all), and the new ops.
+    ("mix_curriculum_interleave", "per-source curriculum rank via distributed_rank: row_number window keyed (source, _db); offsets frame broadcast back; no whole-source sort"),
+    ("sample_stratified_exact", "md5-rank allocation via distributed_rank: window keyed (lang, _db); buckets past ceil(n/5) pruned BEFORE the window"),
+    ("skew_key_profile", "count-value histogram formulation: one keyed count, tiny ordered window over distinct count values, TakeOrderedAndProject(10) for top-10 share — no per-key rank"),
+    ("export_global_order_rank", "global ROW_NUMBER without a global sort: value-range buckets, window keyed _db only"),
+    ("mix_token_budget_fill", "priority-order budget fill: two-level prefix sum — running sums keyed (source, _b), ordered window only over the totals frame"),
+    ("text_heaps_vocab_growth", "vocabulary growth: one tokenize scan, per-word MIN(bucket) agg, conditional checkpoint counts; no windows, no sorts"),
+    ("sample_aes_weighted_topn", "A-ES weighted reservoir: pure map + TakeOrderedAndProject(150); no shuffle beyond the top-n reduction"),
+    ("sim_centroid_outliers", "mislabel audit: posexplode scan -> broadcast centroid table -> per-vector keyed agg -> broadcast |labels|-row cutoff"),
 ]
 
 

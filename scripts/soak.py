@@ -213,6 +213,14 @@ HEAVY_X10 = (
     # profile (join per round x graph that grows with dup-group size
     # under replication) HEAVY_X10 exists for.
     "dedup_eigenvector_centrality",
+    # round-9 (verdict item 5): the structurally heavy round-8 ops —
+    # survivorship's input is the capped cluster graph (clusters MERGE
+    # under replication), MaxScore's worst x5 was 3.13 (confirm it
+    # flattens: candidate pruning must keep work bounded), and packed
+    # windows' two-level prefix sum under 10x token volume.
+    "dedup_cluster_survivorship",
+    "se_maxscore_topk",
+    "export_packed_windows",
 )
 # x10 linear bound; pair-output families legitimately exceed 10 a bit
 # (replication makes every doc a 10-way clone -> pair OUTPUT grows

@@ -479,13 +479,50 @@ def _length_buckets_sql() -> str:
     """
 
 
+def q_export_global_order_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact GLOBAL rank of every document in a value order (longest
+    first, id tiebreak) — ROW_NUMBER() OVER (ORDER BY n_chars DESC,
+    doc_id) without the single-task global sort it implies: the
+    no-partition case of `distrank.distributed_rank` (value-range
+    buckets from a 1-row min/max fold; the only ordered single
+    partition is the |buckets|-row offsets frame). The rank a
+    curriculum/export step attaches before writing shards."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.distrank import (
+        distributed_rank,
+        range_bucket,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    ext, bucket = range_bucket(docs, "n_chars", descending=True)
+    ranked = distributed_rank(
+        ext,
+        [],
+        [F.desc("n_chars"), F.asc("doc_id")],
+        bucket,
+        rank_name="global_rank",
+    )
+    return ranked.select("doc_id", "n_chars", "global_rank").orderBy("doc_id")
+
+
+_GLOBAL_RANK_SQL = """
+    SELECT doc_id, n_chars,
+           CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                AS BIGINT) AS global_rank
+    FROM documents
+    ORDER BY doc_id
+"""
+
+
 QUERIES = {
+    "export_global_order_rank": q_export_global_order_rank,
     "export_shard_assignment": q_export_shard_assignment,
     "export_byte_budget_shards": q_export_byte_budget_shards,
     "export_packed_windows": q_export_packed_windows,
     "export_length_buckets": q_export_length_buckets,
 }
 ORACLES = {
+    "export_global_order_rank": _GLOBAL_RANK_SQL,
     "export_shard_assignment": _SHARD_SQL,
     "export_byte_budget_shards": _BYTE_SHARD_SQL,
     "export_packed_windows": _packed_sql(),

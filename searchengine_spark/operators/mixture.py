@@ -195,6 +195,85 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- token-budget filling
+
+# Fill a training-token budget with WHOLE documents, sources in
+# priority order: the "data budget allocation" step of a training run
+# ("take all of the high-quality sources, then fill the rest from the
+# web crawl until the 10B-token budget is hit"). Budget is a RATIONAL
+# fraction of the corpus total so the cut point is exact integer
+# arithmetic at any SF.
+FILL_NUM, FILL_DEN = 1, 2  # budget = half the corpus chars
+FILL_SALT = "fill"
+
+
+def token_budget_fill(
+    df: DataFrame,
+    group_col: str,
+    weights: dict[str, float],
+    id_col: str,
+    size_col: str,
+    *,
+    num: int = FILL_NUM,
+    den: int = FILL_DEN,
+    salt: str = FILL_SALT,
+) -> DataFrame:
+    """Select the prefix of the (priority, hash) document order whose
+    cumulative ``size_col`` fits the budget: all of the top-priority
+    sources survive whole, the boundary source is cut at a
+    deterministic hash point, everything after is dropped.
+
+    Global order = (weight DESC, group ASC, hash-bucket ASC, id ASC);
+    a doc is kept iff its INCLUSIVE cumulative size <= budget =
+    total * num DIV den. The cumulative sum is the repo's two-level
+    distributed prefix sum — per-(group, bucket) size totals, one
+    exclusive-offset window over that |groups|x|buckets| frame
+    (constant-size at any data scale), broadcast back, within-bucket
+    running sums keyed on (group, bucket) — so no global-order window
+    ever sees the corpus. Exact integers end-to-end; the oracle states
+    the naive single window over the same total order."""
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    wdf = spark.createDataFrame(
+        list(weights.items()), f"{group_col} string, wt double"
+    )
+    rows = (
+        df.join(F.broadcast(wdf), group_col)
+        .withColumn("_b", hash_bucket(F.col(id_col), salt=salt))
+        .withColumn("_sz", F.col(size_col).cast("bigint"))
+    )
+    totals = rows.groupBy("wt", group_col, "_b").agg(
+        F.sum("_sz").alias("_bw")
+    )
+    gw = Window.orderBy(
+        F.desc("wt"), F.asc(group_col), F.asc("_b")
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.withColumn(
+        "_off", F.coalesce(F.sum("_bw").over(gw), F.lit(0))
+    ).select(group_col, "_b", "_off")
+    grand = totals.agg(F.sum("_bw").alias("_tot"))
+    iw = (
+        Window.partitionBy(group_col, "_b")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        rows.join(F.broadcast(offsets), [group_col, "_b"])
+        .withColumn("cum_chars", F.col("_off") + F.sum("_sz").over(iw))
+        .crossJoin(F.broadcast(grand))
+        .filter(F.col("cum_chars") <= F.expr(f"_tot * {num} div {den}"))
+        .select(id_col, group_col, F.col("_sz").alias(size_col), "cum_chars")
+    )
+
+
+def q_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return token_budget_fill(
+        docs, "source", SOURCE_WEIGHTS, "doc_id", "n_chars"
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------- DSIR selection
 
 DSIR_B = 512  # hashed-bigram feature buckets (broadcastable table)
@@ -404,6 +483,7 @@ QUERIES = {
     "mix_temperature_resample": q_temperature_resample,
     "mix_curriculum_interleave": q_curriculum_interleave,
     "mix_dsir_selection": q_dsir_selection,
+    "mix_token_budget_fill": q_token_budget_fill,
 }
 
 ORACLES = {
@@ -460,4 +540,24 @@ ORACLES = {
         ORDER BY r.doc_id
     """,
     "mix_dsir_selection": _dsir_sql(),
+    "mix_token_budget_fill": f"""
+        WITH w(source, wt) AS (VALUES {_weights_values_sql()}),
+        rows0 AS (
+          SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+                 w.wt, {_bucket_sql("d.doc_id", FILL_SALT)} AS b
+          FROM documents d JOIN w USING (source)
+        ),
+        cum AS (
+          SELECT doc_id, source, n_chars,
+                 CAST(SUM(n_chars) OVER (
+                   ORDER BY wt DESC, source ASC, b ASC, doc_id ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                 ) AS BIGINT) AS cum_chars,
+                 CAST(SUM(n_chars) OVER () AS BIGINT) AS tot
+          FROM rows0
+        )
+        SELECT doc_id, source, n_chars, cum_chars
+        FROM cum WHERE cum_chars <= tot * {FILL_NUM} // {FILL_DEN}
+        ORDER BY doc_id
+    """,
 }

@@ -280,6 +280,71 @@ def q_weighted_pps(spark, sf_dir: str) -> DataFrame:
     return weighted_pps_sample(docs, "doc_id", "n_chars", PPS_N)
 
 
+# Efraimidis–Spirakis (2006) weighted reservoir: each row draws a
+# uniform u and keys on u^(1/w); the n LARGEST keys are an exact
+# weighted sample WITHOUT replacement. Complements weighted_pps_sample
+# (systematic/Madow, inclusion-probability design): A-ES is the
+# order-free textbook WR-without-replacement, needs no prefix sum at
+# all, and is what you reach for when the sample must stay exactly n
+# rows under streaming appends (the key is per-record, so merging two
+# reservoirs = top-n of their union).
+AES_N = 150
+AES_SALT = "aes"
+_AES_HASH_BITS = 52  # 13 hex digits, same as the DSIR/privacy Gumbel
+
+
+def weighted_reservoir_topn(
+    df: DataFrame, id_col: str, weight_col: str, n: int, *, salt: str = AES_SALT
+) -> DataFrame:
+    """Top-n rows by the A-ES key, derandomized with the repo's seeded
+    md5 uniform so the exact selected SET is oracle-checked.
+
+    Ranking uses ln(u)/w (monotone in u^(1/w); ln(u) < 0 so heavier
+    weights pull the key toward 0 = larger): one ln on identical
+    inputs per engine, one division, then ROUND BEFORE the ordering
+    with the id tiebreak — the repo's float discipline for
+    cross-engine top-k. Rounded to 12 (not the usual 6): heavy
+    weights compress keys toward 0, and at 6 decimals the whole top
+    of the order collapses into rounding ties, degrading the weighted
+    sample to an id-order pick; 12 decimals still absorbs any
+    cross-engine ln() ulp (~1e-20 at these magnitudes) with nine
+    orders of margin. Scale shape: pure map + TakeOrderedAndProject;
+    no shuffle beyond the top-n reduction; merging shard-local top-n
+    frames is top-n again (mergeable by construction)."""
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(salt), F.col(id_col).cast("string")).cast("binary")
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_AES_HASH_BITS))
+    w = F.col(weight_col).cast("double")
+    key = F.round(F.log(u) / w, 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col), F.col(weight_col).cast("bigint").alias("weight"),
+                key.alias("es_key"))
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(n)
+    )
+
+
+def q_aes_weighted_topn(spark, sf_dir: str) -> DataFrame:
+    """~150-row A-ES weighted-without-replacement sample of documents
+    by length."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_reservoir_topn(docs, "doc_id", "n_chars", AES_N).orderBy(
+        F.desc("es_key"), F.asc("doc_id")
+    )
+
+
 # Exact stratified allocation as a RATIONAL num/den so the per-group
 # keep count ceil(n_g * num / den) is integer arithmetic in both
 # engines — float fractions (0.2 * n) sit ulps off integers and flip
@@ -357,6 +422,7 @@ def q_stratified_exact(spark, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "sample_aes_weighted_topn": q_aes_weighted_topn,
     "sample_stratified_exact": q_stratified_exact,
     "split_leakage_safe": q_leakage_safe_split,
     "sample_documents_10pct": q_sample_documents,
@@ -368,6 +434,17 @@ QUERIES = {
 from searchengine_spark.operators.dedup import _CLUSTERS_SQL as _DEDUP_CLUSTERS_SQL  # noqa: E402
 
 ORACLES = {
+    "sample_aes_weighted_topn": f"""
+        SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+               round(ln((('0x' || substr(md5('{AES_SALT}'
+                      || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                    / {float(2**_AES_HASH_BITS)!r})
+                    / CAST(n_chars AS DOUBLE), 12) AS es_key
+        FROM documents
+        WHERE n_chars > 0
+        ORDER BY es_key DESC, doc_id ASC
+        LIMIT {AES_N}
+    """,
     "sample_stratified_exact": f"""
         WITH ranked AS (
           SELECT doc_id, lang,

@@ -146,11 +146,90 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+OUTLIER_Q = 0.05  # bottom 5% cosine-to-centroid per label
+
+
+def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector mislabel/noise audit: cosine of every embedding to
+    its OWN label's centroid, flagging the bottom-``OUTLIER_Q``
+    quantile per label — the standard first pass for finding
+    mislabeled or corrupted vectors in a training set (a vector far
+    from its class centroid is either noise or a label error).
+
+    Float discipline: centroid components are the 9-decimal exact-
+    decimal means (same derivation as sim_label_centroids); every
+    per-vector product (v*c, v*v) is rounded to 12 decimals and
+    summed as DECIMAL(28,12), so the per-vector dot/norm sums are
+    order-independent; the per-label cutoff is an exact percentile
+    rounded to 6 BEFORE the comparison (both engines).
+
+    Scale shape: one posexplode scan -> (label, pos) centroid agg
+    (|labels| x dim rows, broadcast back) -> per-vector keyed agg on
+    the uniform vec_id key -> |labels|-row cutoff table broadcast.
+    Nothing corpus-sized is sorted or collected."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("vd", F.col("v").cast("double"))
+    dec = "decimal(28,12)"
+    centroid = comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("vd").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    cn = centroid.groupBy("label").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("c") * F.col("c"), 12).cast(dec)).cast("double")
+        ).alias("cnorm")
+    )
+    pv = (
+        comp.join(F.broadcast(centroid), ["label", "pos"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sum(F.round(F.col("vd") * F.col("c"), 12).cast(dec))
+            .cast("double")
+            .alias("dot"),
+            F.sum(F.round(F.col("vd") * F.col("vd"), 12).cast(dec))
+            .cast("double")
+            .alias("vv"),
+        )
+    )
+    cosd = (
+        pv.join(F.broadcast(cn), "label")
+        .filter(F.col("vv") > 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("vv")) * F.col("cnorm")), 6
+            ).alias("cos_centroid"),
+        )
+    )
+    cut = cosd.groupBy("label").agg(
+        F.round(F.percentile(F.col("cos_centroid"), F.lit(OUTLIER_Q)), 6).alias(
+            "cutoff"
+        )
+    )
+    return (
+        cosd.join(F.broadcast(cut), "label")
+        .select(
+            "vec_id",
+            "label",
+            "cos_centroid",
+            (F.col("cos_centroid") < F.col("cutoff")).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
     "sim_embedding_norms": q_embedding_norms,
     "sim_label_centroids": q_label_centroid_sim,
     "sim_dim_truncation_recall": q_dim_truncation_recall,
+    "sim_centroid_outliers": q_centroid_outliers,
 }
 
 _DOT = "list_dot_product(l.e, q.e)"
@@ -228,5 +307,49 @@ ORACLES = {
                n_overlap,
                ROUND(CAST(n_overlap AS DOUBLE) / {TOP_K}, 6) AS recall
         FROM ov
+    """,
+    "sim_centroid_outliers": f"""
+        WITH comp AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS vd
+          FROM embeddings
+        ),
+        centroid AS (
+          SELECT label, pos,
+                 round(CAST(SUM(CAST(vd AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*), 9) AS c
+          FROM comp GROUP BY label, pos
+        ),
+        cn AS (
+          SELECT label,
+                 sqrt(CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE)) AS cnorm
+          FROM centroid GROUP BY label
+        ),
+        pv AS (
+          SELECT comp.vec_id, comp.label,
+                 CAST(SUM(CAST(round(vd * c, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS dot,
+                 CAST(SUM(CAST(round(vd * vd, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS vv
+          FROM comp JOIN centroid USING (label, pos)
+          GROUP BY comp.vec_id, comp.label
+        ),
+        cosd AS (
+          SELECT vec_id, pv.label,
+                 round(dot / (sqrt(vv) * cnorm), 6) AS cos_centroid
+          FROM pv JOIN cn ON pv.label = cn.label
+          WHERE vv > 0
+        ),
+        cut AS (
+          SELECT label,
+                 round(quantile_cont(cos_centroid, {OUTLIER_Q}), 6) AS cutoff
+          FROM cosd GROUP BY label
+        )
+        SELECT vec_id, cosd.label, cos_centroid,
+               cos_centroid < cutoff AS is_outlier
+        FROM cosd JOIN cut ON cosd.label = cut.label
+        ORDER BY vec_id
     """,
 }

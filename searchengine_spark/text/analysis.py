@@ -410,7 +410,175 @@ FROM (
 """
 
 
+# Heaps'-law checkpoints: hash-bucket cutoffs (of sampling.N_BUCKETS
+# = 10000) giving ~1%, ~3.2%, 10%, ~32%, 100% document prefixes —
+# log-spaced so the log-log OLS x values spread evenly.
+HEAPS_CUTS = (100, 316, 1000, 3162, 10000)
+HEAPS_SALT = "heaps"
+
+
+def q_heaps_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth probe: V(n) ~ K * n^beta — how fast
+    the distinct-token vocabulary grows as the corpus grows. Natural
+    text sits near beta ~ 0.4-0.6; templated/duplicated corpora
+    (vocabulary saturates) or OCR-noise corpora (vocabulary explodes)
+    drift far off, making this the growth-side complement to the Zipf
+    rank-frequency probe. Checkpoints are DETERMINISTIC HASH PREFIXES
+    of the document set (md5 bucket < cut), not scan order, so the
+    curve is reproducible on any cluster layout — and the whole
+    computation is order-independent: a word's first-seen position is
+    just MIN(bucket) over its occurrences, so V(cut) = #words with
+    min-bucket < cut needs one keyed agg, never a sequential pass.
+
+    Scale shape: one tokenize scan (explode) feeding two aggregates —
+    the per-word MIN(bucket) (vocabulary-sized groupBy on the uniform
+    word key) and |cuts| conditional counts — plus a |cuts|-row OLS
+    with the Zipf probe's DECIMAL(28,12) order-independent
+    accumulators. No windows, no sorts.
+    """
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt=HEAPS_SALT)
+    toks = docs.select(
+        b.alias("b"), F.explode(_raw_tokens(F.col("text"))).alias("word")
+    )
+    wmin = toks.groupBy("word").agg(F.min("b").alias("fb"))
+    vstats = wmin.agg(
+        *[
+            F.sum((F.col("fb") < c).cast("long")).alias(f"_v{c}")
+            for c in HEAPS_CUTS
+        ]
+    )
+    tstats = toks.agg(
+        *[
+            F.sum((F.col("b") < c).cast("long")).alias(f"_t{c}")
+            for c in HEAPS_CUTS
+        ]
+    )
+    dstats = docs.agg(
+        *[F.sum((b < c).cast("long")).alias(f"_d{c}") for c in HEAPS_CUTS]
+    )
+    stacked = ", ".join(
+        f"CAST({c} AS BIGINT), _d{c}, _t{c}, _v{c}" for c in HEAPS_CUTS
+    )
+    curve = (
+        dstats.crossJoin(F.broadcast(tstats))
+        .crossJoin(F.broadcast(vstats))
+        .selectExpr(
+            f"stack({len(HEAPS_CUTS)}, {stacked})"
+            " AS (cut_bucket, n_docs, n_tokens, vocab)"
+        )
+        .select(
+            "cut_bucket",
+            F.coalesce(F.col("n_docs"), F.lit(0)).alias("n_docs"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).alias("n_tokens"),
+            F.coalesce(F.col("vocab"), F.lit(0)).alias("vocab"),
+        )
+    )
+    xy = curve.filter(
+        (F.col("n_tokens") > 0) & (F.col("vocab") > 0)
+    ).select(
+        F.round(F.log(F.col("n_tokens").cast("double")), 12).alias("x"),
+        F.round(F.log(F.col("vocab").cast("double")), 12).alias("y"),
+    )
+    dec = "decimal(28,12)"
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.round(F.col("x") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(F.col("x") * F.col("x"), 12).cast(dec))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.round(F.col("y") * F.col("y"), 12).cast(dec))
+        .cast("double")
+        .alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / kd
+    varx = F.col("sxx") - F.col("sx") * F.col("sx") / kd
+    vary = F.col("syy") - F.col("sy") * F.col("sy") / kd
+    ok = (F.col("k") >= 2) & (varx > F.lit(0.0)) & (vary > F.lit(0.0))
+    beta = F.when(ok, cov / varx)
+    ols = sums.select(
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(F.when(ok, cov * cov / (varx * vary)), 6).alias("r2"),
+    )
+    return curve.crossJoin(F.broadcast(ols)).orderBy("cut_bucket")
+
+
+def _heaps_sql() -> str:
+    from searchengine_spark.operators.sampling import _bucket_sql
+
+    cuts_values = ", ".join(f"({c})" for c in HEAPS_CUTS)
+    return f"""
+WITH tok AS (
+  SELECT {_bucket_sql("doc_id", HEAPS_SALT)} AS b,
+         unnest({_RAW_TOK_SQL}) AS word
+  FROM documents
+),
+wmin AS (SELECT word, MIN(b) AS fb FROM tok GROUP BY word),
+cuts(cut_bucket) AS (VALUES {cuts_values}),
+dstats AS (
+  SELECT c.cut_bucket, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents d JOIN cuts c ON {_bucket_sql("d.doc_id", HEAPS_SALT)} < c.cut_bucket
+  GROUP BY c.cut_bucket
+),
+tstats AS (
+  SELECT c.cut_bucket, CAST(COUNT(*) AS BIGINT) AS n_tokens
+  FROM tok t JOIN cuts c ON t.b < c.cut_bucket GROUP BY c.cut_bucket
+),
+vstats AS (
+  SELECT c.cut_bucket, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM wmin w JOIN cuts c ON w.fb < c.cut_bucket GROUP BY c.cut_bucket
+),
+curve AS (
+  SELECT CAST(c.cut_bucket AS BIGINT) AS cut_bucket,
+         COALESCE(d.n_docs, 0) AS n_docs,
+         COALESCE(t.n_tokens, 0) AS n_tokens,
+         COALESCE(v.vocab, 0) AS vocab
+  FROM cuts c
+  LEFT JOIN dstats d USING (cut_bucket)
+  LEFT JOIN tstats t USING (cut_bucket)
+  LEFT JOIN vstats v USING (cut_bucket)
+),
+xy AS (
+  SELECT round(ln(CAST(n_tokens AS DOUBLE)), 12) AS x,
+         round(ln(CAST(vocab AS DOUBLE)), 12) AS y
+  FROM curve WHERE n_tokens > 0 AND vocab > 0
+),
+sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS k,
+         CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(round(x * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(round(x * x, 12) AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+         CAST(SUM(CAST(round(y * y, 12) AS DECIMAL(28,12))) AS DOUBLE) AS syy
+  FROM xy
+),
+ols AS (
+  SELECT CASE WHEN ok THEN round(cov / varx, 6) END AS heaps_beta,
+         CASE WHEN ok THEN round((cov * cov) / (varx * vary), 6) END AS r2
+  FROM (
+    SELECT (sxy - sx * sy / CAST(k AS DOUBLE)) AS cov,
+           (sxx - sx * sx / CAST(k AS DOUBLE)) AS varx,
+           (syy - sy * sy / CAST(k AS DOUBLE)) AS vary,
+           k >= 2
+           AND (sxx - sx * sx / CAST(k AS DOUBLE)) > 0.0
+           AND (syy - sy * sy / CAST(k AS DOUBLE)) > 0.0 AS ok
+    FROM sums
+  )
+)
+SELECT curve.*, ols.heaps_beta, ols.r2 FROM curve, ols
+ORDER BY cut_bucket
+"""
+
+
 QUERIES = {
+    "text_heaps_vocab_growth": q_heaps_vocab_growth,
     "text_zipf_slope": q_zipf_slope,
     "text_source_pareto": q_source_pareto,
     "text_char_entropy": q_char_entropy,
@@ -424,6 +592,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "text_heaps_vocab_growth": _heaps_sql(),
     "text_zipf_slope": _ZIPF_SQL,
     "text_source_pareto": _SOURCE_PARETO_SQL,
     "text_char_entropy": """
