@@ -211,6 +211,10 @@ HEADLINE = [
     "mix_token_budget_fill",
     "export_global_order_rank",
     "sim_centroid_outliers",
+    # round-9 (cont.): Poisson-bootstrap CI (2*B conditional integer
+    # sums on one scan) and the DiD quasi-experimental readout.
+    "events_bootstrap_ci",
+    "events_did_estimate",
 ]
 
 SERVE_QUERIES = [

@@ -111,6 +111,8 @@ PICKS = [
     ("text_heaps_vocab_growth", "vocabulary growth: one tokenize scan, per-word MIN(bucket) agg, conditional checkpoint counts; no windows, no sorts"),
     ("sample_aes_weighted_topn", "A-ES weighted reservoir: pure map + TakeOrderedAndProject(150); no shuffle beyond the top-n reduction"),
     ("sim_centroid_outliers", "mislabel audit: posexplode scan -> broadcast centroid table -> per-vector keyed agg -> broadcast |labels|-row cutoff"),
+    ("events_bootstrap_ci", "Poisson bootstrap: 2*B conditional integer sums on ONE scan (no replicate join, no window), percentile over the 32-row replicate frame"),
+    ("events_did_estimate", "DiD: per-user conditional sums keyed on user_id, 2-row cell agg, 1-row broadcast fold"),
 ]
 
 

@@ -38,6 +38,7 @@ _MODULES = (
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
+    "relational.experiment",
     "relational.timeseries",
     "relational.warehouse",
     "relational.advanced",

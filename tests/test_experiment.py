@@ -1,0 +1,116 @@
+"""relational/experiment.py — Poisson bootstrap CI and
+difference-in-differences. Registry oracle parity is covered by
+test_oracle_parity.py; here: planted-effect recovery, degenerate
+behavior, and the invariants the hashes don't explain."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from datetime import datetime, timedelta
+
+import pytest
+
+from searchengine_spark.relational.experiment import (
+    BOOT_B,
+    DID_SALT,
+    ORACLES,
+    QUERIES,
+    _POIS_CDF,
+)
+from tests.helpers import assert_matches_oracle
+
+
+def _did_treated(uid: int) -> bool:
+    h = int(hashlib.md5(f"{DID_SALT}{uid}".encode()).hexdigest()[:15], 16)
+    return h % 2 == 1
+
+
+def test_pois_cdf_constants_are_sane():
+    # thresholds are a valid CDF for Poisson(1)
+    assert _POIS_CDF[0] == pytest.approx(0.367879, abs=1e-6)
+    assert all(b > a for a, b in zip(_POIS_CDF, _POIS_CDF[1:]))
+    assert _POIS_CDF[-1] > 0.9994
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    r = QUERIES["events_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert r.n_replicates == BOOT_B
+    assert r.ci_lo <= r.mean_value <= r.ci_hi
+    assert r.ci_lo < r.ci_hi, "noisy data must give a non-trivial CI"
+
+
+def test_bootstrap_ci_collapses_on_constant_data(spark, tmp_path_factory):
+    # constant metric -> every replicate mean equals it -> zero-width CI
+    ts = datetime(2024, 1, 1)
+    rows = [(i, ts, i % 7, "view", 5.0, "{}") for i in range(200)]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("bootc"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = QUERIES["events_bootstrap_ci"](spark, d).collect()[0]
+    assert r.mean_value == 5.0
+    assert r.ci_lo == 5.0 and r.ci_hi == 5.0
+    assert_matches_oracle(
+        QUERIES["events_bootstrap_ci"](spark, d),
+        ORACLES["events_bootstrap_ci"],
+        d,
+        name="events_bootstrap_ci_planted",
+    )
+
+
+def test_did_recovers_planted_effect(spark, tmp_path_factory):
+    # per-user baseline 10 + small spread (nonzero cell variance so
+    # the SE is finite); TREATED users get exactly +8 post. True
+    # DiD = 8, control delta = 0, t_stat large.
+    t0 = datetime(2024, 1, 1)
+    t1 = t0 + timedelta(days=10)
+    rows = []
+    eid = 0
+    for u in range(80):
+        base = 10.0 + (u % 5) * 0.1
+        rows.append((eid, t0, u, "view", base, "{}")); eid += 1
+        post = base + (8.0 if _did_treated(u) else 0.0)
+        rows.append((eid, t1, u, "view", post, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("didp"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = QUERIES["events_did_estimate"](spark, d).collect()[0]
+    assert r.n_treated + r.n_control == 80
+    assert r.control_delta == 0.0
+    assert r.treated_delta == 8.0
+    assert r.did == 8.0
+    assert r.t_stat > 10, "zero within-cell variance -> huge t"
+    assert_matches_oracle(
+        QUERIES["events_did_estimate"](spark, d),
+        ORACLES["events_did_estimate"],
+        d,
+        name="events_did_estimate_planted",
+    )
+
+
+def test_did_null_effect_on_fixture(spark, sf_dir):
+    # random assignment over organic data: no real effect, |t| small
+    r = QUERIES["events_did_estimate"](spark, sf_dir).collect()[0]
+    assert abs(r.t_stat) < 3.0
+    assert r.se > 0
+
+
+def test_bootstrap_plan_is_single_scan(spark, sf_dir):
+    plan = (
+        QUERIES["events_bootstrap_ci"](spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # B replicates as conditional aggs on ONE scan: no join of the
+    # events table against a replicate table, no window
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
