@@ -215,6 +215,8 @@ HEADLINE = [
     # sums on one scan) and the DiD quasi-experimental readout.
     "events_bootstrap_ci",
     "events_did_estimate",
+    # round-9 (cont. 2): static index pruning size/recall audit.
+    "se_static_pruning_recall",
 ]
 
 SERVE_QUERIES = [

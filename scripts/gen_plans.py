@@ -113,6 +113,7 @@ PICKS = [
     ("sim_centroid_outliers", "mislabel audit: posexplode scan -> broadcast centroid table -> per-vector keyed agg -> broadcast |labels|-row cutoff"),
     ("events_bootstrap_ci", "Poisson bootstrap: 2*B conditional integer sums on ONE scan (no replicate join, no window), percentile over the 32-row replicate frame"),
     ("events_did_estimate", "DiD: per-user conditional sums keyed on user_id, 2-row cell agg, 1-row broadcast fold"),
+    ("se_static_pruning_recall", "static pruning audit: all-postings score join, per-term max joined back on the uniform word key, two TakeOrderedAndProject top-k's"),
 ]
 
 

@@ -31,6 +31,7 @@ _MODULES = (
     "index.evaluation",
     "index.compression",
     "index.maxscore",
+    "index.staticprune",
     "index.ragrecall",
     "index.autocomplete",
     "index.keywords",
