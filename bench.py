@@ -215,8 +215,10 @@ HEADLINE = [
     # sums on one scan) and the DiD quasi-experimental readout.
     "events_bootstrap_ci",
     "events_did_estimate",
-    # round-9 (cont. 2): static index pruning size/recall audit.
+    # round-9 (cont. 2): static index pruning size/recall audit and
+    # the two-tier (truncated shortlist -> full re-rank) serving audit.
     "se_static_pruning_recall",
+    "sim_tiered_rerank_recall",
 ]
 
 SERVE_QUERIES = [

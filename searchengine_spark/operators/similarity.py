@@ -146,6 +146,53 @@ def q_dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SHORTLIST_K = 50  # first-pass candidates from the truncated space
+
+
+def q_tiered_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-tier serving audit: shortlist SHORTLIST_K candidates with
+    the cheap TRUNC_DIM-dim cosine, re-rank the shortlist with the
+    full-dimension cosine, and measure top-k recall against the exact
+    full-dimension top-k — the production Matryoshka pattern
+    (cheap-first-pass + exact re-rank) that
+    `sim_dim_truncation_recall` only measures the first half of.
+    The re-rank stage touches SHORTLIST_K rows, so the full-dim math
+    runs on a constant-size frame no matter the corpus; the trade is
+    recall lost when the truncated space drops a true top-k doc from
+    the shortlist entirely.
+
+    Scale shape: the shortlist is the brute cosine_topk
+    (map + TakeOrderedAndProject(50)); the re-rank is a broadcast
+    semi-join of 50 ids back onto the scan, then TopK(10) on 50 rows.
+    Round-6 scores with id tiebreaks at every ordered step."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("qvec")
+    )
+    base = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    shortlist = cosine_topk(
+        base.select(
+            "vec_id", F.slice("embedding", 1, TRUNC_DIM).alias("embedding")
+        ),
+        qv.select(F.slice("qvec", 1, TRUNC_DIM).alias("qvec")),
+        k=SHORTLIST_K,
+    ).select("vec_id")
+    reranked = cosine_topk(
+        base.join(F.broadcast(shortlist), "vec_id", "left_semi"), qv
+    )
+    exact = cosine_topk(base, qv)
+    n_overlap = exact.join(
+        reranked.select("vec_id"), "vec_id", "left_semi"
+    ).agg(F.count(F.lit(1)).alias("n_overlap"))
+    return n_overlap.select(
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        F.lit(SHORTLIST_K).cast("bigint").alias("shortlist_k"),
+        F.lit(TRUNC_DIM).cast("bigint").alias("dim_trunc"),
+        F.col("n_overlap").cast("bigint").alias("n_overlap"),
+        F.round(F.col("n_overlap") / F.lit(TOP_K), 6).alias("recall"),
+    )
+
+
 OUTLIER_Q = 0.05  # bottom 5% cosine-to-centroid per label
 
 
@@ -230,6 +277,7 @@ QUERIES = {
     "sim_label_centroids": q_label_centroid_sim,
     "sim_dim_truncation_recall": q_dim_truncation_recall,
     "sim_centroid_outliers": q_centroid_outliers,
+    "sim_tiered_rerank_recall": q_tiered_rerank_recall,
 }
 
 _DOT = "list_dot_product(l.e, q.e)"
@@ -351,5 +399,55 @@ ORACLES = {
                cos_centroid < cutoff AS is_outlier
         FROM cosd JOIN cut ON cosd.label = cut.label
         ORDER BY vec_id
+    """,
+    "sim_tiered_rerank_recall": f"""
+        WITH q AS (
+          SELECT embedding::DOUBLE[] AS e FROM embeddings
+          WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        l AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+          WHERE vec_id <> {QUERY_VEC_ID}
+        ),
+        qt AS (SELECT list_slice(e, 1, {TRUNC_DIM}) AS e FROM q),
+        lt AS (SELECT vec_id, list_slice(e, 1, {TRUNC_DIM}) AS e FROM l),
+        shortlist AS (
+          SELECT vec_id,
+                 round(list_dot_product(lt.e, qt.e)
+                       / (sqrt(list_dot_product(lt.e, lt.e))
+                          * sqrt(list_dot_product(qt.e, qt.e))), 6) AS cosine
+          FROM lt, qt
+          ORDER BY cosine DESC, vec_id ASC
+          LIMIT {SHORTLIST_K}
+        ),
+        reranked AS (
+          SELECT l.vec_id,
+                 round(list_dot_product(l.e, q.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+          FROM l JOIN shortlist s ON l.vec_id = s.vec_id, q
+          ORDER BY cosine DESC, l.vec_id ASC
+          LIMIT {TOP_K}
+        ),
+        exact AS (
+          SELECT vec_id,
+                 round(list_dot_product(l.e, q.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(q.e, q.e))), 6) AS cosine
+          FROM l, q
+          ORDER BY cosine DESC, vec_id ASC
+          LIMIT {TOP_K}
+        ),
+        ov AS (
+          SELECT COUNT(*)::BIGINT AS n_overlap FROM exact
+          WHERE EXISTS (SELECT 1 FROM reranked r
+                        WHERE r.vec_id = exact.vec_id)
+        )
+        SELECT CAST({TOP_K} AS BIGINT) AS k,
+               CAST({SHORTLIST_K} AS BIGINT) AS shortlist_k,
+               CAST({TRUNC_DIM} AS BIGINT) AS dim_trunc,
+               n_overlap,
+               ROUND(CAST(n_overlap AS DOUBLE) / {TOP_K}, 6) AS recall
+        FROM ov
     """,
 }

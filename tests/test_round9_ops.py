@@ -208,6 +208,34 @@ def test_centroid_outlier_rate_tracks_quantile(spark, sf_dir):
         assert rate <= OUTLIER_Q + 2.0 / max(len(grp), 1)
 
 
+# ------------------------------------------------ tiered re-rank
+
+
+def test_tiered_rerank_beats_or_ties_one_tier(spark, sf_dir):
+    """Re-ranking the truncated shortlist with full-dim cosine can
+    only help: tiered recall >= single-tier truncation recall, and a
+    shortlist as large as the corpus gives recall exactly 1."""
+    from searchengine_spark.operators.similarity import QUERIES
+
+    tiered = QUERIES["sim_tiered_rerank_recall"](spark, sf_dir).collect()[0]
+    one_tier = QUERIES["sim_dim_truncation_recall"](spark, sf_dir).collect()[0]
+    assert tiered.recall >= one_tier.recall
+    assert tiered.shortlist_k == 50 and tiered.k == 10
+
+
+def test_tiered_rerank_full_shortlist_is_exact(spark, sf_dir):
+    # shortlist == whole corpus -> re-rank IS the exact top-k
+    import searchengine_spark.operators.similarity as sim
+
+    orig = sim.SHORTLIST_K
+    sim.SHORTLIST_K = 10**9
+    try:
+        r = sim.QUERIES["sim_tiered_rerank_recall"](spark, sf_dir).collect()[0]
+        assert r.recall == 1.0
+    finally:
+        sim.SHORTLIST_K = orig
+
+
 # ------------------------------------------------ global order rank
 
 
