@@ -219,6 +219,7 @@ HEADLINE = [
     # the two-tier (truncated shortlist -> full re-rank) serving audit.
     "se_static_pruning_recall",
     "sim_tiered_rerank_recall",
+    "privacy_dp_quantile",
 ]
 
 SERVE_QUERIES = [

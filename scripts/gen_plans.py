@@ -115,6 +115,7 @@ PICKS = [
     ("events_did_estimate", "DiD: per-user conditional sums keyed on user_id, 2-row cell agg, 1-row broadcast fold"),
     ("se_static_pruning_recall", "static pruning audit: all-postings score join, per-term max joined back on the uniform word key, two TakeOrderedAndProject top-k's"),
     ("sim_tiered_rerank_recall", "two-tier serving: truncated-space TakeOrdered(50) shortlist, broadcast semi-join back, full-dim re-rank on 50 rows"),
+    ("privacy_dp_quantile", "discretized-EM median: bin histogram (value-range bounded), prefix window over the bin frame, Gumbel argmax TakeOrdered(1)"),
 ]
 
 

@@ -350,7 +350,154 @@ FROM agg
 """
 
 
+# ------------------------------------------- DP quantile (EM, binned)
+
+DPQ_BIN_CENTS = 500  # $5 value bins — candidate outputs for the EM
+DPQ_SCALE = 5.0  # Gumbel b = 2*sensitivity/eps (rank sensitivity 1)
+DPQ_SALT = "dpq"
+DPQ_Q_NUM, DPQ_Q_DEN = 1, 2  # the median
+
+
+def q_dp_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private MEDIAN of event value via the
+    exponential mechanism over discretized value bins (Smith 2011's
+    quantile EM, binned): candidate outputs are the $5 bin boundaries
+    across the observed range, utility(b) = -|#{x below b} - n/2|
+    (rank distance, sensitivity 1), one EM draw via the repo's
+    seeded-Gumbel argmax convention (privacy_dp_exponential_topk).
+    Completes the privacy family's fourth primitive: central-DP
+    counts (Laplace), selection (EM top-k), local-DP frequency (RR),
+    and now a DP ORDER statistic. The released value is the bin
+    boundary; the frame carries the true median and the release error
+    as the audit columns (same convention as privacy_rr_frequency —
+    the audit is the point of the query).
+
+    Scale shape: one scan -> per-bin counts (bin count is bounded by
+    the VALUE RANGE / bin width, not the data; the prefix window runs
+    over that bounded frame) -> Gumbel argmax via
+    TakeOrderedAndProject(1) -> 1-row fold with the exact percentile.
+    All rank arithmetic is exact integers; the only floats are the
+    Gumbel (identical ln chains both engines) rounded to 6 before the
+    argmax with bin-id tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.coalesce(F.round(F.col("value") * 100).cast("bigint"), F.lit(0))
+    # truncating div on BOTH sides (Spark div == DuckDB //, the repo
+    # convention) — equals floor for the positive fixture values
+    binned = ev.select(cents.alias("c")).selectExpr(
+        f"c div {DPQ_BIN_CENTS} as b"
+    )
+    hist = binned.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    rng = hist.agg(
+        F.min("b").alias("_b0"),
+        F.max("b").alias("_b1"),
+        F.sum("cnt").alias("_n"),
+    )
+    bins = (
+        rng.select(
+            F.explode(F.sequence(F.col("_b0"), F.col("_b1"))).alias("b"),
+            "_n",
+        )
+        .join(hist, "b", "left")
+        .select("b", "_n", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = bins.withColumn(
+        "below", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    ).withColumn(
+        "u",
+        -F.abs(
+            F.col("below") - F.expr(f"(_n * {DPQ_Q_NUM}) div {DPQ_Q_DEN}")
+        ),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(F.lit(DPQ_SALT), F.col("b").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            13,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    uu = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_HASH_BITS))
+    noisy = ranked.select(
+        "b",
+        "_n",
+        F.round(
+            F.col("u") - F.lit(DPQ_SCALE) * F.log(-F.log(uu)), 6
+        ).alias("noisy_u"),
+    )
+    pick = noisy.orderBy(F.desc("noisy_u"), F.asc("b")).limit(1)
+    truth = ev.select(cents.alias("c")).agg(
+        F.round(F.percentile(F.col("c").cast("double"), F.lit(0.5)), 6).alias(
+            "_tm"
+        )
+    )
+    return pick.crossJoin(F.broadcast(truth)).select(
+        F.col("_n").cast("bigint").alias("n_events"),
+        F.round(F.col("b") * DPQ_BIN_CENTS / 100.0, 6).alias(
+            "released_median"
+        ),
+        F.round(F.col("_tm") / 100.0, 6).alias("true_median"),
+        F.round(
+            F.abs(F.col("b") * DPQ_BIN_CENTS - F.col("_tm")) / 100.0, 6
+        ).alias("abs_error"),
+        F.col("noisy_u"),
+    )
+
+
+_DPQ_SQL = f"""
+WITH c AS (
+  SELECT COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS c FROM events
+),
+binned AS (SELECT c // {DPQ_BIN_CENTS} AS b FROM c),
+hist AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS cnt FROM binned GROUP BY b),
+rng AS (
+  SELECT MIN(b) AS b0, MAX(b) AS b1, CAST(SUM(cnt) AS BIGINT) AS n FROM hist
+),
+bins AS (
+  SELECT g.b, rng.n, COALESCE(h.cnt, 0) AS cnt
+  FROM (SELECT unnest(generate_series((SELECT b0 FROM rng),
+                                      (SELECT b1 FROM rng))) AS b) g
+  LEFT JOIN hist h ON g.b = h.b, rng
+),
+ranked AS (
+  SELECT b, n,
+         COALESCE(CAST(SUM(cnt) OVER (
+           ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ) AS BIGINT), 0) AS below
+  FROM bins
+),
+noisy AS (
+  SELECT b, n,
+         round(-abs(below - (n * {DPQ_Q_NUM}) // {DPQ_Q_DEN})
+               - {DPQ_SCALE!r} * ln(-ln(
+                 (('0x' || substr(md5('{DPQ_SALT}' || CAST(b AS VARCHAR)),
+                    1, 13))::BIGINT + 0.5) / {float(2 ** _HASH_BITS)!r}
+               )), 6) AS noisy_u
+  FROM ranked
+),
+pick AS (SELECT * FROM noisy ORDER BY noisy_u DESC, b ASC LIMIT 1),
+truth AS (
+  SELECT round(quantile_cont(CAST(c AS DOUBLE), 0.5), 6) AS tm FROM c
+)
+SELECT pick.n AS n_events,
+       round(pick.b * {DPQ_BIN_CENTS} / 100.0, 6) AS released_median,
+       round(truth.tm / 100.0, 6) AS true_median,
+       round(abs(pick.b * {DPQ_BIN_CENTS} - truth.tm) / 100.0, 6)
+         AS abs_error,
+       pick.noisy_u
+FROM pick, truth
+"""
+
+
 QUERIES = {
+    "privacy_dp_quantile": q_dp_quantile,
     "privacy_rr_frequency": q_rr_frequency,
     "privacy_k_anonymity_audit": q_k_anonymity_audit,
     "privacy_k_anonymize_generalize": q_k_anonymize_generalize,
@@ -358,6 +505,7 @@ QUERIES = {
     "privacy_dp_exponential_topk": q_dp_exponential_topk,
 }
 ORACLES = {
+    "privacy_dp_quantile": _DPQ_SQL,
     "privacy_rr_frequency": _RR_SQL,
     "privacy_k_anonymity_audit": _AUDIT_SQL,
     "privacy_k_anonymize_generalize": _GENERALIZE_SQL,

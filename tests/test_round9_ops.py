@@ -208,6 +208,28 @@ def test_centroid_outlier_rate_tracks_quantile(spark, sf_dir):
         assert rate <= OUTLIER_Q + 2.0 / max(len(grp), 1)
 
 
+# ------------------------------------------------ DP quantile
+
+
+def test_dp_quantile_release_is_near_truth(spark, sf_dir):
+    from searchengine_spark.operators.privacy import DPQ_BIN_CENTS, QUERIES
+
+    r = QUERIES["privacy_dp_quantile"](spark, sf_dir).collect()[0]
+    # with utility scale >> noise scale the EM lands within a few
+    # bins of the truth; the release is always a bin boundary
+    assert r.abs_error < 5 * DPQ_BIN_CENTS / 100.0
+    assert (round(r.released_median * 100) % DPQ_BIN_CENTS) == 0
+
+
+def test_dp_quantile_never_releases_raw_value(spark, sf_dir):
+    # the released value must be a GRID point, not any observed value
+    # with sub-bin precision (the privacy point of discretized EM)
+    from searchengine_spark.operators.privacy import QUERIES
+
+    r = QUERIES["privacy_dp_quantile"](spark, sf_dir).collect()[0]
+    assert r.released_median != r.true_median
+
+
 # ------------------------------------------------ tiered re-rank
 
 
