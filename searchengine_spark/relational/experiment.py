@@ -79,16 +79,20 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = ev.select("event_id", cents.alias("c"))
 
     def w(b: int):
+        # one md5 digest feeds TWO replicates (hex chars 1-13 and
+        # 14-26 are independent 52-bit uniforms) — the md5s are the
+        # dominant cost of the scan, and this halves them
+        pair, half = divmod(b, 2)
         u = (
             F.conv(
                 F.substring(
                     F.md5(
                         F.concat(
-                            F.lit(f"{BOOT_SALT}{b}_"),
+                            F.lit(f"{BOOT_SALT}{pair}_"),
                             F.col("event_id").cast("string"),
                         ).cast("binary")
                     ),
-                    1,
+                    1 + 13 * half,
                     13,
                 ),
                 16,
@@ -137,8 +141,9 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _bootstrap_sql() -> str:
     u = (
-        f"((('0x' || substr(md5('{BOOT_SALT}' || CAST(b.b AS VARCHAR) || '_'"
-        f" || CAST(e.event_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)"
+        f"((('0x' || substr(md5('{BOOT_SALT}' || CAST(b.b // 2 AS VARCHAR)"
+        f" || '_' || CAST(e.event_id AS VARCHAR)),"
+        f" 1 + 13 * (b.b % 2), 13))::BIGINT + 0.5)"
         f" / {float(2**_BOOT_HASH_BITS)!r})"
     )
     return f"""
