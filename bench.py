@@ -220,6 +220,7 @@ HEADLINE = [
     "se_static_pruning_recall",
     "sim_tiered_rerank_recall",
     "privacy_dp_quantile",
+    "mix_epoch_schedule",
 ]
 
 SERVE_QUERIES = [

@@ -116,6 +116,7 @@ PICKS = [
     ("se_static_pruning_recall", "static pruning audit: all-postings score join, per-term max joined back on the uniform word key, two TakeOrderedAndProject top-k's"),
     ("sim_tiered_rerank_recall", "two-tier serving: truncated-space TakeOrdered(50) shortlist, broadcast semi-join back, full-dim re-rank on 50 rows"),
     ("privacy_dp_quantile", "discretized-EM median: bin histogram (value-range bounded), prefix window over the bin frame, Gumbel argmax TakeOrdered(1)"),
+    ("mix_epoch_schedule", "epoch recipe as multiplicities: broadcast recipe join + map-only hash compare, zero shuffle"),
 ]
 
 

@@ -195,6 +195,68 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------- epoch scheduling
+
+# Per-source epoch counts, the way training recipes quote them
+# ("3.5 epochs of wiki, 1 of books, 0.3 of crawl" — cf. the LLaMA and
+# GPT-3 mixture tables). Expressed as EXACT rationals (tenths) so the
+# fractional part is integer arithmetic against the hash bucket.
+EPOCHS_TENTHS: dict[str, int] = {
+    f"src{i}": (35, 10, 3)[i % 3] for i in range(20)
+}
+EPOCH_SALT = "epoch"
+
+
+def epoch_schedule(
+    df: DataFrame,
+    group_col: str,
+    epochs_tenths: dict[str, int],
+    id_col: str,
+    *,
+    salt: str = EPOCH_SALT,
+) -> DataFrame:
+    """(id, group, n_copies): how many times each example appears in
+    the training stream under a per-source epoch recipe. Whole epochs
+    replicate every doc; the fractional epoch keeps a deterministic
+    hash slice (the SAME slice every run, so epoch 3.5 trains the
+    identical half-corpus a resumed job expects). n_copies =
+    floor(e) + (hash_bucket < frac(e)*N_BUCKETS) — the UPSAMPLING
+    complement to mixture_resample's downsampling, with PPS-style
+    multiplicities instead of row duplication: the trainer's loader
+    expands n_copies, the engine never materializes the blow-up.
+
+    Scale shape: broadcast |sources|-row recipe join + map-only hash
+    compare; no shuffle at all. Docs from sources absent in the
+    recipe are dropped (inner join), n_copies = 0 rows are kept (the
+    honest 'this doc sits out this mix' record for audits)."""
+    spark = df.sparkSession
+    edf = spark.createDataFrame(
+        list(epochs_tenths.items()), f"{group_col} string, et int"
+    )
+    b = hash_bucket(F.col(id_col), salt=salt)
+    return df.join(F.broadcast(edf), group_col).select(
+        id_col,
+        group_col,
+        (
+            F.expr(f"et div 10")
+            + (b < (F.col("et") % 10) * (N_BUCKETS // 10)).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_copies"),
+    )
+
+
+def q_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return epoch_schedule(docs, "source", EPOCHS_TENTHS, "doc_id").orderBy(
+        "doc_id"
+    )
+
+
+def _epochs_values_sql() -> str:
+    return ", ".join(f"('{k}', {v})" for k, v in EPOCHS_TENTHS.items())
+
+
 # ------------------------------------------- token-budget filling
 
 # Fill a training-token budget with WHOLE documents, sources in
@@ -484,6 +546,7 @@ QUERIES = {
     "mix_curriculum_interleave": q_curriculum_interleave,
     "mix_dsir_selection": q_dsir_selection,
     "mix_token_budget_fill": q_token_budget_fill,
+    "mix_epoch_schedule": q_epoch_schedule,
 }
 
 ORACLES = {
@@ -559,5 +622,15 @@ ORACLES = {
         SELECT doc_id, source, n_chars, cum_chars
         FROM cum WHERE cum_chars <= tot * {FILL_NUM} // {FILL_DEN}
         ORDER BY doc_id
+    """,
+    "mix_epoch_schedule": f"""
+        WITH e(source, et) AS (VALUES {_epochs_values_sql()})
+        SELECT d.doc_id, d.source,
+               CAST(et // 10
+                    + CASE WHEN {_bucket_sql("d.doc_id", EPOCH_SALT)}
+                           < (et % 10) * {N_BUCKETS // 10}
+                      THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        FROM documents d JOIN e USING (source)
+        ORDER BY d.doc_id
     """,
 }

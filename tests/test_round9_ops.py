@@ -208,6 +208,37 @@ def test_centroid_outlier_rate_tracks_quantile(spark, sf_dir):
         assert rate <= OUTLIER_Q + 2.0 / max(len(grp), 1)
 
 
+# ------------------------------------------------ epoch schedule
+
+
+def test_epoch_schedule_composition(spark, sf_dir):
+    from searchengine_spark.operators.mixture import EPOCHS_TENTHS, QUERIES
+
+    rows = QUERIES["mix_epoch_schedule"](spark, sf_dir).collect()
+    assert rows, "recipe covers every fixture source"
+    by_et = {}
+    for r in rows:
+        et = EPOCHS_TENTHS[r.source]
+        tot, n = by_et.get(et, (0, 0))
+        by_et[et] = (tot + r.n_copies, n + 1)
+        # copies bracket the recipe: floor(e) or floor(e)+1
+        assert r.n_copies in (et // 10, et // 10 + 1)
+    for et, (tot, n) in by_et.items():
+        if et % 10 == 0:  # whole epochs: EXACT, no hash slice at all
+            assert tot == (et // 10) * n
+        else:  # fractional: mean within 15% of the recipe
+            assert abs(tot / n - et / 10.0) < 0.15 * (et / 10.0) + 0.05
+
+
+def test_epoch_schedule_is_map_only(spark, sf_dir):
+    from searchengine_spark.operators.mixture import QUERIES
+
+    df = QUERIES["mix_epoch_schedule"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan
+
+
 # ------------------------------------------------ DP quantile
 
 
