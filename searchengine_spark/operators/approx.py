@@ -241,20 +241,33 @@ def kmv_user_sketches(events: DataFrame, *, k: int = KMV_K) -> DataFrame:
     does not replace when you need SET OPERATIONS: two KMV sketches
     union (take the K smallest of the union) and intersect (count
     common members below the union threshold) with known error, while
-    HLL only unions. State per group is K hashes; the per-group top-K
-    is a keyed window rank — the same shuffle as any grouped top-k.
+    HLL only unions. State per group is K hashes.
+
+    The per-group K-smallest goes through `distrank.distributed_rank`
+    (round 9; the round-8 version used a plain per-type window — with
+    ~5 event types at real volumes each window partition was ~1/5 of
+    all distinct users sorted in ONE task): the uniform 60-bit hash's
+    top bits are the monotone bucket, and max_rank=K prunes every
+    bucket past the K-th row BEFORE the window, so only ~K rows per
+    type are ever sorted. Row-identical to the plain window the
+    oracles state.
     """
-    from pyspark.sql import Window
+    from searchengine_spark.operators.distrank import distributed_rank
 
     du = (
         events.select("event_type", "user_id")
         .distinct()
         .withColumn("h", _kmv_hash(F.col("user_id")))
     )
-    w = Window.partitionBy("event_type").orderBy(F.asc("h"), F.asc("user_id"))
-    return du.withColumn("_r", F.row_number().over(w)).filter(
-        F.col("_r") <= F.lit(k)
-    ).drop("_r")
+    ranked = distributed_rank(
+        du,
+        ["event_type"],
+        [F.asc("h"), F.asc("user_id")],
+        F.expr(f"h div {1 << 48}"),
+        rank_name="_r",
+        max_rank=k,
+    )
+    return ranked.filter(F.col("_r") <= F.lit(k)).drop("_r")
 
 
 def q_kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:

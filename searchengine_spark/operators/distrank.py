@@ -60,10 +60,14 @@ def distributed_rank(
     rank_name: str = "rank_",
     max_rank: int | Column | None = None,
     group_count_name: str | None = None,
+    method: str = "row_number",
 ) -> DataFrame:
     """Add 1-based ``rank_name`` = ROW_NUMBER() OVER (PARTITION BY
     part_cols ORDER BY order_cols) via the two-level bucket prefix
-    sum.
+    sum. ``method="rank"`` computes RANK() instead (ties share the
+    rank) — valid because equal order keys land in equal buckets, so
+    a tie group can never straddle a bucket boundary and the
+    exclusive offset stays exact.
 
     ``bucket`` must be an integral Column, monotone non-decreasing
     along ``order_cols`` within each group (equal order keys -> equal
@@ -103,16 +107,19 @@ def distributed_rank(
     offsets = offsets.select(*part_cols, BUCKET_COL, "_off", "_gn")
 
     in_win = Window.partitionBy(*part_cols, BUCKET_COL).orderBy(*order_cols)
+    in_rank = (
+        F.rank().over(in_win) if method == "rank" else F.row_number().over(in_win)
+    )
     out = (
         rows.join(F.broadcast(offsets), [*part_cols, BUCKET_COL])
-        .withColumn(
-            rank_name,
-            (F.col("_off") + F.row_number().over(in_win)).cast("bigint"),
-        )
+        .withColumn(rank_name, (F.col("_off") + in_rank).cast("bigint"))
     )
-    if group_count_name is not None:
+    if group_count_name is not None and group_count_name != "_gn":
         out = out.withColumn(group_count_name, F.col("_gn"))
-    return out.drop(BUCKET_COL, "_off", "_gn")
+    drops = [BUCKET_COL, "_off"]
+    if group_count_name != "_gn":  # keep it when the caller asked by that name
+        drops.append("_gn")
+    return out.drop(*drops)
 
 
 def range_bucket(

@@ -158,21 +158,43 @@ def quality_percentile_by_source(docs: DataFrame) -> DataFrame:
     Rank-normalizing WITHIN source makes "bottom 20%" mean the same
     thing everywhere (the CCNet/RefinedWeb-style per-domain bucket).
 
-    Shape: one map stage for the signal, one shuffle by source for
-    the percent_rank window. Source cardinality is tiny relative to
-    rows, so partitions are large but few — at 100 TB replace the
-    full-sort window with per-source approxQuantile cutpoints
-    (one aggregate, cutoffs broadcast back), the same degradation
-    path as the z-order ranks; percent_rank here is the exact,
-    oracle-checkable form.
+    Shape: one map stage for the signal, then the per-source
+    percent_rank goes through `distrank.distributed_rank` (round 9;
+    previously a plain per-source window — with O(10) sources each
+    window partition was ~1/10 of the corpus sorted in ONE task):
+    the signal value quantized to 4096 integral buckets is the
+    monotone bucket key, rank uses RANK() semantics (ties share a
+    rank, and equal values land in equal buckets so a tie group
+    never straddles buckets), and percent_rank = (rank-1)/(n-1)
+    from the rank plus the per-group count the helper already
+    derives from its bucket totals. Value-identical to the plain
+    percent_rank window the oracle states.
     """
+    from searchengine_spark.operators.distrank import distributed_rank
+
     sig = gopher_gate(docs.select("doc_id", "text")).select(
         "doc_id", "distinct_frac"
     )
     joined = sig.join(docs.select("doc_id", "source"), "doc_id")
-    w = Window.partitionBy("source").orderBy(F.col("distinct_frac"))
-    pct = F.round(F.percent_rank().over(w), 6)
-    return joined.select(
+    ranked = distributed_rank(
+        joined,
+        ["source"],
+        [F.asc("distinct_frac")],
+        F.least(
+            F.lit(4095), F.floor(F.col("distinct_frac") * 4096)
+        ).cast("bigint"),
+        rank_name="_r",
+        group_count_name="_gn",
+        method="rank",
+    )
+    pct = F.round(
+        F.when(
+            F.col("_gn") > 1,
+            (F.col("_r") - 1).cast("double") / (F.col("_gn") - 1),
+        ).otherwise(F.lit(0.0)),
+        6,
+    )
+    return ranked.select(
         "doc_id",
         "source",
         "distinct_frac",

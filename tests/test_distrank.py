@@ -148,6 +148,46 @@ def test_quota_plan_windows_key_on_bucket(spark, sf_dir):
         assert "_db#" in s, f"quota window sorts a whole source in one task: {s}"
 
 
+def test_kmv_sketch_plan_windows_key_on_bucket(spark, sf_dir):
+    from searchengine_spark.operators.approx import QUERIES
+
+    plan = _plan(QUERIES["approx_kmv_distinct_users"](spark, sf_dir))
+    specs = _big_rownum_specs(plan)
+    assert specs, "expected the K-smallest rank window"
+    for s in specs:
+        assert "_db#" in s, f"KMV sorts a whole event type in one task: {s}"
+
+
+def test_quality_calibration_plan_windows_key_on_bucket(spark, sf_dir):
+    from searchengine_spark.text.quality import QUERIES
+
+    plan = _plan(QUERIES["text_quality_calibrated"](spark, sf_dir))
+    assert "percent_rank" not in plan
+    specs = re.findall(r"rank\(\w+#\d+\) windowspecdefinition\(([^)]*)\)", plan)
+    assert specs, "expected the per-source RANK window"
+    for s in specs:
+        assert "_db#" in s, f"calibration sorts a whole source in one task: {s}"
+
+
+def test_rank_method_matches_plain_rank_with_ties(spark):
+    # heavy ties: rank() semantics must survive the bucket decomposition
+    rows = [(i, "g", (i * 3) % 7) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, src string, v long")
+    ext, bucket = range_bucket(df, "v", n_buckets=4)
+    got = {
+        r["id"]: r["rk"]
+        for r in distributed_rank(
+            ext, ["src"], [F.asc("v")], bucket, rank_name="rk", method="rank"
+        ).collect()
+    }
+    w = Window.partitionBy("src").orderBy(F.asc("v"))
+    want = {
+        r["id"]: r["rk"]
+        for r in df.withColumn("rk", F.rank().over(w)).collect()
+    }
+    assert got == want
+
+
 def test_skew_profile_plan_has_no_per_key_rank(spark, sf_dir):
     from searchengine_spark.operators.skew import QUERIES
 
