@@ -61,6 +61,7 @@ def distributed_rank(
     max_rank: int | Column | None = None,
     group_count_name: str | None = None,
     method: str = "row_number",
+    pre_partition: bool = False,
 ) -> DataFrame:
     """Add 1-based ``rank_name`` = ROW_NUMBER() OVER (PARTITION BY
     part_cols ORDER BY order_cols) via the two-level bucket prefix
@@ -87,8 +88,19 @@ def distributed_rank(
     ``group_count_name``: also expose the per-group total row count
     under this name (computed from the bucket totals — no extra pass
     over the data, unlike COUNT() OVER (PARTITION BY g)).
+
+    ``pre_partition``: insert an explicit repartition on (part_cols,
+    bucket) before the two consumers. The totals aggregate and the
+    final join/window are SEPARATE subtrees over ``df``, so Spark
+    evaluates the upstream twice; when that upstream is expensive
+    (tokenize-heavy signals), the shared Exchange lets the runtime
+    reuse one evaluation and the window's required distribution is
+    already satisfied. Skip it when the upstream is a cheap scan —
+    the extra shuffle costs more than the re-scan saves.
     """
     rows = df.withColumn(BUCKET_COL, bucket.cast("bigint"))
+    if pre_partition:
+        rows = rows.repartition(*part_cols, BUCKET_COL)
     totals = rows.groupBy(*part_cols, BUCKET_COL).agg(
         F.count(F.lit(1)).alias("_n")
     )

@@ -175,7 +175,13 @@ def quality_percentile_by_source(docs: DataFrame) -> DataFrame:
     sig = gopher_gate(docs.select("doc_id", "text")).select(
         "doc_id", "distinct_frac"
     )
-    joined = sig.join(docs.select("doc_id", "source"), "doc_id")
+    # The rank helper's bucket-totals aggregate and its final join are
+    # separate consumers of this frame; without a materialization the
+    # tokenize-heavy signal evaluates TWICE (caught by the bench
+    # budget gate). The slim 3-column signal is cheap to hold; at
+    # build scale persist it to parquet instead
+    # (io.materialize_barrier(persist_dir) — the minhash convention).
+    joined = sig.join(docs.select("doc_id", "source"), "doc_id").cache()
     ranked = distributed_rank(
         joined,
         ["source"],
@@ -186,6 +192,9 @@ def quality_percentile_by_source(docs: DataFrame) -> DataFrame:
         rank_name="_r",
         group_count_name="_gn",
         method="rank",
+        # the signal upstream is tokenize-heavy; one shared Exchange
+        # beats evaluating gopher_gate twice (bench-gate finding)
+        pre_partition=True,
     )
     pct = F.round(
         F.when(
