@@ -193,6 +193,26 @@ QUERIES = (
     "events_watermark_sizing",
     "approx_quantile_sample",
     "approx_kmv_merge_audit",
+    # round-9 operators: the distributed-rank adopters re-soak under
+    # their new two-level plans via the existing entries above
+    # (curriculum/stratified/quota/skew/kmv); new shapes added here —
+    # vocabulary-growth tokenize+min-agg, the priority prefix-sum
+    # budget fill, the B=32 conditional-sum bootstrap (md5-bound scan),
+    # per-vector centroid audit (posexplode fan-out), all-postings
+    # static-pruning scoring, the no-partition global rank, the
+    # two-pass tiered re-rank, and the cheap map-only/TakeOrdered ops
+    # (epoch schedule, A-ES, DiD, DP quantile) as canaries.
+    "text_heaps_vocab_growth",
+    "mix_token_budget_fill",
+    "events_bootstrap_ci",
+    "sim_centroid_outliers",
+    "se_static_pruning_recall",
+    "export_global_order_rank",
+    "sim_tiered_rerank_recall",
+    "mix_epoch_schedule",
+    "sample_aes_weighted_topn",
+    "events_did_estimate",
+    "privacy_dp_quantile",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
