@@ -221,6 +221,10 @@ HEADLINE = [
     "sim_tiered_rerank_recall",
     "privacy_dp_quantile",
     "mix_epoch_schedule",
+    # round-9 (cont. 3): DP mean (clip+Laplace, the fifth DP
+    # primitive) and leave-one-source-out corpus ablation.
+    "privacy_dp_mean",
+    "mix_loo_source_ablation",
 ]
 
 SERVE_QUERIES = [

@@ -117,6 +117,8 @@ PICKS = [
     ("sim_tiered_rerank_recall", "two-tier serving: truncated-space TakeOrdered(50) shortlist, broadcast semi-join back, full-dim re-rank on 50 rows"),
     ("privacy_dp_quantile", "discretized-EM median: bin histogram (value-range bounded), prefix window over the bin frame, Gumbel argmax TakeOrdered(1)"),
     ("mix_epoch_schedule", "epoch recipe as multiplicities: broadcast recipe join + map-only hash compare, zero shuffle"),
+    ("privacy_dp_mean", "clip+Laplace DP mean: one user-keyed agg, 1-row release arithmetic"),
+    ("mix_loo_source_ablation", "leave-one-out via algebraic subtraction: one per-source agg + broadcast global fold, nothing recomputed per source"),
 ]
 
 

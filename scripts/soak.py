@@ -213,6 +213,8 @@ QUERIES = (
     "sample_aes_weighted_topn",
     "events_did_estimate",
     "privacy_dp_quantile",
+    "privacy_dp_mean",
+    "mix_loo_source_ablation",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 

@@ -195,6 +195,52 @@ def q_curriculum_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------ leave-one-source-out
+
+
+def q_loo_source_ablation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out corpus ablation — the cheap relational
+    first pass of a dataset-ablation study: for every source, what
+    the corpus profile (here: mean and std of doc length) becomes
+    WITHOUT it, and the source's influence (loo_mean - global mean).
+    A source with large positive influence is dragging the profile
+    down; rank by |influence| to pick ablation candidates BEFORE
+    paying for training runs.
+
+    The trick that makes it one pass: leave-one-out aggregates are
+    algebraic — loo_sum = global_sum - source_sum etc. — so one
+    per-source aggregate plus a broadcast 1-row global fold yields
+    every ablation simultaneously; nothing is recomputed per source.
+    Integer sums (chars, chars^2) end-to-end; floats only in the
+    final per-row formulas, rounded to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = F.col("n_chars").cast("bigint")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(c).alias("s1"),
+        F.sum(c * c).alias("s2"),
+    )
+    glob = per_src.agg(
+        F.sum("n").alias("gn"), F.sum("s1").alias("gs1"), F.sum("s2").alias("gs2")
+    )
+    j = per_src.crossJoin(F.broadcast(glob))
+    ln = (F.col("gn") - F.col("n")).cast("double")
+    ls1 = (F.col("gs1") - F.col("s1")).cast("double")
+    ls2 = (F.col("gs2") - F.col("s2")).cast("double")
+    loo_mean = ls1 / ln
+    gmean = F.col("gs1").cast("double") / F.col("gn")
+    return j.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.round(F.col("s1").cast("double") / F.col("n"), 6).alias("mean_chars"),
+        F.round(loo_mean, 6).alias("loo_mean_chars"),
+        F.round(F.sqrt(ls2 / ln - loo_mean * loo_mean), 6).alias(
+            "loo_std_chars"
+        ),
+        F.round(loo_mean - gmean, 6).alias("influence"),
+    ).orderBy("source")
+
+
 # ---------------------------------------------- epoch scheduling
 
 # Per-source epoch counts, the way training recipes quote them
@@ -547,6 +593,7 @@ QUERIES = {
     "mix_dsir_selection": q_dsir_selection,
     "mix_token_budget_fill": q_token_budget_fill,
     "mix_epoch_schedule": q_epoch_schedule,
+    "mix_loo_source_ablation": q_loo_source_ablation,
 }
 
 ORACLES = {
@@ -632,5 +679,32 @@ ORACLES = {
                       THEN 1 ELSE 0 END AS BIGINT) AS n_copies
         FROM documents d JOIN e USING (source)
         ORDER BY d.doc_id
+    """,
+    "mix_loo_source_ablation": """
+        WITH per_src AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS s1,
+                 CAST(SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT))
+                      AS BIGINT) AS s2
+          FROM documents GROUP BY source
+        ),
+        gtot AS (
+          SELECT CAST(SUM(n) AS BIGINT) AS gn,
+                 CAST(SUM(s1) AS BIGINT) AS gs1,
+                 CAST(SUM(s2) AS BIGINT) AS gs2
+          FROM per_src
+        )
+        SELECT source, n AS n_docs,
+               round(CAST(s1 AS DOUBLE) / n, 6) AS mean_chars,
+               round(CAST(gs1 - s1 AS DOUBLE) / (gn - n), 6)
+                 AS loo_mean_chars,
+               round(sqrt(CAST(gs2 - s2 AS DOUBLE) / (gn - n)
+                          - (CAST(gs1 - s1 AS DOUBLE) / (gn - n))
+                            * (CAST(gs1 - s1 AS DOUBLE) / (gn - n))), 6)
+                 AS loo_std_chars,
+               round(CAST(gs1 - s1 AS DOUBLE) / (gn - n)
+                     - CAST(gs1 AS DOUBLE) / gn, 6) AS influence
+        FROM per_src, gtot
+        ORDER BY source
     """,
 }

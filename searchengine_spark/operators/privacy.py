@@ -350,6 +350,116 @@ FROM agg
 """
 
 
+# ------------------------------------------- DP mean (clip + Laplace)
+
+# Contribution bound C = $4,000: the fixture's per-user totals sit
+# near $3,300 at every SF (the generator is per-user stationary), so
+# ~the top fifth of users clip — the audit shows a REAL clip fraction
+# instead of 0 or 1. eps = 1 per release.
+DPM_CLIP_CENTS = 400_000
+DPM_SUM_SCALE = 400_000.0  # Laplace b = C/eps
+DPM_CNT_SCALE = 1.0  # Laplace b = 1/eps for the count
+DPM_SUM_SALT = "dpmS"
+DPM_CNT_SALT = "dpmN"
+
+
+def _lap(salt: str, scale: float):
+    """Seeded Laplace(scale) from the md5 uniform of a constant salt —
+    ONE draw per release (the salt is the key), the derandomized-noise
+    convention of q_dp_noisy_counts."""
+    h = F.conv(
+        F.substring(F.md5(F.lit(salt).cast("binary")), 1, 13), 16, 10
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_HASH_BITS))
+    v = u - F.lit(0.5)
+    return (
+        -F.lit(scale) * F.signum(v) * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+
+
+def q_dp_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially private MEAN of per-user event spend — the
+    clip-then-Laplace recipe that underlies every DP aggregate (and
+    DP-SGD's gradient step): bound each USER's total contribution at
+    C (user-level sensitivity, the unit that matters — one person may
+    have many events), add Laplace(C/eps) to the clipped sum and
+    Laplace(1/eps) to the user count, release their ratio. The frame
+    carries the true clipped mean and the release error as audit
+    columns (the privacy_rr_frequency convention), plus the clip
+    fraction — the knob a practitioner tunes first.
+
+    Scale shape: one user-keyed aggregate (uniform key), then 1-row
+    arithmetic; the clip is exact integer cents (least(sum, C)), so
+    everything before the two Laplace draws hash-checks as integers.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.coalesce(F.round(F.col("value") * 100).cast("bigint"), F.lit(0))
+    per_user = ev.groupBy("user_id").agg(F.sum(cents).alias("s"))
+    clipped = per_user.select(
+        F.least(F.col("s"), F.lit(DPM_CLIP_CENTS)).alias("cs"),
+        (F.col("s") > DPM_CLIP_CENTS).cast("long").alias("was_clipped"),
+    )
+    agg = clipped.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("cs").alias("clip_sum"),
+        F.sum("was_clipped").alias("n_clipped"),
+    )
+    noisy_sum = F.col("clip_sum") + _lap(DPM_SUM_SALT, DPM_SUM_SCALE)
+    noisy_n = F.col("n_users") + _lap(DPM_CNT_SALT, DPM_CNT_SCALE)
+    true_mean = F.col("clip_sum").cast("double") / F.col("n_users")
+    rel_mean = F.round(noisy_sum / noisy_n / 100.0, 6)
+    return agg.select(
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.round(F.col("n_clipped") / F.col("n_users"), 6).alias(
+            "clip_fraction"
+        ),
+        rel_mean.alias("released_mean"),
+        F.round(true_mean / 100.0, 6).alias("true_clipped_mean"),
+        F.round(F.abs(rel_mean - F.round(true_mean / 100.0, 6)), 6).alias(
+            "abs_error"
+        ),
+    )
+
+
+_DPM_SQL = f"""
+WITH per_user AS (
+  SELECT user_id,
+         CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0))
+              AS BIGINT) AS s
+  FROM events GROUP BY user_id
+),
+clipped AS (
+  SELECT LEAST(s, {DPM_CLIP_CENTS}) AS cs,
+         CASE WHEN s > {DPM_CLIP_CENTS} THEN 1 ELSE 0 END AS was_clipped
+  FROM per_user
+),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(cs) AS BIGINT) AS clip_sum,
+         CAST(SUM(was_clipped) AS BIGINT) AS n_clipped
+  FROM clipped
+),
+lap AS (
+  SELECT
+    (SELECT -{DPM_SUM_SCALE!r} * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+     FROM (SELECT (('0x' || substr(md5('{DPM_SUM_SALT}'), 1, 13))::BIGINT
+                   + 0.5) / {float(2 ** _HASH_BITS)!r} AS u)) AS ns,
+    (SELECT -{DPM_CNT_SCALE!r} * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))
+     FROM (SELECT (('0x' || substr(md5('{DPM_CNT_SALT}'), 1, 13))::BIGINT
+                   + 0.5) / {float(2 ** _HASH_BITS)!r} AS u)) AS nn
+)
+SELECT n_users,
+       round(CAST(n_clipped AS DOUBLE) / n_users, 6) AS clip_fraction,
+       round((clip_sum + ns) / (n_users + nn) / 100.0, 6) AS released_mean,
+       round(CAST(clip_sum AS DOUBLE) / n_users / 100.0, 6)
+         AS true_clipped_mean,
+       round(abs(round((clip_sum + ns) / (n_users + nn) / 100.0, 6)
+                 - round(CAST(clip_sum AS DOUBLE) / n_users / 100.0, 6)), 6)
+         AS abs_error
+FROM agg, lap
+"""
+
+
 # ------------------------------------------- DP quantile (EM, binned)
 
 DPQ_BIN_CENTS = 500  # $5 value bins — candidate outputs for the EM
@@ -497,6 +607,7 @@ FROM pick, truth
 
 
 QUERIES = {
+    "privacy_dp_mean": q_dp_mean,
     "privacy_dp_quantile": q_dp_quantile,
     "privacy_rr_frequency": q_rr_frequency,
     "privacy_k_anonymity_audit": q_k_anonymity_audit,
@@ -505,6 +616,7 @@ QUERIES = {
     "privacy_dp_exponential_topk": q_dp_exponential_topk,
 }
 ORACLES = {
+    "privacy_dp_mean": _DPM_SQL,
     "privacy_dp_quantile": _DPQ_SQL,
     "privacy_rr_frequency": _RR_SQL,
     "privacy_k_anonymity_audit": _AUDIT_SQL,

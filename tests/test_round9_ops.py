@@ -239,6 +239,73 @@ def test_epoch_schedule_is_map_only(spark, sf_dir):
     assert "Window" not in plan
 
 
+# ------------------------------------------------ DP mean
+
+
+def test_dp_mean_release_and_clip_fraction(spark, sf_dir):
+    from searchengine_spark.operators.privacy import QUERIES
+
+    r = QUERIES["privacy_dp_mean"](spark, sf_dir).collect()[0]
+    assert 0.0 <= r.clip_fraction <= 1.0
+    assert r.released_mean != r.true_clipped_mean, "noise must be present"
+    # eps=1 Laplace on a C-bounded sum: error well under the mean
+    assert r.abs_error < r.true_clipped_mean
+
+
+def test_dp_mean_clip_binds_on_planted_whale(spark, tmp_path_factory):
+    # one whale user far past the bound: the clipped mean must be
+    # insensitive to HOW far past (the DP point of clipping)
+    import os
+    from datetime import datetime
+
+    from searchengine_spark.operators.privacy import QUERIES
+
+    ts = datetime(2024, 1, 1)
+    base = [(i, ts, i, "view", 100.0, "{}") for i in range(20)]
+
+    def mk(whale_value):
+        rows = base + [(99, ts, 99, "view", whale_value, "{}")]
+        return spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string",
+        )
+
+    outs = []
+    for i, wv in enumerate((1e6, 1e9)):
+        d = str(tmp_path_factory.mktemp(f"dpm{i}"))
+        mk(wv).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+        outs.append(QUERIES["privacy_dp_mean"](spark, d).collect()[0])
+    assert outs[0].released_mean == outs[1].released_mean
+    assert outs[0].clip_fraction == outs[1].clip_fraction
+
+
+# ------------------------------------------------ LOO ablation
+
+
+def test_loo_ablation_identity(spark, sf_dir):
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.mixture import QUERIES
+
+    import pyspark.sql.functions as F
+
+    rows = QUERIES["mix_loo_source_ablation"](spark, sf_dir).collect()
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.agg(
+        F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    for r in rows[:3]:
+        # recompute one LOO mean from first principles
+        src = docs.filter(F.col("source") == r.source).agg(
+            F.sum("n_chars").alias("s"), F.count(F.lit(1)).alias("n")
+        ).collect()[0]
+        want = (g.s - src.s) / (g.n - src.n)
+        assert abs(r.loo_mean_chars - round(want, 6)) < 1e-6
+    # influences are small perturbations around zero and not all equal
+    infl = [r.influence for r in rows]
+    assert any(x > 0 for x in infl) and any(x < 0 for x in infl)
+
+
 # ------------------------------------------------ DP quantile
 
 
