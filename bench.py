@@ -278,7 +278,27 @@ def main() -> None:
         ).collect()
         return round(time.perf_counter() - t0, 3)
 
+    # Spark-pipeline calibration: the probe above is one shuffle-free
+    # whole-stage-codegen scan, so it tracks raw CPU but NOT the
+    # exchange/task-scheduling throughput the headline queries spend
+    # most of their time in (round-9 adjudication failure: every
+    # untouched query ran 1.6x slower on the driver host while the
+    # scan probe said "faster"). This probe has a fixed two-stage
+    # plan — 8M-row hash aggregate across 32 shuffle partitions —
+    # so its time moves with the same JVM/shuffle machinery as the
+    # real queries. bench_compare/test_bench_budget prefer it when
+    # both files carry it.
+    def _spark_calibrate() -> float:
+        t0 = time.perf_counter()
+        spark.range(8_000_000).groupBy(
+            (F.col("id") * 2654435761 % 65537).alias("k")
+        ).agg(
+            F.count("*").alias("c"), F.sum("id").alias("s")
+        ).select(F.sum(F.col("c") * F.col("s"))).collect()
+        return round(time.perf_counter() - t0, 3)
+
     calib_start = _calibrate()
+    spark_calib_start = _spark_calibrate()
 
     # One broken query must never zero the whole bench: every section
     # is try/except'd; failures land in "errors" and the rest still
@@ -372,6 +392,7 @@ def main() -> None:
         errors["tpch_power"] = f"{type(exc).__name__}: {exc}"[:200]
 
     calib_end = _calibrate()
+    spark_calib_end = _spark_calibrate()
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -382,6 +403,8 @@ def main() -> None:
         "sf": sf,
         "calib_start_sec": calib_start,
         "calib_end_sec": calib_end,
+        "spark_calib_start_sec": spark_calib_start,
+        "spark_calib_end_sec": spark_calib_end,
     }
     if tpch_power is not None:
         out["tpch_power_22_queries_sec"] = tpch_power
@@ -425,6 +448,7 @@ def _write_detail(out: dict) -> None:
             n = int(explicit)
         except ValueError:
             print(f"bench: ignoring non-integer round {explicit!r}", file=sys.stderr)
+    suffix = ""
     if n is None:
         rounds = [
             int(m.group(1))
@@ -432,7 +456,33 @@ def _write_detail(out: dict) -> None:
             if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
         ]
         n = max(rounds, default=0) + 1
-    path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}.json")
+        # The driver runs bench minutes AFTER writing the round's
+        # CORRECTNESS snapshot, so the max+1 inference stamps the NEXT
+        # round (this mis-stamped rounds 7, 8, and 9, each needing a
+        # manual rename to _r{N}_driver). Detect that case by snapshot
+        # freshness: a CORRECTNESS_r{n-1}.json younger than the window
+        # means THIS run belongs to round n-1 and is the driver's —
+        # stamp it r{n-1}_driver directly (the name every prior rename
+        # converged on). An in-round agent run happens hours later (or
+        # passes --round) and is unaffected.
+        recent = float(os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT_WINDOW", "1800"))
+        prev_snap = os.path.join(here, f"CORRECTNESS_r{n - 1:02d}.json")
+        try:
+            snap_age = time.time() - os.path.getmtime(prev_snap)
+        except OSError:
+            snap_age = None
+        if snap_age is not None and snap_age < recent:
+            print(
+                f"bench: re-stamping inferred round {n} -> {n - 1}_driver: "
+                f"CORRECTNESS_r{n - 1:02d}.json is {snap_age:.0f}s old, so this "
+                "run is the driver's post-snapshot pass of round "
+                f"{n - 1}, not round {n}'s first run. Pass --round N to "
+                "override.",
+                file=sys.stderr,
+            )
+            n -= 1
+            suffix = "_driver"
+    path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}{suffix}.json")
     if explicit is None and os.path.exists(path):
         # The inference mis-stamps exactly once per round if bench runs
         # AFTER the driver's CORRECTNESS/BENCH snapshot (round 7's
@@ -440,7 +490,7 @@ def _write_detail(out: dict) -> None:
         # keep the incumbent aside and shout that the round stamp is
         # unreliable — the driver should export SPARK_GRAFT_BENCH_ROUND
         # (or pass --round N) to stamp authoritatively.
-        prev = os.path.join(here, f"BENCH_DETAIL_r{n:02d}_prev.json")
+        prev = path[: -len(".json")] + "_prev.json"
         try:
             os.replace(path, prev)
         except OSError:

@@ -48,10 +48,24 @@ def _latest_two(repo_root: str) -> tuple[str, str]:
     return files[hi[0]], files[hi[1]]
 
 
-def _calib(doc: dict) -> float:
-    vals = [doc.get("calib_start_sec"), doc.get("calib_end_sec")]
+def _calib_one(doc: dict, prefix: str) -> float | None:
+    vals = [doc.get(f"{prefix}start_sec"), doc.get(f"{prefix}end_sec")]
     vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
-    return sum(vals) / len(vals) if vals else 1.0
+    return sum(vals) / len(vals) if vals else None
+
+
+def pair_calib(old: dict, new: dict) -> tuple[float, float, str]:
+    """Calibration pair for two detail files. Prefers the Spark-side
+    shuffle probe (spark_calib_*, round 10+): the pure-scan probe
+    tracks raw CPU but missed a uniform 1.6x Spark-throughput swing in
+    round 9 (it claimed the host was FASTER while every untouched
+    query ran slower). Falls back to the scan probe — consistently for
+    BOTH files — when either side predates the shuffle probe."""
+    for prefix, label in (("spark_calib_", "spark"), ("calib_", "scan")):
+        a, b = _calib_one(old, prefix), _calib_one(new, prefix)
+        if a is not None and b is not None:
+            return a, b, label
+    return 1.0, 1.0, "none"
 
 
 def main() -> int:
@@ -74,9 +88,9 @@ def main() -> int:
         new = json.load(fh)
 
     old_q, new_q = old.get("queries", {}), new.get("queries", {})
-    c_old, c_new = _calib(old), _calib(new)
-    print(f"old: {os.path.basename(old_path)} (calib {c_old:.2f}s)")
-    print(f"new: {os.path.basename(new_path)} (calib {c_new:.2f}s)")
+    c_old, c_new, probe = pair_calib(old, new)
+    print(f"old: {os.path.basename(old_path)} (calib {c_old:.2f}s, {probe} probe)")
+    print(f"new: {os.path.basename(new_path)} (calib {c_new:.2f}s, {probe} probe)")
 
     shared = sorted(set(old_q) & set(new_q))
     movers = []

@@ -44,10 +44,20 @@ def _detail_files() -> dict[int, str]:
     return files
 
 
-def _calib(doc: dict) -> float:
-    vals = [doc.get("calib_start_sec"), doc.get("calib_end_sec")]
-    vals = [v for v in vals if isinstance(v, (int, float)) and v > 0]
-    return sum(vals) / len(vals) if vals else 1.0
+def _pair_calib(base: dict, cur: dict) -> tuple[float, float]:
+    # Prefer the Spark-side shuffle probe (spark_calib_*, round 10+):
+    # the pure-scan probe missed a uniform 1.6x Spark-throughput swing
+    # in round 9. Fall back to the scan probe consistently for BOTH
+    # files when either predates it (same rule as bench_compare).
+    for prefix in ("spark_calib_", "calib_"):
+        vals = []
+        for doc in (base, cur):
+            v = [doc.get(f"{prefix}start_sec"), doc.get(f"{prefix}end_sec")]
+            v = [x for x in v if isinstance(x, (int, float)) and x > 0]
+            vals.append(sum(v) / len(v) if v else None)
+        if vals[0] is not None and vals[1] is not None:
+            return vals[0], vals[1]
+    return 1.0, 1.0
 
 
 def test_no_query_blows_its_budget():
@@ -61,7 +71,7 @@ def test_no_query_blows_its_budget():
         cur = json.load(fh)
     if base.get("sf") != cur.get("sf"):
         pytest.skip("details ran at different scale factors")
-    c_base, c_cur = _calib(base), _calib(cur)
+    c_base, c_cur = _pair_calib(base, cur)
     over = []
     for name, b_sec in base.get("queries", {}).items():
         n_sec = cur.get("queries", {}).get(name)
