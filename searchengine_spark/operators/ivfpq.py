@@ -42,9 +42,13 @@ from searchengine_spark.io import load_table, session_cached
 from searchengine_spark.operators.kmeans import (
     ITERS,
     K,
+    TRAIN_SAMPLE_TARGET,
     _assign,
     _update_centroids,
     fixed_point_vec,
+    train_sample_filter,
+    train_sample_mod,
+    train_sample_sql,
 )
 from searchengine_spark.operators.pq import (
     KPQ,
@@ -86,21 +90,41 @@ def residual_subs(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
 
 
 def ivfpq_train(
-    emb: DataFrame, *, id_col: str = "vec_id", vec_col: str = "embedding"
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_target: int = TRAIN_SAMPLE_TARGET,
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
     """Returns (codes, coarse_centroids, pq_codebooks) where codes =
     (vec_id, cluster, m, code): each vector's cell plus the PQ
-    encoding of its residual."""
+    encoding of its residual.
+
+    Both Lloyd loops (coarse and residual-PQ) train on the
+    deterministic hash-sample (kmeans.train_sample_filter), so
+    training cost is O(sample) per iteration; the residual frame and
+    final encode still cover the full corpus in ONE assignment pass —
+    the fit/transform split FAISS uses at billion scale."""
     quant = emb.select(
         F.col(id_col).alias("vec_id"), fixed_point_vec(vec_col).alias("qvec")
     ).persist()
+    train = None
     subs = None
     try:
+        smod = train_sample_mod(quant.count(), sample_target)
+        train = (
+            quant.filter(train_sample_filter(smod)).persist()
+            if smod > 1
+            else quant
+        )
         init = quant.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
         cents = [[int(v) for v in r["qvec"]] for r in init]
         for _ in range(ITERS):
-            cents = _update_centroids(_assign(quant, cents), cents)
+            cents = _update_centroids(_assign(train, cents), cents)
         subs = residual_subs(quant, cents).persist()
+        subs_train = (
+            subs.filter(train_sample_filter(smod)) if smod > 1 else subs
+        )
         cb_init = (
             subs.filter(F.col("vec_id") < KPQ).orderBy("vec_id", "m").collect()
         )
@@ -111,7 +135,7 @@ def ivfpq_train(
             codebooks[r["m"]][int(r["vec_id"])] = [int(v) for v in r["sub"]]
         for _ in range(PQ_ITERS):
             codebooks = _update_codebooks(
-                _assign_codes(subs, codebooks), codebooks
+                _assign_codes(subs_train, codebooks), codebooks
             )
         codes = _assign_codes(subs, codebooks).select(
             "vec_id", "cluster", "m", "code"
@@ -120,6 +144,8 @@ def ivfpq_train(
 
         return _cut_lineage(codes), cents, codebooks
     finally:
+        if train is not None and train is not quant:
+            train.unpersist()
         quant.unpersist()
         if subs is not None:
             subs.unpersist()
@@ -366,10 +392,11 @@ def _ivfpq_chain() -> str:
     from searchengine_spark.operators.kmeans import _kmeans_ctes
 
     cN = f"c{ITERS}"
+    samp = train_sample_sql("SELECT s FROM smod", "rq.vec_id")
     parts = [
         _kmeans_ctes(),
         f"""
-, rq AS (
+, rq AS MATERIALIZED (
   SELECT qc.vec_id,
          CAST(qc.pos // {SUB_DIM} AS INTEGER) AS m,
          CAST(qc.pos % {SUB_DIM} AS INTEGER) AS spos,
@@ -379,7 +406,10 @@ def _ivfpq_chain() -> str:
   JOIN fin f ON qc.vec_id = f.vec_id
   JOIN {cN} c ON c.cluster = f.cluster AND c.pos = qc.pos
 ),
-p0 AS (
+rqt AS MATERIALIZED (
+  SELECT rq.* FROM rq WHERE {samp}
+),
+p0 AS MATERIALIZED (
   SELECT m, CAST(vec_id AS INTEGER) AS code, spos, v AS c
   FROM rq WHERE vec_id < {KPQ}
 )""",
@@ -394,28 +424,28 @@ p0 AS (
            ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
                               ORDER BY d.dist, d.code) AS rn
     FROM (
-      SELECT rq.vec_id, rq.m, p.code,
-             CAST(SUM((rq.v - p.c) * (rq.v - p.c)) AS BIGINT) AS dist
-      FROM rq JOIN {prev} p ON rq.m = p.m AND rq.spos = p.spos
-      GROUP BY rq.vec_id, rq.m, p.code
+      SELECT rqt.vec_id, rqt.m, p.code,
+             CAST(SUM((rqt.v - p.c) * (rqt.v - p.c)) AS BIGINT) AS dist
+      FROM rqt JOIN {prev} p ON rqt.m = p.m AND rqt.spos = p.spos
+      GROUP BY rqt.vec_id, rqt.m, p.code
     ) d
   ) WHERE rn = 1
 ),
-p{i} AS (
+p{i} AS MATERIALIZED (
   SELECT p.m, p.code, p.spos, COALESCE(u.c, p.c) AS c
   FROM {prev} p
   LEFT JOIN (
-    SELECT b.m, b.code, rq.spos,
-           CAST(floor(CAST(SUM(rq.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-    FROM rq JOIN b{i} b ON rq.vec_id = b.vec_id AND rq.m = b.m
-    GROUP BY b.m, b.code, rq.spos
+    SELECT b.m, b.code, rqt.spos,
+           CAST(floor(CAST(SUM(rqt.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM rqt JOIN b{i} b ON rqt.vec_id = b.vec_id AND rqt.m = b.m
+    GROUP BY b.m, b.code, rqt.spos
   ) u ON p.m = u.m AND p.code = u.code AND p.spos = u.spos
 )"""
         )
     pN = f"p{PQ_ITERS}"
     parts.append(
         f"""
-, pcodes AS (
+, pcodes AS MATERIALIZED (
   SELECT vec_id, cell, m, code FROM (
     SELECT d.vec_id, d.cell, d.m, d.code,
            ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m

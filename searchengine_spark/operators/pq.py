@@ -31,11 +31,13 @@ operators/ann.py):
   literal, and each row's approximate distance is M array lookups +
   a sum — a pure map stage feeding TakeOrderedAndProject(k).
 
-100 TB shape: codebooks train on a SAMPLE (the Lloyd loop's input is
-any DataFrame — pass df.sample(...) at scale; codebook quality needs
-~1e5 rows, not the corpus); encode and ADC are embarrassingly
-parallel scans with zero shuffle; the ADC top-k is the same
-TakeOrderedAndProject pattern as BM25 top-k. Combine with the IVF
+100 TB shape: codebooks train on a deterministic HASH-SAMPLE by
+default (kmeans.train_sample_filter, modulus auto-sized from the
+corpus; codebook quality needs ~1e5 rows, not the corpus — raise
+sample_target at production k) while the final encode covers every
+row in one pass; encode and ADC are embarrassingly parallel scans
+with zero shuffle; the ADC top-k is the same TakeOrderedAndProject
+pattern as BM25 top-k. Combine with the IVF
 partition pruning in operators/ann.py for the IVF-PQ layout FAISS
 uses at billion scale.
 """
@@ -46,7 +48,14 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from searchengine_spark.io import load_table, session_cached
-from searchengine_spark.operators.kmeans import FP_SCALE, fixed_point_vec
+from searchengine_spark.operators.kmeans import (
+    FP_SCALE,
+    TRAIN_SAMPLE_TARGET,
+    fixed_point_vec,
+    train_sample_filter,
+    train_sample_mod,
+    train_sample_sql,
+)
 
 EMB_DIM = 64
 M = 8  # subspaces
@@ -157,15 +166,26 @@ def pq_train(
     iters: int = PQ_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_target: int = TRAIN_SAMPLE_TARGET,
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Deterministic PQ training; returns (codes frame, codebooks).
 
     codes frame: (vec_id, m, code, dist) under the final codebooks —
     one row per subspace, the long-format PQ encoding. Codebook m is
     initialized from the m-th subvectors of the first KPQ ids
-    (ordered), mirroring kmeans_fit_assign's init."""
+    (ordered), mirroring kmeans_fit_assign's init. The iterated Lloyd
+    updates run on the deterministic hash-sample of vectors
+    (kmeans.train_sample_filter — O(sample) per pass); init and the
+    final full-corpus encode are unchanged."""
     subs = _sub_frame(emb, id_col=id_col, vec_col=vec_col).persist()
+    train = None
     try:
+        smod = train_sample_mod(emb.count(), sample_target)
+        train = (
+            subs.filter(train_sample_filter(smod, "vec_id")).persist()
+            if smod > 1
+            else subs
+        )
         init = subs.filter(F.col("vec_id") < KPQ).orderBy("vec_id", "m").collect()
         codebooks: list[list[list[int]]] = [
             [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
@@ -174,7 +194,7 @@ def pq_train(
             codebooks[r["m"]][int(r["vec_id"])] = [int(v) for v in r["sub"]]
         for _ in range(iters):
             codebooks = _update_codebooks(
-                _assign_codes(subs, codebooks), codebooks
+                _assign_codes(train, codebooks), codebooks
             )
         final = _assign_codes(subs, codebooks).select(
             "vec_id", "m", "code", "dist"
@@ -183,6 +203,8 @@ def pq_train(
 
         return _cut_lineage(final), codebooks
     finally:
+        if train is not None and train is not subs:
+            train.unpersist()
         subs.unpersist()
 
 
@@ -276,23 +298,31 @@ def _pq_ctes(iters: int = PQ_ITERS) -> str:
     """Unrolled PQ Lloyd chain (all M subspaces at once), mirroring
     pq_train step for step — same shape as kmeans._kmeans_ctes but
     keyed by (m, code). Ends with `codes` = (vec_id, m, code, dist)
-    under the final codebooks."""
+    under the final codebooks. Training rounds read the hash-sampled
+    `qst`; init (c0) and the final encode read the full corpus."""
+    samp = train_sample_sql("SELECT s FROM smod", "qs.vec_id")
     parts = [
         f"""
-q AS (
+q AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE} + 0.5) AS BIGINT)) AS qv
   FROM embeddings
 ),
-qs AS (
+qs AS MATERIALIZED (
   SELECT vec_id,
          CAST((generate_subscripts(qv, 1) - 1) // {SUB_DIM} AS INTEGER) AS m,
          CAST((generate_subscripts(qv, 1) - 1) % {SUB_DIM} AS INTEGER) AS spos,
          unnest(qv) AS v
   FROM q
 ),
-c0 AS (
+smod AS MATERIALIZED (
+  SELECT GREATEST(1, COUNT(*) // {TRAIN_SAMPLE_TARGET}) AS s FROM q
+),
+qst AS MATERIALIZED (
+  SELECT qs.* FROM qs WHERE {samp}
+),
+c0 AS MATERIALIZED (
   SELECT m, CAST(vec_id AS INTEGER) AS code, spos, v AS c
   FROM qs WHERE vec_id < {KPQ}
 )"""
@@ -307,27 +337,27 @@ a{i} AS (
            ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
                               ORDER BY d.dist, d.code) AS rn
     FROM (
-      SELECT qs.vec_id, qs.m, c.code,
-             CAST(SUM((qs.v - c.c) * (qs.v - c.c)) AS BIGINT) AS dist
-      FROM qs JOIN {prev} c ON qs.m = c.m AND qs.spos = c.spos
-      GROUP BY qs.vec_id, qs.m, c.code
+      SELECT qst.vec_id, qst.m, c.code,
+             CAST(SUM((qst.v - c.c) * (qst.v - c.c)) AS BIGINT) AS dist
+      FROM qst JOIN {prev} c ON qst.m = c.m AND qst.spos = c.spos
+      GROUP BY qst.vec_id, qst.m, c.code
     ) d
   ) WHERE rn = 1
 ),
-c{i} AS (
+c{i} AS MATERIALIZED (
   SELECT p.m, p.code, p.spos, COALESCE(u.c, p.c) AS c
   FROM {prev} p
   LEFT JOIN (
-    SELECT a.m, a.code, qs.spos,
-           CAST(floor(CAST(SUM(qs.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-    FROM qs JOIN a{i} a ON qs.vec_id = a.vec_id AND qs.m = a.m
-    GROUP BY a.m, a.code, qs.spos
+    SELECT a.m, a.code, qst.spos,
+           CAST(floor(CAST(SUM(qst.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM qst JOIN a{i} a ON qst.vec_id = a.vec_id AND qst.m = a.m
+    GROUP BY a.m, a.code, qst.spos
   ) u ON p.m = u.m AND p.code = u.code AND p.spos = u.spos
 )"""
         )
     parts.append(
         f"""
-codes AS (
+codes AS MATERIALIZED (
   SELECT vec_id, m, code, dist FROM (
     SELECT d.vec_id, d.m, d.code, d.dist,
            ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m

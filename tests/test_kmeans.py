@@ -205,3 +205,61 @@ def test_hier_assignment_near_exact_and_deterministic(spark):
     total_hier = hier.agg(F.sum("dist")).collect()[0][0]
     total_exact = exact.agg(F.sum("dist")).collect()[0][0]
     assert total_exact <= total_hier <= 1.25 * total_exact
+
+
+def test_train_sample_mod_sizing():
+    """Modulus keeps ~target rows and degrades to 1 (no sampling) on
+    small inputs — the knob the 100 TB story depends on."""
+    from searchengine_spark.operators.kmeans import (
+        TRAIN_SAMPLE_TARGET,
+        train_sample_mod,
+    )
+
+    assert train_sample_mod(100) == 1          # n < target: full data
+    assert train_sample_mod(500) == 2          # sf0.01 embeddings
+    assert train_sample_mod(2000) == 8         # sf0.1 embeddings
+    assert train_sample_mod(10**9) == 10**9 // TRAIN_SAMPLE_TARGET
+    assert train_sample_mod(10**9, 10**5) == 10**4
+
+
+def test_training_reads_only_the_hash_sample(spark, sf_dir):
+    """The iterated Lloyd passes must see ONLY sample rows: training
+    with sample_target equal to the corpus (mod 1) and with the
+    default (mod > 1 at every SF >= 0.01) gives different centroids,
+    and the sampled run's final assignment still covers every row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    full = kmeans_fit_assign(emb, sample_target=n)
+    sampled = kmeans_fit_assign(emb)  # default target 250 -> mod 2 at sf0.01
+    assert sampled.count() == n, "final assignment must cover the corpus"
+    if n >= 500:
+        diff = (
+            full.alias("f")
+            .join(sampled.alias("s"), "vec_id")
+            .filter(F.col("f.dist") != F.col("s.dist"))
+            .count()
+        )
+        assert diff > 0, (
+            "sample-trained centroids should differ from full-trained "
+            "ones — if not, training is still scanning the full corpus"
+        )
+
+
+def test_sample_membership_is_deterministic(spark, sf_dir):
+    """Same record set regardless of partitioning (hash-based, not
+    positional): the filter commutes with repartition."""
+    from searchengine_spark.operators.kmeans import train_sample_filter
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = sorted(
+        r["vec_id"]
+        for r in emb.filter(train_sample_filter(4)).select("vec_id").collect()
+    )
+    b = sorted(
+        r["vec_id"]
+        for r in emb.repartition(13)
+        .filter(train_sample_filter(4))
+        .select("vec_id")
+        .collect()
+    )
+    assert a == b and 0 < len(a) < emb.count()
