@@ -191,11 +191,15 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
     time midpoint (same rule as CUPED); the metric is per-user summed
     cents per period.
 
-    SE via the standard independent-cell formula sqrt(sum_c var_c /
-    n_c) over the four (group, period) cells, every moment an exact
-    integer sum. Scale shape: one scan -> per-user conditional sums
-    keyed on the uniform user_id -> one 2-row group aggregate ->
-    1-row fold. Same decimal(38,0) production note as CUPED.
+    SE from per-user DELTA moments: var(post - pre)/n per group,
+    which keeps the -2*cov(pre, post) term the four-cell independent
+    formula drops (a user's pre and post totals are positively
+    correlated through their activity level, so the independent-cell
+    SE was biased conservative — round-9 ADVICE). Every moment is an
+    exact integer sum (sum(post-pre), sum((post-pre)^2)). Scale
+    shape: one scan -> per-user conditional sums keyed on the uniform
+    user_id -> one 2-row group aggregate -> 1-row fold. Same
+    decimal(38,0) production note as CUPED.
     """
     from searchengine_spark.operators.sampling import hash_bucket
 
@@ -225,20 +229,24 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("pre").alias("s0"),
         F.sum("post").alias("s1"),
-        F.sum(F.col("pre") * F.col("pre")).alias("q0"),
-        F.sum(F.col("post") * F.col("post")).alias("q1"),
+        F.sum(
+            (F.col("post") - F.col("pre")) * (F.col("post") - F.col("pre"))
+        ).alias("qd"),
     )
     nd = F.col("n").cast("double")
     m0 = F.col("s0").cast("double") / nd
     m1 = F.col("s1").cast("double") / nd
-    v0 = F.col("q0").cast("double") / nd - m0 * m0
-    v1 = F.col("q1").cast("double") / nd - m1 * m1
+    # var of the per-user delta (pairs pre/post, keeping their
+    # covariance); delta's own mean stays m1 - m0 for the readout but
+    # the variance uses the single-pass (sd, qd) moments.
+    md = (F.col("s1") - F.col("s0")).cast("double") / nd
+    vd = F.col("qd").cast("double") / nd - md * md
     per_g = cells.select(
         "treated",
         "n",
         m0.alias("m0"),
         m1.alias("m1"),
-        ((v0 + v1) / nd).alias("var_term"),
+        (vd / nd).alias("var_term"),
         (m1 - m0).alias("delta"),
     )
     t = per_g.filter(F.col("treated")).select(
@@ -264,7 +272,10 @@ def q_events_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("cd") / 100.0, 6).alias("control_delta"),
         F.round(did / 100.0, 6).alias("did"),
         F.round(se / 100.0, 6).alias("se"),
-        F.round(did / se, 6).alias("t_stat"),
+        # degenerate guard (same convention as the z-test's pooled-
+        # rate guard): zero per-user delta variance in both groups
+        # means t is undefined, not infinite
+        F.round(F.when(se > 0, did / se), 6).alias("t_stat"),
     )
 
 
@@ -293,18 +304,15 @@ cells AS (
          CAST(COUNT(*) AS BIGINT) AS n,
          CAST(SUM(pre) AS BIGINT) AS s0,
          CAST(SUM(post) AS BIGINT) AS s1,
-         CAST(SUM(pre * pre) AS BIGINT) AS q0,
-         CAST(SUM(post * post) AS BIGINT) AS q1
+         CAST(SUM((post - pre) * (post - pre)) AS BIGINT) AS qd
   FROM per_user GROUP BY treated
 ),
 per_g AS (
   SELECT treated, n,
          CAST(s1 AS DOUBLE) / n - CAST(s0 AS DOUBLE) / n AS delta,
-         ((CAST(q0 AS DOUBLE) / n
-            - (CAST(s0 AS DOUBLE) / n) * (CAST(s0 AS DOUBLE) / n))
-          + (CAST(q1 AS DOUBLE) / n
-            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / n
-           AS var_term
+         (CAST(qd AS DOUBLE) / n
+            - (CAST(s1 - s0 AS DOUBLE) / n) * (CAST(s1 - s0 AS DOUBLE) / n))
+           / n AS var_term
   FROM cells
 )
 SELECT t.n AS n_treated, c.n AS n_control,
@@ -312,8 +320,9 @@ SELECT t.n AS n_treated, c.n AS n_control,
        round(c.delta / 100.0, 6) AS control_delta,
        round((t.delta - c.delta) / 100.0, 6) AS did,
        round(sqrt(t.var_term + c.var_term) / 100.0, 6) AS se,
-       round((t.delta - c.delta) / sqrt(t.var_term + c.var_term), 6)
-         AS t_stat
+       round(CASE WHEN sqrt(t.var_term + c.var_term) > 0
+             THEN (t.delta - c.delta) / sqrt(t.var_term + c.var_term)
+             END, 6) AS t_stat
 FROM (SELECT * FROM per_g WHERE treated) t,
      (SELECT * FROM per_g WHERE NOT treated) c
 """

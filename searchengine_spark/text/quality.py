@@ -178,10 +178,16 @@ def quality_percentile_by_source(docs: DataFrame) -> DataFrame:
     # The rank helper's bucket-totals aggregate and its final join are
     # separate consumers of this frame; without a materialization the
     # tokenize-heavy signal evaluates TWICE (caught by the bench
-    # budget gate). The slim 3-column signal is cheap to hold; at
-    # build scale persist it to parquet instead
-    # (io.materialize_barrier(persist_dir) — the minhash convention).
-    joined = sig.join(docs.select("doc_id", "source"), "doc_id").cache()
+    # budget gate). A bare .cache() here pinned executor storage for
+    # the rest of the session (a library operator never sees "after
+    # the consuming action" to unpersist — round-9 ADVICE); the
+    # lineage cut materializes the slim 3-column frame instead, whose
+    # blocks the ContextCleaner reclaims once the result frame is
+    # dropped, and which upgrades to a reliable checkpoint under
+    # $SPARK_GRAFT_PERSIST_DIR at build scale.
+    from searchengine_spark.operators.dedup import _cut_lineage
+
+    joined = _cut_lineage(sig.join(docs.select("doc_id", "source"), "doc_id"))
     ranked = distributed_rank(
         joined,
         ["source"],

@@ -63,9 +63,13 @@ def test_bootstrap_ci_collapses_on_constant_data(spark, tmp_path_factory):
 
 
 def test_did_recovers_planted_effect(spark, tmp_path_factory):
-    # per-user baseline 10 + small spread (nonzero cell variance so
-    # the SE is finite); TREATED users get exactly +8 post. True
-    # DiD = 8, control delta = 0, t_stat large.
+    # per-user baseline 10 + small spread; TREATED users get exactly
+    # +8 post. True DiD = 8, control delta = 0. The baseline spread
+    # cancels inside each user's delta, so per-user delta variance is
+    # ZERO — the paired SE (var(post-pre)/n, round-9 ADVICE fix) must
+    # report se=0 and an undefined (NULL) t, where the old
+    # independent-cell formula wrongly reported finite noise from the
+    # baseline spread it failed to pair away.
     t0 = datetime(2024, 1, 1)
     t1 = t0 + timedelta(days=10)
     rows = []
@@ -87,12 +91,48 @@ def test_did_recovers_planted_effect(spark, tmp_path_factory):
     assert r.control_delta == 0.0
     assert r.treated_delta == 8.0
     assert r.did == 8.0
-    assert r.t_stat > 10, "zero within-cell variance -> huge t"
+    assert r.se == 0.0, "deterministic per-user deltas -> zero paired SE"
+    assert r.t_stat is None, "zero SE -> undefined t, not a crash"
     assert_matches_oracle(
         QUERIES["events_did_estimate"](spark, d),
         ORACLES["events_did_estimate"],
         d,
         name="events_did_estimate_planted",
+    )
+
+
+def test_did_paired_se_drops_baseline_variance(spark, tmp_path_factory):
+    # Same planted +8 effect but with per-user DELTA jitter and a big
+    # baseline spread. The paired SE must reflect only the delta
+    # jitter (t recovers the effect with high confidence); an
+    # independent-cell SE would be dominated by the baseline spread
+    # (~100x the jitter) and miss it.
+    t0 = datetime(2024, 1, 1)
+    t1 = t0 + timedelta(days=10)
+    rows = []
+    eid = 0
+    for u in range(80):
+        base = 10.0 + (u % 7) * 25.0  # baseline spread, cancels in delta
+        jitter = (u % 3) * 0.3  # per-user delta noise, same law both groups
+        rows.append((eid, t0, u, "view", base, "{}")); eid += 1
+        post = base + jitter + (8.0 if _did_treated(u) else 0.0)
+        rows.append((eid, t1, u, "view", post, "{}")); eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    d = str(tmp_path_factory.mktemp("didj"))
+    ev.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = QUERIES["events_did_estimate"](spark, d).collect()[0]
+    assert abs(r.did - 8.0) < 0.5
+    assert 0 < r.se < 0.2, "paired SE ~ delta jitter, not baseline spread"
+    assert r.t_stat > 10
+    assert_matches_oracle(
+        QUERIES["events_did_estimate"](spark, d),
+        ORACLES["events_did_estimate"],
+        d,
+        name="events_did_estimate_jitter",
     )
 
 
