@@ -225,6 +225,12 @@ HEADLINE = [
     # primitive) and leave-one-source-out corpus ablation.
     "privacy_dp_mean",
     "mix_loo_source_ablation",
+    # round-10 additions: tokenizer fertility (map + keyed agg), the
+    # no-retrain IVF-PQ batch append (encode against frozen
+    # centroids/codebooks), and its per-cell drift audit.
+    "text_tokenizer_fertility",
+    "ann_ivf_append_assign",
+    "ann_ivf_append_drift_audit",
 ]
 
 SERVE_QUERIES = [

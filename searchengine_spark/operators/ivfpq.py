@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from searchengine_spark.io import load_table, session_cached
 from searchengine_spark.operators.kmeans import (
+    FP_SCALE,
     ITERS,
     K,
     TRAIN_SAMPLE_TARGET,
@@ -117,8 +118,13 @@ def ivfpq_train(
             if smod > 1
             else quant
         )
-        init = quant.filter(F.col("vec_id") < K).orderBy("vec_id").collect()
-        cents = [[int(v) for v in r["qvec"]] for r in init]
+        # first K/KPQ PRESENT ids with dense positional labels —
+        # identical to `id < k` on a contiguous corpus, correct on
+        # filtered inputs (the incremental-ANN base split)
+        init = quant.orderBy("vec_id").limit(max(K, KPQ)).collect()
+        cents = [[int(v) for v in r["qvec"]] for r in init[:K]]
+        cb_ids = [int(r["vec_id"]) for r in init[:KPQ]]
+        code_of = {v: i for i, v in enumerate(cb_ids)}
         for _ in range(ITERS):
             cents = _update_centroids(_assign(train, cents), cents)
         subs = residual_subs(quant, cents).persist()
@@ -126,13 +132,15 @@ def ivfpq_train(
             subs.filter(train_sample_filter(smod)) if smod > 1 else subs
         )
         cb_init = (
-            subs.filter(F.col("vec_id") < KPQ).orderBy("vec_id", "m").collect()
+            subs.filter(F.col("vec_id").isin(cb_ids))
+            .orderBy("vec_id", "m")
+            .collect()
         )
         codebooks: list[list[list[int]]] = [
             [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
         ]
         for r in cb_init:
-            codebooks[r["m"]][int(r["vec_id"])] = [int(v) for v in r["sub"]]
+            codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
         for _ in range(PQ_ITERS):
             codebooks = _update_codebooks(
                 _assign_codes(subs_train, codebooks), codebooks
@@ -326,6 +334,33 @@ def ivfpq_batch_search(
     )
 
 
+def ivfpq_encode(
+    emb: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    keep_dist: bool = False,
+) -> DataFrame:
+    """Encode vectors against FROZEN centroids/codebooks (the
+    transform half of the fit/transform split): nearest-cell
+    assignment, residual, nearest-codeword — one map-only pass, no
+    training state touched. This is how a batch APPENDS to a
+    persisted IVF-PQ index without retraining: new rows join the
+    existing cells/codes and the partitioned layout stays valid.
+    ``keep_dist`` additionally returns each subspace's exact integer
+    quantization distortion (the drift audit's raw signal)."""
+    quant = emb.select(
+        F.col(id_col).alias("vec_id"), fixed_point_vec(vec_col).alias("qvec")
+    )
+    enc = _assign_codes(residual_subs(quant, cents), codebooks)
+    cols = ["vec_id", "cluster", "m", "code"]
+    if keep_dist:
+        cols.append("dist")
+    return enc.select(*cols)
+
+
 def write_ivfpq_index(codes: DataFrame, path: str) -> None:
     """Persist the codes table partitioned by cell: the probe's
     `cluster IN (...)` filter then prunes at FILE LISTING time — a
@@ -381,20 +416,219 @@ def q_ivfpq_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_batch_search(spark, codes, cents, codebooks, queries)
 
 
+# --------------------------------------- incremental index maintenance
+
+# Deterministic append split: md5 bucket 0 of ANN_BATCH_MOD (~20%) is
+# the "newly arriving" batch; the rest is the base corpus the index
+# was trained on. Same record set at any partitioning, and the DuckDB
+# twins restate the split exactly.
+ANN_BASE_SALT = "annbase"
+ANN_BATCH_MOD = 5
+# Per-cell mean-distortion growth ratio that flags a retrain. An
+# in-distribution batch already shows ~1.15-1.25 (generalization gap:
+# the codebook was FIT on the base, so base distortion is optimistic);
+# 1.5 sits clear of that noise floor while a genuinely shifted batch
+# (planted test: +0.5 on every coordinate) lands far above it.
+DRIFT_GROWTH_BOUND = 1.5
+
+
+def _append_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    is_batch = (
+        hash_bucket(F.col("vec_id"), n_buckets=ANN_BATCH_MOD, salt=ANN_BASE_SALT)
+        == 0
+    )
+    return emb.filter(~is_batch), emb.filter(is_batch)
+
+
+def _cached_base_train(spark: SparkSession, sf_dir: str):
+    def build():
+        base, _ = _append_split(load_table(spark, sf_dir, "embeddings"))
+        return ivfpq_train(base)
+
+    return session_cached(spark, "ivfpq_train_base", sf_dir, build)
+
+
+def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN maintenance: append the arriving batch to the
+    base-trained IVF-PQ index by ENCODING it against the existing
+    centroids/codebooks — no retrain, exact assignment arithmetic, so
+    the whole append hash-checks end to end. At scale this is the
+    only sane maintenance mode (FAISS add() after train()): the new
+    rows land in the existing partitionBy(cluster) layout as one
+    appended file set, and a query's probe pruning keeps working
+    unchanged. Complements incremental BM25 (index/incremental.py)
+    and incremental near-dup (dedup.py) with the embedding side."""
+    _, cents, codebooks = _cached_base_train(spark, sf_dir)
+    _, batch = _append_split(load_table(spark, sf_dir, "embeddings"))
+    return ivfpq_encode(batch, cents, codebooks)
+
+
+def q_ivf_append_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift audit for the no-retrain append: per cell, how much
+    worse does the frozen codebook quantize the NEW batch than the
+    base corpus it was trained on? growth = batch mean ADC distortion
+    / base mean ADC distortion (both exact integer sums, rounded 6);
+    `drifted` flags cells past DRIFT_GROWTH_BOUND — the retrain
+    trigger a production pipeline watches. A shifted batch (planted
+    test) trips it; an in-distribution batch stays ~1.0."""
+    _, cents, codebooks = _cached_base_train(spark, sf_dir)
+    base, batch = _append_split(load_table(spark, sf_dir, "embeddings"))
+    be = ivfpq_encode(base, cents, codebooks, keep_dist=True)
+    ne = ivfpq_encode(batch, cents, codebooks, keep_dist=True)
+
+    def stats(enc: DataFrame, n_name: str, mean_name: str) -> DataFrame:
+        return enc.groupBy("cluster").agg(
+            F.count_distinct("vec_id").cast("bigint").alias(n_name),
+            F.round(
+                F.sum("dist").cast("double") / F.count(F.lit(1)), 6
+            ).alias(mean_name),
+        )
+
+    bs = stats(be, "n_base", "base_mean_dist")
+    ns = stats(ne, "n_batch", "batch_mean_dist")
+    growth = F.when(
+        F.col("base_mean_dist") > 0,
+        F.round(F.col("batch_mean_dist") / F.col("base_mean_dist"), 6),
+    )
+    return bs.join(ns, "cluster", "left").select(
+        "cluster",
+        "n_base",
+        F.coalesce("n_batch", F.lit(0)).cast("bigint").alias("n_batch"),
+        "base_mean_dist",
+        "batch_mean_dist",
+        growth.alias("growth"),
+        F.coalesce(growth > DRIFT_GROWTH_BOUND, F.lit(False)).alias("drifted"),
+    )
+
+
+def _append_bucket_sql(col: str = "vec_id") -> str:
+    return (
+        f"(('0x' || substr(md5('{ANN_BASE_SALT}' || CAST({col} AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {ANN_BATCH_MOD})"
+    )
+
+
+def _batch_encode_ctes() -> str:
+    """CTE block encoding the BATCH split against the base-trained
+    chain (expects c{ITERS} and p{PQ_ITERS} in scope): quantize,
+    nearest cell, residual, nearest codeword — the SQL mirror of
+    ivfpq_encode(batch, ...)."""
+    cN = f"c{ITERS}"
+    pN = f"p{PQ_ITERS}"
+    return f"""
+, bq AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE {_append_bucket_sql()} = 0
+),
+bqc AS MATERIALIZED (
+  SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS v
+  FROM bq
+),
+bfin AS MATERIALIZED (
+  SELECT vec_id, cluster FROM (
+    SELECT d.vec_id, d.cluster,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.dist, d.cluster) AS rn
+    FROM (
+      SELECT bqc.vec_id, c.cluster,
+             CAST(SUM((bqc.v - c.c) * (bqc.v - c.c)) AS BIGINT) AS dist
+      FROM bqc JOIN {cN} c ON bqc.pos = c.pos
+      GROUP BY bqc.vec_id, c.cluster
+    ) d
+  ) WHERE rn = 1
+),
+brq AS MATERIALIZED (
+  SELECT bqc.vec_id,
+         CAST(bqc.pos // {SUB_DIM} AS INTEGER) AS m,
+         CAST(bqc.pos % {SUB_DIM} AS INTEGER) AS spos,
+         f.cluster AS cell,
+         bqc.v - c.c AS v
+  FROM bqc
+  JOIN bfin f ON bqc.vec_id = f.vec_id
+  JOIN {cN} c ON c.cluster = f.cluster AND c.pos = bqc.pos
+),
+benc AS MATERIALIZED (
+  SELECT vec_id, cell, m, code, dist FROM (
+    SELECT d.vec_id, d.cell, d.m, d.code, d.dist,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT brq.vec_id, brq.cell, brq.m, p.code,
+             CAST(SUM((brq.v - p.c) * (brq.v - p.c)) AS BIGINT) AS dist
+      FROM brq JOIN {pN} p ON brq.m = p.m AND brq.spos = p.spos
+      GROUP BY brq.vec_id, brq.cell, brq.m, p.code
+    ) d
+  ) WHERE rn = 1
+)"""
+
+
+def _append_assign_sql() -> str:
+    base_where = f"{_append_bucket_sql()} <> 0"
+    return f"""{_ivfpq_chain(where=base_where)}{_batch_encode_ctes()}
+SELECT vec_id, cell AS cluster, m, code FROM benc
+"""
+
+
+def _append_drift_sql() -> str:
+    base_where = f"{_append_bucket_sql()} <> 0"
+    pN = f"p{PQ_ITERS}"
+    return f"""{_ivfpq_chain(where=base_where)}{_batch_encode_ctes()}
+, baseenc AS MATERIALIZED (
+  SELECT vec_id, cell, m, code, dist FROM (
+    SELECT d.vec_id, d.cell, d.m, d.code, d.dist,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT rq.vec_id, rq.cell, rq.m, p.code,
+             CAST(SUM((rq.v - p.c) * (rq.v - p.c)) AS BIGINT) AS dist
+      FROM rq JOIN {pN} p ON rq.m = p.m AND rq.spos = p.spos
+      GROUP BY rq.vec_id, rq.cell, rq.m, p.code
+    ) d
+  ) WHERE rn = 1
+),
+bstat AS (
+  SELECT cell,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_base,
+         round(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS base_mean_dist
+  FROM baseenc GROUP BY cell
+),
+nstat AS (
+  SELECT cell,
+         CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_batch,
+         round(CAST(SUM(dist) AS DOUBLE) / COUNT(*), 6) AS batch_mean_dist
+  FROM benc GROUP BY cell
+)
+SELECT b.cell AS cluster, b.n_base,
+       CAST(COALESCE(n.n_batch, 0) AS BIGINT) AS n_batch,
+       b.base_mean_dist, n.batch_mean_dist,
+       CASE WHEN b.base_mean_dist > 0
+            THEN round(n.batch_mean_dist / b.base_mean_dist, 6) END AS growth,
+       COALESCE((CASE WHEN b.base_mean_dist > 0
+                 THEN round(n.batch_mean_dist / b.base_mean_dist, 6) END)
+                > {DRIFT_GROWTH_BOUND}, FALSE) AS drifted
+FROM bstat b LEFT JOIN nstat n ON b.cell = n.cell
+"""
+
+
 # --------------------------------------------------------------- oracle
 
-def _ivfpq_chain() -> str:
+def _ivfpq_chain(where: str = "") -> str:
     """Unrolled twin CTE chain: kmeans._kmeans_ctes supplies the
     coarse part (qc components, c{ITERS} centroids, fin assignment);
     this appends the residual frame, the residual-PQ Lloyd rounds,
     the probe pick, the per-cell distance tables, and the final ADC
-    `topk` CTE."""
+    `topk` CTE. ``where`` restricts the trained-on source rows (the
+    incremental-ANN twins train on the base split only)."""
     from searchengine_spark.operators.kmeans import _kmeans_ctes
 
     cN = f"c{ITERS}"
     samp = train_sample_sql("SELECT s FROM smod", "rq.vec_id")
     parts = [
-        _kmeans_ctes(),
+        _kmeans_ctes(where=where),
         f"""
 , rq AS MATERIALIZED (
   SELECT qc.vec_id,
@@ -410,8 +644,11 @@ rqt AS MATERIALIZED (
   SELECT rq.* FROM rq WHERE {samp}
 ),
 p0 AS MATERIALIZED (
-  SELECT m, CAST(vec_id AS INTEGER) AS code, spos, v AS c
-  FROM rq WHERE vec_id < {KPQ}
+  SELECT rq.m, CAST(i.code AS INTEGER) AS code, rq.spos, rq.v AS c
+  FROM rq JOIN (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+    FROM q ORDER BY vec_id LIMIT {KPQ}
+  ) i ON rq.vec_id = i.vec_id
 )""",
     ]
     for i in range(1, PQ_ITERS + 1):
@@ -622,9 +859,13 @@ QUERIES = {
     "emb_ivfpq_topk": q_ivfpq_topk,
     "emb_ivfpq_recall_audit": q_ivfpq_recall_audit,
     "emb_ivfpq_batch_topk": q_ivfpq_batch_topk,
+    "ann_ivf_append_assign": q_ivf_append_assign,
+    "ann_ivf_append_drift_audit": q_ivf_append_drift_audit,
 }
 ORACLES = {
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_ivfpq_recall_audit": _ivfpq_recall_sql(),
     "emb_ivfpq_batch_topk": _ivfpq_batch_sql(),
+    "ann_ivf_append_assign": _append_assign_sql(),
+    "ann_ivf_append_drift_audit": _append_drift_sql(),
 }

@@ -356,9 +356,11 @@ def kmeans_fit_assign(
             if smod > 1
             else quant
         )
-        init_rows = (
-            quant.filter(F.col(id_col) < k).orderBy(id_col).collect()
-        )
+        # init = the first k PRESENT ids (dense positional labels) —
+        # identical to `id < k` on a contiguous corpus, but also
+        # correct on filtered inputs (e.g. the incremental-ANN base
+        # split), where `id < k` would silently yield fewer centroids
+        init_rows = quant.orderBy(id_col).limit(k).collect()
         centroids = [[int(v) for v in r["qvec"]] for r in init_rows]
         for _ in range(iters):
             centroids = _update_centroids(
@@ -442,21 +444,23 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------- oracles
 
-def _kmeans_ctes(k: int = K, iters: int = ITERS) -> str:
+def _kmeans_ctes(k: int = K, iters: int = ITERS, where: str = "") -> str:
     """Generate the unrolled Lloyd CTE chain (c0 .. c{iters}, final
     assignment `fin`) mirroring kmeans_fit_assign step for step:
     init (c0) and the final assignment (fin) read the full corpus;
     the iterated assign+update rounds read the hash-sampled `qct`
     (smod sizes the modulus from the data exactly like
-    train_sample_mod does)."""
+    train_sample_mod does). ``where`` restricts the SOURCE rows (the
+    incremental-ANN twins train on the base split only)."""
     samp = train_sample_sql("SELECT s FROM smod", "qc.vec_id")
+    src_where = f"\n  WHERE {where}" if where else ""
     parts = [
         f"""
 q AS MATERIALIZED (
   SELECT vec_id,
          list_transform(embedding,
            x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE} + 0.5) AS BIGINT)) AS qv
-  FROM embeddings
+  FROM embeddings{src_where}
 ),
 qc AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(qv, 1) - 1 AS pos, unnest(qv) AS v
@@ -469,8 +473,11 @@ qct AS MATERIALIZED (
   SELECT qc.* FROM qc WHERE {samp}
 ),
 c0 AS MATERIALIZED (
-  SELECT CAST(vec_id AS INTEGER) AS cluster, pos, v AS c
-  FROM qc WHERE vec_id < {k}
+  SELECT CAST(i.cluster AS INTEGER) AS cluster, qc.pos, qc.v AS c
+  FROM qc JOIN (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster
+    FROM q ORDER BY vec_id LIMIT {k}
+  ) i ON qc.vec_id = i.vec_id
 )"""
     ]
     for i in range(1, iters + 1):

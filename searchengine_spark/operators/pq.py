@@ -186,12 +186,27 @@ def pq_train(
             if smod > 1
             else subs
         )
-        init = subs.filter(F.col("vec_id") < KPQ).orderBy("vec_id", "m").collect()
+        # init = the first KPQ PRESENT ids with dense positional code
+        # labels (identical to `id < KPQ` on a contiguous corpus,
+        # correct on filtered inputs — incremental-ANN base split)
+        ids = [
+            r[0]
+            for r in emb.select(F.col(id_col))
+            .orderBy(id_col)
+            .limit(KPQ)
+            .collect()
+        ]
+        code_of = {v: i for i, v in enumerate(ids)}
+        init = (
+            subs.filter(F.col("vec_id").isin(ids))
+            .orderBy("vec_id", "m")
+            .collect()
+        )
         codebooks: list[list[list[int]]] = [
             [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
         ]
         for r in init:
-            codebooks[r["m"]][int(r["vec_id"])] = [int(v) for v in r["sub"]]
+            codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
         for _ in range(iters):
             codebooks = _update_codebooks(
                 _assign_codes(train, codebooks), codebooks
@@ -323,8 +338,11 @@ qst AS MATERIALIZED (
   SELECT qs.* FROM qs WHERE {samp}
 ),
 c0 AS MATERIALIZED (
-  SELECT m, CAST(vec_id AS INTEGER) AS code, spos, v AS c
-  FROM qs WHERE vec_id < {KPQ}
+  SELECT qs.m, CAST(i.code AS INTEGER) AS code, qs.spos, qs.v AS c
+  FROM qs JOIN (
+    SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+    FROM q ORDER BY vec_id LIMIT {KPQ}
+  ) i ON qs.vec_id = i.vec_id
 )"""
     ]
     for i in range(1, iters + 1):

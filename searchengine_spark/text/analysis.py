@@ -147,6 +147,59 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per language: bytes/token and
+    tokens/word over the BPE-ish pre-tokenization — the standard
+    multilingual-corpus health check (a language whose fertility is
+    far above the corpus median is under-served by the tokenizer:
+    its documents cost more context window per word, and its
+    token-budget share shrinks relative to its text share).
+
+    bytes = UTF-8 octets (what storage and most tokenizer-training
+    budgets count); words = the lowercase alpha runs of the shared
+    raw-tokenize twin; tokens = the same GPT-2-style regex count as
+    text_bpe_token_counts. Pure map + one tiny keyed agg — at 100 TB
+    this rides the corpus scan like every other signal here."""
+    docs = load_table(spark, sf_dir, "documents")
+    n_bpe = F.size(
+        F.expr(f"regexp_extract_all(text, \"{BPE_PATTERN}\", 0)")
+    ).cast("bigint")
+    n_words = F.size(_raw_tokens(F.col("text"))).cast("bigint")
+    per_doc = docs.select(
+        "lang",
+        F.octet_length("text").cast("bigint").alias("n_bytes"),
+        n_bpe.alias("n_bpe"),
+        n_words.alias("n_words"),
+    )
+    agg = per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("total_bytes"),
+        F.sum("n_bpe").cast("bigint").alias("total_tokens"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_bytes",
+        "total_tokens",
+        "total_words",
+        F.round(
+            F.when(
+                F.col("total_tokens") > 0,
+                F.col("total_bytes") / F.col("total_tokens"),
+            ),
+            6,
+        ).alias("bytes_per_token"),
+        F.round(
+            F.when(
+                F.col("total_words") > 0,
+                F.col("total_tokens") / F.col("total_words"),
+            ),
+            6,
+        ).alias("tokens_per_word"),
+    )
+
+
 _RAW_TOK_SQL = sql_raw_tokens_expr("text")
 
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -584,6 +637,7 @@ QUERIES = {
     "text_char_entropy": q_char_entropy,
     "text_readability": q_readability,
     "text_bpe_token_counts": q_bpe_token_counts,
+    "text_tokenizer_fertility": q_tokenizer_fertility,
     "text_stats": q_text_stats,
     "text_top_bigrams": q_top_bigrams,
     "text_token_length_hist": q_token_length_hist,
@@ -651,6 +705,31 @@ ORACLES = {
                CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
                round(SUM(n_chars) * 1.0 / SUM(n_bpe), 6) AS chars_per_token
         FROM t GROUP BY lang
+    """,
+    "text_tokenizer_fertility": f"""
+        WITH t AS (
+          SELECT lang,
+                 CAST(strlen(text) AS BIGINT) AS n_bytes,
+                 CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT) AS n_bpe,
+                 CAST(len({_RAW_TOK_SQL}) AS BIGINT) AS n_words
+          FROM documents
+        ),
+        agg AS (
+          SELECT lang,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+                 CAST(SUM(n_bpe) AS BIGINT) AS total_tokens,
+                 CAST(SUM(n_words) AS BIGINT) AS total_words
+          FROM t GROUP BY lang
+        )
+        SELECT lang, n_docs, total_bytes, total_tokens, total_words,
+               round(CASE WHEN total_tokens > 0
+                     THEN CAST(total_bytes AS DOUBLE) / total_tokens END, 6)
+                 AS bytes_per_token,
+               round(CASE WHEN total_words > 0
+                     THEN CAST(total_tokens AS DOUBLE) / total_words END, 6)
+                 AS tokens_per_word
+        FROM agg
     """,
     "text_stats": f"""
         WITH base AS (
