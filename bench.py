@@ -231,6 +231,9 @@ HEADLINE = [
     "text_tokenizer_fertility",
     "ann_ivf_append_assign",
     "ann_ivf_append_drift_audit",
+    # round-10 (cont.): MinHash band matching inside Structured
+    # Streaming (stream-static join against the persisted band index).
+    "stream_neardup_replay",
 ]
 
 SERVE_QUERIES = [

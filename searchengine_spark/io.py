@@ -151,6 +151,12 @@ def materialize_barrier(
     pending reads (e.g. the incremental-dedup query banding the
     corpus and then the new batch).
     """
+    if df.isStreaming:
+        # A streaming frame cannot batch-write an intermediate; the
+        # Exchange barrier gives the same CollapseProject boundary
+        # inside each micro-batch (used by the streaming near-dup
+        # topology, whose micro-batches are batch-sized anyway).
+        return exchange_barrier(df)
     if persist_dir is None:
         return exchange_barrier(df)
     path = os.path.join(persist_dir, f"{tag}-{next(_BARRIER_SEQ)}")

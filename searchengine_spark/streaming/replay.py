@@ -371,6 +371,101 @@ def q_stream_enriched_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.table(name)
 
 
+# Deterministic arrival split for the streaming near-dup replay: md5
+# bucket 0 of STREAM_ND_MOD (~20% of documents) ARRIVES as the
+# stream; the rest is the already-indexed corpus whose band table is
+# the static join side.
+STREAM_ND_SALT = "streamnd"
+STREAM_ND_MOD = 5
+
+
+def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup matching inside Structured Streaming: each
+    arriving micro-batch is tokenized/shingled/banded with the SAME
+    map-only expressions as the batch path (dedup.minhash_bands runs
+    unchanged on a streaming frame — the stage barrier degrades to an
+    in-batch Exchange), then stream-static joined against the
+    persisted corpus band table, capped corpus-side by the standard
+    hot-bucket guard. dropDuplicates collapses multi-band matches of
+    the same pair. This is the ingest-time contamination/dup check at
+    100 TB: band index persisted once, each arriving batch pays
+    O(batch) banding + an equi-join on the uniform band hash; in
+    production the dedup state is bounded with
+    dropDuplicatesWithinWatermark on ingest time (the replay's
+    bounded input needs no eviction).
+
+    The DuckDB oracle states the batch semantics (band everything,
+    split, cap, join) — the hash compare IS the stream/batch parity
+    proof, same convention as every replay here."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.dedup import (
+        DEFAULT_MAX_BUCKET,
+        minhash_bands,
+    )
+    from searchengine_spark.operators.sampling import hash_bucket
+    from searchengine_spark.streaming.events import read_table_stream
+
+    is_new = (
+        hash_bucket(F.col("doc_id"), n_buckets=STREAM_ND_MOD, salt=STREAM_ND_SALT)
+        == 0
+    )
+    corpus = load_table(spark, sf_dir, "documents").filter(~is_new)
+    cb = minhash_bands(corpus)
+    keep = (
+        cb.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("_bsz"))
+        .filter(F.col("_bsz") <= DEFAULT_MAX_BUCKET)
+        .select("band", "band_hash")
+    )
+    static_bands = (
+        cb.join(keep, ["band", "band_hash"], "left_semi")
+        .select(F.col("doc_id").alias("c_id"), "band", "band_hash")
+        .cache()
+    )
+    static_bands.count()  # materialize ONCE; micro-batches re-join it
+    try:
+        stream = read_table_stream(
+            spark, sf_dir, "documents", max_files_per_trigger=1
+        ).filter(is_new)
+        nb = minhash_bands(stream).select(
+            F.col("doc_id").alias("n_id"), "band", "band_hash"
+        )
+        pairs = (
+            nb.join(static_bands, ["band", "band_hash"])
+            .select(
+                F.least("n_id", "c_id").alias("doc_a"),
+                F.greatest("n_id", "c_id").alias("doc_b"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        name = _sink_name("neardup")
+        run_to_memory(pairs, name, output_mode="append")
+        return spark.table(name)
+    finally:
+        static_bands.unpersist()
+
+
+def _stream_neardup_sql() -> str:
+    from searchengine_spark.operators.dedup import DEFAULT_MAX_BUCKET, _BANDS_CTE
+
+    pred = (
+        f"(('0x' || substr(md5('{STREAM_ND_SALT}' || CAST(doc_id AS VARCHAR)),"
+        f" 1, 15))::BIGINT % {STREAM_ND_MOD}) = 0"
+    )
+    return f"""{_BANDS_CTE},
+nb AS (SELECT doc_id, band, band_hash FROM bands WHERE {pred}),
+cb AS (SELECT doc_id, band, band_hash FROM bands WHERE NOT ({pred})),
+keepb AS (
+  SELECT band, band_hash FROM cb
+  GROUP BY band, band_hash HAVING COUNT(*) <= {DEFAULT_MAX_BUCKET}
+),
+cbk AS (SELECT cb.* FROM cb JOIN keepb USING (band, band_hash))
+SELECT DISTINCT LEAST(n.doc_id, c.doc_id) AS doc_a,
+                GREATEST(n.doc_id, c.doc_id) AS doc_b
+FROM nb n JOIN cbk c USING (band, band_hash)
+"""
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
     "stream_enriched_rollup_replay": q_stream_enriched_rollup_replay,
@@ -382,9 +477,15 @@ QUERIES = {
     "stream_session_window_replay": q_stream_session_window_replay,
     "stream_dedup_replay": q_stream_dedup_replay,
     "stream_stateful_user_totals": q_stream_stateful_user_totals,
+    "stream_neardup_replay": q_stream_neardup_replay,
 }
 
 ORACLES = {
+    # Batch semantics of the streaming band-match: band the whole
+    # corpus, split into arriving/indexed, cap hot buckets on the
+    # indexed side, equi-join — the stream/batch parity proof for
+    # ingest-time near-dup.
+    "stream_neardup_replay": _stream_neardup_sql(),
     # Batch semantics of the stream-stream interval join: every
     # (view, purchase) pair per user with the purchase inside the
     # 1-hour attribution window after the view.

@@ -201,3 +201,66 @@ def test_drift_audit_trips_on_shifted_batch(spark, tmp_path_factory):
         d,
         name="ann_ivf_append_drift_audit_planted",
     )
+
+
+# ---------------------------------------------- streaming near-dup
+
+def test_stream_neardup_multibatch_equals_batch(spark, tmp_path_factory):
+    """The parity that matters: split the documents table into FOUR
+    files so the replay runs four micro-batches (maxFilesPerTrigger=1)
+    with banding + stream-static join + dropDuplicates state spanning
+    batches — and the result must still hash-match the one-shot batch
+    oracle."""
+    import os
+
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    d = str(tmp_path_factory.mktemp("snd"))
+    docs.repartition(4).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    out = all_queries()["stream_neardup_replay"](spark, d)
+    assert_matches_oracle(
+        out,
+        all_oracles()["stream_neardup_replay"],
+        d,
+        name="stream_neardup_replay_multibatch",
+    )
+
+
+def test_stream_neardup_catches_planted_duplicate(spark, tmp_path_factory):
+    """Plant identical documents across the arrival split: every
+    (arriving, indexed) id pair must surface, exactly once each
+    despite matching in all bands (dropDuplicates collapses the
+    multi-band hits)."""
+    import os
+
+    from searchengine_spark.operators.sampling import hash_bucket
+    from searchengine_spark.streaming.replay import (
+        STREAM_ND_MOD,
+        STREAM_ND_SALT,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(i, text, "en", "src", len(text)) for i in range(30)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path_factory.mktemp("sndp"))
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    is_new = (
+        hash_bucket(F.col("doc_id"), n_buckets=STREAM_ND_MOD, salt=STREAM_ND_SALT)
+        == 0
+    )
+    n_new = docs.filter(is_new).count()
+    n_old = 30 - n_new
+    assert n_new > 0 and n_old > 0
+    pairs = all_queries()["stream_neardup_replay"](spark, d)
+    assert pairs.count() == n_new * n_old
+    assert_matches_oracle(
+        pairs,
+        all_oracles()["stream_neardup_replay"],
+        d,
+        name="stream_neardup_replay_planted",
+    )
