@@ -119,6 +119,9 @@ PICKS = [
     ("mix_epoch_schedule", "epoch recipe as multiplicities: broadcast recipe join + map-only hash compare, zero shuffle"),
     ("privacy_dp_mean", "clip+Laplace DP mean: one user-keyed agg, 1-row release arithmetic"),
     ("mix_loo_source_ablation", "leave-one-out via algebraic subtraction: one per-source agg + broadcast global fold, nothing recomputed per source"),
+    ("text_tokenizer_fertility", "fertility audit: regex/byte counts ride the corpus scan, one lang-keyed agg, guarded ratio arithmetic on the tiny result"),
+    ("ann_ivf_append_assign", "no-retrain append: batch encode is map-only against literal frozen centroids/codebooks — no Join, no Window, no Exchange before the output"),
+    ("ann_ivf_append_drift_audit", "two map-only encode passes + cluster-keyed aggs + an 8-row broadcast join; all distortion sums exact integers"),
 ]
 
 

@@ -215,6 +215,20 @@ QUERIES = (
     "privacy_dp_quantile",
     "privacy_dp_mean",
     "mix_loo_source_ablation",
+    # round-10 operators: the sample-trained Lloyd loops re-soak via
+    # the existing emb_kmeans_clusters / emb_pq_codes / emb_ivfpq_*
+    # entries above (training cost must now be FLAT-ish in corpus
+    # size — the hash-sample is ~250 rows at every factor — while
+    # the final encode pass stays linear); new shapes added here —
+    # the no-retrain batch append (encode linear in the 20% batch),
+    # its per-cell drift audit (two encode passes + keyed agg), the
+    # streaming band-match (per-batch banding + stream-static join
+    # against a band index that grows with the corpus), and the
+    # map-only fertility audit as a canary.
+    "ann_ivf_append_assign",
+    "ann_ivf_append_drift_audit",
+    "stream_neardup_replay",
+    "text_tokenizer_fertility",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 

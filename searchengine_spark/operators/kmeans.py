@@ -88,9 +88,12 @@ SEMDEDUP_THETA = 0.35  # testdata embeddings are near-random (max
 # convention the DuckDB twins mirror exactly, and init + the FINAL
 # full-corpus assignment are unchanged — so training cost is
 # O(sample) per iteration while encode stays one corpus pass.
-# Production sizing: target should stay >= ~30x the cluster count
-# (here k=8..16 at every test SF, sample >= 250); raise it via the
-# sample_target parameter when k scales up with n.
+# Production sizing: the sample must stay >= ~30x the cluster count
+# or the centroids underfit and skew the clustering (round-10 soak:
+# k=40 on a 250-row sample doubled SemDeDup's pair work) —
+# scaled_sample_target() holds the per-cluster density automatically
+# as the adaptive k grows, leaving every k<=K (driver SF) run and its
+# DuckDB twin unchanged.
 TRAIN_SAMPLE_TARGET = 250
 TRAIN_SAMPLE_SALT = "cbtrain"
 
@@ -98,6 +101,19 @@ TRAIN_SAMPLE_SALT = "cbtrain"
 def train_sample_mod(n: int, target: int = TRAIN_SAMPLE_TARGET) -> int:
     """Sample modulus keeping ~target of n rows (1 = no sampling)."""
     return max(1, n // target)
+
+
+def scaled_sample_target(k: int, target: int = TRAIN_SAMPLE_TARGET) -> int:
+    """Training-sample size for an adaptive cluster count: hold the
+    per-cluster sample density of the oracle-checked k=K regime
+    (~TRAIN_SAMPLE_TARGET/K rows per cluster) as k grows. At k<=K
+    this is exactly `target`, so every driver-SF configuration —
+    and therefore every DuckDB twin — is byte-identical; only the
+    soak/production scales (k>K) train on a larger sample. Without
+    this, k=40 trained on ~250 rows (~6/cluster) produced centroids
+    skewed enough to double SemDeDup's within-cluster pair work
+    (round-10 soak: max cluster 930 vs target 250 at x5)."""
+    return target * ((k + K - 1) // K)
 
 
 def train_sample_filter(mod: int, id_col: str = "vec_id") -> Column:
@@ -350,7 +366,7 @@ def kmeans_fit_assign(
         n = quant.count()
         if k is None:
             k = max(K, n // TARGET_CLUSTER_SIZE)
-        smod = train_sample_mod(n, sample_target)
+        smod = train_sample_mod(n, scaled_sample_target(k, sample_target))
         train = (
             quant.filter(train_sample_filter(smod, id_col)).persist()
             if smod > 1
@@ -467,7 +483,7 @@ qc AS MATERIALIZED (
   FROM q
 ),
 smod AS MATERIALIZED (
-  SELECT GREATEST(1, COUNT(*) // {TRAIN_SAMPLE_TARGET}) AS s FROM q
+  SELECT GREATEST(1, COUNT(*) // {scaled_sample_target(k)}) AS s FROM q
 ),
 qct AS MATERIALIZED (
   SELECT qc.* FROM qc WHERE {samp}

@@ -222,6 +222,32 @@ def test_train_sample_mod_sizing():
     assert train_sample_mod(10**9, 10**5) == 10**4
 
 
+def test_sample_target_scales_with_adaptive_k():
+    """Per-cluster sample density is held as k grows past K: k<=K
+    (every driver SF) keeps the oracle-checked target byte-identical;
+    adaptive k (soak/production) scales it in TRAIN_SAMPLE_TARGET
+    multiples so centroids don't underfit and skew the clustering
+    (the round-10 soak regression: k=40 on a 250-row sample produced
+    a 930-row max cluster, 1.75x the balanced pair work)."""
+    from searchengine_spark.operators.kmeans import (
+        K,
+        TRAIN_SAMPLE_TARGET,
+        _kmeans_ctes,
+        scaled_sample_target,
+    )
+
+    assert scaled_sample_target(1) == TRAIN_SAMPLE_TARGET
+    assert scaled_sample_target(K) == TRAIN_SAMPLE_TARGET
+    assert scaled_sample_target(K + 1) == 2 * TRAIN_SAMPLE_TARGET
+    assert scaled_sample_target(40) == 5 * TRAIN_SAMPLE_TARGET
+    # >= ~30 rows per cluster at every k (the documented fit floor)
+    for k in (8, 9, 40, 400, 10**5):
+        assert scaled_sample_target(k) / k >= TRAIN_SAMPLE_TARGET / K
+    # the DuckDB twin sizes its modulus from the SAME constant
+    assert f"// {TRAIN_SAMPLE_TARGET})" in _kmeans_ctes(k=K)
+    assert f"// {5 * TRAIN_SAMPLE_TARGET})" in _kmeans_ctes(k=40)
+
+
 def test_training_reads_only_the_hash_sample(spark, sf_dir):
     """The iterated Lloyd passes must see ONLY sample rows: training
     with sample_target equal to the corpus (mod 1) and with the
