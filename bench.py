@@ -234,6 +234,13 @@ HEADLINE = [
     # round-10 (cont.): MinHash band matching inside Structured
     # Streaming (stream-static join against the persisted band index).
     "stream_neardup_replay",
+    # round-10 (cont. 2): time-series downsampling + forecast audits —
+    # one-agg OHLC (min_by/max_by on a packed exact sort key), ACF of
+    # the hourly series, and the seasonal-naive MASE/sMAPE scorecard
+    # (calendar-aligned equi-joins, not row-lag).
+    "events_ohlc_hourly",
+    "events_acf_lags",
+    "events_seasonal_naive_mase",
 ]
 
 SERVE_QUERIES = [

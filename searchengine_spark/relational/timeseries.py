@@ -167,6 +167,164 @@ def q_daily_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC downsampling: open/high/low/close of ``value`` per
+    (event_type, hour) — the hypertable/metrics-rollup primitive
+    (TimescaleDB's time_bucket + first/last, public).
+
+    Scale shape: ONE hash aggregate, no window. Open/close are
+    min_by/max_by on a packed (ts_s, event_id) decimal sort key —
+    unique because event_id is, so the result is deterministic and
+    order-independent; a window row_number would sort every
+    (type, hour) partition instead. decimal(38,0) packing never
+    overflows (ts_s ~ 2e9 -> key ~ 2e22) and stays exact where a
+    double key would round event_id through a 53-bit mantissa."""
+    ev = load_table(spark, sf_dir, "events")
+    ts_s = event_time_seconds(ev, "ts")
+    base = ev.select(
+        "event_type",
+        exact_floor_div(ts_s, 3600).alias("hour_idx"),
+        "value",
+        # pack (ts_s, event_id) into one orderable exact key
+        (
+            ts_s.cast("decimal(38,0)") * F.lit(10_000_000_000_000).cast("decimal(38,0)")
+            + F.col("event_id").cast("decimal(38,0)")
+        ).alias("ord_key"),
+    )
+    return base.groupBy("event_type", "hour_idx").agg(
+        F.round(F.min_by("value", "ord_key"), 6).alias("open"),
+        F.round(F.max("value"), 6).alias("high"),
+        F.round(F.min("value"), 6).alias("low"),
+        F.round(F.max_by("value", "ord_key"), 6).alias("close"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+ACF_MAX_LAG = 6
+
+
+def q_acf_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of the global hourly event-count series at lags
+    1..ACF_MAX_LAG — the stationarity/seasonality probe run before any
+    forecasting model is trusted (Box & Jenkins, public).
+
+    r_k = sum_t (x_t - mean)(x_{t+k} - mean) / sum_t (x_t - mean)^2,
+    the standard biased estimator (denominator over ALL n terms).
+
+    Scale shape: the heavy work (events -> hourly counts) is one
+    keyed hash-agg; the window runs over the HOURLY series, whose
+    length is bounded by the time range (720 rows for a month), not
+    the event volume — a single-partition sort of a tiny frame. All
+    lag products are decimal-cast per-term so the sums are
+    order-independent; mean is a ratio of exact integers."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        exact_floor_div(event_time_seconds(ev, "ts"), 3600).alias("hour_idx")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    stats = hourly.agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1)).cast("double")).alias("mean"),
+    )
+    w = Window.orderBy("hour_idx")
+    lagged = hourly.crossJoin(F.broadcast(stats)).select(
+        (F.col("x").cast("double") - F.col("mean")).alias("dev"),
+        *[
+            (F.lag(F.col("x").cast("double"), j).over(w) - F.col("mean")).alias(
+                f"dev_{j}"
+            )
+            for j in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    agg = lagged.agg(
+        F.sum((F.col("dev") * F.col("dev")).cast("decimal(28,6)")).alias("den"),
+        F.count(F.lit(1)).alias("n_hours"),
+        *[
+            F.sum((F.col("dev") * F.col(f"dev_{j}")).cast("decimal(28,6)")).alias(
+                f"num_{j}"
+            )
+            for j in range(1, ACF_MAX_LAG + 1)
+        ],
+    )
+    pairs = ", ".join(
+        f"{j}L, round(cast(num_{j} as double) / cast(den as double), 6)"
+        for j in range(1, ACF_MAX_LAG + 1)
+    )
+    return agg.select(
+        F.expr(f"stack({ACF_MAX_LAG}, {pairs})").alias("lag", "acf"),
+        "n_hours",
+    )
+
+
+SEASON_HOURS = 168  # hour-of-week seasonality
+
+
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy audit of the hour-of-week seasonal-naive
+    predictor (x_t ~ x_{t-168}) on the per-type hourly value series:
+    MASE (Hyndman & Koehler 2006, public) and sMAPE per event_type.
+
+    MASE = MAE(seasonal naive) / MAE(one-step naive): < 1 means the
+    seasonal pattern beats persistence. Both forecasts are expressed
+    as EQUI-JOINS on (event_type, hour_idx - k), not window lag(k) —
+    lag(k) counts observed ROWS, which silently misaligns across
+    gaps, while the join only pairs true calendar-distance hours and
+    drops gap hours; it also stays a keyed shuffle at scale instead
+    of a per-type sort. Hourly sums and absolute errors are
+    decimal(28,6)-exact; only the final ratios are doubles. sMAPE
+    per-term contributions (bounded [0,2]) are decimal-cast so the
+    mean is order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        exact_floor_div(event_time_seconds(ev, "ts"), 3600).alias("hour_idx"),
+    ).agg(F.sum(F.col("value").cast("decimal(28,6)")).alias("x"))
+
+    cur = hourly.alias("cur")
+    season = hourly.select(
+        "event_type", (F.col("hour_idx") + SEASON_HOURS).alias("hour_idx"),
+        F.col("x").alias("x_season"),
+    ).alias("season")
+    prev = hourly.select(
+        "event_type", (F.col("hour_idx") + 1).alias("hour_idx"),
+        F.col("x").alias("x_prev"),
+    ).alias("prev")
+
+    seas_err = (
+        cur.join(season, ["event_type", "hour_idx"])
+        .select(
+            "event_type",
+            F.abs(F.col("x") - F.col("x_season")).alias("abs_err"),
+            (
+                F.lit(2.0)
+                * F.abs(F.col("x") - F.col("x_season")).cast("double")
+                / (F.abs(F.col("x")) + F.abs(F.col("x_season"))).cast("double")
+            ).cast("decimal(28,6)").alias("smape_term"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("abs_err").alias("sum_abs_err"),
+            F.sum("smape_term").alias("sum_smape"),
+            F.count(F.lit(1)).alias("n_eval"),
+        )
+    )
+    naive_err = (
+        cur.join(prev, ["event_type", "hour_idx"])
+        .select("event_type", F.abs(F.col("x") - F.col("x_prev")).alias("abs_n1"))
+        .groupBy("event_type")
+        .agg(F.sum("abs_n1").alias("sum_abs_n1"), F.count(F.lit(1)).alias("n_naive"))
+    )
+    return seas_err.join(naive_err, "event_type").select(
+        "event_type",
+        "n_eval",
+        F.round(
+            (F.col("sum_abs_err").cast("double") / F.col("n_eval").cast("double"))
+            / (F.col("sum_abs_n1").cast("double") / F.col("n_naive").cast("double")),
+            6,
+        ).alias("mase"),
+        F.round(F.col("sum_smape").cast("double") / F.col("n_eval").cast("double"), 6)
+        .alias("smape"),
+    )
+
+
 _SECS = "(epoch_us(ts) // 1000000)"
 
 _FIRST_TOUCH_SQL = f"""
@@ -239,15 +397,105 @@ SELECT round(CAST(SUM(CAST(
 FROM marg
 """
 
+_OHLC_SQL = f"""
+WITH base AS (
+  SELECT event_type, {_SECS} // 3600 AS hour_idx, value,
+         CAST({_SECS} AS HUGEINT) * 10000000000000 + event_id AS ord_key
+  FROM events
+)
+SELECT event_type, hour_idx,
+       round(arg_min(value, ord_key), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, ord_key), 6) AS close,
+       count(*)::BIGINT AS n_events
+FROM base GROUP BY 1, 2
+"""
+
+_ACF_DEV_COLS = ",\n         ".join(
+    f"lag(CAST(x AS DOUBLE), {j}) OVER w - mean AS dev_{j}"
+    for j in range(1, ACF_MAX_LAG + 1)
+)
+_ACF_NUM_COLS = ",\n         ".join(
+    f"SUM(CAST(dev * dev_{j} AS DECIMAL(28,6))) AS num_{j}"
+    for j in range(1, ACF_MAX_LAG + 1)
+)
+_ACF_ROWS = "\nUNION ALL\n".join(
+    f"SELECT {j}::BIGINT AS lag,"
+    f" round(CAST(num_{j} AS DOUBLE) / CAST(den AS DOUBLE), 6) AS acf,"
+    f" n_hours FROM agg"
+    for j in range(1, ACF_MAX_LAG + 1)
+)
+_ACF_SQL = f"""
+WITH hourly AS (
+  SELECT {_SECS} // 3600 AS hour_idx, count(*)::BIGINT AS x
+  FROM events GROUP BY 1
+),
+stats AS (
+  SELECT CAST(SUM(x) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean FROM hourly
+),
+lagged AS (
+  SELECT CAST(x AS DOUBLE) - mean AS dev,
+         {_ACF_DEV_COLS}
+  FROM hourly, stats
+  WINDOW w AS (ORDER BY hour_idx)
+),
+agg AS (
+  SELECT SUM(CAST(dev * dev AS DECIMAL(28,6))) AS den,
+         count(*)::BIGINT AS n_hours,
+         {_ACF_NUM_COLS}
+  FROM lagged
+)
+{_ACF_ROWS}
+"""
+
+_MASE_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, {_SECS} // 3600 AS hour_idx,
+         SUM(CAST(value AS DECIMAL(28,6))) AS x
+  FROM events GROUP BY 1, 2
+),
+seas AS (
+  SELECT c.event_type,
+         SUM(abs(c.x - s.x)) AS sum_abs_err,
+         SUM(CAST(2.0 * CAST(abs(c.x - s.x) AS DOUBLE)
+                  / CAST(abs(c.x) + abs(s.x) AS DOUBLE)
+             AS DECIMAL(28,6))) AS sum_smape,
+         count(*)::BIGINT AS n_eval
+  FROM hourly c JOIN hourly s
+    ON c.event_type = s.event_type AND c.hour_idx = s.hour_idx + {SEASON_HOURS}
+  GROUP BY 1
+),
+naive AS (
+  SELECT c.event_type,
+         SUM(abs(c.x - p.x)) AS sum_abs_n1,
+         count(*)::BIGINT AS n_naive
+  FROM hourly c JOIN hourly p
+    ON c.event_type = p.event_type AND c.hour_idx = p.hour_idx + 1
+  GROUP BY 1
+)
+SELECT s.event_type, s.n_eval,
+       round((CAST(sum_abs_err AS DOUBLE) / CAST(n_eval AS DOUBLE))
+             / (CAST(sum_abs_n1 AS DOUBLE) / CAST(n_naive AS DOUBLE)), 6) AS mase,
+       round(CAST(sum_smape AS DOUBLE) / CAST(n_eval AS DOUBLE), 6) AS smape
+FROM seas s JOIN naive n ON s.event_type = n.event_type
+"""
+
 QUERIES = {
     "events_rolling_7d_active_users": q_rolling_active_users,
     "events_ewma_hourly_value": q_ewma_hourly_value,
     "events_chi2_type_hour": q_chi2_type_hour,
     "events_daily_first_touch": q_daily_first_touch,
+    "events_ohlc_hourly": q_ohlc_hourly,
+    "events_acf_lags": q_acf_lags,
+    "events_seasonal_naive_mase": q_seasonal_naive_mase,
 }
 ORACLES = {
     "events_rolling_7d_active_users": _ROLLING_SQL,
     "events_ewma_hourly_value": _EWMA_SQL,
     "events_chi2_type_hour": _CHI2_SQL,
     "events_daily_first_touch": _FIRST_TOUCH_SQL,
+    "events_ohlc_hourly": _OHLC_SQL,
+    "events_acf_lags": _ACF_SQL,
+    "events_seasonal_naive_mase": _MASE_SQL,
 }
