@@ -241,6 +241,9 @@ HEADLINE = [
     "events_ohlc_hourly",
     "events_acf_lags",
     "events_seasonal_naive_mase",
+    # round-10 (cont. 3): frontier multi-source BFS over the capped
+    # near-dup graph (transitive contamination blast radius).
+    "dedup_bfs_contamination_hops",
 ]
 
 SERVE_QUERIES = [

@@ -238,10 +238,91 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(pairs)
 
 
+BFS_HOPS = 3
+BFS_SEED_MOD = 4  # ~25% of graph nodes seed the frontier: the
+# capped candidate graph is SPARSE (isolated pairs/triples dominate at
+# test SF), so a thinner flag set reaches almost nothing and the
+# hash-check would cover a handful of rows
+BFS_SEED_SALT = "bfs-seed-v1"
+
+
+def bfs_hops(
+    edges: DataFrame, seeds: DataFrame, *, iters: int = BFS_HOPS
+) -> DataFrame:
+    """(node, hops): minimum hop distance <= ``iters`` from any seed,
+    by frontier-only multi-source BFS. ``edges`` must be symmetric.
+
+    Scale shape per round: one equi-join FRONTIER⋈edges on src (the
+    frontier shrinks as the wavefront settles — nodes already
+    reached never re-propagate, unlike full min-relaxation which
+    rescans every settled node every round) and one keyed min to
+    settle the new level. For unit edge weights frontier BFS and
+    full relaxation provably agree, so the unrolled-CTE oracle can
+    state either form. Bounded depth keeps lineage shallow (the
+    PR_ITERS=3 convention); a deeper search would reuse
+    dedup._cut_lineage."""
+    edges = edges.persist()
+    dist = seeds.select("node", F.lit(0).cast("int").alias("hops")).persist()
+    frontier = dist
+    # persisted frames (2 per round, bounded by iters) unpin at session GC
+    for i in range(1, iters + 1):
+        reached = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+        )
+        nxt = (
+            reached.join(dist.select("node"), "node", "left_anti")
+            .select("node", F.lit(i).cast("int").alias("hops"))
+            .persist()
+        )
+        dist = dist.unionByName(nxt).persist()
+        frontier = nxt
+    return dist
+
+
+def q_bfs_contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination blast radius: hop distance (<= BFS_HOPS) from a
+    flagged seed set through the near-dup graph. Direct near-dup
+    pairs under-count contamination spread — a benchmark document's
+    paraphrase's paraphrase shares no band with the original — so
+    decontamination pipelines propagate flags transitively (the
+    dedup-chain argument in Lee et al. 2022, public). Seeds here are
+    a deterministic ~5% hash-flag of graph nodes, the stand-in for an
+    external flag list (blocklist hits, eval-set matches); swapping
+    in a real list changes one filter.
+
+    Same capped candidate graph as the centrality family; the oracle
+    mirrors the cap and unrolls the BFS rounds as min-relaxation
+    CTEs (equivalent to frontier BFS on unit weights)."""
+    from searchengine_spark.operators.dedup import (
+        _shingles,
+        minhash_bands,
+        neardup_candidate_pairs,
+    )
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    edges = symmetrize(pairs)
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .filter(
+            hash_bucket(F.col("src"), n_buckets=BFS_SEED_MOD, salt=BFS_SEED_SALT)
+            == 0
+        )
+        .select(F.col("src").alias("node"))
+    )
+    return bfs_hops(edges, seeds, iters=BFS_HOPS).select(
+        F.col("node").alias("doc_id"), F.col("hops").cast("bigint").alias("hops")
+    )
+
+
 QUERIES = {
     "dedup_pagerank_centrality": q_pagerank_centrality,
     "dedup_eigenvector_centrality": q_eigenvector_centrality,
     "dedup_triangle_counts": q_triangle_counts,
+    "dedup_bfs_contamination_hops": q_bfs_contamination_hops,
 }
 
 
@@ -333,8 +414,43 @@ def _ec_oracle(iters: int = EC_ITERS, scale: int = EC_SCALE) -> str:
     )
 
 
+def _bfs_oracle(iters: int = BFS_HOPS) -> str:
+    from searchengine_spark.operators.dedup import _BANDS_CTE, _CAPPED_CAND_CTE
+
+    head = f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    d0 AS (
+      SELECT DISTINCT src AS node, 0 AS hops FROM edges
+      WHERE (('0x' || substr(md5('{BFS_SEED_SALT}' || CAST(src AS VARCHAR)), 1, 15))::BIGINT
+             % {BFS_SEED_MOD}) = 0
+    )"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    d{i} AS (
+      SELECT node, MIN(hops) AS hops FROM (
+        SELECT node, hops FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.hops + 1 AS hops
+        FROM edges e JOIN d{i - 1} p ON e.src = p.node
+      ) GROUP BY node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS doc_id, CAST(hops AS BIGINT) AS hops FROM d{iters}"
+    )
+
+
 ORACLES = {
     "dedup_pagerank_centrality": _oracle(),
     "dedup_eigenvector_centrality": _ec_oracle(),
     "dedup_triangle_counts": _triangle_oracle(),
+    "dedup_bfs_contamination_hops": _bfs_oracle(),
 }

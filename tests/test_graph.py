@@ -93,3 +93,34 @@ def test_eigenvector_centrality_matches_oracle(spark, sf_dir):
         sf_dir,
         name="dedup_eigenvector_centrality",
     )
+
+
+def test_bfs_hops_on_path_graph(spark):
+    # path 0-1-2-3-4-5, seed {0}: hops = index, capped at BFS_HOPS
+    from searchengine_spark.operators.graph import BFS_HOPS, bfs_hops
+
+    assert BFS_HOPS == 3
+    pairs = _pairs(spark, [(i, i + 1) for i in range(5)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(symmetrize(pairs), seeds).collect()}
+    assert out == {0: 0, 1: 1, 2: 2, 3: 3}  # 4,5 beyond the horizon
+
+
+def test_bfs_multi_source_takes_min(spark):
+    # path 0-1-2-3-4, seeds {0, 4}: node 2 is 2 hops from both ends
+    from searchengine_spark.operators.graph import bfs_hops
+
+    pairs = _pairs(spark, [(i, i + 1) for i in range(4)])
+    seeds = spark.createDataFrame([(0,), (4,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(symmetrize(pairs), seeds).collect()}
+    assert out == {0: 0, 4: 0, 1: 1, 3: 1, 2: 2}
+
+
+def test_bfs_seed_stays_zero_on_cycle(spark):
+    # triangle with seed {0}: relaxation must never raise a settled node
+    from searchengine_spark.operators.graph import bfs_hops
+
+    pairs = _pairs(spark, [(0, 1), (1, 2), (0, 2)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    out = {r["node"]: r["hops"] for r in bfs_hops(symmetrize(pairs), seeds).collect()}
+    assert out == {0: 0, 1: 1, 2: 1}
