@@ -244,6 +244,9 @@ HEADLINE = [
     # round-10 (cont. 3): frontier multi-source BFS over the capped
     # near-dup graph (transitive contamination blast radius).
     "dedup_bfs_contamination_hops",
+    # round-10 (cont. 4): LTR feature extraction (broadcast query
+    # fan-out + one keyed agg over the cached term frequencies).
+    "se_ltr_features",
 ]
 
 SERVE_QUERIES = [

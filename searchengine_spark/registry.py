@@ -36,6 +36,7 @@ _MODULES = (
     "index.autocomplete",
     "index.keywords",
     "index.mmr",
+    "index.ltr",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",
