@@ -247,6 +247,10 @@ HEADLINE = [
     # round-10 (cont. 4): LTR feature extraction (broadcast query
     # fan-out + one keyed agg over the cached term frequencies).
     "se_ltr_features",
+    # round-10 (cont. 5): zone-map prune audit — clustered vs hashed
+    # layout skipping arithmetic for a range predicate, file
+    # assignment via the no-partition distributed rank.
+    "layout_zonemap_prune_audit",
 ]
 
 SERVE_QUERIES = [

@@ -335,13 +335,156 @@ _FOOTER_SQL = f"""
 """
 
 
+# ------------------------------------------------ zone-map prune audit
+
+ZONE_FILES = 64
+# predicate: one quarter out of the ~6.5y span (~3.8% of rows)
+ZONE_PRED_LO = "1998-04-01"
+ZONE_PRED_HI = "1998-07-01"
+_ZONE_LO_S = 891_388_800  # epoch seconds of ZONE_PRED_LO (UTC)
+_ZONE_HI_S = 899_251_200  # epoch seconds of ZONE_PRED_HI (UTC)
+
+
+def q_zonemap_prune_audit(spark, sf_dir: str) -> DataFrame:
+    """How much a time-clustered layout is worth: simulate writing
+    orders as ZONE_FILES files under two layouts — `clustered`
+    (global o_orderdate order, the write_clustered shape) and
+    `hashed` (md5 of o_orderkey, the layout a key-partitioned write
+    produces) — build each file's [min,max] o_orderdate zone map, and
+    report how many files and rows a one-quarter range predicate must
+    scan under min/max pruning.
+
+    This is the planning arithmetic Delta/Iceberg data skipping and
+    parquet row-group pruning perform, surfaced as a hash-checked
+    query: rows_matched is layout-invariant (same predicate), while
+    rows_scanned collapses under the clustered layout (file zones are
+    disjoint date slices -> scan ~selectivity*N files) and stays the
+    FULL table under the hashed layout (every file's zone spans the
+    whole date range -> zero files pruned). scan_amplification =
+    rows_scanned / rows_matched is the number a table-layout owner
+    watches.
+
+    Scale shape: file assignment for the clustered layout is the
+    audited no-partition distributed_rank (two-level bucket prefix
+    sum — no single-task global sort); everything after is two keyed
+    aggs (per-file zones, per-layout rollup). The audit never writes
+    files: zone maps are pure arithmetic on the assignment, which is
+    exactly what makes it cheap enough to run BEFORE choosing a
+    layout for a 100 TB rewrite."""
+    from searchengine_spark.event_time import event_time_seconds
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.distrank import distributed_rank, range_bucket
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey",
+        event_time_seconds(orders, "o_orderdate").alias("date_s"),
+    )
+    total = base.agg(F.count(F.lit(1)).alias("_tot"))
+
+    ext, bucket = range_bucket(base, "date_s")
+    clustered = (
+        distributed_rank(
+            ext, [], [F.asc("date_s"), F.asc("o_orderkey")], bucket, rank_name="r"
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "date_s",
+            F.expr(f"((r - 1) * {ZONE_FILES}) div _tot").alias("file_id"),
+        )
+        .withColumn("layout", F.lit("clustered"))
+    )
+    hashed = base.select(
+        "date_s",
+        hash_bucket(F.col("o_orderkey"), n_buckets=ZONE_FILES, salt="zone").alias(
+            "file_id"
+        ),
+    ).withColumn("layout", F.lit("hashed"))
+
+    rows = clustered.unionByName(hashed)
+    zones = rows.groupBy("layout", "file_id").agg(
+        F.min("date_s").alias("zmin"),
+        F.max("date_s").alias("zmax"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            (
+                (F.col("date_s") >= F.lit(_ZONE_LO_S))
+                & (F.col("date_s") < F.lit(_ZONE_HI_S))
+            ).cast("bigint")
+        ).alias("n_match"),
+    )
+    scanned = (F.col("zmax") >= F.lit(_ZONE_LO_S)) & (
+        F.col("zmin") < F.lit(_ZONE_HI_S)
+    )
+    return zones.groupBy("layout").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(scanned.cast("bigint")).alias("files_scanned"),
+        F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "rows_scanned"
+        ),
+        F.sum("n_match").alias("rows_matched"),
+        F.round(
+            F.sum(F.when(scanned, F.col("n_rows")).otherwise(F.lit(0))).cast(
+                "double"
+            )
+            / F.sum("n_match").cast("double"),
+            6,
+        ).alias("scan_amplification"),
+    )
+
+
+_ZONE_SECS = "(epoch_us(o_orderdate) // 1000000)"
+
+_ZONEMAP_SQL = f"""
+WITH base AS (
+  SELECT o_orderkey, {_ZONE_SECS} AS date_s FROM orders
+),
+tot AS (SELECT count(*)::BIGINT AS t FROM base),
+assigned AS (
+  SELECT date_s,
+         ((row_number() OVER (ORDER BY date_s, o_orderkey) - 1)
+           * {ZONE_FILES}) // (SELECT t FROM tot) AS file_id,
+         'clustered' AS layout
+  FROM base
+  UNION ALL
+  SELECT date_s,
+         ('0x' || substr(md5('zone' || CAST(o_orderkey AS VARCHAR)), 1, 15))::BIGINT
+           % {ZONE_FILES} AS file_id,
+         'hashed' AS layout
+  FROM base
+),
+zones AS (
+  SELECT layout, file_id,
+         MIN(date_s) AS zmin, MAX(date_s) AS zmax,
+         count(*)::BIGINT AS n_rows,
+         SUM(CASE WHEN date_s >= {_ZONE_LO_S} AND date_s < {_ZONE_HI_S}
+                  THEN 1 ELSE 0 END)::BIGINT AS n_match
+  FROM assigned GROUP BY 1, 2
+)
+SELECT layout,
+       count(*)::BIGINT AS n_files,
+       SUM(CASE WHEN zmax >= {_ZONE_LO_S} AND zmin < {_ZONE_HI_S}
+                THEN 1 ELSE 0 END)::BIGINT AS files_scanned,
+       SUM(CASE WHEN zmax >= {_ZONE_LO_S} AND zmin < {_ZONE_HI_S}
+                THEN n_rows ELSE 0 END)::BIGINT AS rows_scanned,
+       SUM(n_match)::BIGINT AS rows_matched,
+       round(CAST(SUM(CASE WHEN zmax >= {_ZONE_LO_S} AND zmin < {_ZONE_HI_S}
+                           THEN n_rows ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(n_match) AS DOUBLE), 6) AS scan_amplification
+FROM zones GROUP BY layout
+"""
+
+
 QUERIES = {
     "layout_zorder_keys": q_layout_zorder_keys,
     "layout_footer_stats": q_layout_footer_stats,
+    "layout_zonemap_prune_audit": q_zonemap_prune_audit,
 }
 ORACLES = {
     "layout_zorder_keys": _ZORDER_SQL,
     "layout_footer_stats": _FOOTER_SQL,
+    "layout_zonemap_prune_audit": _ZONEMAP_SQL,
 }
 
 

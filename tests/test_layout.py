@@ -152,3 +152,25 @@ def test_footer_scanner_reads_multiple_row_groups(spark, tmp_path):
     assert pq.ParquetFile(p).metadata.num_row_groups == 10
     row = footer_stats_manifest(spark, [p], "k").collect()[0]
     assert (row["n_rows"], row["key_min"], row["key_max"]) == (1000, 0, 999)
+
+
+def test_zonemap_prune_audit_story(spark, sf_dir):
+    # the whole point of the audit: clustering must collapse the scan
+    from searchengine_spark.operators.layout import (
+        ZONE_FILES,
+        q_zonemap_prune_audit,
+    )
+
+    rows = {r["layout"]: r for r in q_zonemap_prune_audit(spark, sf_dir).collect()}
+    assert set(rows) == {"clustered", "hashed"}
+    c, h = rows["clustered"], rows["hashed"]
+    # predicate truth is layout-invariant
+    assert c["rows_matched"] == h["rows_matched"] > 0
+    assert c["n_files"] == h["n_files"] == ZONE_FILES
+    # hashed zones span the full range: nothing prunes
+    assert h["files_scanned"] == ZONE_FILES
+    # clustered zones are date slices: scan ~selectivity * N files
+    assert c["files_scanned"] < ZONE_FILES // 4
+    # a scanned set always covers the matches
+    assert c["rows_scanned"] >= c["rows_matched"]
+    assert c["scan_amplification"] < h["scan_amplification"]
