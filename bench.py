@@ -251,6 +251,10 @@ HEADLINE = [
     # layout skipping arithmetic for a range predicate, file
     # assignment via the no-partition distributed rank.
     "layout_zonemap_prune_audit",
+    # round-10 (cont. 6): t-closeness — EMD of each QI group's
+    # sensitive-band distribution vs the global one (integer window
+    # cumsums + decimal-cast terms; completes the anonymity triad).
+    "privacy_t_closeness_audit",
 ]
 
 SERVE_QUERIES = [

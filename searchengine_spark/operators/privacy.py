@@ -606,7 +606,154 @@ FROM pick, truth
 """
 
 
+T_CLOSE = 0.2  # max EMD between group and global sensitive distributions
+
+
+def q_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness (Li, Li & Venkatasubramanian 2007, public): the
+    third check of the anonymity triad. k-anonymity bounds group
+    SIZE and l-diversity bounds distinct sensitive VALUES, but a
+    group whose balance-band distribution is wildly skewed vs the
+    table still leaks ("everyone in this nation x segment is in the
+    top band"). The check: Earth Mover's Distance between each QI
+    group's sensitive-band distribution and the GLOBAL one, over the
+    ordered band domain, must be <= t.
+
+    For an ordered 1-D domain, EMD = sum_b |cumQ(b) - cumP(b)| /
+    (|bands| - 1). Determinism: the cumulative sums are INTEGER
+    window cumsums (exact regardless of accumulation order); each
+    band contributes one double |n_cum/N_g - m_cum/N| cast to
+    decimal before the final sum, so addition order cannot move the
+    hash — no running float accumulation anywhere.
+
+    Scale shape: one groupBy for the global band histogram (bounded
+    by the band domain, ~110 rows), one for the per-group histogram
+    (bounded by QI-domain x bands), a broadcast of the band domain to
+    zero-fill absent bands, and windows whose partitions are at most
+    |bands| rows. Nothing scales with the fact row count except the
+    two initial aggs."""
+    from pyspark.sql.window import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    banded = cust.select(
+        "c_nationkey", "c_mktsegment", _sens_band(F.col("c_acctbal")).alias("band")
+    )
+
+    glob = banded.groupBy("band").agg(F.count(F.lit(1)).alias("m"))
+    w_g = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    glob_cum = glob.select(
+        "band",
+        F.sum("m").over(w_g).alias("m_cum"),
+    ).crossJoin(
+        F.broadcast(
+            glob.agg(
+                F.sum("m").alias("n_total"), F.count(F.lit(1)).alias("n_bands")
+            )
+        )
+    )
+
+    grp_counts = banded.groupBy("c_nationkey", "c_mktsegment", "band").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    groups = banded.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("group_n")
+    )
+    grid = (
+        groups.crossJoin(F.broadcast(glob_cum.select("band")))
+        .join(grp_counts, ["c_nationkey", "c_mktsegment", "band"], "left")
+        .fillna({"n": 0})
+    )
+    w_q = Window.partitionBy("c_nationkey", "c_mktsegment").orderBy(
+        "band"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    terms = (
+        grid.withColumn("n_cum", F.sum("n").over(w_q))
+        .join(F.broadcast(glob_cum), "band")
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_n",
+            "n_bands",
+            F.abs(
+                F.col("n_cum").cast("double") / F.col("group_n").cast("double")
+                - F.col("m_cum").cast("double") / F.col("n_total").cast("double")
+            )
+            .cast("decimal(28,12)")
+            .alias("term"),
+        )
+    )
+    return terms.groupBy("c_nationkey", "c_mktsegment", "group_n").agg(
+        F.round(
+            F.sum("term").cast("double")
+            / (F.min("n_bands") - F.lit(1)).cast("double"),
+            6,
+        ).alias("emd"),
+    ).select(
+        "c_nationkey",
+        "c_mktsegment",
+        "group_n",
+        "emd",
+        (F.col("emd") <= F.lit(T_CLOSE)).cast("int").alias("t_ok"),
+    )
+
+
+_TCLOSE_SQL = f"""
+WITH banded AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(c_acctbal / {SENS_BAND}) AS BIGINT) AS band
+  FROM customer
+),
+gh AS (SELECT band, count(*)::BIGINT AS m FROM banded GROUP BY band),
+gtot AS (SELECT SUM(m)::BIGINT AS n_total, count(*)::BIGINT AS n_bands FROM gh),
+gcum_t AS (
+  SELECT band, SUM(m) OVER (ORDER BY band
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_cum
+  FROM gh
+),
+groups AS (
+  SELECT c_nationkey, c_mktsegment, count(*)::BIGINT AS group_n
+  FROM banded GROUP BY 1, 2
+),
+grp_counts AS (
+  SELECT c_nationkey, c_mktsegment, band, count(*)::BIGINT AS n
+  FROM banded GROUP BY 1, 2, 3
+),
+grid AS (
+  SELECT g.c_nationkey, g.c_mktsegment, g.group_n, b.band,
+         coalesce(gc.n, 0) AS n
+  FROM groups g
+  CROSS JOIN (SELECT band FROM gcum_t) b
+  LEFT JOIN grp_counts gc
+    ON gc.c_nationkey = g.c_nationkey
+   AND gc.c_mktsegment = g.c_mktsegment
+   AND gc.band = b.band
+),
+terms AS (
+  SELECT grid.c_nationkey, grid.c_mktsegment, grid.group_n,
+         CAST(abs(
+           CAST(SUM(n) OVER (PARTITION BY c_nationkey, c_mktsegment
+                ORDER BY grid.band
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / CAST(group_n AS DOUBLE)
+           - CAST(gcum.m_cum AS DOUBLE)
+             / CAST((SELECT n_total FROM gtot) AS DOUBLE)
+         ) AS DECIMAL(28,12)) AS term
+  FROM grid JOIN gcum_t gcum ON grid.band = gcum.band
+),
+emd AS (
+  SELECT c_nationkey, c_mktsegment, group_n,
+         round(CAST(SUM(term) AS DOUBLE)
+               / CAST((SELECT n_bands FROM gtot) - 1 AS DOUBLE), 6) AS emd
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT c_nationkey, c_mktsegment, group_n, emd,
+       (CASE WHEN emd <= {T_CLOSE} THEN 1 ELSE 0 END) AS t_ok
+FROM emd
+"""
+
+
 QUERIES = {
+    "privacy_t_closeness_audit": q_t_closeness_audit,
     "privacy_dp_mean": q_dp_mean,
     "privacy_dp_quantile": q_dp_quantile,
     "privacy_rr_frequency": q_rr_frequency,
@@ -616,6 +763,7 @@ QUERIES = {
     "privacy_dp_exponential_topk": q_dp_exponential_topk,
 }
 ORACLES = {
+    "privacy_t_closeness_audit": _TCLOSE_SQL,
     "privacy_dp_mean": _DPM_SQL,
     "privacy_dp_quantile": _DPQ_SQL,
     "privacy_rr_frequency": _RR_SQL,

@@ -57,3 +57,48 @@ def test_dp_exponential_topk_matches_oracle(spark, sf_dir):
         sf_dir,
         name="privacy_dp_exponential_topk",
     )
+
+
+def test_t_closeness_zero_for_global_mirror(spark, tmp_path):
+    # two groups with IDENTICAL band distributions -> both emd == 0
+    import pandas as pd
+
+    from searchengine_spark.operators.privacy import q_t_closeness_audit
+
+    rows = []
+    for seg in ("A", "B"):
+        for band_val, cnt in ((50.0, 4), (250.0, 4)):
+            rows += [(1, seg, band_val)] * cnt
+    pdf = pd.DataFrame(rows, columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/customer.parquet"
+    )
+    out = q_t_closeness_audit(spark, d).collect()
+    assert len(out) == 2
+    assert all(r["emd"] == 0.0 and r["t_ok"] == 1 for r in out)
+
+
+def test_t_closeness_flags_concentrated_group(spark, tmp_path):
+    # group B sits entirely in the far band -> emd near the max
+    import pandas as pd
+
+    from searchengine_spark.operators.privacy import q_t_closeness_audit
+
+    rows = [(1, "A", 50.0)] * 8 + [(1, "A", 1050.0)] * 8 + [(1, "B", 1050.0)] * 8
+    pdf = pd.DataFrame(rows, columns=["c_nationkey", "c_mktsegment", "c_acctbal"])
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        f"{d}/customer.parquet"
+    )
+    out = {r["c_mktsegment"]: r for r in q_t_closeness_audit(spark, d).collect()}
+    assert out["B"]["emd"] > out["A"]["emd"]
+    assert out["B"]["t_ok"] == 0  # concentrated group violates t
+
+
+def test_t_closeness_bounds_on_real_data(spark, sf_dir):
+    from searchengine_spark.operators.privacy import q_t_closeness_audit
+
+    for r in q_t_closeness_audit(spark, sf_dir).collect():
+        assert 0.0 <= r["emd"] <= 1.0
+        assert r["group_n"] > 0
