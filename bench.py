@@ -255,6 +255,9 @@ HEADLINE = [
     # sensitive-band distribution vs the global one (integer window
     # cumsums + decimal-cast terms; completes the anonymity triad).
     "privacy_t_closeness_audit",
+    # round-10 (cont. 7): incrementally-maintained streaming top-K
+    # leaderboard (foreachBatch partials + pruned bucket-prefix rank).
+    "stream_topk_leaderboard_replay",
 ]
 
 SERVE_QUERIES = [

@@ -466,8 +466,34 @@ FROM nb n JOIN cbk c USING (band, band_hash)
 """
 
 
+def q_stream_topk_leaderboard_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch leaderboard topology (streaming/leaderboard.py)
+    replayed to completion: per-hour top-K users by event count,
+    maintained incrementally. The hard part of a streaming ranked
+    view is that any batch can promote any key; the topology keeps
+    the per-(hour, user) sufficient statistics as insert-only,
+    retry-deduped partials and derives the ranked view at read time
+    with the pruned bucket-prefix-sum rank — so the oracle is the
+    plain batch top-K over all events, ties broken on user_id."""
+    import tempfile
+
+    from searchengine_spark.streaming.leaderboard import (
+        read_leaderboard,
+        start_leaderboard_maintenance,
+    )
+
+    out = tempfile.mkdtemp(prefix="leaderboard_")
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    q = start_leaderboard_maintenance(
+        stream, out, checkpoint_dir=tempfile.mkdtemp(prefix="lb_ckpt_")
+    )
+    q.awaitTermination()
+    return read_leaderboard(spark, out)
+
+
 QUERIES = {
     "stream_hourly_rollup_replay": q_stream_hourly_rollup_replay,
+    "stream_topk_leaderboard_replay": q_stream_topk_leaderboard_replay,
     "stream_enriched_rollup_replay": q_stream_enriched_rollup_replay,
     "stream_sliding_rollup_replay": q_stream_sliding_rollup_replay,
     "stream_rollup_ivm_replay": q_stream_rollup_ivm_replay,
@@ -481,6 +507,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    # Batch semantics of the maintained top-K leaderboard: hourly
+    # per-user counts over ALL events, ranked with the same
+    # deterministic tie-break the read side uses.
+    "stream_topk_leaderboard_replay": """
+        WITH counts AS (
+          SELECT (epoch_us(ts) // 1000000) // 3600 AS hour_idx, user_id,
+                 count(*)::BIGINT AS n_events
+          FROM events GROUP BY 1, 2
+        ),
+        ranked AS (
+          SELECT hour_idx, user_id, n_events,
+                 row_number() OVER (PARTITION BY hour_idx
+                   ORDER BY n_events DESC, user_id ASC) AS rank
+          FROM counts
+        )
+        SELECT hour_idx, CAST(rank AS BIGINT) AS rank, user_id, n_events
+        FROM ranked WHERE rank <= 3
+    """,
     # Batch semantics of the streaming band-match: band the whole
     # corpus, split into arriving/indexed, cap hot buckets on the
     # indexed side, equi-join — the stream/batch parity proof for
