@@ -45,6 +45,7 @@ from searchengine_spark.operators.kmeans import (
     K,
     TRAIN_SAMPLE_TARGET,
     _assign,
+    _lloyd_driver,
     _update_centroids,
     fixed_point_vec,
     train_sample_filter,
@@ -59,6 +60,7 @@ from searchengine_spark.operators.pq import (
     PQ_QUERY_ID,
     SUB_DIM,
     _assign_codes,
+    _pq_lloyd_driver,
     _update_codebooks,
     adc_distance_table,
 )
@@ -111,10 +113,12 @@ def ivfpq_train(
     ).persist()
     train = None
     subs = None
+    subs_train = None
     try:
         smod = train_sample_mod(quant.count(), sample_target)
+        # bounded sample -> few cached partitions (kmeans.py note)
         train = (
-            quant.filter(train_sample_filter(smod)).persist()
+            quant.filter(train_sample_filter(smod)).coalesce(4).persist()
             if smod > 1
             else quant
         )
@@ -125,11 +129,18 @@ def ivfpq_train(
         cents = [[int(v) for v in r["qvec"]] for r in init[:K]]
         cb_ids = [int(r["vec_id"]) for r in init[:KPQ]]
         code_of = {v: i for i, v in enumerate(cb_ids)}
-        for _ in range(ITERS):
-            cents = _update_centroids(_assign(train, cents), cents)
+        # K (=8) is always in the flat-argmin regime: one bounded
+        # collect + driver Lloyd, bit-identical to the Spark loop
+        # (kmeans._lloyd_driver), transform stays distributed
+        train_vecs = [
+            [int(v) for v in r["qvec"]] for r in train.select("qvec").collect()
+        ]
+        cents = _lloyd_driver(train_vecs, cents, ITERS)
         subs = residual_subs(quant, cents).persist()
         subs_train = (
-            subs.filter(train_sample_filter(smod)) if smod > 1 else subs
+            subs.filter(train_sample_filter(smod)).coalesce(4).persist()
+            if smod > 1
+            else subs
         )
         cb_init = (
             subs.filter(F.col("vec_id").isin(cb_ids))
@@ -141,10 +152,11 @@ def ivfpq_train(
         ]
         for r in cb_init:
             codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
-        for _ in range(PQ_ITERS):
-            codebooks = _update_codebooks(
-                _assign_codes(subs_train, codebooks), codebooks
-            )
+        sub_rows = [
+            (r["m"], [int(v) for v in r["sub"]])
+            for r in subs_train.select("m", "sub").collect()
+        ]
+        codebooks = _pq_lloyd_driver(sub_rows, codebooks, PQ_ITERS)
         codes = _assign_codes(subs, codebooks).select(
             "vec_id", "cluster", "m", "code"
         )
@@ -155,6 +167,8 @@ def ivfpq_train(
         if train is not None and train is not quant:
             train.unpersist()
         quant.unpersist()
+        if subs_train is not None and subs_train is not subs:
+            subs_train.unpersist()
         if subs is not None:
             subs.unpersist()
 

@@ -338,6 +338,44 @@ def _update_centroids(
     return new
 
 
+def _lloyd_driver(
+    vecs: list[list[int]], centroids: list[list[int]], iters: int
+) -> list[list[int]]:
+    """Driver-side exact Lloyd over the BOUNDED training sample —
+    bit-identical to iterating _assign/_update_centroids in the flat
+    (k <= HIER_THRESHOLD) regime: same int64 squared distances, same
+    first-occurrence argmin (= the (dist, cluster) lexicographic
+    tie-break, clusters being in index order), same
+    floor(double(sum)/count) update, same empty-cluster keep rule.
+
+    Why: the sample is O(sample_target) rows BY DESIGN, so iterating
+    over it as Spark jobs buys no parallelism and pays
+    2*iters job-scheduling round-trips (measured ~1 s each at any
+    SF — it is fixed overhead, not data cost). This is FAISS's
+    train() exactly: fit on the driver over a bounded sample,
+    transform distributed. Magnitudes: |qvec| <= ~3*FP_SCALE, so
+    diff^2 * dim < 2^40 (int64-exact) and coordinate sums < 2^31
+    (double-exact before the floor).
+    """
+    import math
+
+    import numpy as np
+
+    x = np.asarray(vecs, dtype=np.int64)
+    cents = [list(c) for c in centroids]
+    for _ in range(iters):
+        ca = np.asarray(cents, dtype=np.int64)
+        d2 = ((x[:, None, :] - ca[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)  # first occurrence = lowest cluster
+        for j in range(len(cents)):
+            mask = assign == j
+            if mask.any():
+                s = x[mask].sum(axis=0)
+                cnt = int(mask.sum())
+                cents[j] = [int(math.floor(float(si) / cnt)) for si in s]
+    return cents
+
+
 def kmeans_fit_assign(
     emb: DataFrame,
     *,
@@ -367,8 +405,11 @@ def kmeans_fit_assign(
         if k is None:
             k = max(K, n // TARGET_CLUSTER_SIZE)
         smod = train_sample_mod(n, scaled_sample_target(k, sample_target))
+        # the sample is O(sample_target) rows at any scale: cache it
+        # in a few partitions so each Lloyd pass schedules ~4 tasks,
+        # not one per source partition (pure-overhead at small SF)
         train = (
-            quant.filter(train_sample_filter(smod, id_col)).persist()
+            quant.filter(train_sample_filter(smod, id_col)).coalesce(4).persist()
             if smod > 1
             else quant
         )
@@ -378,10 +419,16 @@ def kmeans_fit_assign(
         # split), where `id < k` would silently yield fewer centroids
         init_rows = quant.orderBy(id_col).limit(k).collect()
         centroids = [[int(v) for v in r["qvec"]] for r in init_rows]
-        for _ in range(iters):
-            centroids = _update_centroids(
-                _assign(train, centroids), centroids
-            )
+        if k <= HIER_THRESHOLD:
+            # flat regime: one bounded collect + driver Lloyd (exact
+            # twin of the distributed loop — see _lloyd_driver)
+            vecs = [[int(v) for v in r["qvec"]] for r in train.select("qvec").collect()]
+            centroids = _lloyd_driver(vecs, centroids, iters)
+        else:
+            for _ in range(iters):
+                centroids = _update_centroids(
+                    _assign(train, centroids), centroids
+                )
         final = _assign(quant, centroids).select(
             id_col, "cluster", "dist"
         )

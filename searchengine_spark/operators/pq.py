@@ -160,6 +160,28 @@ def _update_codebooks(
     return new
 
 
+def _pq_lloyd_driver(
+    sub_rows: list[tuple[int, list[int]]],
+    codebooks: list[list[list[int]]],
+    iters: int,
+) -> list[list[list[int]]]:
+    """Driver-side exact PQ Lloyd over the BOUNDED sample: subspaces
+    are independent, so this is kmeans._lloyd_driver per m —
+    bit-identical to iterating _assign_codes/_update_codebooks
+    (KPQ <= HIER_THRESHOLD always: the flat-argmin regime). Same
+    rationale: the sample is O(sample_target * M) rows by design, so
+    the Spark loop is pure job-scheduling overhead."""
+    from searchengine_spark.operators.kmeans import _lloyd_driver
+
+    by_m: list[list[list[int]]] = [[] for _ in codebooks]
+    for m, sub in sub_rows:
+        by_m[m].append(sub)
+    return [
+        _lloyd_driver(by_m[m], book, iters) if by_m[m] else [list(c) for c in book]
+        for m, book in enumerate(codebooks)
+    ]
+
+
 def pq_train(
     emb: DataFrame,
     *,
@@ -182,7 +204,7 @@ def pq_train(
     try:
         smod = train_sample_mod(emb.count(), sample_target)
         train = (
-            subs.filter(train_sample_filter(smod, "vec_id")).persist()
+            subs.filter(train_sample_filter(smod, "vec_id")).coalesce(4).persist()
             if smod > 1
             else subs
         )
@@ -207,10 +229,11 @@ def pq_train(
         ]
         for r in init:
             codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
-        for _ in range(iters):
-            codebooks = _update_codebooks(
-                _assign_codes(train, codebooks), codebooks
-            )
+        sub_rows = [
+            (r["m"], [int(v) for v in r["sub"]])
+            for r in train.select("m", "sub").collect()
+        ]
+        codebooks = _pq_lloyd_driver(sub_rows, codebooks, iters)
         final = _assign_codes(subs, codebooks).select(
             "vec_id", "m", "code", "dist"
         )
