@@ -671,6 +671,93 @@ def q_wav_features(spark, sf_dir: str) -> DataFrame:
     return wav_features(wav_media_from_documents(docs))
 
 
+import math as _math
+
+# DFT band energies over the 32-sample clips: bins (cycles per clip)
+# and their cos/sin coefficient tables, computed ONCE in Python and
+# embedded as literals in BOTH engines (libm cos/sin are not
+# bit-stable across engines — the evaluation.py DISCOUNTS precedent).
+SPECTRAL_BINS = (1, 2, 4, 8)
+_SPECTRAL_COS = {
+    k: [_math.cos(2.0 * _math.pi * k * i / WAV_SAMPLES) for i in range(WAV_SAMPLES)]
+    for k in SPECTRAL_BINS
+}
+_SPECTRAL_SIN = {
+    k: [_math.sin(2.0 * _math.pi * k * i / WAV_SAMPLES) for i in range(WAV_SAMPLES)]
+    for k in SPECTRAL_BINS
+}
+
+
+def wav_decoded_samples(media: DataFrame) -> DataFrame:
+    """(media_id, samples array<int>) through the REAL RIFF/WAV
+    decoder — the decode half only; feature arithmetic stays JVM-side
+    so both engines share one evaluation order."""
+    import numpy as np
+
+    from searchengine_spark.operators.codecs import decode_wav
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    _rate, _ch, _nf, frames = decode_wav(bytes(p))
+                    rows.append(
+                        (int(mid), [int(v) for v in frames[:, 0].astype(np.int64)])
+                    )
+                except Exception:  # noqa: BLE001 — poison blob
+                    rows.append((int(mid), []))
+            yield pd.DataFrame(rows, columns=["media_id", "samples"])
+
+    return media.mapInPandas(batches, "media_id long, samples array<int>")
+
+
+def wav_spectral_bins(media: DataFrame) -> DataFrame:
+    """Per-clip DFT power in SPECTRAL_BINS: P_k = C_k^2 + S_k^2 with
+    C_k = sum_i s_i cos(2*pi*k*i/N), S_k likewise — the Goertzel/DFT
+    filter-bank front-end (the first stage of MFCC pipelines,
+    public). Full-length clips only (N = WAV_SAMPLES), so one shared
+    coefficient table covers every row.
+
+    Determinism: coefficients are Python-float literals identical in
+    both engines; C_k/S_k are LEFT-TO-RIGHT sequential folds
+    (F.aggregate walks the array in order; the SQL twin spells the
+    same 32-term left-associated sum), so the doubles are
+    bit-identical — the EWMA fixed-order convention. Map-only: decode
+    + per-row arithmetic, no shuffle at any scale."""
+    samples = wav_decoded_samples(media).filter(
+        F.size("samples") == WAV_SAMPLES
+    )
+
+    def _fold(coeffs: list[float]) -> F.Column:
+        pairs = F.zip_with(
+            F.col("samples"),
+            F.array(*[F.lit(c) for c in coeffs]),
+            lambda s, c: s.cast("double") * c,
+        )
+        return F.aggregate(pairs, F.lit(0.0), lambda acc, v: acc + v)
+
+    cols = [F.col("media_id"), F.size("samples").alias("n_samples")]
+    for k in SPECTRAL_BINS:
+        # integer-exact output: C/S round to bigint via floor(x+0.5)
+        # (pure IEEE ops, bit-identical in both engines — a round(p,4)
+        # of the raw double hit engine-round disagreements at decimal
+        # boundaries), then the power is exact integer arithmetic
+        c = F.floor(_fold(_SPECTRAL_COS[k]) + F.lit(0.5)).cast("bigint")
+        s = F.floor(_fold(_SPECTRAL_SIN[k]) + F.lit(0.5)).cast("bigint")
+        cols.append((c * c + s * s).alias(f"p{k}"))
+    return samples.select(*cols)
+
+
+def q_wav_spectral_bins(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query: documents -> real WAV encode -> real
+    decode -> DFT filter-bank energies."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return wav_spectral_bins(wav_media_from_documents(docs))
+
+
 def q_png_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query over the REAL codec: documents -> PNG
     encode (zlib/DEFLATE) -> decode_media sniffs the PNG magic and
@@ -790,7 +877,55 @@ QUERIES = {
     "mm_jpeg_decode_stats": q_jpeg_decode_stats,
     "mm_wav_features": q_wav_features,
     "mm_video_frame_pixel_stats": q_video_frame_pixel_stats,
+    "mm_wav_spectral_bins": q_wav_spectral_bins,
 }
+
+
+def _spectral_sql() -> str:
+    """DuckDB twin: reconstruct the samples from text (the audio
+    encode is a pure text function), then the SAME left-associated
+    32-term folds with the SAME coefficient literals."""
+
+    def fold(coeffs: list[float]) -> str:
+        # Coefficients enter as STRING -> DOUBLE casts: DuckDB parses
+        # a bare float literal as DECIMAL, whose decimal->double
+        # conversion can land 1 ulp off the repr-roundtripped Python
+        # double; string->double parsing is correctly rounded and
+        # therefore bit-identical to F.lit's.
+        return " + ".join(
+            f"CAST((bytes[{i + 1}] - 64) * 256 AS DOUBLE) * '{c!r}'::DOUBLE"
+            for i, c in enumerate(coeffs)
+        )
+
+    fold_cols = ",\n         ".join(
+        f"CAST(floor(({fold(_SPECTRAL_COS[k])}) + 0.5) AS BIGINT) AS c_{k},\n"
+        f"         CAST(floor(({fold(_SPECTRAL_SIN[k])}) + 0.5) AS BIGINT) AS s_{k}"
+        for k in SPECTRAL_BINS
+    )
+    powers = ", ".join(
+        f"c_{k} * c_{k} + s_{k} * s_{k} AS p{k}" for k in SPECTRAL_BINS
+    )
+    return f"""
+        WITH body AS (
+          SELECT doc_id,
+                 CASE WHEN length(substr(COALESCE(text, ''), 1, {WAV_SAMPLES})) = 0
+                      THEN [63]
+                      ELSE list_transform(
+                             split(substr(COALESCE(text, ''), 1, {WAV_SAMPLES}), ''),
+                             c -> CASE WHEN unicode(c) > 127 THEN 63 ELSE unicode(c) END
+                           )
+                 END AS bytes
+          FROM documents
+        ),
+        clips AS (SELECT doc_id, bytes FROM body WHERE len(bytes) = {WAV_SAMPLES}),
+        folds AS (
+          SELECT doc_id,
+         {fold_cols}
+          FROM clips
+        )
+        SELECT doc_id AS media_id, {WAV_SAMPLES}::INT AS n_samples, {powers}
+        FROM folds
+    """
 
 # The fake payload body is the first 16 bytes of text encoded with
 # Python's ascii/'replace' (each non-ASCII character -> one '?' = 63;
@@ -799,6 +934,7 @@ QUERIES = {
 # today, but testdata has drifted between driver rounds before, and
 # an oracle that silently assumes ASCII would break with it.
 ORACLES = {
+    "mm_wav_spectral_bins": _spectral_sql(),
     "mm_media_decode_stats": """
         WITH body AS (
           -- split('', '') is [''] in DuckDB, not []: guard empty text
