@@ -258,6 +258,9 @@ HEADLINE = [
     # round-10 (cont. 7): incrementally-maintained streaming top-K
     # leaderboard (foreachBatch partials + pruned bucket-prefix rank).
     "stream_topk_leaderboard_replay",
+    # round-10 (cont. 8): DFT filter-bank energies through the real
+    # WAV codec (Arrow-batched decode + codegen folds, map-only).
+    "mm_wav_spectral_bins",
 ]
 
 SERVE_QUERIES = [

@@ -122,6 +122,15 @@ PICKS = [
     ("text_tokenizer_fertility", "fertility audit: regex/byte counts ride the corpus scan, one lang-keyed agg, guarded ratio arithmetic on the tiny result"),
     ("ann_ivf_append_assign", "no-retrain append: batch encode is map-only against literal frozen centroids/codebooks — no Join, no Window, no Exchange before the output"),
     ("ann_ivf_append_drift_audit", "two map-only encode passes + cluster-keyed aggs + an 8-row broadcast join; all distortion sums exact integers"),
+    # round-10 (session 2)
+    ("events_ohlc_hourly", "OHLC in ONE hash agg: min_by/max_by on a packed exact (ts, event_id) sort key — no window, no per-(type,hour) sort"),
+    ("events_acf_lags", "heavy work is one keyed count agg; the lag window runs over the calendar-bounded hourly frame; decimal-cast lag products"),
+    ("events_seasonal_naive_mase", "forecast errors as calendar equi-joins on (type, hour-k) — keyed shuffles, gap-correct, no per-type sort"),
+    ("dedup_bfs_contamination_hops", "frontier-only BFS: per round one src-keyed join of the NEW wavefront + keyed min; settled nodes never re-propagate"),
+    ("se_ltr_features", "broadcast query fan-out over cached tf + one (query,doc) keyed agg — no window: training rows are unranked"),
+    ("layout_zonemap_prune_audit", "file assignment via the no-partition distributed rank; zones + rollup are two keyed aggs; zero files written"),
+    ("privacy_t_closeness_audit", "two histogram aggs + broadcast band-domain zero-fill; window partitions bounded by |bands|; integer cumsums"),
+    ("mm_wav_spectral_bins", "real decode + per-row DFT folds: one Arrow-batched map stage + codegen arithmetic, zero Exchange"),
 ]
 
 

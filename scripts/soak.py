@@ -229,6 +229,24 @@ QUERIES = (
     "ann_ivf_append_drift_audit",
     "stream_neardup_replay",
     "text_tokenizer_fertility",
+    # round-10 (session 2) shapes: frontier BFS (graph grows with
+    # dup-group mass under replication — the wavefront join is the
+    # risk), the maintained streaming leaderboard (partials grow with
+    # user-hours; the pruned rank must stay O(hours*K)), the
+    # zone-map audit (no-partition distributed rank over a growing
+    # orders table), seasonal-naive MASE (hour-keyed joins — hours
+    # are FIXED under replication, so this must be flat-ish), LTR
+    # feature extraction (tf-scan-bound), t-closeness (QI x band grid
+    # is data-bounded), OHLC (one hash agg, linear), and the DFT
+    # filter bank (map-only, linear canary).
+    "dedup_bfs_contamination_hops",
+    "stream_topk_leaderboard_replay",
+    "layout_zonemap_prune_audit",
+    "events_seasonal_naive_mase",
+    "se_ltr_features",
+    "privacy_t_closeness_audit",
+    "events_ohlc_hourly",
+    "mm_wav_spectral_bins",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
