@@ -261,6 +261,11 @@ HEADLINE = [
     # round-10 (cont. 8): DFT filter-bank energies through the real
     # WAV codec (Arrow-batched decode + codegen folds, map-only).
     "mm_wav_spectral_bins",
+    # round-10 (cont. 9): CUSUM changepoint (integer-exact argmax over
+    # the hourly frame) and interpolated Kneser-Ney scoring (the
+    # KenLM-default smoothing, train/score hash split).
+    "events_cusum_changepoint",
+    "text_lm_kneser_ney",
 ]
 
 SERVE_QUERIES = [

@@ -131,6 +131,8 @@ PICKS = [
     ("layout_zonemap_prune_audit", "file assignment via the no-partition distributed rank; zones + rollup are two keyed aggs; zero files written"),
     ("privacy_t_closeness_audit", "two histogram aggs + broadcast band-domain zero-fill; window partitions bounded by |bands|; integer cumsums"),
     ("mm_wav_spectral_bins", "real decode + per-row DFT folds: one Arrow-batched map stage + codegen arithmetic, zero Exchange"),
+    ("events_cusum_changepoint", "one keyed count agg over events; CUSUM + argmax as integer windows over the calendar-bounded hourly frame"),
+    ("text_lm_kneser_ney", "KN model = three keyed aggs over bigram types (vocab-bounded); scoring = two left joins, no window"),
 ]
 
 

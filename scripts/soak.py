@@ -247,6 +247,9 @@ QUERIES = (
     "privacy_t_closeness_audit",
     "events_ohlc_hourly",
     "mm_wav_spectral_bins",
+    # KN scoring: model tables are bigram-TYPE-bounded — watch that
+    # cost tracks vocabulary, not corpus tokens, under replication.
+    "text_lm_kneser_ney",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 

@@ -325,6 +325,62 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint detection (Page 1954, public) per event
+    type: the hour where the cumulative deviation from the series
+    mean peaks — the standard level-shift locator run before trusting
+    any aggregate drift number.
+
+    CUSUM_t = sum_{i<=t}(x_i - mean) has an exact integer form:
+    N_t = n * prefix_t - t_rank * S (prefix sums and totals are
+    bigint counts), with CUSUM_t = N_t / n. The argmax over |N_t| is
+    therefore integer-exact — no float enters until the final
+    released magnitude. Tie-break: earliest hour.
+
+    Scale shape: one keyed count agg (the only pass over events),
+    then windows over the per-type HOURLY frame (calendar-bounded
+    partitions, the q_acf_lags argument); the argmax is one more
+    bounded window."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type",
+        exact_floor_div(event_time_seconds(ev, "ts"), 3600).alias("hour_idx"),
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w_ord = Window.partitionBy("event_type").orderBy("hour_idx")
+    w_all = Window.partitionBy("event_type")
+    scanned = hourly.select(
+        "event_type",
+        "hour_idx",
+        F.sum("x").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "prefix"
+        ),
+        F.row_number().over(w_ord).alias("t_rank"),
+        F.sum("x").over(w_all).alias("s_tot"),
+        F.count(F.lit(1)).over(w_all).alias("n_hours"),
+    ).select(
+        "event_type",
+        "hour_idx",
+        "n_hours",
+        (F.col("n_hours") * F.col("prefix") - F.col("t_rank") * F.col("s_tot"))
+        .alias("n_t"),
+    )
+    w_pick = Window.partitionBy("event_type").orderBy(
+        F.abs(F.col("n_t")).desc(), F.asc("hour_idx")
+    )
+    return (
+        scanned.withColumn("rn", F.row_number().over(w_pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("hour_idx").alias("cp_hour_idx"),
+            "n_hours",
+            F.round(
+                F.col("n_t").cast("double") / F.col("n_hours").cast("double"), 6
+            ).alias("cusum_at_cp"),
+        )
+    )
+
+
 _SECS = "(epoch_us(ts) // 1000000)"
 
 _FIRST_TOUCH_SQL = f"""
@@ -481,7 +537,37 @@ SELECT s.event_type, s.n_eval,
 FROM seas s JOIN naive n ON s.event_type = n.event_type
 """
 
+_CUSUM_SQL = f"""
+WITH hourly AS (
+  SELECT event_type, {_SECS} // 3600 AS hour_idx, count(*)::BIGINT AS x
+  FROM events GROUP BY 1, 2
+),
+scanned AS (
+  SELECT event_type, hour_idx,
+         SUM(x) OVER (PARTITION BY event_type ORDER BY hour_idx
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+         row_number() OVER (PARTITION BY event_type ORDER BY hour_idx) AS t_rank,
+         SUM(x) OVER (PARTITION BY event_type) AS s_tot,
+         count(*) OVER (PARTITION BY event_type) AS n_hours
+  FROM hourly
+),
+stat AS (
+  SELECT event_type, hour_idx, n_hours,
+         n_hours * prefix - t_rank * s_tot AS n_t
+  FROM scanned
+),
+picked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+             ORDER BY abs(n_t) DESC, hour_idx ASC) AS rn
+  FROM stat
+)
+SELECT event_type, hour_idx AS cp_hour_idx, CAST(n_hours AS BIGINT) AS n_hours,
+       round(CAST(n_t AS DOUBLE) / CAST(n_hours AS DOUBLE), 6) AS cusum_at_cp
+FROM picked WHERE rn = 1
+"""
+
 QUERIES = {
+    "events_cusum_changepoint": q_cusum_changepoint,
     "events_rolling_7d_active_users": q_rolling_active_users,
     "events_ewma_hourly_value": q_ewma_hourly_value,
     "events_chi2_type_hour": q_chi2_type_hour,
@@ -491,6 +577,7 @@ QUERIES = {
     "events_seasonal_naive_mase": q_seasonal_naive_mase,
 }
 ORACLES = {
+    "events_cusum_changepoint": _CUSUM_SQL,
     "events_rolling_7d_active_users": _ROLLING_SQL,
     "events_ewma_hourly_value": _EWMA_SQL,
     "events_chi2_type_hour": _CHI2_SQL,

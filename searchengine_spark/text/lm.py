@@ -192,6 +192,82 @@ def q_lm_stupid_backoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# ------------------------------ interpolated Kneser-Ney (Kneser & Ney 1995)
+
+KN_DISCOUNT = 0.75  # the standard fixed absolute discount
+KN_SALT = "lmkn"  # train/score hash split
+
+
+def kneser_ney_scores(
+    train_docs: DataFrame, score_docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, n_bigrams, n_unseen, kn_ppl): interpolated bigram
+    Kneser-Ney (Kneser & Ney 1995; Chen & Goodman 1999 eq. 4.25) —
+    the smoothing KenLM defaults to, i.e. the closest SQL-expressible
+    relative of the CCNet filter the stupid-backoff scorer
+    approximates:
+
+      P(w|v) = max(c(v,w) - D, 0)/c(v) + D*N1+(v,.)/c(v) * Pcont(w)
+      Pcont(w) = N1+(.,w) / N1+(.,.)
+
+    The continuation counts are what distinguish KN from naive
+    discounting — "York" is frequent but only ever follows "New", so
+    its continuation probability is tiny. All model tables are keyed
+    aggs over the bigram types (vocabulary-bounded); scoring is two
+    left joins, exactly the stupid-backoff shape. Unseen-w fallback:
+    Pcont floors at 1/N1+(.,.) (one smoothed unit); unseen-v backs
+    off to Pcont alone."""
+    train_bg = _doc_bigrams(train_docs, text_col=text_col)
+    pair_counts = train_bg.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    fw = pair_counts.groupBy("v").agg(
+        F.sum("c_vw").alias("c_v"), F.count(F.lit(1)).alias("n1_fw")
+    )
+    bw = pair_counts.groupBy("w").agg(F.count(F.lit(1)).alias("n1_bw"))
+    n_types = pair_counts.agg(F.count(F.lit(1)).alias("n_types"))
+
+    d = F.lit(KN_DISCOUNT)
+    bg = _doc_bigrams(score_docs, text_col=text_col)
+    joined = (
+        bg.join(pair_counts, ["v", "w"], "left")
+        .join(fw, "v", "left")
+        .join(bw, "w", "left")
+        .crossJoin(F.broadcast(n_types))
+    )
+    pcont = F.coalesce(F.col("n1_bw"), F.lit(1)).cast("double") / F.col(
+        "n_types"
+    ).cast("double")
+    seen_v = (F.col("c_vw").cast("double") - d) / F.col("c_v").cast("double") + (
+        d * F.col("n1_fw").cast("double") / F.col("c_v").cast("double")
+    ) * pcont
+    backoff_v = (
+        d * F.col("n1_fw").cast("double") / F.col("c_v").cast("double")
+    ) * pcont
+    p = F.when(F.col("c_vw").isNotNull(), seen_v).otherwise(
+        F.when(F.col("c_v").isNotNull(), backoff_v).otherwise(pcont)
+    )
+    scored = joined.select(
+        "doc_id",
+        F.col("c_vw").isNull().cast("long").alias("unseen"),
+        F.log(p).alias("lp"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        F.sum("unseen").cast("long").alias("n_unseen"),
+        F.round(F.exp(-F.avg("lp")), 6).alias("kn_ppl"),
+    )
+
+
+def q_lm_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    b = hash_bucket(F.col("doc_id"), salt=KN_SALT)
+    return kneser_ney_scores(
+        docs.filter(b < 5000), docs.filter(b >= 5000)
+    ).orderBy("doc_id")
+
+
 # ------------------------------------------------------------- queries
 
 
@@ -211,6 +287,7 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "text_lm_perplexity": q_lm_perplexity,
     "text_lm_stupid_backoff": q_lm_stupid_backoff,
+    "text_lm_kneser_ney": q_lm_kneser_ney,
 }
 
 # DuckDB twin: identical train + score over the same raw tokens.
@@ -316,7 +393,75 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+_KN_SQL = f"""
+WITH split AS (
+  SELECT *,
+         ('0x' || substr(md5('{KN_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+         % 10000 AS bk
+  FROM documents
+),
+ttoks AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text')} AS toks FROM split WHERE bk < 5000
+),
+stoks AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text')} AS toks FROM split WHERE bk >= 5000
+),
+tbg AS (
+  SELECT s.v AS v, s.w AS w FROM (
+    SELECT unnest(list_transform(
+             generate_series(0, len(toks) - 2),
+             i -> struct_pack(v := toks[i + 1], w := toks[i + 2])
+           )) AS s
+    FROM ttoks WHERE len(toks) >= 2
+  )
+),
+pair_counts AS (SELECT v, w, count(*) AS c_vw FROM tbg GROUP BY v, w),
+fw AS (
+  SELECT v, sum(c_vw) AS c_v, count(*) AS n1_fw FROM pair_counts GROUP BY v
+),
+bw AS (SELECT w, count(*) AS n1_bw FROM pair_counts GROUP BY w),
+nt AS (SELECT count(*) AS n_types FROM pair_counts),
+sbg AS (
+  SELECT doc_id, s.v AS v, s.w AS w FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             generate_series(0, len(toks) - 2),
+             i -> struct_pack(v := toks[i + 1], w := toks[i + 2])
+           )) AS s
+    FROM stoks WHERE len(toks) >= 2
+  )
+),
+scored AS (
+  SELECT sbg.doc_id,
+         CASE WHEN p.c_vw IS NULL THEN 1 ELSE 0 END AS unseen,
+         ln(
+           CASE
+             WHEN p.c_vw IS NOT NULL THEN
+               (CAST(p.c_vw AS DOUBLE) - {KN_DISCOUNT}) / CAST(f.c_v AS DOUBLE)
+               + ({KN_DISCOUNT} * CAST(f.n1_fw AS DOUBLE) / CAST(f.c_v AS DOUBLE))
+                 * (CAST(COALESCE(b.n1_bw, 1) AS DOUBLE)
+                    / CAST((SELECT n_types FROM nt) AS DOUBLE))
+             WHEN f.c_v IS NOT NULL THEN
+               ({KN_DISCOUNT} * CAST(f.n1_fw AS DOUBLE) / CAST(f.c_v AS DOUBLE))
+                 * (CAST(COALESCE(b.n1_bw, 1) AS DOUBLE)
+                    / CAST((SELECT n_types FROM nt) AS DOUBLE))
+             ELSE CAST(COALESCE(b.n1_bw, 1) AS DOUBLE)
+                  / CAST((SELECT n_types FROM nt) AS DOUBLE)
+           END
+         ) AS lp
+  FROM sbg
+  LEFT JOIN pair_counts p ON sbg.v = p.v AND sbg.w = p.w
+  LEFT JOIN fw f ON sbg.v = f.v
+  LEFT JOIN bw b ON sbg.w = b.w
+)
+SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       sum(unseen)::BIGINT AS n_unseen,
+       round(exp(-avg(lp)), 6) AS kn_ppl
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
 ORACLES = {
     "text_lm_perplexity": _LM_SQL,
     "text_lm_stupid_backoff": _SB_SQL,
+    "text_lm_kneser_ney": _KN_SQL,
 }

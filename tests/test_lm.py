@@ -111,3 +111,43 @@ def test_stupid_backoff_matches_oracle_and_backs_off(spark, sf_dir):
         name="text_lm_stupid_backoff",
     )
     df.unpersist()
+
+
+def test_kneser_ney_continuation_beats_frequency(spark):
+    # "york" appears 6x but ONLY after "new"; "the" appears 6x after
+    # 6 distinct contexts. KN continuation must score P(the) > P(york)
+    # for an unseen context, even though raw unigram counts tie.
+    from searchengine_spark.text.lm import kneser_ney_scores
+
+    train_texts = [
+        "new york " * 6,
+        "on the in the at the by the from the to the",
+    ]
+    train = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(train_texts)], "doc_id long, text string"
+    )
+    # score docs: unseen context 'zz' followed by each candidate
+    score = spark.createDataFrame(
+        [(10, "zz york"), (11, "zz the")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_scores(train, score).collect()}
+    # both transitions are unseen; lower ppl == higher probability
+    assert out[11]["kn_ppl"] < out[10]["kn_ppl"]
+    assert out[10]["n_unseen"] == 1 and out[11]["n_unseen"] == 1
+
+
+def test_kneser_ney_seen_beats_unseen(spark):
+    from searchengine_spark.text.lm import kneser_ney_scores
+
+    # one long doc of back-to-back "alpha beta gamma" sentences:
+    # (alpha,beta) is seen; (beta,alpha) never occurs
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma " * 5)], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(10, "alpha beta"), (11, "beta alpha")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in kneser_ney_scores(train, score).collect()}
+    assert out[10]["n_unseen"] == 0
+    assert out[11]["n_unseen"] == 1
+    assert out[10]["kn_ppl"] < out[11]["kn_ppl"]

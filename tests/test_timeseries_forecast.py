@@ -140,3 +140,45 @@ def test_mase_positive_on_real_data(spark, sf_dir):
         assert r["n_eval"] > 0
         assert r["mase"] is not None and r["mase"] >= 0.0
         assert 0.0 <= r["smape"] <= 2.0
+
+
+def test_cusum_finds_planted_level_shift(spark):
+    # 48 quiet hours (1 event) then 48 loud hours (5 events): the
+    # |CUSUM| peak sits exactly at the last pre-shift hour
+    from searchengine_spark.relational.timeseries import q_cusum_changepoint
+
+    rows = []
+    eid = 0
+    for h in range(96):
+        for j in range(1 if h < 48 else 5):
+            rows.append((eid, h, j))
+            eid += 1
+    pdf = pd.DataFrame(
+        {
+            "event_id": [r[0] for r in rows],
+            "ts": pd.to_datetime("2024-01-01")
+            + pd.to_timedelta([r[1] for r in rows], unit="h")
+            + pd.to_timedelta([r[2] for r in rows], unit="s"),
+            "event_type": ["view"] * len(rows),
+            "value": [1.0] * len(rows),
+        }
+    )
+    d = _write_events(spark, pdf)
+    r = q_cusum_changepoint(spark, d).collect()
+    assert len(r) == 1
+    base_hour = int(pd.Timestamp("2024-01-01").timestamp()) // 3600
+    assert r[0]["cp_hour_idx"] == base_hour + 47
+    # mean is 3: pre-shift hours each contribute -2 -> trough of -96
+    assert r[0]["cusum_at_cp"] == -96.0
+    assert r[0]["n_hours"] == 96
+
+
+def test_cusum_runs_per_type_on_real_data(spark, sf_dir):
+    from searchengine_spark.io import load_table
+    from searchengine_spark.relational.timeseries import q_cusum_changepoint
+
+    out = q_cusum_changepoint(spark, sf_dir).collect()
+    n_types = load_table(spark, sf_dir, "events").select("event_type").distinct().count()
+    assert len(out) == n_types
+    for r in out:
+        assert r["n_hours"] > 0
