@@ -266,6 +266,9 @@ HEADLINE = [
     # KenLM-default smoothing, train/score hash split).
     "events_cusum_changepoint",
     "text_lm_kneser_ney",
+    # round-10 (cont. 10): order-independent shard integrity manifest
+    # (additive md5 fold — verifiable from any partitioning).
+    "export_shard_integrity_manifest",
 ]
 
 SERVE_QUERIES = [

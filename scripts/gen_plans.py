@@ -133,6 +133,7 @@ PICKS = [
     ("mm_wav_spectral_bins", "real decode + per-row DFT folds: one Arrow-batched map stage + codegen arithmetic, zero Exchange"),
     ("events_cusum_changepoint", "one keyed count agg over events; CUSUM + argmax as integer windows over the calendar-bounded hourly frame"),
     ("text_lm_kneser_ney", "KN model = three keyed aggs over bigram types (vocab-bounded); scoring = two left joins, no window"),
+    ("export_shard_integrity_manifest", "prefix-sum shard assignment + ONE keyed agg; the additive digest fold needs no per-shard sort to verify"),
 ]
 
 

@@ -514,7 +514,73 @@ _GLOBAL_RANK_SQL = """
 """
 
 
+CHECKSUM_MOD = 1 << 61
+
+
+def q_export_shard_integrity_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard integrity manifest: (shard, n_docs, total_chars,
+    checksum) where checksum is an ORDER-INDEPENDENT fold of per-doc
+    content digests — sum of 60-bit md5 prefixes mod 2^61. A loader
+    (or a re-export on another cluster) recomputes the same manifest
+    and diffs it: any lost/duplicated/corrupted document flips its
+    shard's checksum, regardless of row order inside the shard.
+
+    Order-independence is the point: a concatenation hash would force
+    a per-shard sort just to verify; the additive fold verifies from
+    ANY partitioning (the exact-integer sums are commutative), so at
+    100 TB verification is one scan + one keyed agg. Sums ride in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — both exact well past
+    10^9 rows x 2^60 — and reduce mod 2^61 only at release."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = shard_assignments(docs, "doc_id")
+    digest = F.conv(
+        F.substring(F.md5(F.coalesce(F.col("text"), F.lit("")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("decimal(38,0)")
+    return (
+        assigned.select(
+            "shard",
+            digest.alias("digest"),
+            F.length(F.coalesce(F.col("text"), F.lit(""))).cast("bigint").alias(
+                "n_chars"
+            ),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.pmod(F.sum("digest"), F.lit(CHECKSUM_MOD).cast("decimal(38,0)"))
+            .cast("bigint")
+            .alias("checksum"),
+        )
+    )
+
+
+_MANIFEST_SQL = f"""
+    WITH h AS (
+      SELECT doc_id, COALESCE(text, '') AS t,
+             ('0x' || substr(md5('shuf' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+             % 10000 AS b
+      FROM documents
+    ), r AS (
+      SELECT t, (ROW_NUMBER() OVER (ORDER BY b, doc_id) - 1)
+                // {ROWS_PER_SHARD} AS shard
+      FROM h
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           count(*)::BIGINT AS n_docs,
+           SUM(length(t))::BIGINT AS total_chars,
+           CAST(SUM(CAST(('0x' || substr(md5(t), 1, 15))::BIGINT AS HUGEINT))
+                % {CHECKSUM_MOD} AS BIGINT) AS checksum
+    FROM r GROUP BY shard
+"""
+
+
 QUERIES = {
+    "export_shard_integrity_manifest": q_export_shard_integrity_manifest,
     "export_global_order_rank": q_export_global_order_rank,
     "export_shard_assignment": q_export_shard_assignment,
     "export_byte_budget_shards": q_export_byte_budget_shards,
@@ -522,6 +588,7 @@ QUERIES = {
     "export_length_buckets": q_export_length_buckets,
 }
 ORACLES = {
+    "export_shard_integrity_manifest": _MANIFEST_SQL,
     "export_global_order_rank": _GLOBAL_RANK_SQL,
     "export_shard_assignment": _SHARD_SQL,
     "export_byte_budget_shards": _BYTE_SHARD_SQL,

@@ -79,3 +79,68 @@ def test_byte_budget_shards_contract(spark, sf_dir):
         name="export_byte_budget_shards",
     )
     df.unpersist()
+
+
+def test_integrity_manifest_detects_corruption(spark, tmp_path):
+    """The whole point: a changed document flips exactly its shard's
+    checksum; counts/chars stay the same when lengths match."""
+    import pandas as pd
+
+    from searchengine_spark.operators.export import (
+        q_export_shard_integrity_manifest,
+    )
+
+    def write(texts, d):
+        pdf = pd.DataFrame(
+            {
+                "doc_id": range(len(texts)),
+                "text": texts,
+                "lang": ["en"] * len(texts),
+                "source": ["s"] * len(texts),
+                "n_chars": [len(t) for t in texts],
+            }
+        )
+        spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+            f"{d}/documents.parquet"
+        )
+        return {
+            r["shard"]: r
+            for r in q_export_shard_integrity_manifest(spark, str(d)).collect()
+        }
+
+    texts = [f"document number {i} body" for i in range(100)]
+    a = write(texts, tmp_path / "a")
+    corrupted = list(texts)
+    corrupted[7] = "document numbor 7 body"  # same length, one byte off
+    b = write(corrupted, tmp_path / "b")
+    assert set(a) == set(b)
+    diff = [s for s in a if a[s]["checksum"] != b[s]["checksum"]]
+    assert len(diff) == 1  # exactly the shard holding doc 7
+    same = [s for s in a if s not in diff]
+    assert all(
+        a[s]["checksum"] == b[s]["checksum"]
+        and a[s]["total_chars"] == b[s]["total_chars"]
+        for s in same
+    )
+
+
+def test_integrity_manifest_order_independent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.operators.export import (
+        q_export_shard_integrity_manifest,
+    )
+
+    a = {
+        r["shard"]: (r["n_docs"], r["total_chars"], r["checksum"])
+        for r in q_export_shard_integrity_manifest(spark, sf_dir).collect()
+    }
+    assert sum(n for n, _, _ in a.values()) > 0
+    # recompute under a different partitioning: identical manifest
+    b = {
+        r["shard"]: (r["n_docs"], r["total_chars"], r["checksum"])
+        for r in q_export_shard_integrity_manifest(spark, sf_dir)
+        .repartition(7)
+        .collect()
+    }
+    assert a == b
