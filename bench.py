@@ -269,6 +269,9 @@ HEADLINE = [
     # round-10 (cont. 10): order-independent shard integrity manifest
     # (additive md5 fold — verifiable from any partitioning).
     "export_shard_integrity_manifest",
+    # round-10 (cont. 11): the nprobe recall sweep (8 frozen-index
+    # probed searches vs brute truth — all serving cost).
+    "emb_ivf_probe_recall_curve",
 ]
 
 SERVE_QUERIES = [

@@ -630,13 +630,15 @@ FROM bstat b LEFT JOIN nstat n ON b.cell = n.cell
 
 # --------------------------------------------------------------- oracle
 
-def _ivfpq_chain(where: str = "") -> str:
+def _ivfpq_chain(where: str = "", *, search_tail: bool = True) -> str:
     """Unrolled twin CTE chain: kmeans._kmeans_ctes supplies the
     coarse part (qc components, c{ITERS} centroids, fin assignment);
     this appends the residual frame, the residual-PQ Lloyd rounds,
     the probe pick, the per-cell distance tables, and the final ADC
     `topk` CTE. ``where`` restricts the trained-on source rows (the
-    incremental-ANN twins train on the base split only)."""
+    incremental-ANN twins train on the base split only).
+    ``search_tail=False`` stops after the encoded `pcodes` CTE so a
+    caller (the probe-sweep curve) can attach its own search tail."""
     from searchengine_spark.operators.kmeans import _kmeans_ctes
 
     cN = f"c{ITERS}"
@@ -694,6 +696,24 @@ p{i} AS MATERIALIZED (
 )"""
         )
     pN = f"p{PQ_ITERS}"
+    if not search_tail:
+        parts.append(
+            f"""
+, pcodes AS MATERIALIZED (
+  SELECT vec_id, cell, m, code FROM (
+    SELECT d.vec_id, d.cell, d.m, d.code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT rq.vec_id, rq.cell, rq.m, p.code,
+             CAST(SUM((rq.v - p.c) * (rq.v - p.c)) AS BIGINT) AS dist
+      FROM rq JOIN {pN} p ON rq.m = p.m AND rq.spos = p.spos
+      GROUP BY rq.vec_id, rq.cell, rq.m, p.code
+    ) d
+  ) WHERE rn = 1
+)"""
+        )
+        return "".join(parts)
     parts.append(
         f"""
 , pcodes AS MATERIALIZED (
@@ -869,7 +889,117 @@ ORDER BY qid, adc_dist, vec_id
 """
 
 
+def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k vs n_probe for EVERY probe count 1..K — the tuning
+    curve an ANN-serving owner reads to pick the latency/recall
+    trade-off (FAISS's nprobe sweep). Each point re-runs the probed
+    ADC search with the frozen index (serving cost only — training is
+    session-cached) and counts exact hits against the brute-force
+    fixed-point truth; the whole curve is integer-exact, so the
+    driver hash-checks the measured recall at every operating point,
+    not a summary bound.
+
+    The curve is NOT forced monotone, deliberately: the candidate
+    set grows with n_probe, but ADC quantization noise can let a
+    new cell's candidate displace a true neighbor from the top-k
+    (it does at sf0.001, n_probe 3 -> 4). Surfacing that dip is the
+    audit's value — it is the signal to raise PQ bits, not probes."""
+    from searchengine_spark.operators.pq import _sq_dist
+
+    codes, cents, codebooks = _cached(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = emb.select(
+        F.col("vec_id"), fixed_point_vec("embedding").alias("qvec")
+    )
+    qv = [
+        int(v)
+        for v in quant.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["qvec"]
+    ]
+    qlit = F.array(*[F.lit(v) for v in qv])
+    brute = (
+        quant.filter(F.col("vec_id") != PQ_QUERY_ID)
+        .select("vec_id", _sq_dist(F.col("qvec"), qlit).alias("dist"))
+        .orderBy("dist", "vec_id")
+        .limit(PQ_K)
+        .select("vec_id")
+        .cache()
+    )
+    codes = codes.cache()
+    rows = []
+    for n in range(1, K + 1):
+        hits = ivfpq_search(
+            codes, cents, codebooks, qv, n_probe=n, exclude_id=PQ_QUERY_ID
+        ).select("vec_id")
+        rows.append((n, PQ_K, brute.join(hits, "vec_id", "left_semi").count()))
+    return spark.createDataFrame(
+        rows, "n_probe int, k bigint, n_caught bigint"
+    )
+
+
+def _probe_curve_sql() -> str:
+    head = _ivfpq_chain(search_tail=False)
+    cN = f"c{ITERS}"
+    pN = f"p{PQ_ITERS}"
+    shared = f"""
+, cellrank AS (
+  SELECT cluster, ROW_NUMBER() OVER (ORDER BY d, cluster) AS rnk FROM (
+    SELECT c.cluster, CAST(SUM((qc.v - c.c) * (qc.v - c.c)) AS BIGINT) AS d
+    FROM {cN} c JOIN qc ON qc.pos = c.pos AND qc.vec_id = {PQ_QUERY_ID}
+    GROUP BY c.cluster
+  )
+),
+qres_all AS (
+  SELECT c.cluster AS cell,
+         CAST(qc.pos // {SUB_DIM} AS INTEGER) AS m,
+         CAST(qc.pos % {SUB_DIM} AS INTEGER) AS spos,
+         qc.v - c.c AS v
+  FROM qc JOIN {cN} c ON c.pos = qc.pos
+  WHERE qc.vec_id = {PQ_QUERY_ID}
+),
+dt_all AS (
+  SELECT q.cell, p.m, p.code,
+         CAST(SUM((q.v - p.c) * (q.v - p.c)) AS BIGINT) AS d
+  FROM qres_all q JOIN {pN} p ON p.m = q.m AND p.spos = q.spos
+  GROUP BY q.cell, p.m, p.code
+),
+brute AS (
+  SELECT a.vec_id FROM (
+    SELECT a.vec_id, CAST(SUM((a.v - qq.v) * (a.v - qq.v)) AS BIGINT) AS dist
+    FROM qc a JOIN qc qq ON qq.vec_id = {PQ_QUERY_ID} AND qq.pos = a.pos
+    WHERE a.vec_id <> {PQ_QUERY_ID}
+    GROUP BY a.vec_id
+  ) a
+  ORDER BY dist, vec_id
+  LIMIT {PQ_K}
+)"""
+    point_ctes = []
+    point_rows = []
+    for n in range(1, K + 1):
+        point_ctes.append(
+            f"""
+, topk_{n} AS (
+  SELECT pc.vec_id
+  FROM pcodes pc
+  JOIN dt_all dt ON dt.cell = pc.cell AND dt.m = pc.m AND dt.code = pc.code
+  WHERE pc.vec_id <> {PQ_QUERY_ID}
+    AND pc.cell IN (SELECT cluster FROM cellrank WHERE rnk <= {n})
+  GROUP BY pc.vec_id
+  ORDER BY CAST(SUM(dt.d) AS BIGINT), pc.vec_id
+  LIMIT {PQ_K}
+)"""
+        )
+        point_rows.append(
+            f"SELECT {n} AS n_probe, CAST({PQ_K} AS BIGINT) AS k,"
+            f" (SELECT CAST(COUNT(*) AS BIGINT)"
+            f"  FROM brute b JOIN topk_{n} t ON b.vec_id = t.vec_id) AS n_caught"
+        )
+    return head + shared + "".join(point_ctes) + "\n" + "\nUNION ALL\n".join(
+        point_rows
+    )
+
+
 QUERIES = {
+    "emb_ivf_probe_recall_curve": q_ivf_probe_recall_curve,
     "emb_ivfpq_topk": q_ivfpq_topk,
     "emb_ivfpq_recall_audit": q_ivfpq_recall_audit,
     "emb_ivfpq_batch_topk": q_ivfpq_batch_topk,
@@ -877,6 +1007,7 @@ QUERIES = {
     "ann_ivf_append_drift_audit": q_ivf_append_drift_audit,
 }
 ORACLES = {
+    "emb_ivf_probe_recall_curve": _probe_curve_sql(),
     "emb_ivfpq_topk": _ivfpq_sql(),
     "emb_ivfpq_recall_audit": _ivfpq_recall_sql(),
     "emb_ivfpq_batch_topk": _ivfpq_batch_sql(),

@@ -264,3 +264,25 @@ def test_stream_neardup_catches_planted_duplicate(spark, tmp_path_factory):
         d,
         name="stream_neardup_replay_planted",
     )
+
+
+# ---------------------------------------------- probe-sweep recall curve
+
+def test_probe_recall_curve_shape(spark, sf_dir):
+    """The CANDIDATE set grows with n_probe, but top-k recall under
+    ADC need not be monotone — a quantization-noise candidate from a
+    newly probed cell can displace a true neighbor from the top-k
+    (observed at sf0.001: 3 hits at n_probe=3, 2 at n_probe=4).
+    Pin the true invariants: full coverage of 1..K, bounded counts,
+    and a best point no worse than the single-probe point."""
+    from searchengine_spark.operators.ivfpq import K, PQ_K
+
+    rows = sorted(
+        all_queries()["emb_ivf_probe_recall_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["n_probe"],
+    )
+    assert [r["n_probe"] for r in rows] == list(range(1, K + 1))
+    caught = [r["n_caught"] for r in rows]
+    assert all(0 <= c <= PQ_K for c in caught)
+    assert max(caught) >= caught[0] > 0
+    assert rows[0]["k"] == PQ_K
