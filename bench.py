@@ -272,6 +272,9 @@ HEADLINE = [
     # round-10 (cont. 11): the nprobe recall sweep (8 frozen-index
     # probed searches vs brute truth — all serving cost).
     "emb_ivf_probe_recall_curve",
+    # round-10 (cont. 12): pre-experiment power analysis (MDE at the
+    # current n; required n for a 10% lift) from exact integer sums.
+    "events_ab_power_mde",
 ]
 
 SERVE_QUERIES = [

@@ -328,12 +328,150 @@ FROM (SELECT * FROM per_g WHERE treated) t,
 """
 
 
+# ---------------------------------------------- power analysis / MDE
+
+# Standard-normal quantiles, Python-computed once and embedded as
+# literals in both engines (the transcendental-constant convention).
+Z_ALPHA_2 = 1.959963984540054  # two-sided alpha = 0.05
+Z_BETA = 0.8416212335729143  # power = 0.8
+POWER_TARGET_REL_MDE = 0.10  # sizing target: detect a 10% lift
+
+
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power analysis for the repo's A/B readout: given the observed
+    per-user metric variance under the derandomized assignment, (a)
+    the minimum detectable effect at the CURRENT sample size
+    (alpha=0.05 two-sided, power=0.8) and (b) the per-arm sample size
+    a 10%-lift experiment would need. This is the question asked
+    BEFORE shipping an experiment; the z-test/CUPED/bootstrap family
+    answers the one after.
+
+    mde = (z_a/2 + z_b) * sqrt(var_A/n_A + var_B/n_B);
+    n_per_arm = ceil((z_a/2 + z_b)^2 * (var_A + var_B) / (rel*mean_A)^2).
+
+    Determinism: per-user cents sums and their squares are exact
+    bigints; variances are the identical final scalar formula in both
+    engines; sqrt/ceil are exact IEEE ops; z-quantiles are shared
+    Python literals. Scale shape: one scan -> user-keyed agg ->
+    2-row variant fold -> 1-row release."""
+    from searchengine_spark.operators.sampling import hash_bucket
+    from searchengine_spark.relational.events import CUPED_SALT
+
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    per_user = (
+        ev.select("user_id", F.coalesce(cents, F.lit(0)).alias("c"))
+        .groupBy("user_id")
+        .agg(F.sum("c").alias("y"))
+        .withColumn(
+            "variant",
+            F.when(
+                hash_bucket(F.col("user_id"), n_buckets=2, salt=CUPED_SALT) == 0,
+                F.lit("A"),
+            ).otherwise(F.lit("B")),
+        )
+    )
+    per_var = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    a = per_var.filter(F.col("variant") == "A").select(
+        F.col("n").alias("n_a"), F.col("sy").alias("sy_a"), F.col("syy").alias("syy_a")
+    )
+    b = per_var.filter(F.col("variant") == "B").select(
+        F.col("n").alias("n_b"), F.col("sy").alias("sy_b"), F.col("syy").alias("syy_b")
+    )
+    z = F.lit(Z_ALPHA_2 + Z_BETA)
+
+    def var_of(sy, syy, n):
+        nd = F.col(n).cast("double")
+        return (
+            F.col(syy).cast("double")
+            - F.col(sy).cast("double") * F.col(sy).cast("double") / nd
+        ) / (nd - F.lit(1.0))
+
+    joined = a.crossJoin(b).select(
+        "n_a",
+        "n_b",
+        (F.col("sy_a").cast("double") / F.col("n_a").cast("double")).alias(
+            "mean_a_cents"
+        ),
+        var_of("sy_a", "syy_a", "n_a").alias("var_a"),
+        var_of("sy_b", "syy_b", "n_b").alias("var_b"),
+    )
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a").cast("double")
+        + F.col("var_b") / F.col("n_b").cast("double")
+    )
+    mde_abs = z * se
+    target = F.lit(POWER_TARGET_REL_MDE) * F.col("mean_a_cents")
+    n_req = F.ceil(
+        z * z * (F.col("var_a") + F.col("var_b")) / (target * target)
+    ).cast("bigint")
+    return joined.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("mean_a_cents") / F.lit(100.0), 6).alias("mean_a"),
+        F.round(mde_abs / F.lit(100.0), 6).alias("mde_abs"),
+        F.round(mde_abs / F.col("mean_a_cents"), 6).alias("mde_rel"),
+        n_req.alias("n_per_arm_for_10pct"),
+    )
+
+
+def _power_sql() -> str:
+    from searchengine_spark.relational.events import CUPED_SALT
+
+    z = repr(Z_ALPHA_2 + Z_BETA)
+    return f"""
+WITH per_user AS (
+  SELECT user_id, SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS y
+  FROM events GROUP BY user_id
+),
+tagged AS (
+  SELECT y,
+         CASE WHEN ('0x' || substr(md5('{CUPED_SALT}' || CAST(user_id AS VARCHAR)),
+                    1, 15))::BIGINT % 2 = 0 THEN 'A' ELSE 'B' END AS variant
+  FROM per_user
+),
+per_var AS (
+  SELECT variant, count(*)::BIGINT AS n, SUM(y) AS sy, SUM(y * y) AS syy
+  FROM tagged GROUP BY variant
+),
+j AS (
+  SELECT a.n AS n_a, b.n AS n_b,
+         CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE) AS mean_a_cents,
+         (CAST(a.syy AS DOUBLE)
+            - CAST(a.sy AS DOUBLE) * CAST(a.sy AS DOUBLE) / CAST(a.n AS DOUBLE))
+           / (CAST(a.n AS DOUBLE) - 1.0) AS var_a,
+         (CAST(b.syy AS DOUBLE)
+            - CAST(b.sy AS DOUBLE) * CAST(b.sy AS DOUBLE) / CAST(b.n AS DOUBLE))
+           / (CAST(b.n AS DOUBLE) - 1.0) AS var_b
+  FROM (SELECT * FROM per_var WHERE variant = 'A') a,
+       (SELECT * FROM per_var WHERE variant = 'B') b
+)
+SELECT n_a, n_b,
+       round(mean_a_cents / 100.0, 6) AS mean_a,
+       round('{z}'::DOUBLE * sqrt(var_a / CAST(n_a AS DOUBLE)
+             + var_b / CAST(n_b AS DOUBLE)) / 100.0, 6) AS mde_abs,
+       round('{z}'::DOUBLE * sqrt(var_a / CAST(n_a AS DOUBLE)
+             + var_b / CAST(n_b AS DOUBLE)) / mean_a_cents, 6) AS mde_rel,
+       CAST(ceil('{z}'::DOUBLE * '{z}'::DOUBLE * (var_a + var_b)
+            / (({POWER_TARGET_REL_MDE} * mean_a_cents)
+               * ({POWER_TARGET_REL_MDE} * mean_a_cents))) AS BIGINT)
+         AS n_per_arm_for_10pct
+FROM j
+"""
+
+
 QUERIES = {
     "events_bootstrap_ci": q_events_bootstrap_ci,
     "events_did_estimate": q_events_did,
+    "events_ab_power_mde": q_events_ab_power,
 }
 
 ORACLES = {
     "events_bootstrap_ci": _bootstrap_sql(),
     "events_did_estimate": _did_sql(),
+    "events_ab_power_mde": _power_sql(),
 }

@@ -154,3 +154,63 @@ def test_bootstrap_plan_is_single_scan(spark, sf_dir):
     # events table against a replicate table, no window
     assert "SortMergeJoin" not in plan
     assert "Window" not in plan
+
+
+def test_ab_power_planted_known_variance(spark, tmp_path):
+    """Two users per variant with hand-computable sums: verify the
+    MDE formula end to end against a pure-Python recomputation."""
+    import math
+
+    import pandas as pd
+
+    from searchengine_spark.operators.sampling import hash_bucket
+    from searchengine_spark.relational.events import CUPED_SALT
+    from searchengine_spark.relational.experiment import (
+        Z_ALPHA_2,
+        Z_BETA,
+        q_events_ab_power,
+    )
+    from pyspark.sql import functions as F
+
+    # find user ids landing on each side of the md5 coin
+    probe = spark.createDataFrame([(i,) for i in range(40)], "user_id long")
+    sides = {
+        r["user_id"]: r["v"]
+        for r in probe.select(
+            "user_id",
+            hash_bucket(F.col("user_id"), n_buckets=2, salt=CUPED_SALT).alias("v"),
+        ).collect()
+    }
+    a_users = [u for u, v in sides.items() if v == 0][:2]
+    b_users = [u for u, v in sides.items() if v == 1][:2]
+    vals = {a_users[0]: 10.0, a_users[1]: 20.0, b_users[0]: 12.0, b_users[1]: 28.0}
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(4),
+            "ts": pd.to_datetime(["2024-01-01"] * 4),
+            "user_id": list(vals),
+            "event_type": ["view"] * 4,
+            "value": list(vals.values()),
+        }
+    )
+    d = str(tmp_path)
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(f"{d}/events.parquet")
+    r = q_events_ab_power(spark, d).collect()[0]
+    assert r["n_a"] == 2 and r["n_b"] == 2
+    # hand recompute in cents
+    va = ((1000 - 1500) ** 2 + (2000 - 1500) ** 2) / 1.0
+    vb = ((1200 - 2000) ** 2 + (2800 - 2000) ** 2) / 1.0
+    mde = (Z_ALPHA_2 + Z_BETA) * math.sqrt(va / 2 + vb / 2) / 100.0
+    assert abs(r["mde_abs"] - round(mde, 6)) < 1e-9
+    assert r["mean_a"] == 15.0
+    assert r["n_per_arm_for_10pct"] >= 1
+
+
+def test_ab_power_real_data_sanity(spark, sf_dir):
+    from searchengine_spark.relational.experiment import q_events_ab_power
+
+    r = q_events_ab_power(spark, sf_dir).collect()[0]
+    assert r["n_a"] > 0 and r["n_b"] > 0
+    assert r["mde_abs"] > 0 and 0 < r["mde_rel"]
+    # more users than the fixture -> detecting 10% needs more than we have
+    assert r["n_per_arm_for_10pct"] > 0
