@@ -382,6 +382,12 @@ def build_scaled(spark, factor: int) -> str:
     li = shifted_union(lineitem, "l_orderkey", factor)
     o.write.mode("overwrite").parquet(os.path.join(out, "orders.parquet"))
     li.write.mode("overwrite").parquet(os.path.join(out, "lineitem.parquet"))
+    # customer for the privacy-side soak (t-closeness): each copy adds
+    # disjoint key mass with identical QI/band distributions, so the
+    # audit's grid is fixed while its input rows scale.
+    customer = load_table(spark, BASE, "customer")
+    c = shifted_union(customer, "c_custkey", factor)
+    c.write.mode("overwrite").parquet(os.path.join(out, "customer.parquet"))
     open(os.path.join(out, "_OK"), "w").close()
     return out
 
