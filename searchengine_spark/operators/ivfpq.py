@@ -46,7 +46,6 @@ from searchengine_spark.operators.kmeans import (
     TRAIN_SAMPLE_TARGET,
     _assign,
     _lloyd_driver,
-    _update_centroids,
     fixed_point_vec,
     train_sample_filter,
     train_sample_mod,
@@ -61,7 +60,6 @@ from searchengine_spark.operators.pq import (
     SUB_DIM,
     _assign_codes,
     _pq_lloyd_driver,
-    _update_codebooks,
     adc_distance_table,
 )
 
