@@ -41,6 +41,8 @@ _MODULES = (
     "relational.tpch_extra",
     "relational.events",
     "relational.experiment",
+    "relational.survival",
+    "relational.stats_tests",
     "relational.timeseries",
     "relational.warehouse",
     "relational.advanced",
