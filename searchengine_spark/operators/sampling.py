@@ -421,7 +421,70 @@ def q_stratified_exact(spark, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+K_FOLDS = 5
+KFOLD_SALT = "fold"
+
+
+def kfold_assign(df: DataFrame, id_col: str, *, k: int = K_FOLDS,
+                 salt: str = KFOLD_SALT) -> DataFrame:
+    """Adds `fold` in [0, k) by hashed id — the cross-validation
+    counterpart of train_val_test_split: stable under repartition and
+    append, and a different salt yields an independent fold system."""
+    return df.withColumn("fold", hash_bucket(F.col(id_col), n_buckets=k, salt=salt))
+
+
+def q_kfold_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-fold size + stratification audit for the k-fold assignment
+    on documents: each fold's doc count, its per-source chi-square
+    balance statistic vs the source's global share (expected count =
+    source_total / k), and the count of the fold's worst source.
+
+    A skewed fold means the hash is correlated with a stratum — the
+    audit every CV split should ship with. One keyed agg to
+    (fold, source) cells, marginals via windows over the k x |sources|
+    cell table (domain-bounded), chi-square from exact integer counts.
+    """
+    from pyspark.sql import Window
+
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = (
+        kfold_assign(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("fold", "source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w_src = Window.partitionBy("source")
+    with_exp = cells.withColumn(
+        "exp",
+        F.sum("n").over(w_src).cast("double") / F.lit(float(K_FOLDS)),
+    ).withColumn(
+        "chi_term",
+        (F.col("n").cast("double") - F.col("exp"))
+        * (F.col("n").cast("double") - F.col("exp"))
+        / F.col("exp"),
+    )
+    return (
+        with_exp.groupBy("fold")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+            F.round(
+                F.sum(F.col("chi_term").cast("decimal(28,6)")).cast("double"),
+                6,
+            ).alias("chi2_balance"),
+            F.max(F.struct(F.col("chi_term"), F.col("source")))["source"].alias(
+                "worst_source"
+            ),
+        )
+        .orderBy("fold")
+    )
+
+
 QUERIES = {
+    "sample_kfold_balance": q_kfold_balance,
     "sample_aes_weighted_topn": q_aes_weighted_topn,
     "sample_stratified_exact": q_stratified_exact,
     "split_leakage_safe": q_leakage_safe_split,
@@ -433,7 +496,28 @@ QUERIES = {
 
 from searchengine_spark.operators.dedup import _CLUSTERS_SQL as _DEDUP_CLUSTERS_SQL  # noqa: E402
 
+_KFOLD_SQL = """
+WITH cells AS (
+  SELECT (('0x' || substr(md5('fold' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5) AS fold, source, count(*)::BIGINT AS n
+  FROM documents GROUP BY 1, 2
+), exp_ AS (
+  SELECT fold, source, n,
+         (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / 5.0)
+         * (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / 5.0)
+         / (CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / 5.0) AS chi_term
+  FROM cells
+)
+SELECT fold, CAST(SUM(n) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS n_sources,
+       round(CAST(SUM(CAST(chi_term AS DECIMAL(28,6))) AS DOUBLE), 6)
+         AS chi2_balance,
+       max(struct_pack(c := chi_term, s := source)).s AS worst_source
+FROM exp_
+GROUP BY fold ORDER BY fold
+"""
+
 ORACLES = {
+    "sample_kfold_balance": _KFOLD_SQL,
     "sample_aes_weighted_topn": f"""
         SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
                round(ln((('0x' || substr(md5('{AES_SALT}'

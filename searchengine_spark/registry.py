@@ -37,6 +37,7 @@ _MODULES = (
     "index.keywords",
     "index.mmr",
     "index.ltr",
+    "index.bm25f",
     "relational.tpch",
     "relational.tpch_extra",
     "relational.events",

@@ -566,7 +566,128 @@ SELECT event_type, hour_idx AS cp_hour_idx, CAST(n_hours AS BIGINT) AS n_hours,
 FROM picked WHERE rn = 1
 """
 
+
+
+# ------------------------------------------------- Holt linear trend
+
+HOLT_ALPHA = 0.5  # level smoothing
+HOLT_BETA = 0.3  # trend smoothing
+_HOLT_1MA = 1.0 - HOLT_ALPHA  # baked complements: the two engines
+_HOLT_1MB = 1.0 - HOLT_BETA  # must fold the SAME doubles, and
+# 1.0 - 0.3 is NOT the same double as a literal 0.7
+HOLT_HORIZONS = (1, 2, 3)
+
+
+def q_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend exponential smoothing over the global
+    hourly value series, with 1/2/3-hour-ahead forecasts and the
+    in-sample one-step MAE.
+
+    The EWMA query above truncates its recursion into a fixed lag
+    window (fine for a level-only smoother); Holt's trend recursion
+    has no such finite expansion, so this query embraces the
+    sequential fold — which is safe exactly because the series is
+    DOMAIN-bounded: hours in the corpus time span (720 for a 30-day
+    corpus; ~9k for a year), never row count. Shape: one keyed
+    hourly aggregate (integer cents — order-independent partials),
+    collect the <= |hours| points into a sorted array in a 1-row
+    frame, and fold once with `aggregate()`. The DuckDB twin runs
+    the IDENTICAL recursion as a recursive CTE: same literals, same
+    expression shapes, so every intermediate double matches and the
+    outputs hash-check without tolerance.
+
+    Init (standard): l_1 = y_1, b_1 = y_2 - y_1; recursion from t=2:
+    l_t = a*y_t + (1-a)*(l+b); b_t = g*(l_t - l) + (1-g)*b. Output
+    is in dollars (cents / 100 at the very end)."""
+    ev = load_table(spark, sf_dir, "events")
+    hour = exact_floor_div(event_time_seconds(ev, "ts"), 3600)
+    cents = F.coalesce(F.round(F.col("value") * 100).cast("bigint"), F.lit(0))
+    hourly = ev.groupBy(hour.alias("h")).agg(F.sum(cents).alias("c"))
+    arr = hourly.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("h"), F.col("c").cast("double").alias("y"))
+            )
+        ).alias("a")
+    )
+    a = F.col("a")
+    al, one_ma = F.lit(HOLT_ALPHA), F.lit(_HOLT_1MA)
+    be, one_mb = F.lit(HOLT_BETA), F.lit(_HOLT_1MB)
+    init = F.struct(
+        F.element_at(a, 1)["y"].alias("l"),
+        (F.element_at(a, 2)["y"] - F.element_at(a, 1)["y"]).alias("b"),
+        F.lit(0.0).alias("sae"),
+    )
+
+    def step(acc, x):
+        pred = acc["l"] + acc["b"]
+        l2 = al * x["y"] + one_ma * pred
+        b2 = be * (l2 - acc["l"]) + one_mb * acc["b"]
+        return F.struct(
+            l2.alias("l"),
+            b2.alias("b"),
+            (acc["sae"] + F.abs(x["y"] - pred)).alias("sae"),
+        )
+
+    folded = F.aggregate(F.slice(a, 2, F.size(a) - 1), init, step)
+    n = F.size(a).cast("bigint")
+    out = [
+        n.alias("n_hours"),
+        F.round(folded["l"] / F.lit(100.0), 6).alias("level"),
+        F.round(folded["b"] / F.lit(100.0), 6).alias("trend"),
+        F.round(
+            folded["sae"] / (n - 1).cast("double") / F.lit(100.0), 6
+        ).alias("one_step_mae"),
+    ]
+    for h in HOLT_HORIZONS:
+        out.append(
+            F.round(
+                (folded["l"] + F.lit(float(h)) * folded["b"]) / F.lit(100.0), 6
+            ).alias(f"fc_{h}h")
+        )
+    return arr.select(*out)
+
+
+_L2 = f"{HOLT_ALPHA!r} * s.y + {_HOLT_1MA!r} * (r.l + r.b)"
+_HOLT_SQL = f"""
+WITH RECURSIVE hourly AS (
+  SELECT epoch_us(ts) // 1000000 // 3600 AS h,
+         CAST(SUM(COALESCE(CAST(round(value * 100) AS BIGINT), 0)) AS BIGINT)
+           AS c
+  FROM events GROUP BY 1
+), s AS (
+  SELECT CAST(row_number() OVER (ORDER BY h) AS BIGINT) AS idx,
+         CAST(c AS DOUBLE) AS y
+  FROM hourly
+), nn AS (
+  SELECT CAST(max(idx) AS BIGINT) AS n FROM s
+), r AS (
+  SELECT CAST(2 AS BIGINT) AS i,
+         (SELECT y FROM s WHERE idx = 1) AS l,
+         (SELECT y FROM s WHERE idx = 2) - (SELECT y FROM s WHERE idx = 1)
+           AS b,
+         CAST(0.0 AS DOUBLE) AS sae
+  UNION ALL
+  SELECT r.i + 1,
+         {_L2},
+         {HOLT_BETA!r} * (({_L2}) - r.l) + {_HOLT_1MB!r} * r.b,
+         r.sae + abs(s.y - (r.l + r.b))
+  FROM r JOIN s ON s.idx = r.i
+)
+SELECT nn.n AS n_hours,
+       round(r.l / 100.0, 6) AS level,
+       round(r.b / 100.0, 6) AS trend,
+       round(r.sae / CAST(nn.n - 1 AS DOUBLE) / 100.0, 6) AS one_step_mae,
+       {", ".join(
+           f"round((r.l + {float(h)!r} * r.b) / 100.0, 6) AS fc_{h}h"
+           for h in HOLT_HORIZONS
+       )}
+FROM r, nn
+WHERE r.i = nn.n + 1
+"""
+
 QUERIES = {
+    "events_holt_forecast": q_holt_forecast,
     "events_cusum_changepoint": q_cusum_changepoint,
     "events_rolling_7d_active_users": q_rolling_active_users,
     "events_ewma_hourly_value": q_ewma_hourly_value,
@@ -577,6 +698,7 @@ QUERIES = {
     "events_seasonal_naive_mase": q_seasonal_naive_mase,
 }
 ORACLES = {
+    "events_holt_forecast": _HOLT_SQL,
     "events_cusum_changepoint": _CUSUM_SQL,
     "events_rolling_7d_active_users": _ROLLING_SQL,
     "events_ewma_hourly_value": _EWMA_SQL,

@@ -182,3 +182,58 @@ def test_cusum_runs_per_type_on_real_data(spark, sf_dir):
     assert len(out) == n_types
     for r in out:
         assert r["n_hours"] > 0
+
+
+def test_holt_recovers_exact_linear_trend(spark):
+    # y_t = 1000 + 50t cents: Holt with l1=y1, b1=y2-y1 tracks a noise-
+    # free linear series exactly -> every one-step error is 0 and the
+    # forecasts continue the line.
+    import datetime as dt
+
+    from searchengine_spark.relational.timeseries import q_holt_forecast
+
+    t0 = dt.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(24),
+            "ts": [t0 + dt.timedelta(hours=h) for h in range(24)],
+            "user_id": [1] * 24,
+            "event_type": ["view"] * 24,
+            "value": [(1000 + 50 * h) / 100.0 for h in range(24)],
+            "props": ["{}"] * 24,
+        }
+    )
+    d = _write_events(spark, pdf)
+    r = q_holt_forecast(spark, d).collect()[0]
+    assert r.n_hours == 24
+    assert r.one_step_mae == 0.0
+    assert r.level == (1000 + 50 * 23) / 100.0
+    assert r.trend == 0.5
+    assert r.fc_1h == r.level + 0.5
+    assert r.fc_3h == r.level + 1.5
+
+
+def test_holt_parity_on_planted_series(spark):
+    import datetime as dt
+
+    from searchengine_spark.relational.timeseries import _HOLT_SQL, q_holt_forecast
+    from tests.helpers import assert_matches_oracle
+
+    t0 = dt.datetime(2024, 1, 1)
+    # deterministic bumpy series exercises every branch of the fold
+    vals = [10.0 + (h * 37 % 11) - (h % 3) * 2.5 for h in range(48)]
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(48),
+            "ts": [t0 + dt.timedelta(hours=h) for h in range(48)],
+            "user_id": [h % 5 for h in range(48)],
+            "event_type": ["view"] * 48,
+            "value": vals,
+            "props": ["{}"] * 48,
+        }
+    )
+    d = _write_events(spark, pdf)
+    df = q_holt_forecast(spark, d)
+    assert_matches_oracle(df, _HOLT_SQL, d, "events_holt_forecast planted")
+    r = df.collect()[0]
+    assert r.one_step_mae > 0.0
