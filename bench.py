@@ -275,6 +275,23 @@ HEADLINE = [
     # round-10 (cont. 12): pre-experiment power analysis (MDE at the
     # current n; required n for a 10% lift) from exact integer sums.
     "events_ab_power_mde",
+    # round-10 (cont. 13): survival/distribution statistics — the KM
+    # time-to-conversion curve (two keyed per-user aggs + a domain-
+    # bounded product fold), the two-sample KS over the value ECDF
+    # (two-level bucket prefix sum), and BH-FDR over per-type z-tests
+    # (baked normal-quantile literals).
+    "events_survival_km",
+    "events_ks_variant",
+    "events_bh_fdr",
+    # round-10 (cont. 14): Holt linear-trend forecast (sequential fold
+    # over the domain-bounded hour array) and the k-fold CV
+    # stratification audit (one keyed agg + domain-bounded cells).
+    "events_holt_forecast",
+    "sample_kfold_balance",
+    # round-10 (cont. 15): BM25F field-weighted scoring (single
+    # posexplode, shared-k1 saturation, idf reused from the cached
+    # index).
+    "se_bm25f_topk",
 ]
 
 SERVE_QUERIES = [

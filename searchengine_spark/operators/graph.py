@@ -318,11 +318,120 @@ def q_bfs_contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """(node, rank_fp): random-walk-with-restart scores — PageRank
+    whose teleport mass lands ONLY on ``seeds`` (topic-sensitive
+    PageRank, Haveliwala 2002, public). Same hash-provable scaled-
+    integer arithmetic as pagerank_fixed_point; the only structural
+    change is that the restart base is per-node (seed or zero), so it
+    rides a broadcast-joined frame instead of a constant column.
+    ``edges`` must be symmetric; ``seeds`` must be non-empty (one
+    column ``node``)."""
+    from searchengine_spark.operators.dedup import _cut_lineage
+
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+    ed = edges.join(deg, "src").persist()
+    try:
+        ns = seeds.agg(F.count(F.lit(1)).alias("ns"))
+        bases = (
+            deg.select(F.col("src").alias("node"))
+            .join(seeds.select("node", F.lit(1).alias("_s")), "node", "left")
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "node",
+                F.when(
+                    F.col("_s") == 1,
+                    F.expr(
+                        f"({DAMP_DEN - DAMP_NUM} * cast({scale} as bigint))"
+                        f" div ({DAMP_DEN} * ns)"
+                    ),
+                )
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("base"),
+                F.when(
+                    F.col("_s") == 1,
+                    F.expr(f"cast({scale} as bigint) div ns"),
+                )
+                .otherwise(F.lit(0).cast("bigint"))
+                .alias("r0"),
+            )
+            .persist()
+        )
+        ranks = bases.select("node", F.col("r0").alias("r"))
+        for _ in range(iters):
+            contribs = (
+                ed.join(ranks, ed.src == ranks.node)
+                .select("dst", F.expr("r div deg").alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("s"))
+            )
+            ranks = (
+                bases.join(contribs, bases.node == contribs.dst, "left")
+                .select(
+                    bases.node,
+                    (
+                        F.col("base")
+                        + F.expr(
+                            f"({DAMP_NUM} * coalesce(s, cast(0 as bigint)))"
+                            f" div {DAMP_DEN}"
+                        )
+                    ).alias("r"),
+                )
+            )
+        out = _cut_lineage(ranks.select("node", F.col("r").alias("rank_fp")))
+        return out
+    finally:
+        ed.unpersist()
+        deg.unpersist()
+
+
+def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination INFLUENCE over the near-dup graph: random-walk-
+    with-restart from the same flagged seed set as the BFS blast
+    radius. BFS answers "how far can the flag hop" (hard cutoff at
+    the hop bound); RWR answers "how much of a flagged neighborhood's
+    mass reaches this doc" — mass decays geometrically with distance
+    and accumulates across multiple contamination paths, which is the
+    graded score a quarantine policy thresholds on. Same capped
+    candidate graph and md5 seed flag as dedup_bfs_contamination_hops;
+    the oracle unrolls the restart iterations as CTEs."""
+    from searchengine_spark.operators.dedup import (
+        _shingles,
+        minhash_bands,
+        neardup_candidate_pairs,
+    )
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    edges = symmetrize(pairs)
+    seeds = (
+        edges.select("src")
+        .distinct()
+        .filter(
+            hash_bucket(F.col("src"), n_buckets=BFS_SEED_MOD, salt=BFS_SEED_SALT)
+            == 0
+        )
+        .select(F.col("src").alias("node"))
+    )
+    return personalized_pagerank(edges, seeds).select(
+        F.col("node").alias("doc_id"), "rank_fp"
+    )
+
+
 QUERIES = {
     "dedup_pagerank_centrality": q_pagerank_centrality,
     "dedup_eigenvector_centrality": q_eigenvector_centrality,
     "dedup_triangle_counts": q_triangle_counts,
     "dedup_bfs_contamination_hops": q_bfs_contamination_hops,
+    "dedup_personalized_pagerank": q_personalized_pagerank,
 }
 
 
@@ -448,9 +557,65 @@ def _bfs_oracle(iters: int = BFS_HOPS) -> str:
     )
 
 
+
+
+def _ppr_oracle(iters: int = PR_ITERS, scale: int = PR_SCALE) -> str:
+    from searchengine_spark.operators.dedup import _BANDS_CTE, _CAPPED_CAND_CTE
+
+    head = f"""{_BANDS_CTE}{_CAPPED_CAND_CTE},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM cand
+      UNION
+      SELECT doc_b AS src, doc_a AS dst FROM cand
+    ),
+    deg AS (SELECT src, COUNT(*)::BIGINT AS deg FROM edges GROUP BY src),
+    seeds AS (
+      SELECT src AS node FROM deg
+      WHERE (('0x' || substr(md5('{BFS_SEED_SALT}' || CAST(src AS VARCHAR)), 1, 15))::BIGINT
+             % {BFS_SEED_MOD}) = 0
+    ),
+    ns AS (SELECT COUNT(*)::BIGINT AS ns FROM seeds),
+    bases AS (
+      SELECT d.src AS node,
+             CASE WHEN s.node IS NOT NULL
+                  THEN ({DAMP_DEN - DAMP_NUM}::BIGINT * {scale}::BIGINT)
+                       // ({DAMP_DEN}::BIGINT * ns.ns)
+                  ELSE 0::BIGINT END AS base,
+             CASE WHEN s.node IS NOT NULL
+                  THEN {scale}::BIGINT // ns.ns
+                  ELSE 0::BIGINT END AS r0
+      FROM deg d LEFT JOIN seeds s ON d.src = s.node CROSS JOIN ns
+    ),
+    r0 AS (SELECT node, r0 AS r FROM bases)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(
+            f""",
+    s{i} AS (
+      SELECT e.dst AS node, CAST(SUM(p.r // d.deg) AS BIGINT) AS s
+      FROM edges e
+      JOIN r{i - 1} p ON e.src = p.node
+      JOIN deg d ON e.src = d.src
+      GROUP BY e.dst
+    ),
+    r{i} AS (
+      SELECT b.node,
+             b.base + ({DAMP_NUM}::BIGINT * COALESCE(s.s, 0::BIGINT))
+               // {DAMP_DEN}::BIGINT AS r
+      FROM bases b LEFT JOIN s{i} s ON b.node = s.node
+    )"""
+        )
+    return (
+        head
+        + "".join(steps)
+        + f"\n    SELECT node AS doc_id, CAST(r AS BIGINT) AS rank_fp FROM r{iters}"
+    )
+
+
 ORACLES = {
     "dedup_pagerank_centrality": _oracle(),
     "dedup_eigenvector_centrality": _ec_oracle(),
     "dedup_triangle_counts": _triangle_oracle(),
     "dedup_bfs_contamination_hops": _bfs_oracle(),
+    "dedup_personalized_pagerank": _ppr_oracle(),
 }

@@ -124,3 +124,65 @@ def test_bfs_seed_stays_zero_on_cycle(spark):
     seeds = spark.createDataFrame([(0,)], "node long")
     out = {r["node"]: r["hops"] for r in bfs_hops(symmetrize(pairs), seeds).collect()}
     assert out == {0: 0, 1: 1, 2: 1}
+
+
+def test_personalized_pagerank_matches_integer_reference(spark):
+    # exact Python replica of the scaled-integer recursion on a path
+    # 0-1-2-3-4 seeded at node 0 (3 iterations — NOT converged, so
+    # this pins the arithmetic, not an asymptotic property)
+    from searchengine_spark.operators.graph import (
+        DAMP_DEN,
+        DAMP_NUM,
+        PR_ITERS,
+        personalized_pagerank,
+    )
+
+    path = _pairs(spark, [(i, i + 1) for i in range(4)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    r = {
+        row["node"]: row["rank_fp"]
+        for row in personalized_pagerank(symmetrize(path), seeds).collect()
+    }
+
+    adj = {0: [1], 1: [0, 2], 2: [1, 3], 3: [2, 4], 4: [3]}
+    base = {v: ((DAMP_DEN - DAMP_NUM) * PR_SCALE) // DAMP_DEN if v == 0 else 0 for v in adj}
+    ref = {v: PR_SCALE if v == 0 else 0 for v in adj}
+    for _ in range(PR_ITERS):
+        nxt = {}
+        for v in adj:
+            s = sum(ref[u] // len(adj[u]) for u in adj if v in adj[u])
+            nxt[v] = base[v] + (DAMP_NUM * s) // DAMP_DEN
+        ref = nxt
+    assert r == ref
+    assert r[0] > 0 and r[4] >= 0
+
+
+def test_personalized_pagerank_seedless_node_gets_no_teleport(spark):
+    from searchengine_spark.operators.graph import personalized_pagerank
+
+    # two disconnected edges; the seed sits on one component — the
+    # other component must end at exactly zero (no teleport, no path)
+    pairs = _pairs(spark, [(0, 1), (2, 3)])
+    seeds = spark.createDataFrame([(0,)], "node long")
+    r = {
+        row["node"]: row["rank_fp"]
+        for row in personalized_pagerank(symmetrize(pairs), seeds).collect()
+    }
+    assert r[0] > 0 and r[1] > 0
+    assert r[2] == 0 and r[3] == 0
+
+
+def test_personalized_pagerank_multi_seed_additivity_of_support(spark):
+    from searchengine_spark.operators.graph import personalized_pagerank
+
+    # star 0-{1..5}; seeds on two leaves: the hub bridges them, and
+    # non-seed leaves still receive mass only through the hub
+    pairs = _pairs(spark, [(0, i) for i in range(1, 6)])
+    seeds = spark.createDataFrame([(1,), (2,)], "node long")
+    r = {
+        row["node"]: row["rank_fp"]
+        for row in personalized_pagerank(symmetrize(pairs), seeds).collect()
+    }
+    assert r[1] == r[2], "symmetric seeds tie exactly"
+    assert r[0] > r[3] > 0, "hub beats non-seed leaves; mass still spreads"
+    assert r[3] == r[4] == r[5]
