@@ -136,6 +136,14 @@ PICKS = [
     ("export_shard_integrity_manifest", "prefix-sum shard assignment + ONE keyed agg; the additive digest fold needs no per-shard sort to verify"),
     ("emb_ivf_probe_recall_curve", "8 probed ADC searches on the frozen cached index: membership filter + table lookup + TakeOrdered each — serving cost only"),
     ("events_ab_power_mde", "one scan -> user-keyed cents agg -> 2-row variant fold -> 1-row release; z-quantiles are shared Python literals"),
+    # round-10 (session 3)
+    ("events_survival_km", "KM curve: two user-keyed aggs; risk-set suffix sum + product fold run over the horizon-bounded curve frame only"),
+    ("events_ks_variant", "KS ECDF: per-cents counts, then the two-level bucket prefix sum — offsets window over $10 buckets, in-bucket cumsum partitioned"),
+    ("events_bh_fdr", "BH step-up: one type-keyed integer-moment agg; rank/step windows over the |event_type|-row frame; baked quantile literals"),
+    ("events_holt_forecast", "Holt fold: one hour-keyed cents agg -> sorted array in a 1-row frame -> single aggregate() pass; zero joins"),
+    ("sample_kfold_balance", "fold x source cells in one keyed agg; expected counts via a source-partitioned window over the k*|sources| cell frame"),
+    ("se_bm25f_topk", "BM25F: ONE posexplode (field = position predicate), term-filtered before the (doc,word) agg; idf broadcast from the cached index; TakeOrderedAndProject"),
+    ("dedup_personalized_pagerank", "restart PageRank: same per-round src-keyed join + dst sum as PageRank; per-node teleport base joined from a broadcast seed frame"),
 ]
 
 

@@ -250,6 +250,22 @@ QUERIES = (
     # KN scoring: model tables are bigram-TYPE-bounded — watch that
     # cost tracks vocabulary, not corpus tokens, under replication.
     "text_lm_kneser_ney",
+    # round-10 (session 3) shapes: KM survival (two per-user keyed
+    # aggs; the curve/product fold is horizon-bounded so the tail
+    # must stay flat), the KS ECDF (distinct-cents table is value-
+    # grid-bounded — watch the two-level prefix sum stay flat-ish),
+    # Holt's fold (hours are FIXED under replication — must be flat
+    # after the hourly agg), restart-PageRank (join-per-round over
+    # the capped graph, like the other centralities), BM25F (token-
+    # linear posexplode + tf join), and two keyed-agg canaries
+    # (k-fold balance, BH-FDR moments).
+    "events_survival_km",
+    "events_ks_variant",
+    "events_holt_forecast",
+    "dedup_personalized_pagerank",
+    "se_bm25f_topk",
+    "sample_kfold_balance",
+    "events_bh_fdr",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
