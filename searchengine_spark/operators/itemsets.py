@@ -112,7 +112,90 @@ def q_frequent_pairs(spark, sf_dir: str) -> DataFrame:
     return frequent_pairs(docs, items=items)
 
 
-QUERIES = {"text_frequent_pairs": q_frequent_pairs}
+
+
+MIN_CONFIDENCE = 0.6
+RULES_TOP = 50
+
+
+def association_rules(
+    docs: DataFrame,
+    *,
+    min_support: int = MIN_SUPPORT,
+    min_confidence: float = MIN_CONFIDENCE,
+    items: DataFrame | None = None,
+) -> DataFrame:
+    """Directed rules (antecedent -> consequent) from the frequent
+    pairs: confidence = P(consequent | antecedent) = n_pair / n_ante,
+    lift shared with the undirected pair. The classic market-basket
+    readout on top of the a-priori mining above — each frequent pair
+    yields at most two rules, so this adds ZERO new joins over the
+    corpus: it reruns the pair pipeline and re-broadcasts the
+    (vocabulary-bounded) item dfs to direct the rules."""
+    doc_items = items if items is not None else doc_items_frame(docs)
+    item_df = doc_items.groupBy("w").agg(F.count(F.lit(1)).alias("n_item"))
+    freq = item_df.filter(F.col("n_item") >= min_support)
+    pruned = doc_items.join(F.broadcast(freq.select("w")), "w")
+
+    a, b = pruned.alias("a"), pruned.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.w") < F.col("b.w")),
+        )
+        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_support)
+    )
+    directed = pairs.selectExpr(
+        "w1 AS ante", "w2 AS cons", "n_pair"
+    ).unionByName(pairs.selectExpr("w2 AS ante", "w1 AS cons", "n_pair"))
+
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    dfa = freq.select(F.col("w").alias("ante"), F.col("n_item").alias("n_a"))
+    dfc = freq.select(F.col("w").alias("cons"), F.col("n_item").alias("n_c"))
+    conf = F.col("n_pair").cast("double") / F.col("n_a").cast("double")
+    return (
+        directed.join(F.broadcast(dfa), "ante")
+        .join(F.broadcast(dfc), "cons")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("confidence", conf)
+        .filter(F.col("confidence") >= min_confidence)
+        .select(
+            "ante",
+            "cons",
+            "n_pair",
+            F.round("confidence", 6).alias("confidence"),
+            F.round(
+                F.col("n_pair").cast("double")
+                * F.col("n_docs")
+                / (F.col("n_a") * F.col("n_c")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("confidence"), F.asc("ante"), F.asc("cons"))
+        .limit(RULES_TOP)
+    )
+
+
+def q_association_rules(spark, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import session_cached
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    items = session_cached(
+        spark,
+        "itemsets_doc_items",
+        sf_dir,
+        lambda: doc_items_frame(docs).cache(),
+    )
+    return association_rules(docs, items=items)
+
+
+QUERIES = {
+    "text_frequent_pairs": q_frequent_pairs,
+    "text_association_rules": q_association_rules,
+}
 
 ORACLES = {
     "text_frequent_pairs": f"""
@@ -140,5 +223,41 @@ ORACLES = {
         FROM pairs
         JOIN freq fa ON fa.w = pairs.w1
         JOIN freq fb ON fb.w = pairs.w2, nd
+    """,
+    "text_association_rules": f"""
+        WITH items AS (
+          SELECT DISTINCT doc_id, unnest({sql_tokens_expr("text")}) AS w
+          FROM documents
+        ),
+        freq AS (
+          SELECT w, COUNT(*) AS n_item FROM items
+          GROUP BY w HAVING COUNT(*) >= {MIN_SUPPORT}
+        ),
+        fitems AS (
+          SELECT i.doc_id, i.w FROM items i JOIN freq USING (w)
+        ),
+        pairs AS (
+          SELECT a.w AS w1, b.w AS w2, COUNT(*) AS n_pair
+          FROM fitems a JOIN fitems b
+            ON a.doc_id = b.doc_id AND a.w < b.w
+          GROUP BY 1, 2 HAVING COUNT(*) >= {MIN_SUPPORT}
+        ),
+        directed AS (
+          SELECT w1 AS ante, w2 AS cons, n_pair FROM pairs
+          UNION ALL
+          SELECT w2 AS ante, w1 AS cons, n_pair FROM pairs
+        ),
+        nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+        SELECT ante, cons, n_pair,
+               round(CAST(n_pair AS DOUBLE) / CAST(fa.n_item AS DOUBLE), 6)
+                 AS confidence,
+               round(CAST(n_pair AS DOUBLE) * n_docs / (fa.n_item * fc.n_item),
+                     6) AS lift
+        FROM directed
+        JOIN freq fa ON fa.w = directed.ante
+        JOIN freq fc ON fc.w = directed.cons, nd
+        WHERE CAST(n_pair AS DOUBLE) / CAST(fa.n_item AS DOUBLE)
+              >= {MIN_CONFIDENCE}
+        ORDER BY confidence DESC, ante ASC, cons ASC LIMIT {RULES_TOP}
     """,
 }

@@ -99,6 +99,7 @@ _MODULES = (
     "text.drift",
     "text.blocklist",
     "text.intradoc",
+    "text.vocab_stats",
     "sources.versioned",
     "streaming.replay",
     "pipeline",
