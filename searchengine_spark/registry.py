@@ -44,6 +44,7 @@ _MODULES = (
     "relational.experiment",
     "relational.survival",
     "relational.stats_tests",
+    "relational.conformal",
     "relational.timeseries",
     "relational.warehouse",
     "relational.advanced",
