@@ -222,6 +222,77 @@ def q_quality_calibrated(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_percentile_by_source(load_table(spark, sf_dir, "documents"))
 
 
+
+
+def quantile_normalize_by_source(docs: DataFrame) -> DataFrame:
+    """Quantile-normalize the quality signal ACROSS sources: each
+    document's within-source rank percentile is mapped to the GLOBAL
+    score distribution's value at that percentile.
+
+    Per-source percent_rank (quality_percentile_by_source) makes
+    thresholds comparable but destroys the score scale; quantile
+    normalization (standard in cross-batch calibration) keeps a real
+    score AND removes the per-source distribution shift: after it,
+    every source's score histogram is (a subsample of) the global
+    one, so one global threshold is simultaneously fair per-source
+    and meaningful in score units.
+
+    Exact distributed construction — no interpolation, no floats in
+    the mapping: within-source RANK r of n_s (ties share), target
+    global index idx = ((r-1) * (N-1)) div (n_s-1) (exact integer
+    rational), and the normalized score is the global sorted
+    multiset's value at idx (ties in the global ROW_NUMBER order
+    carry equal values, so the value at an index is well-defined).
+    Both rank passes run through the audited two-level
+    distributed_rank; the mapping is ONE equi-join on idx.
+    """
+    from searchengine_spark.operators.dedup import _cut_lineage
+    from searchengine_spark.operators.distrank import distributed_rank
+
+    sig = gopher_gate(docs.select("doc_id", "text")).select(
+        "doc_id", "distinct_frac"
+    )
+    joined = _cut_lineage(sig.join(docs.select("doc_id", "source"), "doc_id"))
+    bucket = F.least(F.lit(4095), F.floor(F.col("distinct_frac") * 4096)).cast(
+        "bigint"
+    )
+    ranked = distributed_rank(
+        joined,
+        ["source"],
+        [F.asc("distinct_frac")],
+        bucket,
+        rank_name="_r",
+        group_count_name="_gn",
+        method="rank",
+        pre_partition=True,
+    )
+    glob = distributed_rank(
+        joined,
+        [],
+        [F.asc("distinct_frac"), F.asc("doc_id")],
+        bucket,
+        rank_name="_g",
+    ).select(
+        (F.col("_g") - 1).alias("_gidx"),
+        F.col("distinct_frac").alias("norm_score"),
+    )
+    n = joined.agg(F.count(F.lit(1)).alias("_n"))
+    idx = F.when(
+        F.col("_gn") > 1,
+        F.expr("((_r - 1) * (_n - 1)) div (_gn - 1)"),
+    ).otherwise(F.lit(0)).cast("bigint")
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .withColumn("_gidx", idx)
+        .join(glob, "_gidx")
+        .select("doc_id", "source", "distinct_frac", "norm_score")
+    )
+
+
+def q_quality_quantile_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return quantile_normalize_by_source(load_table(spark, sf_dir, "documents"))
+
+
 def top_bigram_repetition(docs: DataFrame) -> DataFrame:
     """Per-document most-frequent word bigram and the fraction of the
     document's word characters it accounts for (Gopher's
@@ -343,6 +414,7 @@ QUERIES = {
     "text_top_bigram_repetition": q_top_bigram_repetition,
     "text_dup_ngram_char_frac": q_dup_ngram_char_fraction,
     "text_quality_calibrated": q_quality_calibrated,
+    "text_quality_quantile_normalized": q_quality_quantile_normalized,
 }
 
 ORACLES = {
@@ -387,6 +459,37 @@ ORACLES = {
         SELECT doc_id, source, distinct_frac, quality_pct,
                quality_pct >= {CALIBRATED_KEEP_PCT} AS keep
         FROM j
+    """,
+    "text_quality_quantile_normalized": f"""
+        WITH base AS (
+          SELECT doc_id, {_RAW_TOK_SQL} AS toks FROM documents
+        ), sig AS (
+          SELECT doc_id,
+                 round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_frac
+          FROM base WHERE len(toks) > 0
+        ), j AS (
+          SELECT s.doc_id, d.source, s.distinct_frac
+          FROM sig s JOIN documents d ON s.doc_id = d.doc_id
+        ), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM j),
+        src AS (
+          SELECT doc_id, source, distinct_frac,
+                 CAST(rank() OVER (PARTITION BY source
+                                   ORDER BY distinct_frac) AS BIGINT) AS r,
+                 CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS gn
+          FROM j
+        ), gq AS (
+          SELECT distinct_frac AS norm_score,
+                 CAST(row_number() OVER (ORDER BY distinct_frac, doc_id) - 1
+                      AS BIGINT) AS gidx
+          FROM j
+        )
+        SELECT s.doc_id, s.source, s.distinct_frac, g.norm_score
+        FROM src s
+        CROSS JOIN nn
+        JOIN gq g
+          ON g.gidx = CASE WHEN s.gn > 1
+                           THEN ((s.r - 1) * (nn.n - 1)) // (s.gn - 1)
+                           ELSE 0 END
     """,
     "text_dup_ngram_char_frac": f"""
         WITH toked AS (
