@@ -565,12 +565,116 @@ def _hard_negatives_oracle_sql() -> str:
     """
 
 
+
+
+def mutual_nn_pairs(
+    embeddings: DataFrame,
+    *,
+    dim: int,
+    n_planes: int = N_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Reciprocal-nearest-neighbor pairs: (a, b) where b is a's
+    nearest LSH-bucket candidate AND a is b's — the SemDeDup-style
+    refinement that keeps only the tightest duplicate links (a hub
+    vector near many others produces ONE mutual link, not a star).
+
+    Scale shape: the directed candidate set is the same bucket
+    equi-join as embedding_neardup_pairs (never O(n^2)); the per-
+    vector nearest is a groupBy-argmax via struct max (no window —
+    rank-1 needs no sort); the mutual filter is one self-join of the
+    |vectors|-sized NN table on the reversed key. The argmax compares
+    the ROUNDED cosine (6dp, the repo's cross-engine float contract)
+    with the smaller candidate id breaking ties deterministically.
+    """
+    idx = build_ann_index(
+        embeddings, dim=dim, id_col=id_col, vec_col=vec_col, n_planes=n_planes
+    )
+    left = idx.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("vec_a"), "bucket"
+    )
+    right = idx.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vec_b"), "bucket"
+    )
+    cand = (
+        left.join(right, "bucket")
+        .filter(F.col("id_a") != F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine_expr(F.col("vec_a"), F.col("vec_b")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    nn = cand.groupBy("id_a").agg(
+        F.max(F.struct(F.col("cosine"), (-F.col("id_b")).alias("_nid")))
+        .alias("_best")
+    ).select(
+        "id_a",
+        (-F.col("_best._nid")).alias("nn_id"),
+        F.col("_best.cosine").alias("cosine"),
+    )
+    rev = nn.select(
+        F.col("id_a").alias("nn_id"), F.col("nn_id").alias("id_a")
+    )
+    return (
+        nn.join(rev, ["id_a", "nn_id"], "left_semi")
+        .filter(F.col("id_a") < F.col("nn_id"))
+        .select("id_a", F.col("nn_id").alias("id_b"), "cosine")
+    )
+
+
+def q_mutual_nn_pairs(spark, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mutual_nn_pairs(emb, dim=EMB_DIM)
+
+
+def _mutual_nn_oracle_sql() -> str:
+    planes = _planes(EMB_DIM, N_PLANES)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, {p}::DOUBLE[]) > 0 THEN {v} ELSE 0 END)".format(
+            p=[float(c) for c in plane], v=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {bits} AS bucket
+          FROM embeddings
+        ), cand AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                 round(list_dot_product(l.e, r.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(r.e, r.e))), 6) AS cosine
+          FROM b l JOIN b r
+            ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+        ), nn AS (
+          SELECT id_a, id_b AS nn_id, cosine FROM (
+            SELECT id_a, id_b, cosine,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY cosine DESC, id_b ASC) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        )
+        SELECT x.id_a, x.nn_id AS id_b, x.cosine
+        FROM nn x JOIN nn y ON y.id_a = x.nn_id AND y.nn_id = x.id_a
+        WHERE x.id_a < x.nn_id
+    """
+
+
 QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
+    "emb_mutual_nn_pairs": q_mutual_nn_pairs,
     "ann_embedding_neardup": q_embedding_neardup,
     "emb_hard_negatives": q_hard_negatives,
 }
 ORACLES: dict[str, str] = {
+    "emb_mutual_nn_pairs": _mutual_nn_oracle_sql(),
     "ann_embedding_neardup": _neardup_oracle_sql(),
     "emb_hard_negatives": _hard_negatives_oracle_sql(),
     "ann_ivf_topk": f"""

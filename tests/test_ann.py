@@ -246,3 +246,28 @@ def test_hard_negatives_query_matches_oracle(spark, sf_dir):
         sf_dir,
         "emb_hard_negatives",
     )
+
+
+def test_mutual_nn_collapses_identical_triple_to_one_link(spark):
+    # three identical vectors + one identical pair elsewhere: the
+    # triple's NN graph is a star on the smallest id (tie-break), so
+    # exactly ONE mutual link survives; the pair is mutual by
+    # construction
+    from searchengine_spark.operators.ann import mutual_nn_pairs
+
+    rows = [
+        (0, [1.0, 2.0, 3.0, 4.0], 0),
+        (1, [1.0, 2.0, 3.0, 4.0], 0),
+        (2, [1.0, 2.0, 3.0, 4.0], 0),
+        (3, [-4.0, 3.0, -2.0, 1.0], 1),
+        (4, [-4.0, 3.0, -2.0, 1.0], 1),
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in mutual_nn_pairs(emb, dim=4).collect()
+    }
+    assert set(out) == {(0, 1), (3, 4)}
+    assert out[(0, 1)] == 1.0 and out[(3, 4)] == 1.0
