@@ -579,7 +579,121 @@ _MANIFEST_SQL = f"""
 """
 
 
+
+
+REBAL_FROM, REBAL_TO = 8, 9
+REBAL_SALT = "rebal"
+
+
+def _rdv_hash(id_col, slot: int):
+    """Rendezvous weight of (row, slot): first 60 bits of
+    md5('rdv<slot>#' || id) — same digest family as hash_bucket."""
+    s = F.concat(F.lit(f"rdv{slot}#"), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+
+
+def _rdv_shard(id_col, n: int):
+    return F.array_max(
+        F.array(
+            *[
+                F.struct(_rdv_hash(id_col, s).alias("h"), F.lit(s).alias("s"))
+                for s in range(n)
+            ]
+        )
+    )["s"]
+
+
+def q_export_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-resize churn audit: what fraction of rows MOVE when the
+    shard count grows REBAL_FROM -> REBAL_TO, under (a) mod-hash
+    placement and (b) rendezvous / highest-random-weight placement
+    (Thaler & Ravishankar 1996, public — the consistent-hashing
+    family memcached/Ceph-style stores use).
+
+    Mod-hash reshuffles ~n/(n+1) of all rows on a resize (every
+    residue class moves); rendezvous moves EXACTLY the rows whose new
+    slot's weight beats their previous max — 1/(n+1) in expectation —
+    because per-slot weights are independent of n. For a 100 TB
+    export feeding resumable training, that is the difference between
+    re-shipping the whole dataset and re-shipping one shard's worth.
+
+    Map-only over doc ids + one 1-row aggregate; both placements are
+    pure md5 integer arithmetic (exact twins)."""
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    placed = docs.select(
+        hash_bucket(F.col("doc_id"), n_buckets=REBAL_FROM, salt=REBAL_SALT)
+        .alias("mod_a"),
+        hash_bucket(F.col("doc_id"), n_buckets=REBAL_TO, salt=REBAL_SALT)
+        .alias("mod_b"),
+        _rdv_shard(F.col("doc_id"), REBAL_FROM).alias("rdv_a"),
+        _rdv_shard(F.col("doc_id"), REBAL_TO).alias("rdv_b"),
+    )
+    agg = placed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("mod_a") != F.col("mod_b")).cast("long")).alias("mv_mod"),
+        F.sum((F.col("rdv_a") != F.col("rdv_b")).cast("long")).alias("mv_rdv"),
+    )
+    stacked = agg.selectExpr(
+        "n",
+        "stack(2, 'mod', mv_mod, 'rendezvous', mv_rdv)"
+        " AS (scheme, n_moved)",
+    )
+    return stacked.select(
+        "scheme",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("n_moved").cast("bigint").alias("n_moved"),
+        F.round(
+            F.col("n_moved").cast("double") / F.col("n").cast("double"), 6
+        ).alias("moved_frac"),
+    ).orderBy("scheme")
+
+
+def _rebalance_sql() -> str:
+    def rdv(n: int) -> str:
+        items = ", ".join(
+            f"struct_pack(h := ('0x' || substr(md5('rdv{s}#' ||"
+            f" CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, s := {s})"
+            for s in range(n)
+        )
+        return f"list_max([{items}]).s"
+
+    def mod(n: int) -> str:
+        return (
+            f"(('0x' || substr(md5('{REBAL_SALT}' ||"
+            f" CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {n})"
+        )
+
+    return f"""
+        WITH placed AS (
+          SELECT {mod(REBAL_FROM)} AS mod_a, {mod(REBAL_TO)} AS mod_b,
+                 {rdv(REBAL_FROM)} AS rdv_a, {rdv(REBAL_TO)} AS rdv_b
+          FROM documents
+        ), agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN mod_a <> mod_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mv_mod,
+                 CAST(SUM(CASE WHEN rdv_a <> rdv_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS mv_rdv
+          FROM placed
+        )
+        SELECT scheme, n AS n_docs, n_moved,
+               round(CAST(n_moved AS DOUBLE) / CAST(n AS DOUBLE), 6)
+                 AS moved_frac
+        FROM (
+          SELECT n, 'mod' AS scheme, mv_mod AS n_moved FROM agg
+          UNION ALL
+          SELECT n, 'rendezvous' AS scheme, mv_rdv AS n_moved FROM agg
+        )
+        ORDER BY scheme
+    """
+
+
 QUERIES = {
+    "export_rebalance_audit": q_export_rebalance_audit,
     "export_shard_integrity_manifest": q_export_shard_integrity_manifest,
     "export_global_order_rank": q_export_global_order_rank,
     "export_shard_assignment": q_export_shard_assignment,
@@ -588,6 +702,7 @@ QUERIES = {
     "export_length_buckets": q_export_length_buckets,
 }
 ORACLES = {
+    "export_rebalance_audit": _rebalance_sql(),
     "export_shard_integrity_manifest": _MANIFEST_SQL,
     "export_global_order_rank": _GLOBAL_RANK_SQL,
     "export_shard_assignment": _SHARD_SQL,

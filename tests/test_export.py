@@ -144,3 +144,32 @@ def test_integrity_manifest_order_independent(spark, sf_dir):
         .collect()
     }
     assert a == b
+
+
+def test_rebalance_rendezvous_moves_only_to_the_new_shard(spark, sf_dir):
+    # defining property of rendezvous hashing: on n -> n+1, a row
+    # moves IFF the new slot's weight beats its previous max — so
+    # every moved row lands on the NEW shard
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.export import (
+        REBAL_FROM,
+        REBAL_TO,
+        _rdv_shard,
+        q_export_rebalance_audit,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    placed = docs.select(
+        _rdv_shard(F.col("doc_id"), REBAL_FROM).alias("a"),
+        _rdv_shard(F.col("doc_id"), REBAL_TO).alias("b"),
+    )
+    moved = placed.filter(F.col("a") != F.col("b"))
+    assert moved.filter(F.col("b") != REBAL_TO - 1).count() == 0
+
+    out = {r.scheme: r for r in q_export_rebalance_audit(spark, sf_dir).collect()}
+    # theory bands: mod ~ n/(n+1) = 0.889, rendezvous ~ 1/(n+1) = 0.111
+    assert out["mod"].moved_frac > 0.75
+    assert 0.05 < out["rendezvous"].moved_frac < 0.2
+    assert out["rendezvous"].n_moved < out["mod"].n_moved
