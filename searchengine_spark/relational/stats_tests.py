@@ -350,11 +350,103 @@ FROM star
 ORDER BY z_rank
 """
 
+
+
+MEDIAN_Z = 1.959964  # Phi^-1(0.975), baked (same literal family as events.py Z_CRIT)
+
+
+def q_events_median_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact median of the event value with a distribution-free 95%
+    confidence interval from order statistics: ranks N/2 -+
+    z*sqrt(N)/2 (the binomial argument — P(X_(lo) <= median <=
+    X_(hi)) >= 0.95 with NO distributional assumption; normal
+    approximation to the binomial quantile, standard for large N).
+
+    The companion to events_bootstrap_ci (mean) and privacy_dp_
+    quantile (private): the robust-location readout. Rank selection
+    happens WITHOUT a global sort: per-cents counts, cumulative
+    counts via ordered aggregation over the distinct-cents table
+    (value-grid-bounded, same argument as the KS ECDF), then each
+    target rank's value is min(c | cum >= rank) — three conditional
+    1-row aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(_cents(F.col("value")).alias("c"))
+    per_v = rows.groupBy("c").agg(F.count(F.lit(1)).alias("cnt"))
+    cum_win = (
+        Window.orderBy("c").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = per_v.withColumn("cum", F.sum("cnt").over(cum_win))
+    n1 = rows.agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    half_w = F.lit(MEDIAN_Z) * F.sqrt(nd) / F.lit(2.0)
+    ranks = n1.select(
+        "n",
+        F.greatest(F.lit(1), F.floor(nd / 2.0 - half_w).cast("bigint")).alias(
+            "r_lo"
+        ),
+        F.ceil(nd / 2.0).cast("bigint").alias("r_med"),
+        F.least(F.col("n"), F.ceil(nd / 2.0 + half_w).cast("bigint")).alias(
+            "r_hi"
+        ),
+    )
+    sel = cum.crossJoin(F.broadcast(ranks))
+
+    def value_at(rank_col: str):
+        return F.min(F.when(F.col("cum") >= F.col(rank_col), F.col("c")))
+
+    return sel.agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.round(value_at("r_med").cast("double") / F.lit(100.0), 6).alias(
+            "median"
+        ),
+        F.round(value_at("r_lo").cast("double") / F.lit(100.0), 6).alias(
+            "ci_lo"
+        ),
+        F.round(value_at("r_hi").cast("double") / F.lit(100.0), 6).alias(
+            "ci_hi"
+        ),
+    )
+
+
+_MEDIAN_SQL = f"""
+WITH rows_ AS (
+  SELECT COALESCE(CAST(round(value * 100) AS BIGINT), 0) AS c FROM events
+), per_v AS (
+  SELECT c, CAST(COUNT(*) AS BIGINT) AS cnt FROM rows_ GROUP BY c
+), cum AS (
+  SELECT c, SUM(cnt) OVER (ORDER BY c ROWS UNBOUNDED PRECEDING) AS cum
+  FROM per_v
+), nn AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM per_v
+), ranks AS (
+  SELECT n,
+         GREATEST(1, CAST(FLOOR(CAST(n AS DOUBLE) / 2.0
+             - {MEDIAN_Z!r} * SQRT(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+           AS r_lo,
+         CAST(CEIL(CAST(n AS DOUBLE) / 2.0) AS BIGINT) AS r_med,
+         LEAST(n, CAST(CEIL(CAST(n AS DOUBLE) / 2.0
+             + {MEDIAN_Z!r} * SQRT(CAST(n AS DOUBLE)) / 2.0) AS BIGINT))
+           AS r_hi
+  FROM nn
+)
+SELECT MAX(n) AS n_events,
+       round(CAST(MIN(CASE WHEN cum >= r_med THEN c END) AS DOUBLE) / 100.0, 6)
+         AS median,
+       round(CAST(MIN(CASE WHEN cum >= r_lo THEN c END) AS DOUBLE) / 100.0, 6)
+         AS ci_lo,
+       round(CAST(MIN(CASE WHEN cum >= r_hi THEN c END) AS DOUBLE) / 100.0, 6)
+         AS ci_hi
+FROM cum, ranks
+"""
+
+
 QUERIES = {
+    "events_median_ci": q_events_median_ci,
     "events_ks_variant": q_events_ks_variant,
     "events_bh_fdr": q_events_bh_fdr,
 }
 ORACLES = {
+    "events_median_ci": _MEDIAN_SQL,
     "events_ks_variant": _KS_SQL,
     "events_bh_fdr": _BH_SQL,
 }

@@ -110,3 +110,32 @@ def test_bh_null_rejects_nothing(spark, sf_dir):
     # BH step-up contiguity: rejections (if any) are a prefix of ranks
     flags = [r.rejected for r in sorted(rows, key=lambda r: r.z_rank)]
     assert flags == sorted(flags, reverse=True)
+
+
+def test_median_ci_planted_exact(spark, tmp_path_factory):
+    import math
+
+    from searchengine_spark.relational.stats_tests import MEDIAN_Z
+
+    ts = datetime(2024, 1, 1)
+    # values 1..100 dollars: median = value at rank 50; CI ranks from
+    # the normal-approx binomial bound, replicated exactly
+    rows = [(i, ts, i, "view", float(i + 1), "{}") for i in range(100)]
+    d = _plant(spark, tmp_path_factory, rows, "medci")
+    r = QUERIES["events_median_ci"](spark, d).collect()[0]
+    n = 100
+    half = MEDIAN_Z * math.sqrt(n) / 2.0
+    r_lo = max(1, math.floor(n / 2 - half))
+    r_med = math.ceil(n / 2)
+    r_hi = min(n, math.ceil(n / 2 + half))
+    assert r.n_events == n
+    assert r.median == float(r_med)
+    assert r.ci_lo == float(r_lo)
+    assert r.ci_hi == float(r_hi)
+    assert r.ci_lo < r.median < r.ci_hi
+    assert_matches_oracle(
+        QUERIES["events_median_ci"](spark, d),
+        ORACLES["events_median_ci"],
+        d,
+        "events_median_ci planted",
+    )
