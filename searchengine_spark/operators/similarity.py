@@ -271,8 +271,116 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = cosine distance to its OWN label centroid, b = cosine
+    distance to the NEAREST OTHER centroid, s = (b - a) / max(a, b);
+    report the per-label mean and the count of negative-s vectors
+    (closer to a foreign class than their own — mislabel candidates
+    as a per-LABEL health number, where sim_centroid_outliers flags
+    per-VECTOR noise).
+
+    Kaufman & Rousseeuw's full silhouette needs all pairwise
+    distances (O(n^2)); the centroid form (standard at scale) is
+    O(n * |labels|): the exploded component frame joins ALL label
+    centroids on pos — a |labels|-bounded fan-out, the same shape as
+    the per-label centroid audit, never vector x vector.
+
+    Float discipline: identical to sim_centroid_outliers (9-decimal
+    centroid means, 12-decimal rounded products into DECIMAL(28,12)
+    sums, cosine rounded to 6 BEFORE any comparison); s is computed
+    from rounded-6 a/b, the per-label mean folds DECIMAL(28,6)-cast
+    s values (order-independent)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
+    ).withColumn("vd", F.col("v").cast("double"))
+    dec = "decimal(28,12)"
+    centroid = comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("vd").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    cn = centroid.groupBy("label").agg(
+        F.sqrt(
+            F.sum(F.round(F.col("c") * F.col("c"), 12).cast(dec)).cast("double")
+        ).alias("cnorm")
+    )
+    cents = centroid.select(
+        F.col("label").alias("label_c"), "pos", "c"
+    )
+    dots = (
+        comp.join(F.broadcast(cents), "pos")
+        .groupBy("vec_id", "label", "label_c")
+        .agg(
+            F.sum(F.round(F.col("vd") * F.col("c"), 12).cast(dec))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    vv = comp.groupBy("vec_id").agg(
+        F.sum(F.round(F.col("vd") * F.col("vd"), 12).cast(dec))
+        .cast("double")
+        .alias("vv")
+    )
+    cosd = (
+        dots.join(vv, "vec_id")
+        .join(
+            F.broadcast(cn.select(F.col("label").alias("label_c"), "cnorm")),
+            "label_c",
+        )
+        .filter(F.col("vv") > 0)
+        .select(
+            "vec_id",
+            "label",
+            "label_c",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("vv")) * F.col("cnorm")), 6
+            ).alias("cos_c"),
+        )
+    )
+    ab = cosd.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("label_c"), F.col("cos_c"))).alias(
+            "cos_own"
+        ),
+        F.max(F.when(F.col("label") != F.col("label_c"), F.col("cos_c"))).alias(
+            "cos_other"
+        ),
+    )
+    a = F.lit(1.0) - F.col("cos_own")
+    b = F.lit(1.0) - F.col("cos_other")
+    sil = F.round(
+        F.when(F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)).otherwise(
+            F.lit(0.0)
+        ),
+        6,
+    )
+    return (
+        ab.filter(F.col("cos_other").isNotNull())
+        .withColumn("s", sil)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.round(
+                F.sum(F.col("s").cast("decimal(28,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_silhouette"),
+            F.sum((F.col("s") < 0).cast("long")).cast("bigint").alias(
+                "n_negative"
+            ),
+        )
+        .orderBy("label")
+    )
+
+
 QUERIES = {
     "sim_cosine_topk": q_cosine_topk,
+    "emb_label_silhouette": q_label_silhouette,
     "sim_embedding_norms": q_embedding_norms,
     "sim_label_centroids": q_label_centroid_sim,
     "sim_dim_truncation_recall": q_dim_truncation_recall,
@@ -283,6 +391,68 @@ QUERIES = {
 _DOT = "list_dot_product(l.e, q.e)"
 
 ORACLES = {
+    "emb_label_silhouette": """
+        WITH comp AS (
+          SELECT vec_id, label,
+                 generate_subscripts(embedding, 1) - 1 AS pos,
+                 CAST(unnest(embedding) AS DOUBLE) AS vd
+          FROM embeddings
+        ),
+        centroid AS (
+          SELECT label AS label_c, pos,
+                 round(CAST(SUM(CAST(vd AS DECIMAL(38,12))) AS DOUBLE)
+                       / COUNT(*), 9) AS c
+          FROM comp GROUP BY label, pos
+        ),
+        cn AS (
+          SELECT label_c,
+                 sqrt(CAST(SUM(CAST(round(c * c, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE)) AS cnorm
+          FROM centroid GROUP BY label_c
+        ),
+        dots AS (
+          SELECT comp.vec_id, comp.label, centroid.label_c,
+                 CAST(SUM(CAST(round(vd * c, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS dot
+          FROM comp JOIN centroid USING (pos)
+          GROUP BY comp.vec_id, comp.label, centroid.label_c
+        ),
+        vv AS (
+          SELECT vec_id,
+                 CAST(SUM(CAST(round(vd * vd, 12) AS DECIMAL(28,12)))
+                      AS DOUBLE) AS vv
+          FROM comp GROUP BY vec_id
+        ),
+        cosd AS (
+          SELECT dots.vec_id, dots.label, dots.label_c,
+                 round(dot / (sqrt(vv.vv) * cn.cnorm), 6) AS cos_c
+          FROM dots
+          JOIN vv ON dots.vec_id = vv.vec_id
+          JOIN cn ON dots.label_c = cn.label_c
+          WHERE vv.vv > 0
+        ),
+        ab AS (
+          SELECT vec_id, label,
+                 MAX(CASE WHEN label = label_c THEN cos_c END) AS cos_own,
+                 MAX(CASE WHEN label <> label_c THEN cos_c END) AS cos_other
+          FROM cosd GROUP BY vec_id, label
+        ),
+        sil AS (
+          SELECT label,
+                 round(CASE WHEN GREATEST(1.0 - cos_own, 1.0 - cos_other) > 0
+                            THEN ((1.0 - cos_other) - (1.0 - cos_own))
+                                 / GREATEST(1.0 - cos_own, 1.0 - cos_other)
+                            ELSE 0.0 END, 6) AS s
+          FROM ab WHERE cos_other IS NOT NULL
+        )
+        SELECT label,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               round(CAST(SUM(CAST(s AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*),
+                     6) AS mean_silhouette,
+               CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_negative
+        FROM sil GROUP BY label ORDER BY label
+    """,
     "sim_cosine_topk": f"""
         WITH q AS (
           SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = {QUERY_VEC_ID}

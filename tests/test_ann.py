@@ -271,3 +271,30 @@ def test_mutual_nn_collapses_identical_triple_to_one_link(spark):
     }
     assert set(out) == {(0, 1), (3, 4)}
     assert out[(0, 1)] == 1.0 and out[(3, 4)] == 1.0
+
+
+def test_label_silhouette_separates_planted_clusters(spark, tmp_path_factory):
+    import os
+
+    from searchengine_spark.operators.similarity import QUERIES
+
+    # two tight, orthogonal clusters + one mislabeled vector: the
+    # clean label scores ~1, the label carrying the mislabel reports
+    # exactly one negative-s vector
+    rows = []
+    for i in range(10):
+        rows.append((i, [10.0 + (i % 3) * 0.01, 0.1, 0.0, 0.0], 0))
+    for i in range(10, 20):
+        rows.append((i, [0.1, 10.0 + (i % 3) * 0.01, 0.0, 0.0], 1))
+    # vec 20 labeled 0 but sits in cluster 1
+    rows.append((20, [0.1, 10.0, 0.0, 0.0], 0))
+    d = str(tmp_path_factory.mktemp("sil"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(os.path.join(d, "embeddings.parquet"))
+
+    out = {r.label: r for r in QUERIES["emb_label_silhouette"](spark, d).collect()}
+    assert out[1].n_negative == 0
+    assert out[1].mean_silhouette > 0.9
+    assert out[0].n_negative == 1  # exactly the planted mislabel
+    assert out[0].n_vectors == 11
