@@ -397,27 +397,42 @@ def compact_mor(spark: SparkSession, table_dir: str, *, key: str) -> int:
     return overwrite(spark, state.withColumn("_cv", F.lit(version)), table_dir)
 
 
-def vacuum(table_dir: str, *, keep_versions: int = 1) -> list[str]:
-    """Delete data files unreachable from the newest ``keep_versions``
-    manifests (and drop older manifests). Returns deleted paths."""
+def vacuum_plan(
+    table_dir: str, *, keep_versions: int = 1
+) -> tuple[list[str], list[int]]:
+    """Dry-run half of vacuum(): (reclaimable data files, manifest
+    versions that would be dropped), touching nothing. The file list
+    is the set difference data-dir \\ union(retained manifests) —
+    exactly what vacuum() deletes."""
     latest = latest_version(table_dir)
     keep = range(max(0, latest - keep_versions + 1), latest + 1)
     live: set[str] = set()
     for v in keep:
         live.update(_manifest(table_dir, v)["files"])
-    deleted = []
+    plan = []
     data = _data_dir(table_dir)
     for root, _dirs, files in os.walk(data):
-        for f in files:
+        for f in sorted(files):
             p = os.path.join(root, f)
             if f.endswith(".parquet") and p not in live:
-                os.remove(p)
-                deleted.append(p)
-    for v in range(0, keep.start):
-        m = os.path.join(_log_dir(table_dir), f"v{v}.json")
-        if os.path.exists(m):
-            os.remove(m)
-    return deleted
+                plan.append(p)
+    drop = [
+        v
+        for v in range(0, keep.start)
+        if os.path.exists(os.path.join(_log_dir(table_dir), f"v{v}.json"))
+    ]
+    return plan, drop
+
+
+def vacuum(table_dir: str, *, keep_versions: int = 1) -> list[str]:
+    """Delete data files unreachable from the newest ``keep_versions``
+    manifests (and drop older manifests). Returns deleted paths."""
+    plan, drop = vacuum_plan(table_dir, keep_versions=keep_versions)
+    for p in plan:
+        os.remove(p)
+    for v in drop:
+        os.remove(os.path.join(_log_dir(table_dir), f"v{v}.json"))
+    return plan
 
 
 # --------------------------------------------------------------- queries
@@ -670,7 +685,58 @@ def q_versioned_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read(spark, table, version=v1).orderBy("doc_id")
 
 
+
+
+def q_versioned_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VACUUM dry-run as a driver-checked query: three commits
+    (overwrite buckets [0,5000) -> append [5000,8000) -> DESTRUCTIVE
+    overwrite [8000,10000)), then the retention plan for
+    keep_versions=1. Every v0/v1 data file is unreachable from the
+    v2 manifest, so the reclaimable row mass must equal EXACTLY the
+    [0,8000) bucket population and the kept snapshot the rest — the
+    oracle restates both as hash predicates. If manifest reachability
+    (the set difference vacuum() deletes by) over- or under-counted a
+    single file, a row-count side would shift and the hash would
+    fail. The plan itself is O(files) driver work (path strings, no
+    data); the row counts are two lazy aggregates over the planned
+    file lists."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    b = hash_bucket(F.col("doc_id"), salt="vac")
+
+    table = _scratch_table("vacuum_audit")
+    overwrite(spark, docs.filter(b < 5000), table)
+    append(spark, docs.filter((b >= 5000) & (b < 8000)), table)
+    overwrite(spark, docs.filter(b >= 8000), table)
+
+    plan, drop = vacuum_plan(table, keep_versions=1)
+    kept = read(spark, table).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_kept")
+    )
+    if plan:
+        reclaim = (
+            spark.read.schema("doc_id long, lang string")
+            .parquet(*plan)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_reclaimable"))
+        )
+    else:
+        reclaim = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("n_rows_reclaimable")
+        )
+    return (
+        kept.crossJoin(reclaim)
+        .withColumn(
+            "n_manifests_dropped", F.lit(len(drop)).cast("bigint")
+        )
+    )
+
+
 QUERIES = {
+    "src_versioned_vacuum_audit": q_versioned_vacuum_audit,
     "src_versioned_incremental": q_versioned_incremental,
     "src_versioned_time_travel": q_versioned_time_travel,
     "src_versioned_diff": q_versioned_diff,
@@ -680,6 +746,19 @@ QUERIES = {
 }
 
 ORACLES = {
+    "src_versioned_vacuum_audit": """
+        WITH b AS (
+          SELECT ('0x' || substr(md5('vac' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+                 % 10000 AS bk
+          FROM documents
+        )
+        SELECT CAST(SUM(CASE WHEN bk >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rows_kept,
+               CAST(SUM(CASE WHEN bk < 8000 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_rows_reclaimable,
+               CAST(2 AS BIGINT) AS n_manifests_dropped
+        FROM b
+    """,
     "src_versioned_time_travel": """
         SELECT doc_id, lang FROM documents
         WHERE (('0x' || substr(md5('tt' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
