@@ -292,6 +292,25 @@ HEADLINE = [
     # posexplode, shared-k1 saturation, idf reused from the cached
     # index).
     "se_bm25f_topk",
+    # round-10 (cont. 16): the rest of the session-3 operators —
+    # conformal thresholds (calendar joins + per-type rank windows),
+    # median order-stat CI (rank selection via cum counts, no global
+    # sort), quantile normalization (TWO distributed_rank passes +
+    # one index equi-join), restart PageRank (per-round keyed join +
+    # sum over the capped graph), mutual-NN (bucket join + struct
+    # argmax + reversed-key self-join), label silhouette (|labels|-
+    # bounded centroid fan-out), association rules (a-priori pair
+    # join re-directed), VACUUM dry-run (3 commits + plan + 2 counts),
+    # and the rebalance churn audit (map-only md5 arithmetic).
+    "events_conformal_anomaly",
+    "events_median_ci",
+    "text_quality_quantile_normalized",
+    "dedup_personalized_pagerank",
+    "emb_mutual_nn_pairs",
+    "emb_label_silhouette",
+    "text_association_rules",
+    "src_versioned_vacuum_audit",
+    "export_rebalance_audit",
 ]
 
 SERVE_QUERIES = [
