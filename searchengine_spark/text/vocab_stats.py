@@ -152,11 +152,142 @@ WHERE df >= {BURST_MIN_DF}
 ORDER BY vmr DESC, w ASC LIMIT {BURST_TOP}
 """
 
+
+
+KEYNESS_TOP = 3
+KEYNESS_MIN_COUNT = 5
+
+
+def q_source_keyness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dunning log-likelihood (G^2) keyness: which words are
+    significantly OVER-represented in each source vs the rest of the
+    corpus (Dunning 1993, public — the standard corpus-linguistics
+    "what makes this domain's language different" readout, and the
+    per-source cousin of text_drift_psi's slice drift).
+
+    G^2 = 2 * sum over the 2x2 contingency cells of O*ln(O/E); only
+    positively-key words (O11 > E11) rank, top KEYNESS_TOP per source.
+
+    Scale shape: one tokenize pass -> (source, word) counts; every
+    other operand (word totals, source totals, N) is a vocabulary- or
+    source-bounded broadcast joined back onto the |sources| x |vocab|
+    cell table, and the ranking window partitions per source over
+    vocab-bounded rows. Float discipline: each of the four O*ln(O/E)
+    terms is rounded to 12 (in-engine ln on identical rational
+    doubles, the Zipf-slope precedent) and the terms fold in a fixed
+    order; G^2 rounds to 6 before ranking and output."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = _tok(docs)
+    cells = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("o11"))
+    wtot = tok.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stot = tok.groupBy("source").agg(F.count(F.lit(1)).alias("n1"))
+    ntot = tok.agg(F.count(F.lit(1)).alias("nn"))
+
+    j = (
+        cells.join(F.broadcast(wtot), "w")
+        .join(F.broadcast(stot), "source")
+        .crossJoin(F.broadcast(ntot))
+    )
+    o11 = F.col("o11").cast("double")
+    o12 = (F.col("c") - F.col("o11")).cast("double")
+    o21 = (F.col("n1") - F.col("o11")).cast("double")
+    o22 = (F.col("nn") - F.col("c") - F.col("n1") + F.col("o11")).cast(
+        "double"
+    )
+    cd = F.col("c").cast("double")
+    n1d = F.col("n1").cast("double")
+    nnd = F.col("nn").cast("double")
+    e11 = n1d * cd / nnd
+    e12 = (nnd - n1d) * cd / nnd
+    e21 = n1d * (nnd - cd) / nnd
+    e22 = (nnd - n1d) * (nnd - cd) / nnd
+
+    def term(o, e):
+        return F.round(
+            F.when(o > 0, o * F.log(o / e)).otherwise(F.lit(0.0)), 12
+        )
+
+    g2 = F.round(
+        F.lit(2.0)
+        * (term(o11, e11) + term(o12, e12) + term(o21, e21) + term(o22, e22)),
+        6,
+    )
+    from pyspark.sql import Window
+
+    scored = j.filter(
+        (F.col("o11") >= KEYNESS_MIN_COUNT) & (o11 > e11)
+    ).select(
+        "source", "w", F.col("o11").cast("bigint").alias("n_in_source"),
+        g2.alias("g2"),
+    )
+    # per-source window over vocabulary-bounded rows
+    rk = Window.partitionBy("source").orderBy(F.desc("g2"), F.asc("w"))
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= KEYNESS_TOP)
+        .select("source", F.col("rank").cast("bigint").alias("rank"), "w",
+                "n_in_source", "g2")
+        .orderBy("source", "rank")
+    )
+
+
+_KEYNESS_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, source, unnest({sql_tokens_expr("text")}) AS w
+  FROM documents
+), cells AS (
+  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS o11 FROM tok GROUP BY 1, 2
+), wtot AS (
+  SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w
+), stot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n1 FROM tok GROUP BY source
+), ntot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nn FROM tok
+), j AS (
+  SELECT cells.source, cells.w, o11, c, n1, nn FROM cells
+  JOIN wtot USING (w) JOIN stot USING (source) CROSS JOIN ntot
+), g AS (
+  SELECT source, w, o11,
+    round(2.0 * (
+      round(CASE WHEN CAST(o11 AS DOUBLE) > 0
+                 THEN CAST(o11 AS DOUBLE) * ln(CAST(o11 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)))
+                 ELSE 0.0 END, 12)
+      + round(CASE WHEN CAST(c - o11 AS DOUBLE) > 0
+                 THEN CAST(c - o11 AS DOUBLE) * ln(CAST(c - o11 AS DOUBLE)
+                      / ((CAST(nn AS DOUBLE) - CAST(n1 AS DOUBLE)) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)))
+                 ELSE 0.0 END, 12)
+      + round(CASE WHEN CAST(n1 - o11 AS DOUBLE) > 0
+                 THEN CAST(n1 - o11 AS DOUBLE) * ln(CAST(n1 - o11 AS DOUBLE)
+                      / (CAST(n1 AS DOUBLE) * (CAST(nn AS DOUBLE) - CAST(c AS DOUBLE)) / CAST(nn AS DOUBLE)))
+                 ELSE 0.0 END, 12)
+      + round(CASE WHEN CAST(nn - c - n1 + o11 AS DOUBLE) > 0
+                 THEN CAST(nn - c - n1 + o11 AS DOUBLE) * ln(CAST(nn - c - n1 + o11 AS DOUBLE)
+                      / ((CAST(nn AS DOUBLE) - CAST(n1 AS DOUBLE)) * (CAST(nn AS DOUBLE) - CAST(c AS DOUBLE)) / CAST(nn AS DOUBLE)))
+                 ELSE 0.0 END, 12)
+    ), 6) AS g2
+  FROM j
+  WHERE o11 >= {KEYNESS_MIN_COUNT}
+    AND CAST(o11 AS DOUBLE) > CAST(n1 AS DOUBLE) * CAST(c AS DOUBLE) / CAST(nn AS DOUBLE)
+)
+SELECT source, rank, w, o11 AS n_in_source, g2 FROM (
+  SELECT source, w, o11, g2,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY g2 DESC, w ASC) AS BIGINT) AS rank
+  FROM g
+)
+WHERE rank <= {KEYNESS_TOP}
+ORDER BY source, rank
+"""
+
+
 QUERIES = {
     "text_oov_rate": q_oov_rate,
+    "text_source_keyness": q_source_keyness,
     "text_word_burstiness": q_word_burstiness,
 }
 ORACLES = {
     "text_oov_rate": _OOV_SQL,
+    "text_source_keyness": _KEYNESS_SQL,
     "text_word_burstiness": _BURST_SQL,
 }

@@ -76,3 +76,20 @@ def test_association_rules_directed_confidence(spark, tmp_path_factory):
     assert ab.confidence == pytest.approx(0.75, abs=1e-6)
     # lift is direction-free: n_pair * n_docs / (n_a * n_b)
     assert ab.lift == ba.lift == pytest.approx(30 * 50 / (40 * 30), abs=1e-6)
+
+
+def test_keyness_finds_planted_domain_word(spark, tmp_path_factory):
+    from searchengine_spark.text.vocab_stats import q_source_keyness
+
+    base = " ".join(_COMMON[:10])
+    # 'legalese' saturates source L and never appears in source P
+    rows = [(base + " legalese legalese", "L")] * 20 + [(base, "P")] * 20
+    d = _plant_docs(spark, tmp_path_factory, rows, "keyness")
+    out = q_source_keyness(spark, d).collect()
+    l_rows = [r for r in out if r.source == "L"]
+    assert l_rows and l_rows[0].w == "legalese" and l_rows[0].rank == 1
+    assert l_rows[0].g2 > 0
+    assert l_rows[0].n_in_source == 40
+    # the common words are distributed evenly, so P has no key word
+    # stronger than noise; legalese must never rank for P
+    assert all(r.w != "legalese" for r in out if r.source == "P")
