@@ -144,6 +144,17 @@ PICKS = [
     ("sample_kfold_balance", "fold x source cells in one keyed agg; expected counts via a source-partitioned window over the k*|sources| cell frame"),
     ("se_bm25f_topk", "BM25F: ONE posexplode (field = position predicate), term-filtered before the (doc,word) agg; idf broadcast from the cached index; TakeOrderedAndProject"),
     ("dedup_personalized_pagerank", "restart PageRank: same per-round src-keyed join + dst sum as PageRank; per-node teleport base joined from a broadcast seed frame"),
+    ("events_conformal_anomaly", "conformal thresholds: calendar equi-join scores; rank windows partition per event_type over calendar-bounded frames"),
+    ("events_median_ci", "median order-stat CI: rank selection via cumulative counts over the value-grid-bounded distinct-cents table — no global sort"),
+    ("text_quality_quantile_normalized", "quantile normalization: two distributed_rank passes (source RANK, global ROW_NUMBER) + ONE equi-join on the exact integer index"),
+    ("emb_mutual_nn_pairs", "mutual-NN: bucket equi-join candidates, groupBy struct-argmax (no window), reversed-key left-semi self-join"),
+    ("emb_label_silhouette", "silhouette: posexplode joined to ALL centroids on pos (|labels|-bounded fan-out), decimal-sum dots, per-label fold"),
+    ("text_association_rules", "a-priori pair join re-directed: union of both directions + two broadcast joins on the frequent vocab; top-50 on rounded confidence"),
+    ("src_versioned_vacuum_audit", "VACUUM dry-run: reclaimable-file set difference drives two lazy counts — kept snapshot scan + planned-file scan"),
+    ("export_rebalance_audit", "rebalance churn: both placements as map-only md5 arithmetic, one 1-row aggregate, stack to two scheme rows"),
+    ("text_source_keyness", "keyness: one tokenize pass; totals are bounded broadcasts onto the sources x vocab cells; per-source window over vocab-bounded rows"),
+    ("text_oov_rate", "OOV: top-V vocab as TakeOrdered broadcast; flag is a broadcast left join; one source-keyed agg"),
+    ("text_word_burstiness", "burstiness: per-(word,doc) tf agg -> per-word integer moments; zero-docs handled algebraically; TakeOrdered(20)"),
 ]
 
 
