@@ -752,8 +752,64 @@ FROM emd
 """
 
 
+
+
+# Stability-based DP histogram over an UNKNOWN domain (Korolova et
+# al. 2009 / Google's "stability histogram"): with a data-dependent
+# domain (words), releasing which bins EXIST already leaks — a bin
+# whose existence hinges on one user must be suppressed. Release
+# noisy count n + Laplace(2/eps) only where it exceeds
+# tau = 1 + (2/eps) * ln(1/(2*delta)); the released SET is then
+# (eps, delta)-DP. Constants baked (transcendental): eps=1, delta=1e-6.
+SH_SCALE = 2.0
+SH_TAU = 27.244727  # 1 + (2/eps)*ln(1/(2*delta))
+SH_SALT = "stablehist"
+
+
+def q_dp_stable_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word, noisy_count) for every vocabulary word whose noisy
+    count clears the stability threshold — the private-vocabulary
+    release. Same derandomized md5-Laplace as q_dp_noisy_counts (the
+    release is reproducible, so the twin checks the full mechanism
+    including the suppression set). The threshold compare uses the
+    ROUNDED noisy count (4dp, the cutoff-reproducibility convention;
+    SH_TAU is not a 4dp boundary). One tokenize pass + one
+    vocabulary-keyed agg + map-side noise arithmetic — no extra
+    shuffle over the count table."""
+    from searchengine_spark.text.tokenizer import tokens_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(tokens_column("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(SH_SALT), F.col("w")).cast("binary")), 1, 13
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_HASH_BITS))
+    v = u - F.lit(0.5)
+    noise = (
+        -F.lit(SH_SCALE)
+        * F.signum(v)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(v))
+    )
+    return (
+        counts.select(
+            "w", F.round(F.col("n") + noise, 4).alias("noisy_count")
+        )
+        .filter(F.col("noisy_count") > F.lit(SH_TAU))
+        .orderBy("w")
+    )
+
+
 QUERIES = {
     "privacy_t_closeness_audit": q_t_closeness_audit,
+    "privacy_dp_stable_histogram": q_dp_stable_histogram,
     "privacy_dp_mean": q_dp_mean,
     "privacy_dp_quantile": q_dp_quantile,
     "privacy_rr_frequency": q_rr_frequency,
@@ -762,7 +818,31 @@ QUERIES = {
     "privacy_dp_noisy_counts": q_dp_noisy_counts,
     "privacy_dp_exponential_topk": q_dp_exponential_topk,
 }
+from searchengine_spark.text.tokenizer import sql_tokens_expr  # noqa: E402
+
+_SH_SQL = f"""
+WITH tok AS (
+  SELECT unnest({sql_tokens_expr("text")}) AS w FROM documents
+), counts AS (
+  SELECT w, count(*)::BIGINT AS n FROM tok GROUP BY w
+), seeded AS (
+  SELECT w, n,
+         (CAST(('0x' || substr(md5('{SH_SALT}' || w), 1, 13))
+               AS BIGINT) + 0.5) / {float(2 ** _HASH_BITS)!r} - 0.5 AS v
+  FROM counts
+), noisy AS (
+  SELECT w,
+         round(n + (-{SH_SCALE!r}) * sign(v) * ln(1.0 - 2.0 * abs(v)), 4)
+           AS noisy_count
+  FROM seeded
+)
+SELECT w, noisy_count FROM noisy
+WHERE noisy_count > {SH_TAU!r}
+ORDER BY w
+"""
+
 ORACLES = {
+    "privacy_dp_stable_histogram": _SH_SQL,
     "privacy_t_closeness_audit": _TCLOSE_SQL,
     "privacy_dp_mean": _DPM_SQL,
     "privacy_dp_quantile": _DPQ_SQL,

@@ -102,3 +102,43 @@ def test_t_closeness_bounds_on_real_data(spark, sf_dir):
     for r in q_t_closeness_audit(spark, sf_dir).collect():
         assert 0.0 <= r["emd"] <= 1.0
         assert r["group_n"] > 0
+
+
+def test_stable_histogram_suppresses_rare_bins(spark, tmp_path_factory):
+    import hashlib
+    import math
+    import os
+
+    from searchengine_spark.operators.privacy import (
+        SH_SALT,
+        SH_SCALE,
+        SH_TAU,
+        q_dp_stable_histogram,
+    )
+
+    def noise(word: str) -> float:
+        h = int(hashlib.md5(f"{SH_SALT}{word}".encode()).hexdigest()[:13], 16)
+        v = (h + 0.5) / float(2**52) - 0.5
+        return -SH_SCALE * math.copysign(1.0, v) * math.log(1.0 - 2.0 * abs(v))
+
+    common = [f"tok{chr(97 + i)}{chr(97 + i)}" for i in range(10)]
+    rows = [(i, " ".join(common), "en", "s", 10) for i in range(40)]
+    rows.append((40, "rareword " + " ".join(common), "en", "s", 10))
+    d = str(tmp_path_factory.mktemp("shist"))
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+
+    out = {r.w: r.noisy_count for r in q_dp_stable_histogram(spark, d).collect()}
+    # replica: released set must match the mechanism exactly
+    expected = {}
+    for w, n in [(c, 41) for c in common] + [("rareword", 1)]:
+        nc = round(n + noise(w), 4)
+        if nc > SH_TAU:
+            expected[w] = nc
+    assert out == expected
+    # the singleton bin must be suppressed (1 + |Laplace(2)| cannot
+    # clear tau ~= 27.8 for this seeded draw — and the set release is
+    # the privacy property under test)
+    assert "rareword" not in out
+    assert len(out) == 10
