@@ -311,6 +311,14 @@ HEADLINE = [
     "text_association_rules",
     "src_versioned_vacuum_audit",
     "export_rebalance_audit",
+    # round-10 (cont. 17): corpus-vocabulary statistics (one tokenize
+    # pass each: keyness G2 over bounded-broadcast totals, top-V OOV
+    # coverage, burstiness moments) and the stability-thresholded DP
+    # vocabulary release.
+    "text_source_keyness",
+    "text_oov_rate",
+    "text_word_burstiness",
+    "privacy_dp_stable_histogram",
 ]
 
 SERVE_QUERIES = [
