@@ -385,12 +385,94 @@ def _curate_oracle(quality_cte: str, final_select: str = _KEEP_SELECT) -> str:
     )
 
 
+
+
+def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-filter agreement audit: the rule gate (Gopher-style,
+    text/quality.py) vs the LM filter (self-scored bigram perplexity
+    <= corpus median, text/lm.py) as a 2x2 confusion table. The two
+    families fail docs for DIFFERENT reasons (shape rules vs
+    language-model surprise); where they disagree is exactly the
+    slice a curation owner reviews by hand, and the off-diagonal mass
+    is the standard "how much does the cheap rule gate buy vs the
+    expensive LM filter" readout (CCNet vs Gopher debate).
+
+    Shape: both signal frames already exist (gate = map-only scan;
+    perplexity = the cached-bigram train+score), inner-joined on
+    doc_id; the median threshold is one exact percentile over the
+    round-6 ppl values (the sim_centroid_outliers percentile-cutoff
+    convention), broadcast back; the confusion table is one 4-row
+    aggregate."""
+    from searchengine_spark.io import session_cached
+    from searchengine_spark.text.lm import _doc_bigrams, score_perplexity
+    from searchengine_spark.text.quality import gopher_gate
+
+    docs = load_table(spark, sf_dir, "documents")
+    gate = gopher_gate(docs.select("doc_id", "text")).select(
+        "doc_id", F.col("passes").alias("gate_pass")
+    )
+    bg = session_cached(
+        spark, "lm-bigrams", sf_dir, lambda: _doc_bigrams(docs).cache()
+    )
+    ppl = score_perplexity(docs, bigrams=bg).select("doc_id", "ppl")
+    med = ppl.agg(F.round(F.percentile(F.col("ppl"), F.lit(0.5)), 6).alias("med"))
+    from pyspark.sql import Window
+
+    j = gate.join(ppl, "doc_id").crossJoin(F.broadcast(med))
+    cells = (
+        j.select(
+            "gate_pass", (F.col("ppl") <= F.col("med")).alias("lm_keep")
+        )
+        .groupBy("gate_pass", "lm_keep")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+    # total via a window over the <= 4-row confusion table — no action
+    tot = F.sum("n_docs").over(Window.partitionBy())
+    return (
+        cells.withColumn(
+            "frac",
+            F.round(F.col("n_docs").cast("double") / tot.cast("double"), 6),
+        )
+        .orderBy("gate_pass", "lm_keep")
+    )
+
+
 QUERIES = {
     "pipeline_curated_docs": q_curated_docs,
     "pipeline_curated_docs_gopher": q_curated_docs_gopher,
     "pipeline_drop_reasons": q_drop_reasons,
+    "pipeline_filter_agreement": q_filter_agreement,
 }
+
+
+def _filter_agreement_oracle() -> str:
+    from searchengine_spark.text.lm import _LM_SQL
+    from searchengine_spark.text.quality import ORACLES as _QUALITY_ORACLES
+
+    gate_sql = _QUALITY_ORACLES["text_gopher_gate"]
+    return f"""
+WITH gate AS (
+  SELECT doc_id, passes AS gate_pass FROM ({gate_sql})
+), ppl AS (
+  SELECT doc_id, ppl FROM ({_LM_SQL})
+), med AS (
+  SELECT round(quantile_cont(ppl, 0.5), 6) AS med FROM ppl
+), j AS (
+  SELECT gate.gate_pass, ppl.ppl <= med.med AS lm_keep
+  FROM gate JOIN ppl ON gate.doc_id = ppl.doc_id CROSS JOIN med
+), cells AS (
+  SELECT gate_pass, lm_keep, count(*)::BIGINT AS n_docs
+  FROM j GROUP BY gate_pass, lm_keep
+)
+SELECT gate_pass, lm_keep, n_docs,
+       round(CAST(n_docs AS DOUBLE)
+             / CAST(SUM(n_docs) OVER () AS DOUBLE), 6) AS frac
+FROM cells
+ORDER BY gate_pass, lm_keep
+"""
+
 ORACLES = {
+    "pipeline_filter_agreement": _filter_agreement_oracle(),
     "pipeline_curated_docs": _curate_oracle(_BASIC_QUALITY_CTE),
     "pipeline_curated_docs_gopher": _curate_oracle(_gopher_quality_cte()),
     "pipeline_drop_reasons": _curate_oracle(_BASIC_QUALITY_CTE, _REASON_SELECT),
