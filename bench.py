@@ -319,6 +319,10 @@ HEADLINE = [
     "text_oov_rate",
     "text_word_burstiness",
     "privacy_dp_stable_histogram",
+    # round-10 (cont. 18): rule-gate vs LM-filter confusion table
+    # (both signals cached/shared; one percentile broadcast + a 4-row
+    # windowed aggregate).
+    "pipeline_filter_agreement",
 ]
 
 SERVE_QUERIES = [
