@@ -325,6 +325,29 @@ HEADLINE = [
     "pipeline_filter_agreement",
 ]
 
+# The representative subset inlined in the one-line stdout summary
+# (the full per-query map is in BENCH_DETAIL_r{N}.json): one anchor
+# per operator family, chosen as the longest-benched name of each.
+COMPACT_QUERIES = [
+    "se_bm25_topk",
+    "se_query_latency_avg",
+    "se_index_build_stemmed",
+    "tpch_q1_pricing_summary",
+    "tpch_q18_large_volume_customers",
+    "events_sessionize",
+    "dedup_minhash_bands",
+    "dedup_duplicate_clusters",
+    "sim_cosine_topk",
+    "emb_ivfpq_topk",
+    "emb_kmeans_clusters",
+    "text_gopher_gate",
+    "text_lm_perplexity",
+    "pipeline_curated_docs_gopher",
+    "mm_png_resize_stats",
+    "stream_hourly_rollup_replay",
+    "split_train_val_test",
+]
+
 SERVE_QUERIES = [
     "spark join window fast",
     "merge sort table",
@@ -421,19 +444,64 @@ def main() -> None:
     # reference's architecture: offline build, interactive queries),
     # then measure per-query search latency.
     from searchengine_spark.index.bm25 import search
-    from searchengine_spark.index.builder import build_index
-    from searchengine_spark.io import load_table
 
     try:
-        # serving layout: few-partition cache (see InvertedIndex.coalesce)
-        idx = build_index(load_table(spark, sf_dir, "documents")).coalesce(4).cache()
-        search(idx, SERVE_QUERIES[0], k=10).collect()  # populate caches
+        from searchengine_spark.serve import SearchService, make_http_server
+
+        # One build serves both metrics: SearchService owns the
+        # serving-layout cache (coalesce(4), see InvertedIndex.coalesce)
+        svc = SearchService(spark, sf_dir)
+        search(svc._index, SERVE_QUERIES[0], k=10).collect()  # warm
         t0 = time.perf_counter()
         for q in SERVE_QUERIES:
-            search(idx, q, k=10).collect()
+            search(svc._index, q, k=10).collect()
         timings["se_query_latency_avg"] = round(
             (time.perf_counter() - t0) / len(SERVE_QUERIES), 3
         )
+
+        # Serving SLO (round-10 verdict item 8): warm p50/p95 through
+        # the REAL stdlib HTTP /search path (snippets + highlight +
+        # JSON serialization included), plain and fuzzy=1. 4 passes x
+        # 5 queries = 20 samples per variant after one warm pass.
+        import urllib.parse
+        import urllib.request
+
+        import threading
+
+        server = make_http_server(svc, port=0)
+        thread = threading.Thread(target=server.serve_forever, daemon=True)
+        thread.start()
+        try:
+            port = server.server_address[1]
+
+            def _hit(q: str, fuzzy: bool) -> float:
+                url = (
+                    f"http://127.0.0.1:{port}/search?"
+                    + urllib.parse.urlencode(
+                        {"q": q, "k": 10, "fuzzy": int(fuzzy)}
+                    )
+                )
+                t = time.perf_counter()
+                with urllib.request.urlopen(url, timeout=120) as resp:
+                    resp.read()
+                return time.perf_counter() - t
+
+            for variant, fuzzy in (("", False), ("_fuzzy", True)):
+                for q in SERVE_QUERIES:  # warm pass, untimed
+                    _hit(q, fuzzy)
+                lat = sorted(
+                    _hit(q, fuzzy)
+                    for _ in range(4)
+                    for q in SERVE_QUERIES
+                )
+                timings[f"serve_http{variant}_p50"] = round(
+                    lat[len(lat) // 2], 3
+                )
+                timings[f"serve_http{variant}_p95"] = round(
+                    lat[min(len(lat) - 1, int(len(lat) * 0.95))], 3
+                )
+        finally:
+            server.shutdown()
     except Exception as exc:  # noqa: BLE001
         errors["se_query_latency_avg"] = f"{type(exc).__name__}: {exc}"[:200]
 
@@ -512,12 +580,40 @@ def main() -> None:
         out["nltk_parity_build_docs_per_sec"] = nltk_rate
     if errors:
         out["errors"] = errors
-    _write_detail(out)
-    print(json.dumps(out))
+    detail_path = _write_detail(out)
+    # Print ONE COMPACT line: every BENCH_rN.json through round 10 had
+    # "parsed": null because the full dump (186 inline queries, >10 KB)
+    # overflowed the driver's 2000-char stdout capture window. The full
+    # per-query dump lives ONLY in the detail file now; stdout keeps
+    # the driver-contract keys (metric/value/unit/queries/sf) with a
+    # fixed small representative `queries` subset so the line stays
+    # parseable (~1 KB).
+    compact = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": {
+            k: timings[k] for k in COMPACT_QUERIES if k in timings
+        },
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "spark_calib_sec": round(
+            (spark_calib_start + spark_calib_end) / 2, 3
+        ),
+        "detail": os.path.basename(detail_path) if detail_path else None,
+    }
+    if tpch_power is not None:
+        compact["tpch_power_22_queries_sec"] = tpch_power
+    if build_rate is not None:
+        compact["index_build_docs_per_sec"] = build_rate
+    if nltk_rate is not None:
+        compact["nltk_parity_build_docs_per_sec"] = nltk_rate
+    print(json.dumps(compact))
     spark.stop()
 
 
-def _write_detail(out: dict) -> None:
+def _write_detail(out: dict) -> str | None:
     """Persist the FULL bench result as BENCH_DETAIL_r{N}.json next to
     this script. The driver's BENCH_r{N}.json keeps only the last
     2000 chars of stdout (~60 of the ~80 headline entries), so
@@ -608,6 +704,8 @@ def _write_detail(out: dict) -> None:
             fh.write("\n")
     except OSError as exc:
         print(f"bench: could not write {path}: {exc}", file=sys.stderr)
+        return None
+    return path
 
 
 if __name__ == "__main__":

@@ -334,13 +334,22 @@ def personalized_pagerank(
     change is that the restart base is per-node (seed or zero), so it
     rides a broadcast-joined frame instead of a constant column.
     ``edges`` must be symmetric; ``seeds`` must be non-empty (one
-    column ``node``)."""
+    column ``node``) — an empty seed set fails the job loudly via
+    ``assert_true`` (round-10 ADVICE: Spark's integer ``div`` by 0
+    yields NULL ranks while the DuckDB twin's ``//`` raises, so the
+    engines would otherwise degrade differently; the guard costs no
+    extra job, unlike a driver-side count)."""
     from searchengine_spark.operators.dedup import _cut_lineage
 
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
     ed = edges.join(deg, "src").persist()
     try:
-        ns = seeds.agg(F.count(F.lit(1)).alias("ns"))
+        ns = seeds.agg(F.count(F.lit(1)).alias("ns")).select(
+            F.expr(
+                "ns + coalesce(cast(assert_true(ns > 0, 'personalized_"
+                "pagerank: seeds must be non-empty') as bigint), 0)"
+            ).alias("ns")
+        )
         bases = (
             deg.select(F.col("src").alias("node"))
             .join(seeds.select("node", F.lit(1).alias("_s")), "node", "left")

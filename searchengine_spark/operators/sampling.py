@@ -496,15 +496,17 @@ QUERIES = {
 
 from searchengine_spark.operators.dedup import _CLUSTERS_SQL as _DEDUP_CLUSTERS_SQL  # noqa: E402
 
-_KFOLD_SQL = """
+# Interpolates KFOLD_SALT/K_FOLDS so changing either constant keeps
+# the oracle synchronized with kfold_assign (round-10 ADVICE).
+_KFOLD_SQL = f"""
 WITH cells AS (
-  SELECT (('0x' || substr(md5('fold' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 5) AS fold, source, count(*)::BIGINT AS n
+  SELECT (('0x' || substr(md5('{KFOLD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % {K_FOLDS}) AS fold, source, count(*)::BIGINT AS n
   FROM documents GROUP BY 1, 2
 ), exp_ AS (
   SELECT fold, source, n,
-         (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / 5.0)
-         * (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / 5.0)
-         / (CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / 5.0) AS chi_term
+         (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / {float(K_FOLDS)!r})
+         * (CAST(n AS DOUBLE) - CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / {float(K_FOLDS)!r})
+         / (CAST(SUM(n) OVER (PARTITION BY source) AS DOUBLE) / {float(K_FOLDS)!r}) AS chi_term
   FROM cells
 )
 SELECT fold, CAST(SUM(n) AS BIGINT) AS n_docs,

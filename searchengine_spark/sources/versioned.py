@@ -579,6 +579,15 @@ def q_versioned_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRUNE_LO, PRUNE_HI = 200000.0, 250000.0
 
+# Vacuum-audit commit layout: overwrite [0, VAC_CUT_APPEND) -> append
+# [VAC_CUT_APPEND, VAC_CUT_KEEP) -> destructive overwrite
+# [VAC_CUT_KEEP, N_BUCKETS). Shared by q_versioned_vacuum_audit and
+# its oracle (round-10 ADVICE: the oracle used to hardcode the cuts
+# and hash_bucket's modulus, so changing either side drifted silently
+# until a driver hash-fail).
+VAC_CUT_APPEND = 5000
+VAC_CUT_KEEP = 8000
+
 
 def q_versioned_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest file skipping end-to-end: orders committed as four
@@ -709,9 +718,11 @@ def q_versioned_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = hash_bucket(F.col("doc_id"), salt="vac")
 
     table = _scratch_table("vacuum_audit")
-    overwrite(spark, docs.filter(b < 5000), table)
-    append(spark, docs.filter((b >= 5000) & (b < 8000)), table)
-    overwrite(spark, docs.filter(b >= 8000), table)
+    overwrite(spark, docs.filter(b < VAC_CUT_APPEND), table)
+    append(
+        spark, docs.filter((b >= VAC_CUT_APPEND) & (b < VAC_CUT_KEEP)), table
+    )
+    overwrite(spark, docs.filter(b >= VAC_CUT_KEEP), table)
 
     plan, drop = vacuum_plan(table, keep_versions=1)
     kept = read(spark, table).agg(
@@ -745,16 +756,18 @@ QUERIES = {
     "src_versioned_mor_read": q_versioned_mor_read,
 }
 
+from searchengine_spark.operators.sampling import N_BUCKETS as _N_BUCKETS  # noqa: E402
+
 ORACLES = {
-    "src_versioned_vacuum_audit": """
+    "src_versioned_vacuum_audit": f"""
         WITH b AS (
           SELECT ('0x' || substr(md5('vac' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-                 % 10000 AS bk
+                 % {_N_BUCKETS} AS bk
           FROM documents
         )
-        SELECT CAST(SUM(CASE WHEN bk >= 8000 THEN 1 ELSE 0 END) AS BIGINT)
+        SELECT CAST(SUM(CASE WHEN bk >= {VAC_CUT_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_rows_kept,
-               CAST(SUM(CASE WHEN bk < 8000 THEN 1 ELSE 0 END) AS BIGINT)
+               CAST(SUM(CASE WHEN bk < {VAC_CUT_KEEP} THEN 1 ELSE 0 END) AS BIGINT)
                  AS n_rows_reclaimable,
                CAST(2 AS BIGINT) AS n_manifests_dropped
         FROM b
