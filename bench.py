@@ -444,6 +444,7 @@ def main() -> None:
     # reference's architecture: offline build, interactive queries),
     # then measure per-query search latency.
     from searchengine_spark.index.bm25 import search
+    from searchengine_spark.io import load_table
 
     try:
         from searchengine_spark.serve import SearchService, make_http_server

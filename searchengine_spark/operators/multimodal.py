@@ -85,8 +85,10 @@ def decode_real_media(payload: bytes, media_type: str) -> dict:
     if out is None:
         raise NotImplementedError(
             f"unrecognized {media_type} payload; built-in codecs cover "
-            "PNG and RIFF/WAVE (PCM16) — install pillow/pyav for "
-            "JPEG/video and keep the mapInPandas dataflow unchanged"
+            "PNG, baseline JPEG, RIFF/WAVE (PCM16), and MJPEG-in-AVI "
+            "(per-frame pixel decode) — install pyav for other video "
+            "codecs (H.264 etc.) and keep the mapInPandas dataflow "
+            "unchanged"
         )
     return out
 
@@ -852,6 +854,28 @@ def q_video_frame_pixel_stats(spark, sf_dir: str) -> DataFrame:
     )
 
 
+def q_video_decode_stats(spark, sf_dir: str) -> DataFrame:
+    """Driver-contract query for COMPRESSED-video pixel decode through
+    the generic media path (round-10 verdict item 5): documents ->
+    MJPEG-in-AVI mux -> decode_media, whose AVI branch now demuxes the
+    container AND pixel-decodes every baseline-JPEG frame (codecs.py
+    decode_any), -> typed stats over DECODED pixels. Each constant
+    frame collapses to the same closed form as mm_jpeg_decode_stats,
+    so the whole lossy chain is oracle-checkable."""
+    from searchengine_spark.io import ensure_min_partitions, load_table
+
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    decoded = decode_media(mjpeg_avi_media_from_documents(docs))
+    return decoded.select(
+        "media_id",
+        "media_type",
+        "dim_a",
+        "dim_b",
+        "n_bytes",
+        F.round("mean_byte", 6).alias("mean_byte"),
+    )
+
+
 def q_media_decode_stats(spark, sf_dir: str) -> DataFrame:
     """Driver-contract query: documents -> fake media -> decode ->
     typed stats. Exercises both mapInPandas stages end to end."""
@@ -875,6 +899,7 @@ QUERIES = {
     "mm_png_decode_stats": q_png_decode_stats,
     "mm_png_resize_stats": q_png_resize_stats,
     "mm_jpeg_decode_stats": q_jpeg_decode_stats,
+    "mm_video_decode_stats": q_video_decode_stats,
     "mm_wav_features": q_wav_features,
     "mm_video_frame_pixel_stats": q_video_frame_pixel_stats,
     "mm_wav_spectral_bins": q_wav_spectral_bins,
@@ -1027,6 +1052,35 @@ ORACLES = {
     # ascii/'replace' char code ('?' = 63 past the end), so each
     # sampled frame decodes to the same constant-block closed form as
     # mm_jpeg_decode_stats and mean_pixel == out exactly.
+    # Compressed-video pixel decode through the generic media path:
+    # all VIDEO_FRAMES constant frames of a doc decode to out_v(c_k)
+    # (same closed form as above), so mean_byte = avg over frames,
+    # dim_b = pixels per decoded frame, n_bytes = total decoded
+    # pixels.
+    "mm_video_decode_stats": f"""
+        WITH f AS (
+          SELECT doc_id, k.range AS frame_no,
+                 CASE WHEN length(COALESCE(text, '')) <= k.range THEN 63
+                      WHEN unicode(substr(text, CAST(k.range + 1 AS INT), 1)) > 127 THEN 63
+                      ELSE unicode(substr(text, CAST(k.range + 1 AS INT), 1))
+                 END AS c
+          FROM documents, range({VIDEO_FRAMES}) k
+        ),
+        decoded AS (
+          SELECT doc_id, frame_no,
+                 LEAST(255, GREATEST(0,
+                   CAST(floor(
+                     CAST(floor(8.0 * (c - 128) / 16 + 0.5) AS BIGINT) * 16 / 8.0
+                     + 128.5) AS BIGINT))) AS out_v
+          FROM f
+        )
+        SELECT doc_id AS media_id, 'video' AS media_type,
+               CAST({VIDEO_FRAMES} AS INT) AS dim_a,
+               CAST({VIDEO_SIDE * VIDEO_SIDE} AS INT) AS dim_b,
+               CAST({VIDEO_FRAMES * VIDEO_SIDE * VIDEO_SIDE} AS INT) AS n_bytes,
+               round(AVG(out_v * 1.0), 6) AS mean_byte
+        FROM decoded GROUP BY doc_id
+    """,
     "mm_video_frame_pixel_stats": f"""
         WITH f AS (
           SELECT doc_id, k.range AS frame_no,

@@ -219,3 +219,44 @@ class TestAvi:
             "n_bytes": 6,
             "mean_byte": 35.0,
         }
+
+    def test_decode_any_pixel_decodes_mjpeg_frames(self):
+        # MJPEG-in-AVI: decode_any must report DECODED-pixel stats
+        # (not compressed-byte stats) when every frame is a baseline
+        # JPEG — the constant-block closed form gives the expectation.
+        import numpy as np
+
+        from searchengine_spark.operators.codecs import decode_any, encode_avi
+        from searchengine_spark.operators.jpeg import (
+            constant_block_decode_value,
+            encode_jpeg,
+        )
+
+        codes = [63, 100, 200]
+        frames = [
+            encode_jpeg(np.full((8, 8), c, dtype=np.uint8)) for c in codes
+        ]
+        got = decode_any(encode_avi(frames, width=8, height=8))
+        want_mean = sum(constant_block_decode_value(c) for c in codes) / 3
+        assert got == {
+            "media_type": "video",
+            "dim_a": 3,        # n_frames
+            "dim_b": 64,       # decoded pixels per frame
+            "n_bytes": 192,    # total decoded pixels
+            "mean_byte": want_mean,
+        }
+
+    def test_decode_any_mixed_frames_fall_back_to_byte_stats(self):
+        # One non-JPEG frame means the clip is NOT MJPEG — the branch
+        # must fall back to opaque-byte stats, never half-decode.
+        import numpy as np
+
+        from searchengine_spark.operators.codecs import decode_any, encode_avi
+        from searchengine_spark.operators.jpeg import encode_jpeg
+
+        jpeg = encode_jpeg(np.full((8, 8), 100, dtype=np.uint8))
+        raw = bytes([1, 2, 3])
+        got = decode_any(encode_avi([jpeg, raw], width=8, height=8))
+        assert got["dim_a"] == 2
+        assert got["n_bytes"] == len(jpeg) + 3
+        assert got["dim_b"] == max(len(jpeg), 3)
