@@ -323,6 +323,11 @@ HEADLINE = [
     # (both signals cached/shared; one percentile broadcast + a 4-row
     # windowed aggregate).
     "pipeline_filter_agreement",
+    # round-11: MJPEG-in-AVI pixel decode through the generic media
+    # path, and the residual-refinement recall audit (three PQ trains
+    # + shortlist re-rank in one plan).
+    "mm_video_decode_stats",
+    "emb_pq_refine_recall_audit",
 ]
 
 # The representative subset inlined in the one-line stdout summary
@@ -444,6 +449,7 @@ def main() -> None:
     # reference's architecture: offline build, interactive queries),
     # then measure per-query search latency.
     from searchengine_spark.index.bm25 import search
+    from searchengine_spark.index.builder import build_index
     from searchengine_spark.io import load_table
 
     try:

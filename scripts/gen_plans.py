@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import json
 import os
 import sys
 
@@ -221,33 +222,139 @@ that nothing else cross-joins.
 """
 
 
-def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# Physical-plan node kinds whose count shift between the local and the
+# cluster shuffle shape signals a strategy flip (a broadcast falling
+# back to sort-merge, a new Exchange on a path that was co-located).
+_NODE_KINDS = (
+    "BroadcastHashJoin",
+    "SortMergeJoin",
+    "ShuffledHashJoin",
+    "BroadcastNestedLoopJoin",
+    "CartesianProduct",
+    "Exchange",
+)
 
+
+def _node_counts(plan_text: str) -> dict[str, int]:
+    counts = {k: 0 for k in _NODE_KINDS}
+    for ln in plan_text.splitlines():
+        # count only the numbered operator-tree lines ("(7) Exchange"),
+        # not the per-node detail sections repeating the name below.
+        s = ln.strip()
+        if not s.startswith("(") or ")" not in s:
+            continue
+        op = s.split(")", 1)[1].strip()
+        for k in _NODE_KINDS:
+            if op.startswith(k):
+                counts[k] += 1
+    return counts
+
+
+def _render(spark, sf_dir: str) -> tuple[list[str], dict[str, dict[str, int]]]:
     from searchengine_spark.registry import all_queries
-    from searchengine_spark.session import get_spark
 
-    spark = get_spark("plans", master="local[8]")
     qs = all_queries()
-    out = [HEADER]
+    out: list[str] = []
+    counts: dict[str, dict[str, int]] = {}
     picks = [(n, w, qs[n]) for n, w in PICKS] + EXTRA_PICKS
     for name, why, fn in picks:
         df = fn(spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
+        plan = buf.getvalue()
+        counts[name] = _node_counts(plan)
         # Giant in-plan literals (e.g. the 2048-word Bloom array)
         # would bloat the doc by hundreds of KB; elide mid-line.
         lines = [
             ln if len(ln) <= 800 else f"{ln[:800]} …<{len(ln) - 800} chars elided>"
-            for ln in (ln.rstrip() for ln in buf.getvalue().splitlines())
+            for ln in (ln.rstrip() for ln in plan.splitlines())
         ]
         out += [f"## {name}", "", f"_{why}_", "", "```", *lines, "```", ""]
-    path = os.path.join(os.path.dirname(__file__), "..", "PLANS.md")
-    with open(path, "w") as fh:
-        fh.write("\n".join(out))
-    print(f"wrote {os.path.normpath(path)}")
+    return out, counts
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    cluster_shape = "--cluster-shape" in sys.argv
+
+    from searchengine_spark.session import get_spark
+
+    here = os.path.dirname(__file__)
+    if not cluster_shape:
+        spark = get_spark("plans", master="local[8]")
+        out, counts = _render(spark, sf_dir)
+        path = os.path.join(here, "..", "PLANS.md")
+        with open(path, "w") as fh:
+            fh.write("\n".join([HEADER, *out]))
+        with open(os.path.join(here, "..", "PLAN_NODES.json"), "w") as fh:
+            json.dump(counts, fh, indent=1, sort_keys=True)
+        print(f"wrote {os.path.normpath(path)} (+PLAN_NODES.json)")
+        spark.stop()
+        return
+
+    # --cluster-shape (round-10 verdict item 9): regenerate every pick
+    # under the shuffle geometry a 1000-executor job would run with —
+    # spark.sql.shuffle.partitions=2000, AQE + skew-join on (session
+    # defaults) — and diff the join/exchange node counts against the
+    # committed local-shape PLAN_NODES.json. A broadcast flipping to
+    # SortMergeJoin or a new Exchange at 2000 partitions means the
+    # local plans were hiding a strategy cliff.
+    spark = get_spark("plans-cluster", master="local[8]", shuffle_partitions=2000)
+    _out, cluster_counts = _render(spark, sf_dir)
     spark.stop()
+    base_path = os.path.join(here, "..", "PLAN_NODES.json")
+    with open(base_path) as fh:
+        base_counts = json.load(fh)
+    rows = []
+    flagged = []
+    for name in sorted(base_counts):
+        b, c = base_counts[name], cluster_counts.get(name)
+        if c is None:
+            continue
+        diffs = {
+            k: (b.get(k, 0), c.get(k, 0))
+            for k in _NODE_KINDS
+            if b.get(k, 0) != c.get(k, 0)
+        }
+        bad = (
+            c.get("BroadcastHashJoin", 0) < b.get("BroadcastHashJoin", 0)
+            or c.get("SortMergeJoin", 0) > b.get("SortMergeJoin", 0)
+            or c.get("Exchange", 0) > b.get("Exchange", 0)
+            or c.get("CartesianProduct", 0) > 0
+        )
+        if diffs:
+            rows.append((name, diffs, bad))
+        if bad:
+            flagged.append(name)
+    out_md = [
+        "# CLUSTER_PLAN_DIFF — local[8]/32-partition vs 2000-partition "
+        "shuffle shape",
+        "",
+        "Generated by `python scripts/gen_plans.py --cluster-shape` "
+        "(AQE + skew-join on in both shapes — session defaults). "
+        "Node-count diffs per PLANS.md pick; FLAGGED = a broadcast "
+        "degraded to sort-merge, an Exchange appeared, or a cartesian "
+        "product materialized at cluster geometry.",
+        "",
+        f"Picks compared: {len(base_counts)}; picks with any node-count "
+        f"diff: {len(rows)}; FLAGGED: {len(flagged) or 'none'}",
+        "",
+    ]
+    for name, diffs, bad in rows:
+        tag = " **FLAGGED**" if bad else ""
+        detail = ", ".join(
+            f"{k}: {b}->{c}" for k, (b, c) in sorted(diffs.items())
+        )
+        out_md.append(f"- `{name}`{tag}: {detail}")
+    if not rows:
+        out_md.append("No node-count differences — every pick keeps its "
+                      "join strategy and exchange count at cluster shape.")
+    diff_path = os.path.join(here, "..", "CLUSTER_PLAN_DIFF.md")
+    with open(diff_path, "w") as fh:
+        fh.write("\n".join(out_md) + "\n")
+    print(f"wrote {os.path.normpath(diff_path)}; flagged={flagged}")
 
 
 if __name__ == "__main__":

@@ -338,6 +338,119 @@ def build_hotkey_events(spark, factor: int) -> str:
     return out
 
 
+# ---- adversarial Zipf-skew soak (round-10 verdict item 7) ----
+# The uniform replication above preserves the generator's BALANCED
+# distributions (20 equal sources, ~uniform user activity, no LSH
+# bucket past the cap), so the salted/capped code paths never face
+# the shapes they exist for. This fixture plants three canonical
+# skews and holds their SHARE constant as volume grows — the hot
+# structures themselves grow factor-x:
+#   - one source carries ~50% of documents   (per-source windows,
+#     quota sampling, quality calibration)
+#   - one user carries ~30% of events        (sessionize / funnel /
+#     grouped top-k hot reducer; the salted-join demo)
+#   - ~5% of documents share one boilerplate template (near-dup but
+#     not byte-identical -> ONE LSH mega-bucket, 250 docs at x1 /
+#     1250 at x5, far past DEFAULT_MAX_BUCKET=64 -> the hot-bucket
+#     cap is load-bearing: uncapped pair output would grow 25x)
+# Engagement of the cap/salt under exactly these shapes is asserted
+# by tests/test_skew_soak.py (counters), test_curate_cap.py and
+# test_skew.py (mechanism); this soak records the SCALING ratios.
+SKEW_HOT_USER = 7
+_SKEW_TEMPLATE = (
+    "analysts measure deduplication pipelines carefully using banded "
+    "minhash signatures across sharded corpora while quality gates "
+    "score documents tokens ratios lengths diversity repetition "
+    "entropy compression metrics before exporting curated training "
+    "batches downstream storage systems record template marker number"
+)
+SKEW_QUERIES = (
+    # LSH mega-bucket -> hot-bucket cap path
+    "dedup_minhash_bands",
+    "dedup_neardup_jaccard",
+    "dedup_duplicate_clusters",
+    "pipeline_curated_docs_gopher",
+    # hot source -> per-source windows/quotas/calibration
+    "sample_source_quota",
+    "text_quality_calibrated",
+    "split_train_val_test",
+    # salted paths under the skew they exist for
+    "skew_salted_lang_stats",
+    "skew_salted_join_stats",
+    # hot user -> per-key windows and grouped top-k
+    "events_sessionize",
+    "events_funnel",
+    "events_top3_per_type",
+)
+
+
+def build_skewed(spark, factor: int) -> str:
+    """Materialize the Zipf-skewed documents+events at factor-x under
+    SCRATCH. Overrides are applied AFTER key shifting so every copy
+    feeds the SAME hot source / hot user / boilerplate template —
+    the skew share is scale-invariant, the hot mass grows factor-x."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    out = os.path.join(SCRATCH, f"skew_x{factor}")
+    if os.path.exists(os.path.join(out, "_OK")):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    docs = shifted_union(
+        load_table(spark, BASE, "documents"), "doc_id", factor
+    )
+    b_src = hash_bucket(F.col("doc_id"), salt="skewsrc")
+    b_boil = hash_bucket(F.col("doc_id"), salt="skewboiler")
+    docs = (
+        docs.withColumn(
+            "source",
+            F.when(b_src < 5000, F.lit("hot_source")).otherwise(
+                F.col("source")
+            ),
+        )
+        .withColumn(
+            "text",
+            F.when(
+                b_boil < 500,
+                F.concat(
+                    F.lit(_SKEW_TEMPLATE + " copy"),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .withColumn("n_chars", F.length("text").cast("bigint"))
+    )
+    docs.write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    base_events = load_table(spark, BASE, "events")
+    copies = [
+        base_events.withColumn(
+            "event_id", F.col("event_id") + F.lit(i * KEY_OFFSET)
+        ).withColumn("user_id", F.col("user_id") + F.lit(i * KEY_OFFSET))
+        for i in range(factor)
+    ]
+    events = copies[0]
+    for c in copies[1:]:
+        events = events.unionByName(c)
+    events = events.withColumn(
+        "user_id",
+        F.when(
+            hash_bucket(F.col("event_id"), salt="skewhotu") < 3000,
+            F.lit(SKEW_HOT_USER),
+        ).otherwise(F.col("user_id")),
+    )
+    events.write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+    open(os.path.join(out, "_OK"), "w").close()
+    return out
+
+
 def shifted_union(df, key: str, factor: int):
     """factor disjoint key-shifted copies of df, unioned."""
     from pyspark.sql import functions as F
@@ -408,6 +521,64 @@ def build_scaled(spark, factor: int) -> str:
     return out
 
 
+def run_skew_soak(spark, queries) -> dict:
+    """The Zipf-skew pass: fresh x1 + x5 over SKEW_QUERIES against
+    build_skewed, min-of-2 on a >5x breach (same phantom-noise rule
+    as the broad set). Returns the report section."""
+    skewed: dict[str, dict] = {name: {} for name in SKEW_QUERIES}
+    for factor in (1, 5):
+        spark.catalog.clearCache()
+        sf_dir = build_skewed(spark, factor)
+        for name in SKEW_QUERIES:
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                skewed[name][f"x{factor}"] = round(
+                    time.perf_counter() - t0, 3
+                )
+            except Exception as exc:  # noqa: BLE001 — record, keep soaking
+                skewed[name][f"x{factor}"] = -1.0
+                skewed[name][f"x{factor}_err"] = (
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
+    for name, r in skewed.items():
+        t1, t5 = r.get("x1"), r.get("x5")
+        if t1 and t5 and t1 > 0 and t5 > 0 and t5 / t1 > 5.0:
+            for factor in (1, 5):
+                spark.catalog.clearCache()
+                sf_dir = build_skewed(spark, factor)
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    r[f"x{factor}"] = min(
+                        r[f"x{factor}"], round(time.perf_counter() - t0, 3)
+                    )
+                except Exception:  # noqa: BLE001 — keep the original record
+                    pass
+            r["remeasured"] = True
+        if r.get("x1", 0) > 0 and r.get("x5", 0) > 0:
+            r["ratio_x5"] = round(r["x5"] / r["x1"], 2)
+    return {
+        "note": (
+            "Zipf-skew fixture (build_skewed): one source carries "
+            "~50% of documents, one user ~30% of events, and ~5% of "
+            "documents share one boilerplate template (ONE LSH "
+            "mega-bucket, 250 docs at x1 / 1250 at x5 vs the cap of "
+            "64) — shares held constant as volume replicates 5x, so "
+            "the hot structures themselves grow 5x. ratio_x5 <= ~5 "
+            "means the salted aggregations, the hot-bucket cap, and "
+            "the per-key windows absorbed the skew; engagement of the "
+            "cap/salt under this exact fixture is asserted by "
+            "tests/test_skew_soak.py."
+        ),
+        "queries": skewed,
+    }
+
+
 def main() -> None:
     from searchengine_spark.registry import all_queries
     from searchengine_spark.session import get_spark
@@ -418,6 +589,21 @@ def main() -> None:
     spark.range(64).repartition(64).mapInPandas(
         lambda it: it, "id long"
     ).write.format("noop").mode("overwrite").save()
+
+    if "--skew-only" in sys.argv:
+        # Re-run just the skew pass and merge into the existing
+        # SOAK.json (the full soak takes hours; the skew section is
+        # independently regenerable).
+        section = run_skew_soak(spark, queries)
+        with open("/root/repo/SOAK.json") as fh:
+            report = json.load(fh)
+        report["skewed"] = section
+        with open("/root/repo/SOAK.json", "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(json.dumps(section))
+        spark.stop()
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
 
     results: dict[str, dict[str, float]] = {name: {} for name in QUERIES}
     for factor in FACTORS:
@@ -592,6 +778,7 @@ def main() -> None:
         "pair-output family instead of a prose caveat."
     )
     report["stream_hotkey"] = hotkey
+    report["skewed"] = run_skew_soak(spark, queries)
     with open("/root/repo/SOAK.json", "w") as fh:
         json.dump(report, fh, indent=2)
     print(json.dumps(report))

@@ -1,0 +1,624 @@
+"""Two-stage residual PQ refinement — the ANN recall frontier
+(round-10 verdict item 6).
+
+Construction (Jégou, Tavenard, Douze, Amsaleg — "Searching in one
+billion vectors: re-rank with source coding", ICASSP 2011, public):
+keep the repo's plain PQ index (operators/pq.py: M=8 x 4-bit codes,
+32 bits/vector) as stage 1, PQ-encode the RESIDUAL x - recon1(x)
+with a second M=8 x 4-bit codebook (stage 2, +32 bits). Search runs
+ADC over the stage-1 codes only (half the scan bandwidth of a 64-bit
+layout), shortlists R=64 rows, and re-ranks them against the
+two-stage reconstruction recon1 + recon2 — no raw-vector access, the
+refinement reads only the R stored code rows.
+
+The audit reports recall@10 against the exact ground truth for:
+  hits_base32   — the plain 32-bit index, full-scan ADC
+  hits_flat64   — a 64-bit flat re-layout (M=16 x 4-bit over 4-dim
+                  subvectors): the equal-TOTAL-bits comparator
+  hits_refined64— stage-1 shortlist + residual re-rank (same 64
+                  stored bits as flat64, but only 32 scanned)
+
+Measured (committed 8-query set, total hits of 80): refinement lifts
+the base index 18->23 at sf0.01 and 20->25 at sf0.1 (+25-28 %
+relative), landing within noise of the flat 64-bit re-layout (25 at
+sf0.01, 26 at sf0.1) while scanning half the bits — and, operationally, the refinement codes are ADDITIVE
+to an existing index (one residual-encode pass) where the re-layout
+requires retraining and re-encoding the whole corpus. On this
+near-isotropic corpus an equal-budget RE-LAYOUT is a wash by design
+(no anisotropy to exploit): an OPQ-style variance-balancing rotation
+was evaluated first and rejected — per-dim variance spread is 1.3x
+and the permutation measured a 0.4 % INCREASE in quantization error;
+two-stage-at-32-bits beat plain-32 at sf0.01 but flipped at sf0.1.
+The residual-refinement frontier claim is the one that held at every
+scale tested.
+
+All three variants use the same KPQ=16 codewords, the same
+deterministic first-KPQ-ids init, and the same hash-sampled
+exact-integer Lloyd as operators/pq.py, so the DuckDB twin reproduces
+training bit for bit and the driver hash-checks the full recall
+table.
+
+100 TB shape: three bounded driver trains (O(sample_target) rows
+each), map-only encodes, and the audit's windows partition by the
+8-query dimension over per-vector aggregates. Serving-path
+refinement composes with the IVF partition pruning in
+operators/ivfpq.py: the shortlist is the probed cells' ADC top-R and
+the re-rank touches R stored code rows per query — never the corpus.
+
+Reference parity note: the reference app has no ANN at all
+(brute-force cosine at pyapp.py scale); this file is part of the
+LLM-pipeline extension surface, not a port.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from searchengine_spark.io import load_table
+from searchengine_spark.operators.kmeans import (
+    TRAIN_SAMPLE_TARGET,
+    fixed_point_vec,
+    train_sample_filter,
+    train_sample_mod,
+    train_sample_sql,
+)
+from searchengine_spark.operators.pq import (
+    KPQ,
+    M,
+    PQ_ITERS,
+    SUB_DIM,
+    _assign_codes,
+    _codebooks_literal,
+    _pq_lloyd_driver,
+    _sq_dist,
+)
+
+M2 = 16            # flat 64-bit re-layout subspaces
+SUB_DIM2 = 4
+QUERY_IDS = (1, 5, 42, 77, 123, 200, 311, 444)
+R_SHORT = 64       # stage-1 ADC shortlist re-ranked by the refinement
+RK = 10            # recall@RK
+
+
+def _subs_of(emb: DataFrame, m_count: int, sub_dim: int) -> DataFrame:
+    """(vec_id, m, sub array<bigint>) for an arbitrary (M, SUB_DIM)
+    split — operators/pq.py:_sub_frame generalized beyond the module
+    constants."""
+    slices = F.array(
+        *[
+            F.slice(fixed_point_vec("embedding"), m * sub_dim + 1, sub_dim)
+            for m in range(m_count)
+        ]
+    )
+    return emb.select(
+        F.col("vec_id"), F.posexplode(slices).alias("m", "sub")
+    )
+
+
+def _train_subs(
+    subs: DataFrame,
+    *,
+    n_vecs: int,
+    m_count: int,
+    sub_dim: int,
+    init_ids: list[int],
+    iters: int = PQ_ITERS,
+    sample_target: int = TRAIN_SAMPLE_TARGET,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """operators/pq.py:pq_train generalized to any pre-built subspace
+    frame (stage-2 trains on RESIDUAL subvectors, which have no
+    embedding column to re-derive). Same contract: deterministic
+    first-KPQ-ids init, driver-side exact Lloyd over the hash-sample,
+    one full-corpus encode pass. Returns (codes frame with the sub
+    column retained, codebooks)."""
+    smod = train_sample_mod(n_vecs, sample_target)
+    train = (
+        subs.filter(train_sample_filter(smod, "vec_id"))
+        if smod > 1
+        else subs
+    )
+    code_of = {v: i for i, v in enumerate(init_ids)}
+    init = (
+        subs.filter(F.col("vec_id").isin(init_ids))
+        .orderBy("vec_id", "m")
+        .collect()
+    )
+    codebooks: list[list[list[int]]] = [
+        [[0] * sub_dim for _ in range(KPQ)] for _ in range(m_count)
+    ]
+    for r in init:
+        codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
+    sub_rows = [
+        (r["m"], [int(v) for v in r["sub"]])
+        for r in train.select("m", "sub").collect()
+    ]
+    codebooks = _pq_lloyd_driver(sub_rows, codebooks, iters)
+    return _assign_codes(subs, codebooks), codebooks
+
+
+def _adc_table(
+    qsub: list[list[int]], codebooks: list[list[list[int]]]
+) -> list[list[int]]:
+    """operators/pq.py:adc_distance_table generalized: ranges over
+    len(codebooks), not the module constant M (the flat baseline has
+    16 subspaces; the constant-M version silently truncated its table
+    to 8 rows and overflowed element_at downstream)."""
+    return [
+        [
+            sum((x - y) * (x - y) for x, y in zip(qsub[m], cvec))
+            for cvec in codebooks[m]
+        ]
+        for m in range(len(codebooks))
+    ]
+
+
+def _cvec_at(codebooks_lit, m_col, code_col):
+    return F.element_at(
+        F.element_at(codebooks_lit, m_col + 1), code_col + 1
+    )["cvec"]
+
+
+def _sub_of_query(qfp: dict[int, list[int]], m_count: int, sub_dim: int):
+    """Literal array[qi][m] of query subvectors (bounded: 8 queries)."""
+    return F.array(
+        *[
+            F.array(
+                *[
+                    F.array(
+                        *[
+                            F.lit(int(v))
+                            for v in qfp[qid][m * sub_dim : (m + 1) * sub_dim]
+                        ]
+                    )
+                    for m in range(m_count)
+                ]
+            )
+            for qid in QUERY_IDS
+        ]
+    )
+
+
+def _topk_per_query(dists: DataFrame, k: int) -> DataFrame:
+    """(qi, vec_id, dist) -> rows with rank rn <= k per query, the
+    (dist, vec_id) lexicographic tie-break both engines share."""
+    w = Window.partitionBy("qi").orderBy("dist", "vec_id")
+    return dists.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= k
+    )
+
+
+def _sum_by_query(partials: DataFrame) -> DataFrame:
+    """(vec_id, ds array[qi]) rows -> (vec_id, qi, dist): elementwise
+    array sum per vector, then posexplode; the query's own row is
+    excluded. One shuffle on vec_id."""
+    n_q = len(QUERY_IDS)
+    zero = F.array(*[F.lit(0).cast("bigint") for _ in range(n_q)])
+    summed = partials.groupBy("vec_id").agg(
+        F.aggregate(
+            F.collect_list("ds"),
+            zero,
+            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
+        ).alias("ds")
+    )
+    return summed.select(
+        "vec_id", F.posexplode("ds").alias("qi", "dist")
+    ).filter(
+        F.col("vec_id")
+        != F.element_at(
+            F.array(*[F.lit(q) for q in QUERY_IDS]), F.col("qi") + 1
+        )
+    )
+
+
+def _adc_partials(codes: DataFrame, dtables: list[list[list[int]]]):
+    """codes (vec_id, m, code) + per-query ADC tables -> per-row
+    array of partial distances, one slot per query."""
+    dt = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(int(d)) for d in row])
+                    for row in dtables[qi]
+                ]
+            )
+            for qi in range(len(QUERY_IDS))
+        ]
+    )
+    return codes.select(
+        "vec_id",
+        F.transform(
+            dt,
+            lambda per_q: F.element_at(
+                F.element_at(per_q, F.col("m") + 1), F.col("code") + 1
+            ),
+        ).alias("ds"),
+    )
+
+
+def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@10 of three ANN variants against the exact
+    ground truth, all in hash-provable integer arithmetic — see the
+    module docstring for the audited claims."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    init_ids = [
+        r[0]
+        for r in emb.select("vec_id").orderBy("vec_id").limit(KPQ).collect()
+    ]
+
+    subs8 = _subs_of(emb, M, SUB_DIM).persist()
+    subs16 = _subs_of(emb, M2, SUB_DIM2).persist()
+    try:
+        codes1, cb1 = _train_subs(
+            subs8, n_vecs=n, m_count=M, sub_dim=SUB_DIM, init_ids=init_ids
+        )
+        codes1 = codes1.persist()
+        res_subs = codes1.select(
+            "vec_id",
+            "m",
+            F.zip_with(
+                "sub",
+                _cvec_at(_codebooks_literal(cb1), F.col("m"), F.col("code")),
+                lambda x, y: x - y,
+            ).alias("sub"),
+        )
+        codes2, cb2 = _train_subs(
+            res_subs, n_vecs=n, m_count=M, sub_dim=SUB_DIM,
+            init_ids=init_ids,
+        )
+        codes16, cb16 = _train_subs(
+            subs16, n_vecs=n, m_count=M2, sub_dim=SUB_DIM2,
+            init_ids=init_ids,
+        )
+
+        qfp = {
+            r["vec_id"]: [int(v) for v in r["v"]]
+            for r in emb.filter(F.col("vec_id").isin(list(QUERY_IDS)))
+            .select("vec_id", fixed_point_vec("embedding").alias("v"))
+            .collect()
+        }
+
+        # --- exact ground truth: one scan, all queries at once
+        qs_full = _sub_of_query(qfp, 1, M * SUB_DIM)  # [qi][0] = full vec
+        truth = _topk_per_query(
+            _sum_by_query(
+                emb.select(
+                    "vec_id",
+                    F.transform(
+                        qs_full,
+                        lambda per_q: _sq_dist(
+                            fixed_point_vec("embedding"),
+                            F.element_at(per_q, 1),
+                        ),
+                    ).alias("ds"),
+                )
+            ),
+            RK,
+        ).select("qi", "vec_id")
+
+        def qsubs(m_count: int, sub_dim: int) -> list[list[list[int]]]:
+            return [
+                [
+                    qfp[qid][m * sub_dim : (m + 1) * sub_dim]
+                    for m in range(m_count)
+                ]
+                for qid in QUERY_IDS
+            ]
+
+        # --- flat 64-bit re-layout, full-scan ADC
+        dt16 = [
+            _adc_table(qs, cb16) for qs in qsubs(M2, SUB_DIM2)
+        ]
+        flat_top = _topk_per_query(
+            _sum_by_query(_adc_partials(codes16, dt16)), RK
+        ).select("qi", "vec_id")
+
+        # --- base 32-bit ADC: top-RK variant + top-R shortlist
+        dt8 = [_adc_table(qs, cb1) for qs in qsubs(M, SUB_DIM)]
+        base_ranked = _topk_per_query(
+            _sum_by_query(_adc_partials(codes1, dt8)), R_SHORT
+        ).persist()
+        base_top = base_ranked.filter(F.col("rn") <= RK).select(
+            "qi", "vec_id"
+        )
+
+        # --- refined: two-stage reconstruction distance on the shortlist
+        rec = codes1.select("vec_id", "m", "code").join(
+            codes2.select(
+                "vec_id", "m", F.col("code").alias("code2")
+            ),
+            ["vec_id", "m"],
+        )
+        qs8 = _sub_of_query(qfp, M, SUB_DIM)
+        rec_part = rec.select(
+            "vec_id",
+            F.transform(
+                qs8,
+                lambda per_q: _sq_dist(
+                    F.element_at(per_q, F.col("m") + 1),
+                    F.zip_with(
+                        _cvec_at(
+                            _codebooks_literal(cb1),
+                            F.col("m"),
+                            F.col("code"),
+                        ),
+                        _cvec_at(
+                            _codebooks_literal(cb2),
+                            F.col("m"),
+                            F.col("code2"),
+                        ),
+                        lambda a, b: a + b,
+                    ),
+                ),
+            ).alias("ds"),
+        )
+        refined = _topk_per_query(
+            _sum_by_query(rec_part)
+            .join(
+                base_ranked.select("qi", "vec_id"), ["qi", "vec_id"]
+            ),
+            RK,
+        ).select("qi", "vec_id")
+
+        # --- hits per variant
+        def hits(top: DataFrame, name: str) -> DataFrame:
+            return (
+                top.join(truth, ["qi", "vec_id"])
+                .groupBy("qi")
+                .agg(F.count(F.lit(1)).cast("bigint").alias(name))
+            )
+
+        qids = spark.createDataFrame(
+            [(i, int(q)) for i, q in enumerate(QUERY_IDS)],
+            "qi int, query_id bigint",
+        )
+        out = (
+            qids.join(hits(base_top, "hits_base32"), "qi", "left")
+            .join(hits(flat_top, "hits_flat64"), "qi", "left")
+            .join(hits(refined, "hits_refined64"), "qi", "left")
+            .select(
+                "query_id",
+                F.coalesce("hits_base32", F.lit(0)).cast("bigint").alias(
+                    "hits_base32"
+                ),
+                F.coalesce("hits_flat64", F.lit(0)).cast("bigint").alias(
+                    "hits_flat64"
+                ),
+                F.coalesce("hits_refined64", F.lit(0)).cast("bigint").alias(
+                    "hits_refined64"
+                ),
+            )
+            .orderBy("query_id")
+        )
+        from searchengine_spark.operators.dedup import _cut_lineage
+
+        return _cut_lineage(out)
+    finally:
+        subs8.unpersist()
+        subs16.unpersist()
+
+
+# ------------------------------------------------------------- oracle
+
+
+def _lloyd_sql(prefix: str, src: str, iters: int = PQ_ITERS) -> str:
+    """Unrolled PQ Lloyd chain over an arbitrary source CTE `src`
+    providing (vec_id, m, spos, v) — operators/pq.py:_pq_ctes
+    generalized with prefixed CTE names so three independent trains
+    compose in one statement. Requires the shared CTEs `smod` (sample
+    modulus) and `ini` (vec_id -> init code). Emits {prefix}codes."""
+    samp = train_sample_sql("SELECT s FROM smod", f"{src}.vec_id")
+    parts = [
+        f"""
+{prefix}st AS MATERIALIZED (
+  SELECT {src}.* FROM {src} WHERE {samp}
+),
+{prefix}c0 AS MATERIALIZED (
+  SELECT s.m, CAST(i.code AS INTEGER) AS code, s.spos, s.v AS c
+  FROM {src} s JOIN ini i ON s.vec_id = i.vec_id
+)"""
+    ]
+    for i in range(1, iters + 1):
+        prev = f"{prefix}c{i - 1}"
+        parts.append(
+            f"""
+{prefix}a{i} AS (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT t.vec_id, t.m, c.code,
+             CAST(SUM((t.v - c.c) * (t.v - c.c)) AS BIGINT) AS dist
+      FROM {prefix}st t JOIN {prev} c ON t.m = c.m AND t.spos = c.spos
+      GROUP BY t.vec_id, t.m, c.code
+    ) d
+  ) WHERE rn = 1
+),
+{prefix}c{i} AS MATERIALIZED (
+  SELECT p.m, p.code, p.spos, COALESCE(u.c, p.c) AS c
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT a.m, a.code, t.spos,
+           CAST(floor(CAST(SUM(t.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+    FROM {prefix}st t JOIN {prefix}a{i} a
+      ON t.vec_id = a.vec_id AND t.m = a.m
+    GROUP BY a.m, a.code, t.spos
+  ) u ON p.m = u.m AND p.code = u.code AND p.spos = u.spos
+)"""
+        )
+    parts.append(
+        f"""
+{prefix}codes AS MATERIALIZED (
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist, d.code) AS rn
+    FROM (
+      SELECT s.vec_id, s.m, c.code,
+             CAST(SUM((s.v - c.c) * (s.v - c.c)) AS BIGINT) AS dist
+      FROM {src} s JOIN {prefix}c{iters} c ON s.m = c.m AND s.spos = c.spos
+      GROUP BY s.vec_id, s.m, c.code
+    ) d
+  ) WHERE rn = 1
+)"""
+    )
+    return ",".join(parts)
+
+
+def _refine_sql() -> str:
+    from searchengine_spark.operators.kmeans import FP_SCALE
+
+    qid_values = ", ".join(
+        f"({i}, {int(q)})" for i, q in enumerate(QUERY_IDS)
+    )
+    return f"""
+WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(embedding,
+           x -> CAST(floor(CAST(x AS DOUBLE) * {FP_SCALE} + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+smod AS MATERIALIZED (
+  SELECT GREATEST(1, COUNT(*) // {TRAIN_SAMPLE_TARGET}) AS s FROM q
+),
+ini AS MATERIALIZED (
+  SELECT vec_id, ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS code
+  FROM q ORDER BY vec_id LIMIT {KPQ}
+),
+qids(qi, query_id) AS (VALUES {qid_values}),
+px AS MATERIALIZED (
+  SELECT vec_id,
+         CAST(generate_subscripts(qv, 1) - 1 AS INTEGER) AS idx,
+         unnest(qv) AS v
+  FROM q
+),
+s8 AS MATERIALIZED (
+  SELECT vec_id, CAST(idx // {SUB_DIM} AS INTEGER) AS m,
+         CAST(idx % {SUB_DIM} AS INTEGER) AS spos, v
+  FROM px
+),
+s16 AS MATERIALIZED (
+  SELECT vec_id, CAST(idx // {SUB_DIM2} AS INTEGER) AS m,
+         CAST(idx % {SUB_DIM2} AS INTEGER) AS spos, v
+  FROM px
+),
+{_lloyd_sql("p1", "s8")},
+rs AS MATERIALIZED (
+  SELECT s.vec_id, s.m, s.spos, s.v - c.c AS v
+  FROM s8 s
+  JOIN p1codes k ON s.vec_id = k.vec_id AND s.m = k.m
+  JOIN p1c{PQ_ITERS} c ON c.m = s.m AND c.code = k.code AND c.spos = s.spos
+),
+{_lloyd_sql("p2", "rs")},
+{_lloyd_sql("p3", "s16")},
+truth AS (
+  SELECT qi, vec_id FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY qi
+                                   ORDER BY dist, vec_id) AS rn
+    FROM (
+      SELECT x.vec_id, qd.qi,
+             CAST(SUM((x.v - y.v) * (x.v - y.v)) AS BIGINT) AS dist
+      FROM px x
+      JOIN qids qd ON TRUE
+      JOIN px y ON y.vec_id = qd.query_id AND y.idx = x.idx
+      WHERE x.vec_id <> qd.query_id
+      GROUP BY x.vec_id, qd.qi
+    ) d
+  ) WHERE rn <= {RK}
+),
+dt16 AS MATERIALIZED (
+  SELECT qd.qi, c.m, c.code,
+         CAST(SUM((y.v - c.c) * (y.v - c.c)) AS BIGINT) AS d
+  FROM qids qd
+  JOIN s16 y ON y.vec_id = qd.query_id
+  JOIN p3c{PQ_ITERS} c ON c.m = y.m AND c.spos = y.spos
+  GROUP BY qd.qi, c.m, c.code
+),
+flat_top AS (
+  SELECT qi, vec_id FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY qi
+                                   ORDER BY dist, vec_id) AS rn
+    FROM (
+      SELECT k.vec_id, t.qi, CAST(SUM(t.d) AS BIGINT) AS dist
+      FROM p3codes k
+      JOIN dt16 t ON t.m = k.m AND t.code = k.code
+      JOIN qids qd ON qd.qi = t.qi
+      WHERE k.vec_id <> qd.query_id
+      GROUP BY k.vec_id, t.qi
+    ) d
+  ) WHERE rn <= {RK}
+),
+dt8 AS MATERIALIZED (
+  SELECT qd.qi, c.m, c.code,
+         CAST(SUM((y.v - c.c) * (y.v - c.c)) AS BIGINT) AS d
+  FROM qids qd
+  JOIN s8 y ON y.vec_id = qd.query_id
+  JOIN p1c{PQ_ITERS} c ON c.m = y.m AND c.spos = y.spos
+  GROUP BY qd.qi, c.m, c.code
+),
+base_ranked AS MATERIALIZED (
+  SELECT qi, vec_id, rn FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY qi
+                                   ORDER BY dist, vec_id) AS rn
+    FROM (
+      SELECT k.vec_id, t.qi, CAST(SUM(t.d) AS BIGINT) AS dist
+      FROM p1codes k
+      JOIN dt8 t ON t.m = k.m AND t.code = k.code
+      JOIN qids qd ON qd.qi = t.qi
+      WHERE k.vec_id <> qd.query_id
+      GROUP BY k.vec_id, t.qi
+    ) d
+  ) WHERE rn <= {R_SHORT}
+),
+base_top AS (SELECT qi, vec_id FROM base_ranked WHERE rn <= {RK}),
+rec AS MATERIALIZED (
+  SELECT k1.vec_id, k1.m, c1.spos, c1.c + c2.c AS c
+  FROM p1codes k1
+  JOIN p2codes k2 ON k2.vec_id = k1.vec_id AND k2.m = k1.m
+  JOIN p1c{PQ_ITERS} c1 ON c1.m = k1.m AND c1.code = k1.code
+  JOIN p2c{PQ_ITERS} c2 ON c2.m = k1.m AND c2.code = k2.code
+                        AND c2.spos = c1.spos
+),
+refined AS (
+  SELECT qi, vec_id FROM (
+    SELECT d.*, ROW_NUMBER() OVER (PARTITION BY qi
+                                   ORDER BY dist, vec_id) AS rn
+    FROM (
+      SELECT r.vec_id, qd.qi,
+             CAST(SUM((y.v - r.c) * (y.v - r.c)) AS BIGINT) AS dist
+      FROM rec r
+      JOIN qids qd ON TRUE
+      JOIN s8 y ON y.vec_id = qd.query_id
+               AND y.m = r.m AND y.spos = r.spos
+      JOIN base_ranked sr ON sr.qi = qd.qi AND sr.vec_id = r.vec_id
+      GROUP BY r.vec_id, qd.qi
+    ) d
+  ) WHERE rn <= {RK}
+)
+SELECT qd.query_id,
+       CAST(COALESCE(hb.n, 0) AS BIGINT) AS hits_base32,
+       CAST(COALESCE(hf.n, 0) AS BIGINT) AS hits_flat64,
+       CAST(COALESCE(hr.n, 0) AS BIGINT) AS hits_refined64
+FROM qids qd
+LEFT JOIN (SELECT f.qi, COUNT(*) AS n FROM base_top f
+           JOIN truth t ON t.qi = f.qi AND t.vec_id = f.vec_id
+           GROUP BY f.qi) hb ON hb.qi = qd.qi
+LEFT JOIN (SELECT f.qi, COUNT(*) AS n FROM flat_top f
+           JOIN truth t ON t.qi = f.qi AND t.vec_id = f.vec_id
+           GROUP BY f.qi) hf ON hf.qi = qd.qi
+LEFT JOIN (SELECT f.qi, COUNT(*) AS n FROM refined f
+           JOIN truth t ON t.qi = f.qi AND t.vec_id = f.vec_id
+           GROUP BY f.qi) hr ON hr.qi = qd.qi
+ORDER BY qd.query_id
+"""
+
+
+QUERIES = {
+    "emb_pq_refine_recall_audit": q_pq_refine_recall_audit,
+}
+
+ORACLES = {
+    "emb_pq_refine_recall_audit": _refine_sql(),
+}

@@ -86,6 +86,7 @@ _MODULES = (
     "operators.lsh_eval",
     "operators.linkage",
     "operators.pq",
+    "operators.pqrefine",
     "operators.ivfpq",
     "text.analysis",
     "text.pmi",
