@@ -76,10 +76,77 @@ def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return contamination_pairs(_shingles(spark, sf_dir))
 
 
+def bloom_contamination_pairs(
+    shingles: DataFrame,
+    *,
+    eval_fraction: float = EVAL_FRACTION,
+    salt: str = EVAL_SALT,
+    max_shingle_df: int = MAX_SHINGLE_DF,
+    min_shared: int = MIN_SHARED,
+) -> DataFrame:
+    """contamination_pairs with the PRODUCTION-scale topology: the
+    benchmark (eval) side's df-capped shingle set — small and fixed by
+    construction, the GPT-3 appendix-C shape where the eval n-gram
+    list fits one node — builds a Bloom filter (operators/bloom.py),
+    and the corpus-side shingle stream is pruned MAP-SIDE by the
+    membership test before it ever reaches the join exchanges. False
+    positives pass the Bloom and die in the exact eval join, so the
+    pair set is byte-identical to contamination_pairs and this query
+    shares its DuckDB oracle verbatim.
+
+    At 100 TB the win is the exchange: without the prefilter every
+    df-capped train shingle shuffles to the join; with it only shingles
+    that (probably) occur in the benchmark set do — typically a
+    ~1e-3..1e-2 fraction. The corpus-wide df cap (`keep`) is the same
+    table the MinHash family derives; a production pipeline
+    precomputes it once per corpus snapshot alongside the index."""
+    from searchengine_spark.operators.bloom import bloom_build, bloom_prefilter
+
+    cutoff = int(eval_fraction * N_BUCKETS)
+    flat = shingles.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id"), salt=salt) < cutoff).alias("is_eval"),
+        F.explode(F.array_distinct("shingles")).alias("s"),
+    )
+    keep = (
+        flat.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+    ev = (
+        flat.filter(F.col("is_eval"))
+        .join(keep, "s")
+        .select(F.col("doc_id").alias("eval_doc_id"), "s")
+    )
+    words, m_bits = bloom_build(ev, "s")
+    train = bloom_prefilter(
+        flat.filter(~F.col("is_eval")).select(
+            F.col("doc_id").alias("train_doc_id"), "s"
+        ),
+        "s",
+        words,
+        m_bits,
+    ).join(keep, "s")
+    return (
+        train.join(ev, "s")
+        .groupBy("train_doc_id", "eval_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def q_bloom_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bloom_contamination_pairs(_shingles(spark, sf_dir))
+
+
 _TOKS = sql_tokens_expr("text")
 _EVAL_CUT = int(EVAL_FRACTION * N_BUCKETS)
 
-QUERIES = {"decontam_train_eval_overlap": q_contamination_pairs}
+QUERIES = {
+    "decontam_train_eval_overlap": q_contamination_pairs,
+    "decontam_bloom_prefilter": q_bloom_contamination_pairs,
+}
 
 ORACLES = {
     "decontam_train_eval_overlap": f"""
@@ -109,3 +176,7 @@ ORACLES = {
         HAVING COUNT(*) >= {MIN_SHARED}
     """,
 }
+
+# Byte-identical result by construction (Bloom false positives die in
+# the exact eval join), so the scale-path variant shares the oracle.
+ORACLES["decontam_bloom_prefilter"] = ORACLES["decontam_train_eval_overlap"]

@@ -61,3 +61,46 @@ def test_min_shared_threshold(spark):
     assert [(r.train_doc_id, r.eval_doc_id, r.n_shared) for r in got] == [
         (tr[0], ev[0], 1)
     ]
+
+
+def test_bloom_variant_matches_exact_and_prunes(spark, sf_dir):
+    """The Bloom-prefiltered scale path must be byte-identical to the
+    exact join on real corpus data, and the prefilter must actually
+    prune (engagement counter: bloomed train shingle rows < raw train
+    shingle rows — the map-side semi-join the operator exists for)."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.bloom import bloom_build, bloom_prefilter
+    from searchengine_spark.operators.decontamination import (
+        EVAL_FRACTION,
+        EVAL_SALT,
+        bloom_contamination_pairs,
+    )
+    from searchengine_spark.operators.sampling import N_BUCKETS, hash_bucket
+
+    sh = shingle_frame(load_table(spark, sf_dir, "documents")).cache()
+    exact = {
+        (r["train_doc_id"], r["eval_doc_id"], r["n_shared"])
+        for r in contamination_pairs(sh).collect()
+    }
+    bloomed = {
+        (r["train_doc_id"], r["eval_doc_id"], r["n_shared"])
+        for r in bloom_contamination_pairs(sh).collect()
+    }
+    assert bloomed == exact, "bloom prefilter changed the pair set"
+
+    cutoff = int(EVAL_FRACTION * N_BUCKETS)
+    flat = sh.select(
+        "doc_id",
+        (hash_bucket(F.col("doc_id"), salt=EVAL_SALT) < cutoff).alias(
+            "is_eval"
+        ),
+        F.explode(F.array_distinct("shingles")).alias("s"),
+    ).cache()
+    ev = flat.filter(F.col("is_eval")).select("s")
+    words, m_bits = bloom_build(ev, "s")
+    train = flat.filter(~F.col("is_eval"))
+    raw = train.count()
+    kept = bloom_prefilter(train, "s", words, m_bits).count()
+    assert kept < raw // 2, (
+        f"bloom kept {kept}/{raw} train shingle rows — no pruning"
+    )
