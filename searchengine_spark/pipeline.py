@@ -234,12 +234,42 @@ def curate_with_metrics(
     return keep, get_metrics
 
 
+def _cached_stages(spark: SparkSession, sf_dir: str, *, gate: str = "basic"):
+    """Session-memoized, lineage-cut _stages frames (round-10 verdict
+    plan audit): curate() and q_drop_reasons() share the same three
+    decision frames, so when both run in one session (the bench sweep,
+    a notebook exploring the same corpus) the tokenize+MinHash chain
+    used to execute twice. The localCheckpoint makes the first caller
+    pay the chain once and every later caller read materialized
+    partitions — same trade as the index/shingle session caches."""
+    from searchengine_spark.io import session_cached
+    from searchengine_spark.operators.dedup import _cut_lineage
+
+    def build():
+        quality, exact_keep, drop = _stages(
+            load_table(spark, sf_dir, "documents"), gate=gate
+        )
+        return (
+            _cut_lineage(quality),
+            _cut_lineage(exact_keep),
+            _cut_lineage(drop),
+        )
+
+    return session_cached(spark, f"pipeline_stages:{gate}", sf_dir, build)
+
+
+def _keep_list(stages) -> DataFrame:
+    quality, exact_keep, drop = stages
+    survivors = quality.join(exact_keep, "doc_id", "left_semi")
+    return survivors.join(drop, "doc_id", "left_anti").select("doc_id")
+
+
 def q_curated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curate(load_table(spark, sf_dir, "documents"))
+    return _keep_list(_cached_stages(spark, sf_dir))
 
 
 def q_curated_docs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return curate(load_table(spark, sf_dir, "documents"), gate="gopher")
+    return _keep_list(_cached_stages(spark, sf_dir, gate="gopher"))
 
 
 def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -248,9 +278,12 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin of pipeline_curated_docs — at 100 TB you don't just want the
     keep-list, you want to answer "why is doc X gone" without
     replaying the pipeline. Three left joins of id-frames onto the
-    full corpus; the verdict CASE encodes the stage ordering."""
+    full corpus; the verdict CASE encodes the stage ordering. The
+    decision frames come from the session cache shared with
+    q_curated_docs (_cached_stages), so running both in one session
+    pays the tokenize+MinHash chain once."""
     docs = load_table(spark, sf_dir, "documents")
-    quality, exact_keep, drop = _stages(docs)
+    quality, exact_keep, drop = _cached_stages(spark, sf_dir)
     q = quality.select("doc_id", F.lit(1).alias("_q"))
     e = exact_keep.select("doc_id", F.lit(1).alias("_e"))
     n = drop.select("doc_id", F.lit(1).alias("_n"))
