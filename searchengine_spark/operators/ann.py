@@ -667,13 +667,131 @@ def _mutual_nn_oracle_sql() -> str:
     """
 
 
+def q_training_triplets(spark, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets (anchor, positive, negative) —
+    the export an embedding-model trainer consumes (SimCSE/DPR-style
+    mined data, public recipe): the positive is the anchor's
+    reciprocal nearest neighbor (mutual_nn_pairs — each mutual pair
+    anchors BOTH directions), the negative is the anchor's
+    best-ranked hard negative (bucket-mate just below the near-dup
+    threshold, hard_negative_mine) that is not the positive itself.
+
+    Scale shape: pure composition of the two bucket-join families —
+    no new corpus scan, no new join topology; anchors without any
+    sub-threshold bucket-mate drop out (nothing to contrast against).
+    """
+    from searchengine_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pos = mutual_nn_pairs(emb, dim=EMB_DIM)
+    anchors = pos.select(
+        F.col("id_a").alias("anchor_id"),
+        F.col("id_b").alias("positive_id"),
+        F.col("cosine").alias("pos_cosine"),
+    ).unionByName(
+        pos.select(
+            F.col("id_b").alias("anchor_id"),
+            F.col("id_a").alias("positive_id"),
+            F.col("cosine").alias("pos_cosine"),
+        )
+    )
+    negs = hard_negative_mine(
+        emb, dim=EMB_DIM, k=HARD_NEG_K, dup_threshold=NEARDUP_COS
+    )
+    picked = (
+        anchors.join(negs, "anchor_id")
+        .filter(F.col("neg_id") != F.col("positive_id"))
+        .groupBy("anchor_id", "positive_id", "pos_cosine")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("neg_rank"),
+                    F.col("neg_id"),
+                    F.col("cosine").alias("neg_cosine"),
+                )
+            ).alias("_n")
+        )
+    )
+    return picked.select(
+        "anchor_id",
+        "positive_id",
+        "pos_cosine",
+        F.col("_n.neg_id").alias("negative_id"),
+        F.col("_n.neg_cosine").alias("neg_cosine"),
+    )
+
+
+def _training_triplets_oracle_sql() -> str:
+    """Composition of the mutual-NN and hard-negative oracles over
+    the shared bucket CTE; the negative pick is the min-rank survivor
+    after excluding the positive."""
+    planes = _planes(EMB_DIM, N_PLANES)
+    bits = " + ".join(
+        "(CASE WHEN list_dot_product(e, {p}::DOUBLE[]) > 0 THEN {v} ELSE 0 END)".format(
+            p=[float(c) for c in plane], v=1 << i
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+        WITH b AS (
+          SELECT vec_id, embedding::DOUBLE[] AS e,
+                 {bits} AS bucket
+          FROM embeddings
+        ), cand AS (
+          SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+                 round(list_dot_product(l.e, r.e)
+                       / (sqrt(list_dot_product(l.e, l.e))
+                          * sqrt(list_dot_product(r.e, r.e))), 6) AS cosine
+          FROM b l JOIN b r
+            ON l.bucket = r.bucket AND l.vec_id <> r.vec_id
+        ), nn AS (
+          SELECT id_a, id_b AS nn_id, cosine FROM (
+            SELECT id_a, id_b, cosine,
+                   row_number() OVER (PARTITION BY id_a
+                                      ORDER BY cosine DESC, id_b ASC) AS rn
+            FROM cand
+          ) WHERE rn = 1
+        ), mutual AS (
+          SELECT x.id_a, x.nn_id AS id_b, x.cosine
+          FROM nn x JOIN nn y ON y.id_a = x.nn_id AND y.nn_id = x.id_a
+          WHERE x.id_a < x.nn_id
+        ), anchors AS (
+          SELECT id_a AS anchor_id, id_b AS positive_id,
+                 cosine AS pos_cosine FROM mutual
+          UNION ALL
+          SELECT id_b, id_a, cosine FROM mutual
+        ), hardneg AS (
+          SELECT id_a AS anchor_id, id_b AS neg_id, cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY id_a ORDER BY cosine DESC, id_b ASC
+                 ) AS neg_rank
+          FROM cand WHERE cosine < {NEARDUP_COS}
+        ), picked AS (
+          SELECT a.anchor_id, a.positive_id, a.pos_cosine,
+                 h.neg_id, h.cosine AS neg_cosine,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY a.anchor_id
+                   ORDER BY h.neg_rank ASC, h.neg_id ASC
+                 ) AS pick
+          FROM anchors a
+          JOIN hardneg h ON h.anchor_id = a.anchor_id
+          WHERE h.neg_rank <= {HARD_NEG_K} AND h.neg_id <> a.positive_id
+        )
+        SELECT anchor_id, positive_id, pos_cosine,
+               neg_id AS negative_id, neg_cosine
+        FROM picked WHERE pick = 1
+    """
+
+
 QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "emb_mutual_nn_pairs": q_mutual_nn_pairs,
     "ann_embedding_neardup": q_embedding_neardup,
     "emb_hard_negatives": q_hard_negatives,
+    "emb_training_triplets": q_training_triplets,
 }
 ORACLES: dict[str, str] = {
+    "emb_training_triplets": _training_triplets_oracle_sql(),
     "emb_mutual_nn_pairs": _mutual_nn_oracle_sql(),
     "ann_embedding_neardup": _neardup_oracle_sql(),
     "emb_hard_negatives": _hard_negatives_oracle_sql(),
