@@ -96,6 +96,74 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CHUNK_CHARS = 256
+MIN_CHUNK_HITS = 2
+
+
+def mixed_language_chunks(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    chunk_chars: int = CHUNK_CHARS,
+    min_hits: int = MIN_CHUNK_HITS,
+) -> DataFrame:
+    """Per-document language-consistency audit: run the marker scorer
+    over fixed CHUNK_CHARS-character windows and count how many
+    distinct languages the INFORMATIVE chunks (marker_hits >=
+    min_hits) vote for. Docs whose chunks disagree (is_mixed) are the
+    code-switching / concatenated-boilerplate / wrong-segmentation
+    cases a corpus curator routes to review — a doc-level guess alone
+    averages the evidence away.
+
+    Shape: one explode bounded by len(text)/chunk_chars, then the same
+    map-only marker arithmetic as identify_language and one doc-keyed
+    agg — no joins, no windows; all outputs exact ints/bools."""
+    base = (
+        ensure_min_partitions(docs)
+        .filter(F.length(F.col(text_col)) > 0)
+        .select("doc_id", F.col(text_col).alias("_t"))
+    )
+    chunks = base.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.floor((F.length("_t") - 1) / chunk_chars).cast("int"),
+            )
+        ).alias("ci"),
+        "_t",
+    ).select(
+        "doc_id",
+        F.expr(
+            f"substring(_t, ci * {chunk_chars} + 1, {chunk_chars})"
+        ).alias("chunk"),
+    )
+    scored = chunks.select(
+        "doc_id", *lang_scores(_raw_tokens(F.col("chunk")))
+    )
+    codes = sorted(LANG_MARKERS)
+    guessed = scored.select(
+        "doc_id",
+        guess_lang_expr().alias("g"),
+        F.greatest(*[F.col(f"score_{c}") for c in codes]).alias("hits"),
+    )
+    informative = F.col("hits") >= min_hits
+    return guessed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+        F.sum(informative.cast("int")).cast("bigint").alias("n_informative"),
+        F.countDistinct(F.when(informative, F.col("g")))
+        .cast("bigint")
+        .alias("n_langs"),
+        (
+            F.countDistinct(F.when(informative, F.col("g"))) > 1
+        ).alias("is_mixed"),
+    )
+
+
+def q_mixed_lang_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mixed_language_chunks(load_table(spark, sf_dir, "documents"))
+
+
 def _markers_sql(code: str) -> str:
     return ", ".join(f"'{w}'" for w in LANG_MARKERS[code])
 
@@ -138,11 +206,59 @@ GROUP BY d.lang, g.lang_guess
 """
 
 
+def _mixed_chunks_sql() -> str:
+    codes = sorted(LANG_MARKERS)
+    scores = ",\n         ".join(
+        f"len(list_intersect(toks_d, [{_markers_sql(c)}])) AS score_{c}"
+        for c in codes
+    )
+    best = f"greatest({', '.join(f'score_{c}' for c in codes)})"
+    case = "CASE " + " ".join(
+        f"WHEN score_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, text AS t FROM documents WHERE length(text) > 0
+),
+chunks AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           range(0, CAST(floor((length(t) - 1) / {CHUNK_CHARS}) AS BIGINT) + 1),
+           i -> substr(t, CAST(i * {CHUNK_CHARS} + 1 AS INT), {CHUNK_CHARS})
+         )) AS chunk
+  FROM base
+),
+toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(regexp_split_to_array(lower(chunk), '[^a-z]+'),
+                                   w -> w <> '')) AS toks_d
+  FROM chunks
+),
+scored AS (
+  SELECT doc_id, {scores} FROM toks
+),
+guessed AS (
+  SELECT doc_id, {case} AS g, {best} AS hits FROM scored
+)
+SELECT doc_id,
+       count(*)::BIGINT AS n_chunks,
+       CAST(SUM(CASE WHEN hits >= {MIN_CHUNK_HITS} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_informative,
+       CAST(COUNT(DISTINCT CASE WHEN hits >= {MIN_CHUNK_HITS} THEN g END) AS BIGINT)
+         AS n_langs,
+       COUNT(DISTINCT CASE WHEN hits >= {MIN_CHUNK_HITS} THEN g END) > 1
+         AS is_mixed
+FROM guessed GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "text_lang_guess": q_lang_guess,
     "text_langid_confusion": q_langid_confusion,
+    "text_mixed_lang_chunks": q_mixed_lang_chunks,
 }
 ORACLES = {
     "text_lang_guess": _lang_sql(),
     "text_langid_confusion": _confusion_sql(),
+    "text_mixed_lang_chunks": _mixed_chunks_sql(),
 }

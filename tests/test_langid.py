@@ -23,3 +23,30 @@ def test_marker_hits_positive(spark):
     df = spark.createDataFrame([(1, FIXTURES[0][1])], "doc_id bigint, text string")
     row = identify_language(df).collect()[0]
     assert row.marker_hits >= 4
+
+
+def test_mixed_language_chunks_flags_code_switching(spark):
+    from searchengine_spark.text.langid import (
+        CHUNK_CHARS,
+        mixed_language_chunks,
+    )
+
+    en = (
+        "the cat and the dog are not in the house because they have "
+        "been with their friends and this is the story that was told "
+    )
+    fr = (
+        "le chat est dans la maison avec les amis qui sont pour vous "
+        "dans ce pays et pas une personne qui est sur le chemin des "
+    )
+    # doc 1: one language padded to several chunks; doc 2: first
+    # chunk(s) English, later chunks French — a planted code-switch.
+    mono = (en * 10)[: CHUNK_CHARS * 3]
+    mixed = (en * 3)[:CHUNK_CHARS] + (fr * 10)[: CHUNK_CHARS * 2]
+    df = spark.createDataFrame(
+        [(1, mono), (2, mixed)], "doc_id bigint, text string"
+    )
+    rows = {r.doc_id: r for r in mixed_language_chunks(df).collect()}
+    assert not rows[1].is_mixed and rows[1].n_langs == 1
+    assert rows[2].is_mixed and rows[2].n_langs >= 2
+    assert rows[2].n_chunks == 3 and rows[2].n_informative >= 2
