@@ -284,10 +284,75 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_perplexity(docs, bigrams=bg)
 
 
+def ccnet_perplexity_buckets(
+    docs: DataFrame, ppl: DataFrame | None = None
+) -> DataFrame:
+    """CCNet-style per-source perplexity terciles (Wenzek et al. 2020,
+    public): within each source, rank documents by LM perplexity and
+    split head / middle / tail by thirds — the standard
+    quality-stratification a crawl-curation pipeline trains on (head =
+    most LM-like text). Output is the audit rollup: per (source,
+    bucket) doc count and the ppl range, all deterministic.
+
+    Exactness + scale: the tercile label is pure integer arithmetic on
+    (row_number, group count) — 3*(rank-1) < n / < 2n — so no float
+    percentile can disagree between engines; the per-source rank runs
+    through distrank.distributed_rank (quantized-ppl monotone buckets)
+    instead of a plain per-source window, so no single task ever sorts
+    a whole source (the round-9 calibration finding)."""
+    from searchengine_spark.operators.dedup import _cut_lineage
+    from searchengine_spark.operators.distrank import distributed_rank
+
+    if ppl is None:
+        ppl = score_perplexity(docs)
+    joined = _cut_lineage(
+        ppl.select("doc_id", "ppl").join(
+            docs.select("doc_id", "source"), "doc_id"
+        )
+    )
+    ranked = distributed_rank(
+        joined,
+        ["source"],
+        [F.asc("ppl"), F.asc("doc_id")],
+        F.least(F.lit(4095), F.floor("ppl")).cast("bigint"),
+        rank_name="_r",
+        group_count_name="_gn",
+        method="row_number",
+        pre_partition=True,
+    )
+    bucket = (
+        F.when(3 * (F.col("_r") - 1) < F.col("_gn"), F.lit("head"))
+        .when(3 * (F.col("_r") - 1) < 2 * F.col("_gn"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.select("source", bucket.alias("bucket"), "ppl")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("ppl"), 6).alias("min_ppl"),
+            F.round(F.max("ppl"), 6).alias("max_ppl"),
+        )
+    )
+
+
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.io import load_table, session_cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    bg = session_cached(
+        spark, "lm-bigrams", sf_dir, lambda: _doc_bigrams(docs).cache()
+    )
+    return ccnet_perplexity_buckets(
+        docs, ppl=score_perplexity(docs, bigrams=bg)
+    )
+
+
 QUERIES = {
     "text_lm_perplexity": q_lm_perplexity,
     "text_lm_stupid_backoff": q_lm_stupid_backoff,
     "text_lm_kneser_ney": q_lm_kneser_ney,
+    "text_ccnet_ppl_buckets": q_ccnet_buckets,
 }
 
 # DuckDB twin: identical train + score over the same raw tokens.
@@ -460,8 +525,33 @@ SELECT doc_id, count(*)::BIGINT AS n_bigrams,
 FROM scored GROUP BY doc_id ORDER BY doc_id
 """
 
+# CCNet buckets: wrap the per-doc perplexity statement, join source,
+# integer-exact tercile label from (ROW_NUMBER, group count).
+_CCNET_SQL = f"""
+WITH ppl_base AS ({_LM_SQL}),
+j AS (
+  SELECT p.doc_id, d.source, p.ppl
+  FROM ppl_base p JOIN documents d ON p.doc_id = d.doc_id
+),
+r AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY ppl, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS n
+  FROM j
+)
+SELECT source,
+       CASE WHEN 3 * (rn - 1) < n THEN 'head'
+            WHEN 3 * (rn - 1) < 2 * n THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       COUNT(*)::BIGINT AS n_docs,
+       round(MIN(ppl), 6) AS min_ppl,
+       round(MAX(ppl), 6) AS max_ppl
+FROM r GROUP BY source, bucket
+"""
+
 ORACLES = {
     "text_lm_perplexity": _LM_SQL,
     "text_lm_stupid_backoff": _SB_SQL,
     "text_lm_kneser_ney": _KN_SQL,
+    "text_ccnet_ppl_buckets": _CCNET_SQL,
 }
