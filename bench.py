@@ -328,6 +328,15 @@ HEADLINE = [
     # + shortlist re-rank in one plan).
     "mm_video_decode_stats",
     "emb_pq_refine_recall_audit",
+    # round-11 (cont.): Bloom-prefiltered decontamination (map-side
+    # semi-join before any exchange), contrastive triplet mining
+    # (mutual-NN x hard-negative composition), mixed-language chunk
+    # audit (bounded explode), CCNet perplexity terciles
+    # (distributed_rank per source).
+    "decontam_bloom_prefilter",
+    "emb_training_triplets",
+    "text_mixed_lang_chunks",
+    "text_ccnet_ppl_buckets",
 ]
 
 # The representative subset inlined in the one-line stdout summary
