@@ -156,6 +156,13 @@ PICKS = [
     ("text_source_keyness", "keyness: one tokenize pass; totals are bounded broadcasts onto the sources x vocab cells; per-source window over vocab-bounded rows"),
     ("text_oov_rate", "OOV: top-V vocab as TakeOrdered broadcast; flag is a broadcast left join; one source-keyed agg"),
     ("text_word_burstiness", "burstiness: per-(word,doc) tf agg -> per-word integer moments; zero-docs handled algebraically; TakeOrdered(20)"),
+    # round-11 picks
+    ("mm_video_decode_stats", "MJPEG-in-AVI pixel decode: mux -> demux+per-frame JPEG decode as chained Arrow-batched map stages, zero Exchange"),
+    ("emb_pq_refine_recall_audit", "three bounded PQ trains; ADC tables as plan literals; per-query dists via one vec_id-keyed agg; windows partition by the 8-query dimension"),
+    ("decontam_bloom_prefilter", "benchmark-shingle Bloom as a 1-row broadcast; corpus shingles pruned map-side BEFORE the df-cap and eval join exchanges"),
+    ("emb_training_triplets", "mutual-NN x hard-negative composition: two bucket equi-joins, groupBy struct-argmax/min picks — no window over the corpus, no new scan"),
+    ("text_mixed_lang_chunks", "len/256-bounded explode + marker-array intersects in codegen + one doc-keyed agg; no joins"),
+    ("text_ccnet_ppl_buckets", "per-source tercile: distributed_rank's bucket prefix sum (no whole-source sort) + integer CASE label + |sources|x3 rollup"),
 ]
 
 
