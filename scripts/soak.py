@@ -381,6 +381,14 @@ SKEW_QUERIES = (
     "events_sessionize",
     "events_funnel",
     "events_top3_per_type",
+    # round-11 ops whose stress shape IS this fixture: the boilerplate
+    # mega-bucket's shingles exceed the decontam df cap (they must be
+    # pruned, not joined), the hot source dominates the per-source
+    # perplexity terciles, and the chunk audit's explode rides the
+    # replicated text volume.
+    "decontam_bloom_prefilter",
+    "text_ccnet_ppl_buckets",
+    "text_mixed_lang_chunks",
 )
 
 
