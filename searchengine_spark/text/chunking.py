@@ -185,13 +185,144 @@ def q_chunk_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_exact_dedup(chunk_documents(load_table(spark, sf_dir, "documents")))
 
 
+# ------------------------------- T5-style span corruption examples
+
+MASK_SALT = "spanmask"
+MASK_RATE = 0.15  # fraction of token positions masked (T5's default)
+
+
+def span_corruption_examples(
+    docs: DataFrame, *, text_col: str = "text", mask_rate: float = MASK_RATE
+) -> DataFrame:
+    """Denoising training examples (T5 span corruption — Raffel et
+    al. 2020, public recipe): deterministically mask ~mask_rate of
+    each document's token positions, collapse runs of masked tokens
+    into numbered sentinel spans, and emit
+      input_text  — unmasked tokens with <extra_id_k> at each span
+      target_text — <extra_id_k> followed by that span's tokens
+    Position masking is a per-(doc_id, pos) hash — stable across
+    partitionings and appends, so the oracle reproduces every example
+    byte for byte. (Deterministic single-position Bernoulli masking
+    gives mean span ~1.2 tokens, not T5's length-3 geometric spans —
+    the structure, numbering, and budget are the point here; a span-
+    length sampler would need an agreed RNG in both engines.) Docs
+    with no masked position emit n_spans = 0 with an empty target.
+
+    Shape: one tokenize scan -> posexplode bounded by doc length ->
+    doc-keyed windows (lag + running span count) -> one doc-keyed
+    agg re-assembling both strings in position order. No joins.
+    """
+    from pyspark.sql.window import Window
+
+    from searchengine_spark.operators.sampling import N_BUCKETS, hash_bucket
+
+    cut = int(mask_rate * N_BUCKETS)
+    toks = docs.select(
+        "doc_id", F.posexplode(raw_tokens_column(text_col)).alias("pos", "w")
+    )
+    w_ord = Window.partitionBy("doc_id").orderBy("pos")
+    base = (
+        toks.withColumn(
+            "mk",
+            hash_bucket(
+                F.concat_ws("_", F.col("doc_id"), F.col("pos")),
+                salt=MASK_SALT,
+            )
+            < cut,
+        )
+        .withColumn(
+            "st",
+            F.col("mk") & ~F.coalesce(F.lag("mk").over(w_ord), F.lit(False)),
+        )
+        .withColumn("sid", F.sum(F.col("st").cast("int")).over(w_ord))
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("sid").cast("string"), F.lit(">")
+    )
+    piece_in = F.when(~F.col("mk"), F.col("w")).when(F.col("st"), sentinel)
+    piece_tg = F.when(
+        F.col("mk") & F.col("st"),
+        F.concat(sentinel, F.lit(" "), F.col("w")),
+    ).when(F.col("mk"), F.col("w"))
+
+    def assemble(piece) -> F.Column:
+        return F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            piece.isNotNull(),
+                            F.struct(F.col("pos"), piece.alias("p")),
+                        )
+                    )
+                ),
+                lambda x: x["p"],
+            ),
+            " ",
+        )
+
+    return base.groupBy("doc_id").agg(
+        F.max("sid").cast("bigint").alias("n_spans"),
+        assemble(piece_in).alias("input_text"),
+        assemble(piece_tg).alias("target_text"),
+    )
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return span_corruption_examples(load_table(spark, sf_dir, "documents"))
+
+
 QUERIES = {
     "text_chunks": q_text_chunks,
     "text_packed_chunks": q_packed_chunks,
     "text_chunk_exact_dedup": q_chunk_exact_dedup,
+    "export_span_corruption": q_span_corruption,
 }
 
+from searchengine_spark.operators.sampling import N_BUCKETS as _NB  # noqa: E402
+from searchengine_spark.operators.sampling import _bucket_sql  # noqa: E402
+
+_MASK_CUT = int(MASK_RATE * _NB)
+
+_SPAN_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         CAST(generate_subscripts(t, 1) - 1 AS BIGINT) AS pos,
+         unnest(t) AS w
+  FROM (SELECT doc_id, {_RAW} AS t FROM documents)
+),
+m AS (
+  SELECT doc_id, pos, w,
+         {_bucket_sql("doc_id || '_' || pos", MASK_SALT)} < {_MASK_CUT} AS mk
+  FROM toks
+),
+s AS (
+  SELECT *,
+         mk AND NOT COALESCE(LAG(mk) OVER (PARTITION BY doc_id ORDER BY pos),
+                             FALSE) AS st
+  FROM m
+),
+sd AS (
+  SELECT *,
+         SUM(CASE WHEN st THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM s
+)
+SELECT doc_id,
+       CAST(MAX(sid) AS BIGINT) AS n_spans,
+       COALESCE(string_agg(
+         CASE WHEN NOT mk THEN w
+              WHEN st THEN '<extra_id_' || sid || '>' END,
+         ' ' ORDER BY pos), '') AS input_text,
+       COALESCE(string_agg(
+         CASE WHEN mk AND st THEN '<extra_id_' || sid || '> ' || w
+              WHEN mk THEN w END,
+         ' ' ORDER BY pos), '') AS target_text
+FROM sd GROUP BY doc_id
+"""
+
 ORACLES = {
+    "export_span_corruption": _SPAN_SQL,
     "text_chunk_exact_dedup": f"""{_CHUNKS_SQL},
         chunk_texts AS (
           SELECT doc_id, chunk_id::INT AS chunk_id,

@@ -94,3 +94,36 @@ def test_chunk_exact_dedup_planted(spark):
     assert out[0].n_copies == 2
     assert out[0].canonical_doc_id == 7
     assert out[0].canonical_chunk_id == 0
+
+
+def test_span_corruption_structure(spark):
+    """Input/target reassemble the document: replacing each input
+    sentinel with its target span must reproduce the token stream,
+    and sentinel numbering must be 1..n_spans in order."""
+    import re
+
+    from searchengine_spark.text.chunking import span_corruption_examples
+
+    # letters only: the tokenizer splits on non-alpha, so digit
+    # suffixes would fragment the tokens
+    text = " ".join(
+        "tok" + chr(97 + i // 26) + chr(97 + i % 26) for i in range(120)
+    )
+    df = spark.createDataFrame([(7, text)], "doc_id bigint, text string")
+    r = span_corruption_examples(df).collect()[0]
+    assert r.n_spans >= 1, "120 tokens at 15% should mask something"
+
+    spans = {}
+    for part in re.split(r"<extra_id_(\d+)>", r.target_text):
+        pass
+    pieces = re.split(r"<extra_id_(\d+)> ?", r.target_text)
+    # pieces = ['', '1', 'tokA tokB ', '2', 'tokC ', ...]
+    it = iter(pieces[1:])
+    for sid, body in zip(it, it):
+        spans[int(sid)] = body.strip()
+    assert sorted(spans) == list(range(1, r.n_spans + 1))
+
+    rebuilt = re.sub(
+        r"<extra_id_(\d+)>", lambda m: spans[int(m.group(1))], r.input_text
+    )
+    assert rebuilt.split() == text.split(), "input+target do not rebuild the doc"
