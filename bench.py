@@ -337,6 +337,7 @@ HEADLINE = [
     "emb_training_triplets",
     "text_mixed_lang_chunks",
     "text_ccnet_ppl_buckets",
+    "export_span_corruption",
 ]
 
 # The representative subset inlined in the one-line stdout summary
