@@ -338,6 +338,7 @@ HEADLINE = [
     "text_mixed_lang_chunks",
     "text_ccnet_ppl_buckets",
     "export_span_corruption",
+    "pipeline_dataset_card",
 ]
 
 # The representative subset inlined in the one-line stdout summary

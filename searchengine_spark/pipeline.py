@@ -303,6 +303,67 @@ def q_drop_reasons(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row dataset datasheet (Gebru et al., "Datasheets for
+    Datasets" — the numbers section every corpus release publishes):
+    size (docs/tokens/vocabulary), and the curation funnel through
+    the production chain — quality survivors, exact-duplicate mass,
+    near-duplicate drops, final keep count. Everything downstream of
+    one tokenize scan plus the session-cached curation stages
+    (_cached_stages — free when any pipeline query already ran);
+    the funnel counts are 1-row aggregates combined by broadcast
+    crossJoins (the scoring-params pattern), so the single output row
+    costs no corpus-wide shuffle beyond what the chain already does."""
+    from pyspark.sql import functions as F
+
+    from searchengine_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    stages = _cached_stages(spark, sf_dir)
+    quality, exact_keep, drop = stages
+    rt = ensure_min_partitions(docs).select(
+        raw_tokens_column("text").alias("rt")
+    )
+    tokstats = rt.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size("rt")).cast("bigint").alias("n_tokens"),
+    )
+    vocab = rt.select(F.explode("rt").alias("w")).agg(
+        F.countDistinct("w").cast("bigint").alias("vocab_size")
+    )
+    nq = quality.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_quality_pass")
+    )
+    ne = exact_keep.agg(F.count(F.lit(1)).cast("bigint").alias("_ek"))
+    nn = drop.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_near_dup_drops")
+    )
+    nk = _keep_list(stages).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept")
+    )
+    return (
+        tokstats.crossJoin(F.broadcast(vocab))
+        .crossJoin(F.broadcast(nq))
+        .crossJoin(F.broadcast(ne))
+        .crossJoin(F.broadcast(nn))
+        .crossJoin(F.broadcast(nk))
+        .select(
+            "n_docs",
+            "n_tokens",
+            "vocab_size",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("n_docs"), 6
+            ).alias("mean_doc_tokens"),
+            "n_quality_pass",
+            (F.col("n_quality_pass") - F.col("_ek"))
+            .cast("bigint")
+            .alias("n_exact_dup"),
+            "n_near_dup_drops",
+            "n_kept",
+        )
+    )
+
+
 _STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 _RAW = sql_raw_tokens_expr("text")
 
@@ -475,7 +536,37 @@ QUERIES = {
     "pipeline_curated_docs_gopher": q_curated_docs_gopher,
     "pipeline_drop_reasons": q_drop_reasons,
     "pipeline_filter_agreement": q_filter_agreement,
+    "pipeline_dataset_card": q_dataset_card,
 }
+
+_CARD_SELECT = f""", rawtok AS (
+  SELECT {_RAW} AS rt FROM documents
+),
+tokstats AS (
+  SELECT COUNT(*) AS n_docs, CAST(SUM(len(rt)) AS BIGINT) AS n_tokens
+  FROM rawtok
+),
+vocab AS (
+  SELECT COUNT(DISTINCT w) AS vocab_size
+  FROM (SELECT unnest(rt) AS w FROM rawtok)
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM quality) AS n_quality,
+         (SELECT COUNT(*) FROM exact_keep) AS n_exact_keep,
+         (SELECT COUNT(DISTINCT doc_b) FROM near) AS n_near,
+         (SELECT COUNT(*) FROM survivors
+          WHERE doc_id NOT IN (SELECT doc_b FROM near)) AS n_kept
+)
+SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
+       t.n_tokens,
+       CAST(v.vocab_size AS BIGINT) AS vocab_size,
+       round(CAST(t.n_tokens AS DOUBLE) / t.n_docs, 6) AS mean_doc_tokens,
+       CAST(c.n_quality AS BIGINT) AS n_quality_pass,
+       CAST(c.n_quality - c.n_exact_keep AS BIGINT) AS n_exact_dup,
+       CAST(c.n_near AS BIGINT) AS n_near_dup_drops,
+       CAST(c.n_kept AS BIGINT) AS n_kept
+FROM tokstats t, vocab v, counts c
+"""
 
 
 def _filter_agreement_oracle() -> str:
@@ -509,4 +600,5 @@ ORACLES = {
     "pipeline_curated_docs": _curate_oracle(_BASIC_QUALITY_CTE),
     "pipeline_curated_docs_gopher": _curate_oracle(_gopher_quality_cte()),
     "pipeline_drop_reasons": _curate_oracle(_BASIC_QUALITY_CTE, _REASON_SELECT),
+    "pipeline_dataset_card": _curate_oracle(_BASIC_QUALITY_CTE, _CARD_SELECT),
 }
