@@ -163,6 +163,8 @@ PICKS = [
     ("emb_training_triplets", "mutual-NN x hard-negative composition: two bucket equi-joins, groupBy struct-argmax/min picks — no window over the corpus, no new scan"),
     ("text_mixed_lang_chunks", "len/256-bounded explode + marker-array intersects in codegen + one doc-keyed agg; no joins"),
     ("text_ccnet_ppl_buckets", "per-source tercile: distributed_rank's bucket prefix sum (no whole-source sort) + integer CASE label + |sources|x3 rollup"),
+    ("export_span_corruption", "denoising examples: doc-length-bounded posexplode + doc-keyed lag/prefix windows + ONE agg reassembling input/target strings; no joins"),
+    ("pipeline_dataset_card", "datasheet row: tokenize scan + session-cached curation stages; 1-row aggs fused by broadcast crossJoins — no corpus-wide shuffle beyond the chain"),
 ]
 
 
