@@ -249,11 +249,13 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     subs8 = _subs_of(emb, M, SUB_DIM).persist()
     subs16 = _subs_of(emb, M2, SUB_DIM2).persist()
+    cached = [subs8, subs16]
     try:
         codes1, cb1 = _train_subs(
             subs8, n_vecs=n, m_count=M, sub_dim=SUB_DIM, init_ids=init_ids
         )
         codes1 = codes1.persist()
+        cached.append(codes1)
         res_subs = codes1.select(
             "vec_id",
             "m",
@@ -319,6 +321,7 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         base_ranked = _topk_per_query(
             _sum_by_query(_adc_partials(codes1, dt8)), R_SHORT
         ).persist()
+        cached.append(base_ranked)
         base_top = base_ranked.filter(F.col("rn") <= RK).select(
             "qi", "vec_id"
         )
@@ -395,8 +398,8 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         return _cut_lineage(out)
     finally:
-        subs8.unpersist()
-        subs16.unpersist()
+        for frame in cached:
+            frame.unpersist()
 
 
 # ------------------------------------------------------------- oracle

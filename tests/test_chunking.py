@@ -114,8 +114,6 @@ def test_span_corruption_structure(spark):
     assert r.n_spans >= 1, "120 tokens at 15% should mask something"
 
     spans = {}
-    for part in re.split(r"<extra_id_(\d+)>", r.target_text):
-        pass
     pieces = re.split(r"<extra_id_(\d+)> ?", r.target_text)
     # pieces = ['', '1', 'tokA tokB ', '2', 'tokC ', ...]
     it = iter(pieces[1:])
