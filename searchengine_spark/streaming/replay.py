@@ -31,6 +31,8 @@ import itertools
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from searchengine_spark.io import load_table
+
 from searchengine_spark.streaming.events import (
     dedup_stream,
     hll_rollup_stream,
@@ -53,6 +55,31 @@ def _sink_name(tag: str) -> str:
 # during a replay, whatever the file/micro-batch layout.
 REPLAY_WATERMARK = "3650 days"
 
+# Target state rows per partition when sizing a bounded replay's
+# state partitioning (see run_to_memory's shuffle_partitions doc).
+_STATE_ROWS_PER_PARTITION = 25_000
+
+
+def _replay_partitions(
+    spark: SparkSession, sf_dir: str, table: str = "events"
+) -> int:
+    """State-partition count for a bounded replay, sized from input
+    rows: ~_STATE_ROWS_PER_PARTITION state rows per store, floor 8,
+    CLAMPED to the session default so a cluster-sized backfill keeps
+    its configured parallelism (at 100 TB rows//25k exceeds any
+    default and this returns the default unchanged). The row count is
+    parquet-footer metadata — no data scan.
+
+    Round-12 adjudication of the left-join-replay drift: per-batch
+    state-store fixed costs (4 stores x partitions per stream-stream
+    join, each with WAL+commit+maintenance) dominated the replay at
+    32 partitions with only ~1.2k state rows per store; 8 partitions
+    measured 1.9-3.8x faster at sf0.1 (BENCH_COMPARE_r12.md).
+    """
+    n = load_table(spark, sf_dir, table).count()
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return max(8, min(n // _STATE_ROWS_PER_PARTITION, default))
+
 
 def q_stream_hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Watermarked tumbling-window rollup, replayed to completion."""
@@ -62,6 +89,7 @@ def q_stream_hourly_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         hourly_rollup_stream(stream, watermark=REPLAY_WATERMARK),
         name,
         output_mode="complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name)
 
@@ -88,6 +116,7 @@ def q_stream_hll_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_rollup_stream(stream, watermark=REPLAY_WATERMARK),
         name,
         output_mode="complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     from searchengine_spark.io import load_table
 
@@ -125,6 +154,7 @@ def q_stream_session_window_replay(spark: SparkSession, sf_dir: str) -> DataFram
         session_window_stream(stream, watermark=REPLAY_WATERMARK),
         name,
         output_mode="complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name).select(
         "user_id",
@@ -144,7 +174,10 @@ def q_stream_dedup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
     name = _sink_name("dedup")
     run_to_memory(
-        dedup_stream(stream, watermark=REPLAY_WATERMARK), name, output_mode="append"
+        dedup_stream(stream, watermark=REPLAY_WATERMARK),
+        name,
+        output_mode="append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name).select(
         "event_id", "ts", "user_id", "event_type", "value", "props"
@@ -162,7 +195,12 @@ def q_stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame
 
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
     name = _sink_name("stateful")
-    run_to_memory(user_running_totals(stream), name, output_mode="update")
+    run_to_memory(
+        user_running_totals(stream),
+        name,
+        output_mode="update",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
+    )
     final = (
         spark.table(name)
         .groupBy("user_id")
@@ -198,6 +236,7 @@ def q_stream_view_purchase_join_replay(
         ),
         name,
         output_mode="append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name)
 
@@ -292,6 +331,7 @@ def q_stream_view_purchase_left_join_replay(
         ),
         name,
         output_mode="append",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name).filter(F.col("user_id") >= 0)
 
@@ -312,10 +352,20 @@ def q_stream_rollup_ivm_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = tempfile.mkdtemp(prefix="rollup_ivm_")
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
-    q = start_rollup_maintenance(
-        stream, out, checkpoint_dir=tempfile.mkdtemp(prefix="rollup_ckpt_")
+    # Same bounded-replay sizing as run_to_memory: the foreachBatch
+    # body's per-batch aggregations are tiny here.
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_replay_partitions(spark, sf_dir)),
     )
-    q.awaitTermination()
+    try:
+        q = start_rollup_maintenance(
+            stream, out, checkpoint_dir=tempfile.mkdtemp(prefix="rollup_ckpt_")
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return read_rollup(spark, out)
 
 
@@ -330,6 +380,7 @@ def q_stream_sliding_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFram
         sliding_rollup_stream(stream, watermark=REPLAY_WATERMARK),
         name,
         output_mode="complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
     )
     return spark.table(name)
 
@@ -367,7 +418,12 @@ def q_stream_enriched_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFra
         )
     )
     name = _sink_name("enriched")
-    run_to_memory(rolled, name, output_mode="complete")
+    run_to_memory(
+        rolled,
+        name,
+        output_mode="complete",
+        shuffle_partitions=_replay_partitions(spark, sf_dir),
+    )
     return spark.table(name)
 
 
@@ -439,7 +495,12 @@ def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["doc_a", "doc_b"])
         )
         name = _sink_name("neardup")
-        run_to_memory(pairs, name, output_mode="append")
+        run_to_memory(
+            pairs,
+            name,
+            output_mode="append",
+            shuffle_partitions=_replay_partitions(spark, sf_dir, "documents"),
+        )
         return spark.table(name)
     finally:
         static_bands.unpersist()
@@ -484,10 +545,18 @@ def q_stream_topk_leaderboard_replay(spark: SparkSession, sf_dir: str) -> DataFr
 
     out = tempfile.mkdtemp(prefix="leaderboard_")
     stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
-    q = start_leaderboard_maintenance(
-        stream, out, checkpoint_dir=tempfile.mkdtemp(prefix="lb_ckpt_")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(_replay_partitions(spark, sf_dir)),
     )
-    q.awaitTermination()
+    try:
+        q = start_leaderboard_maintenance(
+            stream, out, checkpoint_dir=tempfile.mkdtemp(prefix="lb_ckpt_")
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return read_leaderboard(spark, out)
 
 

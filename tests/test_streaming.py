@@ -243,3 +243,37 @@ def test_hll_rollup_replay_matches_oracle_and_bounds(spark, sf_dir):
         name="stream_hll_rollup_replay",
     )
     got.unpersist()
+
+
+def test_replay_partitions_sizing(spark, sf_dir):
+    """Bounded replays size state partitions from input rows, clamped
+    to [8, session default] — and restore the session conf after."""
+    from searchengine_spark.streaming.replay import _replay_partitions
+
+    default = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    parts = _replay_partitions(spark, sf_dir)
+    assert 8 <= parts <= max(8, default)
+    # tiny sf0.001 input -> the floor
+    assert parts == 8
+    # conf untouched by the sizing call itself
+    assert int(spark.conf.get("spark.sql.shuffle.partitions")) == default
+
+
+def test_run_to_memory_restores_shuffle_conf(spark, sf_dir):
+    from searchengine_spark.streaming.events import (
+        hourly_rollup_stream,
+        read_events_stream,
+        run_to_memory,
+    )
+    from searchengine_spark.streaming.replay import REPLAY_WATERMARK
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    stream = read_events_stream(spark, sf_dir, max_files_per_trigger=8)
+    run_to_memory(
+        hourly_rollup_stream(stream, watermark=REPLAY_WATERMARK),
+        "test_restore_conf_sink",
+        output_mode="complete",
+        shuffle_partitions=4,
+    )
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert spark.table("test_restore_conf_sink").count() > 0
