@@ -23,6 +23,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 # query set must never look like "all green" to the driver gate.
 _MODULES = (
     "index.queries",
+    "index.unicode_search",
     "index.phrase",
     "index.incremental",
     "index.fuzzy",

@@ -50,15 +50,32 @@ STOPWORDS: tuple[str, ...] = (
 TOKEN_SPLIT_REGEX = "[^a-z]+"
 MIN_TOKEN_LEN = 2
 
+# Unicode mode (round-11 verdict item 3): a token is a maximal run of
+# Unicode LETTER codepoints (category L) — accented Latin, Cyrillic,
+# Greek, CJK all tokenize instead of vanishing. Java regex (Spark) and
+# RE2 (DuckDB) agree on \p{L} membership, and both engines' lower()
+# apply the same simple case mappings for these scripts; cross-engine
+# parity is hash-proved by index/unicode_search.py's oracle queries.
+# The ASCII default above is the REFERENCE-PARITY mode (NLTK isalpha
+# over English caselaw) and is pinned by goldens — it must not move.
+UNICODE_TOKEN_SPLIT_REGEX = r"[^\p{L}]+"
 
-def tokens_column(text: Column | str, *, stem: bool = False) -> Column:
+
+def tokens_column(
+    text: Column | str, *, stem: bool = False, unicode: bool = False
+) -> Column:
     """Array-of-tokens Column from a text Column — all native ops.
 
     lowercase -> split on non-letters -> drop '' -> drop stopwords
     [-> Porter stem via pandas_udf when ``stem=True``].
+    ``unicode=True`` splits on non-LETTER codepoints (\\p{L}) instead
+    of non-[a-z]; stopword list and length floor are unchanged.
     """
     col = F.col(text) if isinstance(text, str) else text
-    toks = F.split(F.lower(col), TOKEN_SPLIT_REGEX)
+    toks = F.split(
+        F.lower(col),
+        UNICODE_TOKEN_SPLIT_REGEX if unicode else TOKEN_SPLIT_REGEX,
+    )
     toks = F.filter(
         toks, lambda w: (F.length(w) >= MIN_TOKEN_LEN) & ~w.isin(*STOPWORDS)
     )
@@ -75,7 +92,9 @@ def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     )
 
 
-def tokenize_query(query: str, *, stem: bool = False) -> list[str]:
+def tokenize_query(
+    query: str, *, stem: bool = False, unicode: bool = False
+) -> list[str]:
     """Driver-side query tokenization — same rules as tokens_column.
 
     Queries are tiny, so this is plain Python (the reference does the
@@ -87,7 +106,10 @@ def tokenize_query(query: str, *, stem: bool = False) -> list[str]:
     """
     import re
 
-    toks = [w for w in re.split(TOKEN_SPLIT_REGEX, query.lower()) if len(w) >= MIN_TOKEN_LEN]
+    # Python `re` has no \p{L}; [^\W\d_] is the stdlib equivalent of
+    # "Unicode letter" (word chars minus digits and underscore).
+    pattern = r"[\W\d_]+" if unicode else TOKEN_SPLIT_REGEX
+    toks = [w for w in re.split(pattern, query.lower()) if len(w) >= MIN_TOKEN_LEN]
     toks = [w for w in toks if w not in STOPWORDS]
     if stem:
         toks = [porter_stem(w) for w in toks]
@@ -112,14 +134,15 @@ def sql_raw_tokens_expr(text_expr: str = "text") -> str:
     )
 
 
-def sql_tokens_expr(text_expr: str) -> str:
+def sql_tokens_expr(text_expr: str, *, unicode: bool = False) -> str:
     """ANSI-SQL (DuckDB) twin of ``tokens_column`` for oracle queries.
 
     Returns an expression producing the token LIST; callers unnest it.
     Must stay semantically identical to tokens_column().
     """
     stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    regex = r"[^\p{L}]+" if unicode else "[^a-z]+"
     return (
-        f"list_filter(regexp_split_to_array(lower({text_expr}), '[^a-z]+'), "
+        f"list_filter(regexp_split_to_array(lower({text_expr}), '{regex}'), "
         f"w -> length(w) >= {MIN_TOKEN_LEN} AND w NOT IN ({stop}))"
     )
