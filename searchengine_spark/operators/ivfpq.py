@@ -796,25 +796,19 @@ def q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sides deterministic integer arithmetic, so the measured recall
     itself is hash-checked against the twin (contrast ann_ivf_topk's
     recall-floor boolean, where training isn't SQL-expressible)."""
-    from searchengine_spark.operators.pq import _sq_dist
+    from searchengine_spark.operators.ann_truth import (
+        exact_truth,
+        query_vectors,
+    )
 
     codes, cents, codebooks = _cached(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select(
-        F.col("vec_id"), fixed_point_vec("embedding").alias("qvec")
-    )
-    qv = [
-        int(v)
-        for v in quant.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0][
-            "qvec"
-        ]
-    ]
-    qlit = F.array(*[F.lit(v) for v in qv])
+    qv = query_vectors(spark, sf_dir)[PQ_QUERY_ID]
+    # Session-shared exact truth (ann_truth.py): self already
+    # excluded, rank by (dist, vec_id) — identical to the inline
+    # brute-force this replaced.
     brute = (
-        quant.filter(F.col("vec_id") != PQ_QUERY_ID)
-        .select("vec_id", _sq_dist(F.col("qvec"), qlit).alias("dist"))
-        .orderBy("dist", "vec_id")
-        .limit(PQ_K)
+        exact_truth(spark, sf_dir)
+        .filter((F.col("query_id") == PQ_QUERY_ID) & (F.col("rn") <= PQ_K))
         .select("vec_id")
     )
     hits = ivfpq_search(
@@ -902,25 +896,18 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     new cell's candidate displace a true neighbor from the top-k
     (it does at sf0.001, n_probe 3 -> 4). Surfacing that dip is the
     audit's value — it is the signal to raise PQ bits, not probes."""
-    from searchengine_spark.operators.pq import _sq_dist
+    from searchengine_spark.operators.ann_truth import (
+        exact_truth,
+        query_vectors,
+    )
 
     codes, cents, codebooks = _cached(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    quant = emb.select(
-        F.col("vec_id"), fixed_point_vec("embedding").alias("qvec")
-    )
-    qv = [
-        int(v)
-        for v in quant.filter(F.col("vec_id") == PQ_QUERY_ID).collect()[0]["qvec"]
-    ]
-    qlit = F.array(*[F.lit(v) for v in qv])
+    qv = query_vectors(spark, sf_dir)[PQ_QUERY_ID]
+    # Session-shared exact truth (ann_truth.py; already cached there).
     brute = (
-        quant.filter(F.col("vec_id") != PQ_QUERY_ID)
-        .select("vec_id", _sq_dist(F.col("qvec"), qlit).alias("dist"))
-        .orderBy("dist", "vec_id")
-        .limit(PQ_K)
+        exact_truth(spark, sf_dir)
+        .filter((F.col("query_id") == PQ_QUERY_ID) & (F.col("rn") <= PQ_K))
         .select("vec_id")
-        .cache()
     )
     codes = codes.cache()
     rows = []

@@ -76,7 +76,9 @@ from searchengine_spark.operators.pq import (
 
 M2 = 16            # flat 64-bit re-layout subspaces
 SUB_DIM2 = 4
-QUERY_IDS = (1, 5, 42, 77, 123, 200, 311, 444)
+# Shared with the whole recall-audit family — ann_truth.exact_truth's
+# qi indexing is positional in this tuple.
+from searchengine_spark.operators.ann_truth import AUDIT_QUERY_IDS as QUERY_IDS  # noqa: E402
 R_SHORT = 64       # stage-1 ADC shortlist re-ranked by the refinement
 RK = 10            # recall@RK
 
@@ -274,30 +276,21 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             init_ids=init_ids,
         )
 
-        qfp = {
-            r["vec_id"]: [int(v) for v in r["v"]]
-            for r in emb.filter(F.col("vec_id").isin(list(QUERY_IDS)))
-            .select("vec_id", fixed_point_vec("embedding").alias("v"))
-            .collect()
-        }
+        from searchengine_spark.operators.ann_truth import (
+            exact_truth,
+            query_vectors,
+        )
 
-        # --- exact ground truth: one scan, all queries at once
-        qs_full = _sub_of_query(qfp, 1, M * SUB_DIM)  # [qi][0] = full vec
-        truth = _topk_per_query(
-            _sum_by_query(
-                emb.select(
-                    "vec_id",
-                    F.transform(
-                        qs_full,
-                        lambda per_q: _sq_dist(
-                            fixed_point_vec("embedding"),
-                            F.element_at(per_q, 1),
-                        ),
-                    ).alias("ds"),
-                )
-            ),
-            RK,
-        ).select("qi", "vec_id")
+        qfp = query_vectors(spark, sf_dir)
+
+        # --- exact ground truth: session-shared across the whole
+        # recall-audit family (ann_truth.py) — one corpus scan serves
+        # this audit, emb_ivfpq_recall_audit, and the probe curve.
+        truth = (
+            exact_truth(spark, sf_dir)
+            .filter(F.col("rn") <= RK)
+            .select("qi", "vec_id")
+        )
 
         def qsubs(m_count: int, sub_dim: int) -> list[list[list[int]]]:
             return [
