@@ -339,6 +339,8 @@ HEADLINE = [
     "text_ccnet_ppl_buckets",
     "export_span_corruption",
     "pipeline_dataset_card",
+    "text_unicode_tokens",
+    "se_bm25_topk_unicode",
 ]
 
 # The representative subset inlined in the one-line stdout summary
