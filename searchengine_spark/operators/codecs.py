@@ -212,6 +212,57 @@ def decode_wav(data: bytes) -> tuple[int, int, int, np.ndarray]:
     return (sample_rate, n_channels, frames.shape[0], frames)
 
 
+def decode_with_pyav(payload: bytes) -> dict | None:
+    """Optional FFmpeg-backed pixel decode (pyav) for video codecs the
+    stdlib chain doesn't cover — H.264 and friends, in AVI/MP4/MKV
+    containers. Import-guarded: returns None when pyav is absent or
+    the payload doesn't decode, so the stdlib path is untouched
+    wherever pyav isn't installed (this container, by default). The
+    returned dict has the exact MJPEG-path semantics: dim_a=n_frames,
+    dim_b=decoded px per frame, n_bytes=total decoded px, mean_byte=
+    mean decoded luma — so mm_video_frame_pixel_stats is codec-
+    agnostic when pyav is present (tests/test_pyav_video.py)."""
+    try:
+        import av  # noqa: F401 — optional, never in requirements
+    except ImportError:
+        return None
+    import io
+
+    try:
+        with av.open(io.BytesIO(bytes(payload))) as container:
+            stream = next(
+                (s for s in container.streams if s.type == "video"), None
+            )
+            if stream is None:
+                return None
+            n_frames = 0
+            per_frame = 0
+            n_px = 0
+            px_sum = 0.0
+            for frame in container.decode(stream):
+                arr = frame.to_ndarray(format="gray")
+                n_frames += 1
+                per_frame = per_frame or int(arr.size)
+                n_px += int(arr.size)
+                px_sum += float(arr.sum())
+    except Exception:  # noqa: BLE001 — undecodable: let callers fall back
+        return None
+    if n_frames == 0:
+        return None
+    return {
+        "media_type": "video",
+        "dim_a": n_frames,
+        "dim_b": per_frame,
+        "n_bytes": n_px,
+        "mean_byte": px_sum / n_px if n_px else 0.0,
+    }
+
+
+# Container magics pyav can demux that the stdlib chain cannot decode.
+_ISO_BMFF_TAG = b"ftyp"  # MP4/MOV: size(4) + 'ftyp' at offset 4
+_MATROSKA_MAGIC = b"\x1a\x45\xdf\xa3"  # MKV/WebM EBML header
+
+
 def decode_any(payload: bytes) -> dict | None:
     """Sniff + decode a real media payload into the DECODED_SCHEMA
     field dict, or None when the format is unrecognized (callers fall
@@ -276,6 +327,11 @@ def decode_any(payload: bytes) -> dict | None:
                 }
             except Exception:  # noqa: BLE001 — corrupt frame: byte stats
                 pass
+        # Non-MJPEG frames (H.264-in-AVI etc.): optional pyav pixel
+        # decode before the opaque-byte fallback.
+        via_av = decode_with_pyav(payload)
+        if via_av is not None:
+            return via_av
         total = sum(len(f) for f in frames)
         all_bytes = b"".join(frames)
         return {
@@ -287,6 +343,10 @@ def decode_any(payload: bytes) -> dict | None:
             if total
             else 0.0,
         }
+    # MP4/MOV/MKV containers: nothing in the stdlib chain can demux
+    # them — pyav (when installed) is the only path to pixels.
+    if payload[4:8] == _ISO_BMFF_TAG or payload[:4] == _MATROSKA_MAGIC:
+        return decode_with_pyav(payload)
     return None
 
 
