@@ -169,3 +169,31 @@ def test_soak_skew_section_recorded_and_bounded():
             f"{name}: skewed x5 ratio {r['ratio_x5']} exceeds the "
             "linear bound — triage before re-recording"
         )
+
+
+def test_heavy_x10_adjudication_recorded_and_sublinear():
+    """Round-12: the flat-output heavy_x10 outliers carry a committed
+    fresh-process adjudication with internal counters. The pinned
+    invariants: candidate volume grows ~quadratically by fixture
+    construction, and the engine's per-candidate rate IMPROVES at x10
+    (sublinear per unit of real work — the outlier was work volume,
+    not a regression)."""
+    with open("/root/repo/SOAK.json") as fh:
+        rec = json.load(fh)
+    adj = rec.get("heavy_x10_adjudication_r12")
+    if adj is None:
+        pytest.skip("SOAK.json predates the r12 adjudication — rerun "
+                    "scripts/adjudicate_soak_x10.py")
+    for name in ("dedup_lsh_recall_audit", "pipeline_curated_docs"):
+        r = adj[name]
+        assert r["candidate_ratio"] > 50, (
+            f"{name}: candidate growth {r['candidate_ratio']} — the "
+            "quadratic-by-construction premise no longer holds"
+        )
+        assert (
+            r["sec_per_1k_candidates_x10"] < r["sec_per_1k_candidates_x1"]
+        ), f"{name}: per-candidate rate got WORSE at x10 — real regression"
+        assert r["hot_buckets_x10"] == 0, (
+            f"{name}: cap engaged on the replication shape — the "
+            "adjudication note's premise changed, re-adjudicate"
+        )
