@@ -341,6 +341,8 @@ HEADLINE = [
     "pipeline_dataset_card",
     "text_unicode_tokens",
     "se_bm25_topk_unicode",
+    "text_cjk_bigram_tokens",
+    "se_bm25_topk_cjk",
 ]
 
 # The representative subset inlined in the one-line stdout summary

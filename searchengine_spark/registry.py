@@ -24,6 +24,7 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 _MODULES = (
     "index.queries",
     "index.unicode_search",
+    "text.cjk",
     "index.phrase",
     "index.incremental",
     "index.fuzzy",
