@@ -253,10 +253,19 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     subs16 = _subs_of(emb, M2, SUB_DIM2).persist()
     cached = [subs8, subs16]
     try:
-        codes1, cb1 = _train_subs(
-            subs8, n_vecs=n, m_count=M, sub_dim=SUB_DIM, init_ids=init_ids
-        )
-        codes1 = codes1.persist()
+        # Stage-1 is EXACTLY operators/pq.py's training (same M/
+        # SUB_DIM/KPQ/iters, same first-KPQ init, same hash sample,
+        # same Lloyd) — reuse its session-cached result instead of
+        # retraining, and rejoin the sub column _train_subs would
+        # have retained (the residual stage needs it). The pqrefine
+        # oracle restates the full training chain, so the driver's
+        # hash compare proves the shared codebooks are identical.
+        from searchengine_spark.operators.pq import _cached_pq
+
+        codes_pq, cb1 = _cached_pq(spark, sf_dir)
+        codes1 = subs8.join(
+            codes_pq.select("vec_id", "m", "code"), ["vec_id", "m"]
+        ).persist()
         cached.append(codes1)
         res_subs = codes1.select(
             "vec_id",
