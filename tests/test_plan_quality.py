@@ -184,3 +184,12 @@ def test_pps_sample_no_data_scale_sort(spark, sf_dir):
     for m in re.finditer(r"Exchange SinglePartition", plan):
         tail = plan[m.start() : m.start() + 400]
         assert "HashAggregate" in tail or "noop" in tail, tail
+
+
+def test_unicode_and_cjk_bm25_shapes(spark, sf_dir):
+    # The multilingual BM25 paths must plan exactly like the ASCII one:
+    # broadcast dims + top-k as TakeOrderedAndProject, never a sort.
+    for name in ("se_bm25_topk_unicode", "se_bm25_topk_cjk"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert "BroadcastHashJoin" in plan, name
