@@ -343,6 +343,7 @@ HEADLINE = [
     "se_bm25_topk_unicode",
     "text_cjk_bigram_tokens",
     "se_bm25_topk_cjk",
+    "text_lang_guess_unicode",
 ]
 
 # The representative subset inlined in the one-line stdout summary

@@ -262,3 +262,153 @@ ORACLES = {
     "text_langid_confusion": _confusion_sql(),
     "text_mixed_lang_chunks": _mixed_chunks_sql(),
 }
+
+
+# ------------------------------------------------------ unicode mode
+
+# The default identifier is ASCII-only by construction (raw tokens
+# split on [^a-z]) — Cyrillic/Greek/CJK documents score 0 for every
+# language. The unicode mode is additive, mirroring the tokenizer
+# design: the ASCII path above stays reference-fixture-parity, and
+# this path tokenizes with \p{L} runs, carries marker sets for the
+# non-Latin alphabetic languages, and routes CJK via script share
+# (marker words are useless for unsegmented text; the share of
+# Han/Hiragana/Katakana tokens is the standard cheap signal).
+
+UNICODE_EXTRA_MARKERS: dict[str, tuple[str, ...]] = {
+    "ru": ("и", "в", "не", "на", "что", "он", "как", "это", "все",
+           "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+           "вы", "за"),
+    "el": ("και", "το", "να", "του", "με", "για", "είναι", "από",
+           "στο", "που", "δεν", "ότι", "οι", "τον", "ήταν", "της"),
+}
+UNICODE_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    **LANG_MARKERS,
+    **UNICODE_EXTRA_MARKERS,
+}
+CJK_SHARE_MIN = 0.3
+
+# Java/RE2 spellings of the same script class (see text/cjk.py).
+_CJK_JAVA = r"^[\p{IsHan}\p{IsHiragana}\p{IsKatakana}ー々]+$"
+_CJK_RE2 = r"^[\p{Han}\p{Hiragana}\p{Katakana}ー々]+$"
+
+# Function-word-rich fixture sentences, one per doc_id % 8 residue —
+# unlike the tokenizer fixture (content words), language ID needs the
+# high-frequency function words the marker sets key on.
+LANGID_SENTS: tuple[str, ...] = (
+    "the model is not ready and they will have been with this from that which",
+    "der hund und die katze sind nicht mit dem haus ich habe das von auf sie werden",
+    "el perro y la casa es una cosa que con para por como pero este ser",
+    "le chien est dans la maison pour que vous avez pas sur ce sont les qui",
+    "и не на что он как это все она так его но да ты к у же вы за",
+    "και το να του με για είναι από στο που δεν ότι οι τον ήταν",
+    "これはテストです 機械学習のモデルを訓練します データ処理",
+    "data processing with the spark engine is fast and they like it",
+)
+
+
+def with_langid_sentence(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) fixture: deterministic multilingual sentence per
+    doc — the oracle restates the same literal-list pick."""
+    sent = F.element_at(
+        F.array(*[F.lit(s) for s in LANGID_SENTS]),
+        (F.col("doc_id") % len(LANGID_SENTS) + 1).cast("int"),
+    )
+    return docs.select("doc_id", sent.alias("text"))
+
+
+def identify_language_unicode(
+    docs: DataFrame, *, text_col: str = "text"
+) -> DataFrame:
+    """Marker argmax over UNICODE_LANG_MARKERS, with a CJK script-
+    share override: share >= CJK_SHARE_MIN -> 'cjk' (marker words
+    cannot represent unsegmented text). Pure column expressions."""
+    codes = sorted(UNICODE_LANG_MARKERS)
+    toks = _raw_tokens(F.col(text_col), unicode=True)
+    base = ensure_min_partitions(docs).select(
+        "doc_id", toks.alias("toks")
+    )
+    distinct = F.array_distinct(F.col("toks"))
+    scores = [
+        F.size(
+            F.array_intersect(
+                distinct,
+                F.array(*[F.lit(w) for w in UNICODE_LANG_MARKERS[code]]),
+            )
+        ).alias(f"score_{code}")
+        for code in codes
+    ]
+    n_toks = F.size(F.col("toks"))
+    cjk_share = F.when(n_toks > 0,
+        F.size(F.filter(F.col("toks"), lambda w: w.rlike(_CJK_JAVA)))
+        / n_toks,
+    ).otherwise(F.lit(0.0))
+    scored = base.select("doc_id", cjk_share.alias("cjk_share"), *scores)
+    best = F.greatest(*[F.col(f"score_{c}") for c in codes])
+    argmax = F.lit(None).cast("string")
+    for c in reversed(codes):
+        argmax = F.when(F.col(f"score_{c}") == best, F.lit(c)).otherwise(argmax)
+    return scored.select(
+        "doc_id",
+        F.when(F.col("cjk_share") >= CJK_SHARE_MIN, F.lit("cjk"))
+        .otherwise(argmax)
+        .alias("lang_guess"),
+        best.cast("bigint").alias("marker_hits"),
+        F.round("cjk_share", 6).alias("cjk_share"),
+    )
+
+
+def q_lang_guess_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return identify_language_unicode(
+        with_langid_sentence(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _unicode_markers_sql(code: str) -> str:
+    return ", ".join(f"'{w}'" for w in UNICODE_LANG_MARKERS[code])
+
+
+def _lang_unicode_sql() -> str:
+    from searchengine_spark.text.tokenizer import sql_raw_tokens_expr
+
+    codes = sorted(UNICODE_LANG_MARKERS)
+    sents = "[" + ", ".join(f"'{s}'" for s in LANGID_SENTS) + "]"
+    scores = ",\n         ".join(
+        f"len(list_intersect(toks_d, [{_unicode_markers_sql(c)}])) AS score_{c}"
+        for c in codes
+    )
+    best = f"greatest({', '.join(f'score_{c}' for c in codes)})"
+    case = "CASE " + " ".join(
+        f"WHEN score_{c} = {best} THEN '{c}'" for c in codes
+    ) + " END"
+    return f"""
+WITH ldocs AS (
+  SELECT doc_id,
+         ({sents})[(doc_id % {len(LANGID_SENTS)}) + 1] AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id,
+         {sql_raw_tokens_expr('text', unicode=True)} AS toks
+  FROM ldocs
+),
+scored AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, w -> regexp_matches(w, '{_CJK_RE2}')))::DOUBLE
+             / len(toks)
+         ELSE 0.0 END AS cjk_share,
+         {scores}
+  FROM (SELECT doc_id, toks, list_distinct(toks) AS toks_d FROM base)
+)
+SELECT doc_id,
+       CASE WHEN cjk_share >= {CJK_SHARE_MIN} THEN 'cjk' ELSE {case} END
+         AS lang_guess,
+       CAST({best} AS BIGINT) AS marker_hits,
+       round(cjk_share, 6) AS cjk_share
+FROM scored
+"""
+
+
+QUERIES["text_lang_guess_unicode"] = q_lang_guess_unicode
+ORACLES["text_lang_guess_unicode"] = _lang_unicode_sql()

@@ -116,20 +116,23 @@ def tokenize_query(
     return toks
 
 
-def raw_tokens_column(text: Column | str) -> Column:
+def raw_tokens_column(text: Column | str, *, unicode: bool = False) -> Column:
     """All lowercase alpha runs, stopwords INCLUDED, no length floor —
     the raw token stream used by text analytics / quality gating.
     Canonical definition: every module needing raw tokens must import
     this (and its SQL twin) so Spark and the DuckDB oracles can never
-    diverge."""
+    diverge. ``unicode=True`` splits on non-letter codepoints, same
+    contract as tokens_column."""
     col = F.col(text) if isinstance(text, str) else text
-    return F.filter(F.split(F.lower(col), TOKEN_SPLIT_REGEX), lambda w: w != F.lit(""))
+    regex = UNICODE_TOKEN_SPLIT_REGEX if unicode else TOKEN_SPLIT_REGEX
+    return F.filter(F.split(F.lower(col), regex), lambda w: w != F.lit(""))
 
 
-def sql_raw_tokens_expr(text_expr: str = "text") -> str:
+def sql_raw_tokens_expr(text_expr: str = "text", *, unicode: bool = False) -> str:
     """DuckDB twin of raw_tokens_column."""
+    regex = r"[^\p{L}]+" if unicode else "[^a-z]+"
     return (
-        f"list_filter(regexp_split_to_array(lower({text_expr}), '[^a-z]+'), "
+        f"list_filter(regexp_split_to_array(lower({text_expr}), '{regex}'), "
         "w -> w <> '')"
     )
 

@@ -50,3 +50,35 @@ def test_mixed_language_chunks_flags_code_switching(spark):
     assert not rows[1].is_mixed and rows[1].n_langs == 1
     assert rows[2].is_mixed and rows[2].n_langs >= 2
     assert rows[2].n_chunks == 3 and rows[2].n_informative >= 2
+
+
+def test_unicode_langid_identifies_every_script(spark):
+    """The unicode mode must identify each fixture language — the
+    ASCII default scores Cyrillic/Greek/CJK docs 0 everywhere."""
+    from searchengine_spark.text.langid import (
+        LANGID_SENTS,
+        identify_language_unicode,
+    )
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(LANGID_SENTS)],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r.doc_id: r.lang_guess
+        for r in identify_language_unicode(df).collect()
+    }
+    assert got == {0: "en", 1: "de", 2: "es", 3: "fr",
+                   4: "ru", 5: "el", 6: "cjk", 7: "en"}
+
+
+def test_unicode_langid_cjk_share_routes_before_markers(spark):
+    from searchengine_spark.text.langid import identify_language_unicode
+
+    # mostly-CJK text with a couple of Latin tokens still routes cjk
+    df = spark.createDataFrame(
+        [(1, "機械学習 モデル 訓練 データ 処理 解析 spark data")],
+        "doc_id bigint, text string",
+    )
+    row = identify_language_unicode(df).collect()[0]
+    assert row.lang_guess == "cjk" and row.cjk_share >= 0.7
