@@ -344,6 +344,8 @@ HEADLINE = [
     "text_cjk_bigram_tokens",
     "se_bm25_topk_cjk",
     "text_lang_guess_unicode",
+    "text_normalize_stats",
+    "dedup_nfc_groups",
 ]
 
 # The representative subset inlined in the one-line stdout summary

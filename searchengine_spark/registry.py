@@ -25,6 +25,7 @@ _MODULES = (
     "index.queries",
     "index.unicode_search",
     "text.cjk",
+    "text.normalize",
     "index.phrase",
     "index.incremental",
     "index.fuzzy",
