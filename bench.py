@@ -346,6 +346,7 @@ HEADLINE = [
     "text_lang_guess_unicode",
     "text_normalize_stats",
     "dedup_nfc_groups",
+    "text_gopher_gate_unicode",
 ]
 
 # The representative subset inlined in the one-line stdout summary

@@ -537,3 +537,143 @@ ORACLES = {
         FROM ranked WHERE rn = 1
     """,
 }
+
+
+# ---------------------------------------------------- unicode gate
+
+# Multilingual variant of the Gopher gate (round 12, completing the
+# unicode arc): the ASCII gate's stopword-evidence rule fails every
+# non-English document by construction — correct for the reference's
+# English-corpus parity, wrong for a multilingual 100 TB pipeline.
+# This additive variant tokenizes on \p{L} runs and replaces the
+# English-stopword rule with LANGUAGE-AGNOSTIC function-word
+# evidence: max marker overlap across every UNICODE_LANG_MARKERS set
+# >= MIN_STOPWORDS, OR a CJK script share >= CJK_SHARE_MIN (marker
+# words cannot represent unsegmented text — for CJK docs the
+# mean-word-length rule is also waived, since \p{L} runs are phrases,
+# not words). Word-count, adjacent-dup, and distinct-fraction rules
+# are language-agnostic and unchanged. Still one map stage.
+
+
+def gopher_gate_unicode(docs: DataFrame) -> DataFrame:
+    from searchengine_spark.text.langid import (
+        _CJK_JAVA,
+        CJK_SHARE_MIN,
+        UNICODE_LANG_MARKERS,
+    )
+
+    base = ensure_min_partitions(docs).select(
+        "doc_id", _raw_tokens(F.col("text"), unicode=True).alias("toks")
+    )
+    n = F.size("toks")
+    adj_dups = F.size(
+        F.filter(
+            F.zip_with(
+                F.slice("toks", 1, n - 1),
+                F.slice("toks", 2, n - 1),
+                lambda a, b: a == b,
+            ),
+            lambda x: x,
+        )
+    )
+    adj_dup_frac = F.when(n >= 2, F.round(adj_dups / (n - 1), 6)).otherwise(
+        F.lit(0.0)
+    )
+    mean_word_len = F.round(F.length(F.array_join("toks", "")) / n, 6)
+    distinct_frac = F.round(F.size(F.array_distinct("toks")) / n, 6)
+    distinct = F.array_distinct(F.col("toks"))
+    marker_hits = F.greatest(
+        *[
+            F.size(
+                F.array_intersect(
+                    distinct, F.array(*[F.lit(w) for w in words])
+                )
+            )
+            for _, words in sorted(UNICODE_LANG_MARKERS.items())
+        ]
+    )
+    cjk_share = F.round(
+        F.size(F.filter("toks", lambda w: w.rlike(_CJK_JAVA))) / n, 6
+    )
+    sig = base.filter(n > 0).select(
+        "doc_id",
+        n.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        marker_hits.cast("bigint").alias("marker_hits"),
+        cjk_share.alias("cjk_share"),
+        adj_dup_frac.alias("adjacent_dup_frac"),
+        distinct_frac.alias("distinct_frac"),
+    )
+    is_cjk = F.col("cjk_share") >= CJK_SHARE_MIN
+    return sig.withColumn(
+        "passes",
+        F.col("n_words").between(MIN_WORDS, MAX_WORDS)
+        & (
+            is_cjk
+            | F.col("mean_word_len").between(
+                MIN_MEAN_WORD_LEN, MAX_MEAN_WORD_LEN
+            )
+        )
+        & ((F.col("marker_hits") >= MIN_STOPWORDS) | is_cjk)
+        & (F.col("adjacent_dup_frac") <= MAX_ADJACENT_DUP_FRAC)
+        & (F.col("distinct_frac") >= MIN_DISTINCT_FRAC),
+    )
+
+
+def q_gopher_gate_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from searchengine_spark.index.unicode_search import with_unicode_suffix
+
+    return gopher_gate_unicode(
+        with_unicode_suffix(load_table(spark, sf_dir, "documents"))
+    )
+
+
+def _gate_unicode_sql() -> str:
+    from searchengine_spark.index.unicode_search import _UDOCS_CTES
+    from searchengine_spark.text.langid import (
+        _CJK_RE2,
+        CJK_SHARE_MIN,
+        UNICODE_LANG_MARKERS,
+    )
+    from searchengine_spark.text.tokenizer import sql_raw_tokens_expr
+
+    hits = ", ".join(
+        f"len(list_intersect(toks_d, [{', '.join(chr(39) + w + chr(39) for w in words)}]))"
+        for _, words in sorted(UNICODE_LANG_MARKERS.items())
+    )
+    udocs = _UDOCS_CTES[: _UDOCS_CTES.index(",\nutok AS (")]
+    return f"""{udocs},
+base AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text', unicode=True)} AS toks
+  FROM udocs
+),
+sig AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_words,
+         round(length(array_to_string(toks, '')) * 1.0 / len(toks), 6)
+           AS mean_word_len,
+         CAST(greatest({hits}) AS BIGINT) AS marker_hits,
+         round(len(list_filter(toks, w -> regexp_matches(w, '{_CJK_RE2}')))
+               * 1.0 / len(toks), 6) AS cjk_share,
+         (CASE WHEN len(toks) >= 2 THEN
+            round(len(list_filter(list_transform(range(1, len(toks)),
+                                                 i -> toks[i] = toks[i+1]),
+                                  b -> b)) * 1.0 / (len(toks) - 1), 6)
+          ELSE 0.0 END) AS adjacent_dup_frac,
+         round(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS distinct_frac
+  FROM (SELECT doc_id, toks, list_distinct(toks) AS toks_d FROM base)
+  WHERE len(toks) > 0
+)
+SELECT *,
+       (n_words BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+       AND (cjk_share >= {CJK_SHARE_MIN}
+            OR mean_word_len BETWEEN {MIN_MEAN_WORD_LEN} AND {MAX_MEAN_WORD_LEN})
+       AND (marker_hits >= {MIN_STOPWORDS} OR cjk_share >= {CJK_SHARE_MIN})
+       AND adjacent_dup_frac <= {MAX_ADJACENT_DUP_FRAC}
+       AND distinct_frac >= {MIN_DISTINCT_FRAC} AS passes
+FROM sig
+"""
+
+
+QUERIES["text_gopher_gate_unicode"] = q_gopher_gate_unicode
+ORACLES["text_gopher_gate_unicode"] = _gate_unicode_sql()

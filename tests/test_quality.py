@@ -182,3 +182,46 @@ def test_quality_calibration_is_per_source(spark):
     assert got[2] == (0.5, True)
     assert got[3] == (0.0, False)   # bottom of A: dropped
     assert got[4] == (0.0, False)   # single-doc source: pct 0 in both engines
+
+
+def test_unicode_gate_passes_non_english(spark):
+    """The multilingual gate admits well-formed Russian and CJK docs
+    the ASCII gate cannot even tokenize (they produce ZERO rows
+    there), while repetitive junk still fails."""
+    from searchengine_spark.text.quality import (
+        gopher_gate,
+        gopher_gate_unicode,
+    )
+
+    ru = ("и не на что он как это все она так его но да вы за "
+          "поиск данных система модель обучение качество результат "
+          "программа вычисление таблица запрос индекс документ слово "
+          "текст анализ проверка число значение пример уровень метод")
+    kanji = "機械学習訓練処理解析結果品質検証構築設計"
+    ja = " ".join(
+        kanji[i % len(kanji)] + kanji[(i * 7 + 3) % len(kanji)]
+        + kanji[(i * 11 + 5) % len(kanji)]
+        for i in range(40)
+    )
+    junk = "спам спам спам спам спам " * 10
+    df = spark.createDataFrame(
+        [(1, ru), (2, ja), (3, junk)], "doc_id bigint, text string"
+    )
+    got = {
+        r.doc_id: (r.passes, r.marker_hits, float(r.cjk_share))
+        for r in gopher_gate_unicode(df).collect()
+    }
+    assert got[1][0] is True and got[1][1] >= 10  # Russian: marker evidence
+    assert got[2][0] is True and got[2][2] == 1.0  # CJK: script-share route
+    assert got[3][0] is False  # repetitive junk still fails
+    # the ASCII gate tokenizes all three to nothing — no rows at all
+    assert gopher_gate(df).count() == 0
+
+
+def test_unicode_gate_matches_oracle(spark, sf_dir):
+    from helpers import assert_matches_oracle
+
+    from searchengine_spark.text.quality import ORACLES, QUERIES
+
+    name = "text_gopher_gate_unicode"
+    assert_matches_oracle(QUERIES[name](spark, sf_dir), ORACLES[name], sf_dir, name)
