@@ -20,6 +20,9 @@ PICKS = [
     ("tpch_q3_shipping_priority", "dim broadcast + fact shuffle + TakeOrderedAndProject"),
     ("se_bm25_topk", "filter-first index scan, broadcast idf, top-k short-circuit"),
     ("se_bm25_batch", "one tf scan amortized over a query batch; per-query window top-k"),
+    ("se_bm25_topk_unicode", "multilingual index build + score: same broadcast/TakeOrdered shape as the ASCII path"),
+    ("text_cjk_bigram_tokens", "\\p{L} tokenize + CJK bigram re-segmentation entirely map-side before one tf agg"),
+    ("text_normalize_stats", "NFC pandas_udf + native regexp chain as one Arrow-batched map stage"),
     ("dedup_neardup_pairs", "LSH equi-self-join (no cartesian), barriers around expensive projections"),
     ("rel_interval_clicks_before_purchase", "equi hash join with time-range residual (no nested loop)"),
     ("sim_cosine_topk", "map-only fold + TakeOrderedAndProject (no shuffle before top-k)"),
