@@ -57,3 +57,61 @@ def test_tokenize_query_unicode():
 def test_unicode_queries_match_oracle(spark, sf_dir):
     for name, fn in QUERIES.items():
         assert_matches_oracle(fn(spark, sf_dir), ORACLES[name], sf_dir, name)
+
+
+def test_unicode_tokenizer_cross_engine_parity_randomized(spark):
+    """200 pseudo-random mixed-script strings, one batched compare:
+    Spark's Java-regex tokenization must equal DuckDB's RE2 twin
+    byte-for-byte. The alphabet deliberately spans Latin-1, Cyrillic,
+    Greek, CJK, digits, and punctuation, and deliberately EXCLUDES
+    the known engine-divergent case-mapping codepoints (Turkish
+    dotted İ, final sigma Σ) the module docstring documents."""
+    import random
+
+    import duckdb
+
+    from searchengine_spark.text.tokenizer import sql_tokens_expr
+
+    alphabet = (
+        "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ"
+        "àâäçèéêëîïôöùûüñÀÂÄÇÈÉÊËÎÏÔÖÙÛÜÑßæœ"
+        "абвгдежзиклмнопрстуфАБВГДЕЖЗИКЛМНОПРСТУФ"
+        "αβγδεζηθικλμνξοπρστυφαβγδε"
+        "機械学習訓練処理解析結果品質検証モデルデータこれはです"
+        "0123456789 .,;:!?()[]{}-_/\\'\"\t\n«»—…§¶©®µ"
+    )
+    rng = random.Random(20260816)
+    strings = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(200)
+    ]
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(strings)], "id int, text string"
+    )
+    got = {
+        r.id: list(r.t)
+        for r in df.select(
+            "id", tokens_column("text", unicode=True).alias("t")
+        ).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (id INT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO t VALUES (?, ?)", list(enumerate(strings))
+    )
+    want = {
+        i: list(toks)
+        for i, toks in con.execute(
+            f"SELECT id, {sql_tokens_expr('text', unicode=True)} FROM t"
+        ).fetchall()
+    }
+    mismatches = {
+        i: (got[i], want[i], strings[i])
+        for i in got
+        if got[i] != want[i]
+    }
+    assert not mismatches, f"{len(mismatches)} diverging strings; first: " + str(
+        next(iter(mismatches.items()))
+    )
