@@ -347,6 +347,7 @@ HEADLINE = [
     "text_normalize_stats",
     "dedup_nfc_groups",
     "text_gopher_gate_unicode",
+    "dedup_nfc_exact_audit",
 ]
 
 # The representative subset inlined in the one-line stdout summary

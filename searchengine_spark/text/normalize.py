@@ -167,3 +167,80 @@ ORACLES = {
         FROM forms GROUP BY 1
     """,
 }
+
+
+# Byte-variant twin fixture: every even-doc_id document appears TWICE
+# — once with a composed decoration, once (as doc_id+1) with the
+# decomposed form of the SAME decoration. The pair is byte-distinct
+# but canonically identical, so exact dedup keyed on raw md5 sees all
+# singletons while NFC-keyed dedup halves the corpus. Built from the
+# even rows alone (map-side union, no join) identically in both
+# engines. Tails are explicit escapes so no tool can silently
+# re-normalize the source file.
+_COMPOSED_TAIL = " caf\u00e9 br\u00fbl\u00e9e"
+_DECOMPOSED_TAIL = " cafe\u0301 bru\u0302le\u0301e"
+
+
+def _variant_pairs(docs: DataFrame) -> DataFrame:
+    evens = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("t")
+    )
+    composed = evens.select(
+        "doc_id", F.concat(F.col("t"), F.lit(_COMPOSED_TAIL)).alias("text")
+    )
+    decomposed = evens.select(
+        (F.col("doc_id") + 1).alias("doc_id"),
+        F.concat(F.col("t"), F.lit(_DECOMPOSED_TAIL)).alias("text"),
+    )
+    return composed.unionByName(decomposed)
+
+
+def q_nfc_exact_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit over the byte-variant twin fixture: raw-md5
+    exact dedup finds NOTHING (every form is a byte singleton) while
+    NFC-keyed dedup finds exactly one group per twin pair — the
+    undercount a canonicalize-first pipeline exists to fix, measured
+    at corpus scale."""
+    forms = _variant_pairs(load_table(spark, sf_dir, "documents"))
+    counted = forms.select(
+        F.md5(F.col("text").cast("binary")).alias("h_raw"),
+        F.md5(normalize_text_column("text").cast("binary")).alias("h_nfc"),
+    )
+    return (
+        counted.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("h_raw").alias("n_groups_raw"),
+            F.countDistinct("h_nfc").alias("n_groups_nfc"),
+        )
+        .select(
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_groups_raw").cast("bigint").alias("n_groups_raw"),
+            F.col("n_groups_nfc").cast("bigint").alias("n_groups_nfc"),
+            (F.col("n_groups_raw") - F.col("n_groups_nfc"))
+            .cast("bigint")
+            .alias("n_hidden_dups"),
+        )
+    )
+
+
+_VARIANT_CTE = f"""
+WITH evens AS (
+  SELECT doc_id, coalesce(text, '') AS t FROM documents WHERE doc_id % 2 = 0
+),
+forms AS (
+  SELECT doc_id, t || '{_COMPOSED_TAIL}' AS text FROM evens
+  UNION ALL
+  SELECT doc_id + 1, t || '{_DECOMPOSED_TAIL}' FROM evens
+)"""
+
+QUERIES["dedup_nfc_exact_audit"] = q_nfc_exact_audit
+ORACLES["dedup_nfc_exact_audit"] = f"""{_VARIANT_CTE}
+    SELECT count(*)::BIGINT AS n_docs,
+           count(DISTINCT md5(text))::BIGINT AS n_groups_raw,
+           count(DISTINCT md5({sql_normalize_expr('text')}))::BIGINT
+             AS n_groups_nfc,
+           (count(DISTINCT md5(text))
+            - count(DISTINCT md5({sql_normalize_expr('text')})))::BIGINT
+             AS n_hidden_dups
+    FROM forms
+"""

@@ -52,3 +52,12 @@ def test_nfc_dedup_merges_exactly_the_twin_pair(spark, sf_dir):
 def test_normalize_queries_match_oracle(spark, sf_dir):
     for name, fn in QUERIES.items():
         assert_matches_oracle(fn(spark, sf_dir), ORACLES[name], sf_dir, name)
+
+
+def test_nfc_exact_audit_halves_the_twin_corpus(spark, sf_dir):
+    from searchengine_spark.text.normalize import q_nfc_exact_audit
+
+    row = q_nfc_exact_audit(spark, sf_dir).collect()[0]
+    assert row.n_groups_raw == row.n_docs, "twins must be byte-distinct"
+    assert row.n_groups_nfc * 2 == row.n_docs, "NFC must merge every pair"
+    assert row.n_hidden_dups == row.n_docs // 2
