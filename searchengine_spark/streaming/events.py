@@ -383,8 +383,13 @@ def run_to_memory(
             .trigger(availableNow=True)
             .start()
         )
-        q.processAllAvailable()
-        q.stop()
+        # stop() in finally: a stream exception from
+        # processAllAvailable() must not leave the query running and
+        # holding the memory sink (ADVICE r12).
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
         if old is not None:
             spark.conf.set("spark.sql.shuffle.partitions", old)

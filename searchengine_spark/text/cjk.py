@@ -69,8 +69,9 @@ def cjk_bigram_tokens_column(text: Column | str) -> Column:
 
 def cjk_bigram_query_terms(query: str) -> list[str]:
     """Driver-side query segmentation — same rules as the column."""
-    import re
     import unicodedata
+
+    from searchengine_spark.text.tokenizer import unicode_letter_runs
 
     def is_cjk_char(ch: str) -> bool:
         if ch in ("ー", "々"):
@@ -82,7 +83,7 @@ def cjk_bigram_query_terms(query: str) -> list[str]:
         return name.startswith(("CJK ", "HIRAGANA ", "KATAKANA "))
 
     out: list[str] = []
-    for w in re.split(r"[\W\d_]+", query.lower()):
+    for w in unicode_letter_runs(query.lower()):
         if len(w) < MIN_TOKEN_LEN or w in STOPWORDS:
             continue
         if all(is_cjk_char(c) for c in w):

@@ -92,6 +92,29 @@ def stem_tokens_udf(tokens: pd.Series) -> pd.Series:
     )
 
 
+def unicode_letter_runs(text: str) -> list[str]:
+    """Maximal runs of Unicode LETTER codepoints — the exact Python
+    twin of Java/RE2 ``\\p{L}`` splitting. Python ``re`` has no
+    ``\\p{L}`` and ``[^\\W\\d_]`` keeps Nl/No numeric codepoints
+    (Ⅻ, ½, ①) that the engines split on (ADVICE r12), so membership
+    is decided per-codepoint from ``unicodedata.category`` instead:
+    a letter iff the category starts with 'L'. Queries are tiny, so
+    the per-char loop costs nothing."""
+    import unicodedata
+
+    out: list[str] = []
+    cur: list[str] = []
+    for c in text:
+        if unicodedata.category(c).startswith("L"):
+            cur.append(c)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
 def tokenize_query(
     query: str, *, stem: bool = False, unicode: bool = False
 ) -> list[str]:
@@ -106,10 +129,11 @@ def tokenize_query(
     """
     import re
 
-    # Python `re` has no \p{L}; [^\W\d_] is the stdlib equivalent of
-    # "Unicode letter" (word chars minus digits and underscore).
-    pattern = r"[\W\d_]+" if unicode else TOKEN_SPLIT_REGEX
-    toks = [w for w in re.split(pattern, query.lower()) if len(w) >= MIN_TOKEN_LEN]
+    if unicode:
+        toks = unicode_letter_runs(query.lower())
+    else:
+        toks = re.split(TOKEN_SPLIT_REGEX, query.lower())
+    toks = [w for w in toks if len(w) >= MIN_TOKEN_LEN]
     toks = [w for w in toks if w not in STOPWORDS]
     if stem:
         toks = [porter_stem(w) for w in toks]
