@@ -84,12 +84,25 @@ def build_index(
     stem: bool = False,
     tokens: Column | None = None,
     cache_tokens: bool = True,
+    normalize: bool = False,
 ) -> InvertedIndex:
     """Build the full index lineage from a (doc_id, text) DataFrame.
 
     ``tokens`` overrides the tokenizer with a caller-supplied
     array<string> Column (e.g. concat of nested opinion texts for the
     reference's CAP corpus shape — see corpus.py).
+
+    ``normalize``: replace ``text_col`` with its NFC-canonicalized
+    form (text/normalize.py) BEFORE tokenization. Byte-variant twins
+    (composed vs decomposed accents — proven present in real corpora
+    by Q:dedup_nfc_exact_audit) otherwise index under different
+    terms, and a composed-form query silently misses decomposed-form
+    documents; under \\p{L} tokenization the decomposed form even
+    loses its accents entirely (combining marks are category Mn, not
+    L, so "cafe\\u0301" tokenizes as "cafe"). Works with both the
+    default tokenizer and a caller ``tokens`` expression, which binds
+    to the replaced column by name. One Arrow-batched pandas_udf on
+    the ingest scan — the same budget as the Porter stemmer.
 
     ``cache_tokens``: the tokenized stream feeds four aggregates;
     without caching, Spark re-tokenizes the corpus once per branch.
@@ -100,6 +113,10 @@ def build_index(
     """
     from searchengine_spark.io import ensure_min_partitions
 
+    if normalize:
+        from searchengine_spark.text.normalize import normalize_text_column
+
+        docs = docs.withColumn(text_col, normalize_text_column(text_col))
     tok = tokens if tokens is not None else tokens_column(text_col, stem=stem)
     # NB: the empty-doc filter comes AFTER the (cached) projection —
     # filtering on size(words) in the same lineage lets predicate

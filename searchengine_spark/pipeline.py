@@ -389,19 +389,11 @@ def _gopher_quality_cte() -> str:
 )"""
 
 
-_CURATE_CTES = f"""
-WITH {{QUALITY_CTE}},
-exact_keep AS (
-  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
-),
-survivors AS (
-  SELECT q.doc_id, q.text FROM quality q
-  WHERE EXISTS (SELECT 1 FROM exact_keep e WHERE e.doc_id = q.doc_id)
-),
-toks AS (
-  SELECT doc_id, {sql_tokens_expr('text')} AS t FROM survivors
-),
-sh AS (
+# The MinHash/LSH/verify chain downstream of a `toks(doc_id, t)` CTE,
+# shared verbatim by the default curation oracle below and the
+# language-routed one (text/multilingual.py) — copy-drift between the
+# two near-dup restatements would be invisible until a hash-fail.
+NEARDUP_TAIL_CTES = f"""sh AS (
   SELECT doc_id,
          list_transform(range(1, len(t) - 1),
                         i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
@@ -447,7 +439,21 @@ near AS (
   JOIN shsets b ON b.doc_id = doc_b
   WHERE round(len(list_intersect(a.shset, b.shset))
               / len(list_distinct(list_concat(a.shset, b.shset))), 6) >= {JACCARD_CUT}
-)
+)"""
+
+_CURATE_CTES = f"""
+WITH {{QUALITY_CTE}},
+exact_keep AS (
+  SELECT MIN(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+),
+survivors AS (
+  SELECT q.doc_id, q.text FROM quality q
+  WHERE EXISTS (SELECT 1 FROM exact_keep e WHERE e.doc_id = q.doc_id)
+),
+toks AS (
+  SELECT doc_id, {sql_tokens_expr('text')} AS t FROM survivors
+),
+{NEARDUP_TAIL_CTES}
 {{FINAL_SELECT}}
 """
 
@@ -465,18 +471,22 @@ LEFT JOIN exact_keep e ON e.doc_id = d.doc_id
 LEFT JOIN (SELECT DISTINCT doc_b FROM near) n ON n.doc_b = d.doc_id"""
 
 
-def _curate_oracle(quality_cte: str, final_select: str = _KEEP_SELECT) -> str:
+def fill_neardup_placeholders(sql: str) -> str:
+    """Substitute the MinHash signature columns and LSH band rows into
+    a template carrying NEARDUP_TAIL_CTES (shared with
+    text/multilingual.py's routed-curation oracle)."""
     from searchengine_spark.operators.dedup import _band_hash_sql, _sig_sql_cols
 
-    return (
-        _CURATE_CTES.replace("{QUALITY_CTE}", quality_cte)
-        .replace("{SIG_COLS}", _sig_sql_cols())
-        .replace(
-            "{BAND_ROWS}",
-            ",\n    ".join(f"({b}, {_band_hash_sql(b)})" for b in range(4)),
-        )
-        .replace("{FINAL_SELECT}", final_select)
+    return sql.replace("{SIG_COLS}", _sig_sql_cols()).replace(
+        "{BAND_ROWS}",
+        ",\n    ".join(f"({b}, {_band_hash_sql(b)})" for b in range(4)),
     )
+
+
+def _curate_oracle(quality_cte: str, final_select: str = _KEEP_SELECT) -> str:
+    return fill_neardup_placeholders(
+        _CURATE_CTES.replace("{QUALITY_CTE}", quality_cte)
+    ).replace("{FINAL_SELECT}", final_select)
 
 
 

@@ -26,6 +26,7 @@ _MODULES = (
     "index.unicode_search",
     "text.cjk",
     "text.normalize",
+    "text.multilingual",
     "index.phrase",
     "index.incremental",
     "index.fuzzy",

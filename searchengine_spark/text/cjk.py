@@ -48,11 +48,12 @@ _CJK_RUN_JAVA = r"^[\p{IsHan}\p{IsHiragana}\p{IsKatakana}ー々]+$"
 _CJK_RUN_RE2 = r"^[\p{Han}\p{Hiragana}\p{Katakana}ー々]+$"
 
 
-def cjk_bigram_tokens_column(text: Column | str) -> Column:
-    """Unicode tokens with CJK runs re-segmented into overlapping
-    character bigrams. A 2-char CJK token is its own (single) bigram;
-    non-CJK tokens pass through unchanged."""
-    toks = tokens_column(text, unicode=True)
+def cjk_resegment(toks: Column) -> Column:
+    """Re-segment an existing token-array Column: each all-CJK token
+    becomes its overlapping character bigrams (a 2-char CJK token is
+    its own single bigram); non-CJK tokens pass through unchanged.
+    Pure column expressions — shared by the CJK index mode below and
+    the language-routed tokenizer (text/multilingual.py)."""
     return F.flatten(
         F.transform(
             toks,
@@ -67,20 +68,29 @@ def cjk_bigram_tokens_column(text: Column | str) -> Column:
     )
 
 
-def cjk_bigram_query_terms(query: str) -> list[str]:
-    """Driver-side query segmentation — same rules as the column."""
+def cjk_bigram_tokens_column(text: Column | str) -> Column:
+    """Unicode tokens with CJK runs re-segmented into overlapping
+    character bigrams. A 2-char CJK token is its own (single) bigram;
+    non-CJK tokens pass through unchanged."""
+    return cjk_resegment(tokens_column(text, unicode=True))
+
+
+def is_cjk_char(ch: str) -> bool:
+    """Driver-side twin of the _CJK_RUN character class (one char)."""
     import unicodedata
 
-    from searchengine_spark.text.tokenizer import unicode_letter_runs
+    if ch in ("ー", "々"):
+        return True
+    try:
+        name = unicodedata.name(ch)
+    except ValueError:
+        return False
+    return name.startswith(("CJK ", "HIRAGANA ", "KATAKANA "))
 
-    def is_cjk_char(ch: str) -> bool:
-        if ch in ("ー", "々"):
-            return True
-        try:
-            name = unicodedata.name(ch)
-        except ValueError:
-            return False
-        return name.startswith(("CJK ", "HIRAGANA ", "KATAKANA "))
+
+def cjk_bigram_query_terms(query: str) -> list[str]:
+    """Driver-side query segmentation — same rules as the column."""
+    from searchengine_spark.text.tokenizer import unicode_letter_runs
 
     out: list[str] = []
     for w in unicode_letter_runs(query.lower()):

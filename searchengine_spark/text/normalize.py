@@ -233,6 +233,101 @@ forms AS (
   SELECT doc_id + 1, t || '{_DECOMPOSED_TAIL}' FROM evens
 )"""
 
+# ------------------------------------------- NFC-normalized BM25 index
+
+# Composed-form query over a corpus carrying BOTH byte forms: residue
+# 0 of MESSY_SUFFIXES is the decomposed twin of residue 4. Only a
+# normalize=True index matches both — without NFC the decomposed
+# docs tokenize "café" to "cafe" (combining marks are not \p{L})
+# and the composed query misses them entirely; the companion test
+# pins that asymmetry.
+NFC_QUERY_TERMS: tuple[str, ...] = ("café", "brûlée")
+NFC_K = 10
+
+
+def _nfc_index(spark: SparkSession, sf_dir: str):
+    from searchengine_spark.index.builder import build_index
+    from searchengine_spark.io import session_cached
+    from searchengine_spark.text.tokenizer import tokens_column
+
+    return session_cached(
+        spark, "nfc-bm25-index", sf_dir,
+        lambda: build_index(
+            with_messy_suffix(load_table(spark, sf_dir, "documents")),
+            tokens=tokens_column("text", unicode=True),
+            normalize=True,
+        )
+        .coalesce(8)
+        .cache(),
+    )
+
+
+def q_bm25_topk_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-k over the NFC-normalized unicode index for a
+    composed-form accented query — proof the search path (not just
+    dedup) is canonicalization-aware: decomposed-form documents match
+    a composed-form query only because build_index(normalize=True)
+    canonicalized them at ingest."""
+    from searchengine_spark.index.bm25 import bm25_term_score
+
+    idx = _nfc_index(spark, sf_dir)
+    terms = list(NFC_QUERY_TERMS)
+    tf = idx.term_frequencies.filter(F.col("word").isin(terms))
+    scored = (
+        tf.join(
+            F.broadcast(idx.idf_values.filter(F.col("word").isin(terms))),
+            "word",
+        )
+        .join(idx.doc_lengths, "doc_id")
+        .crossJoin(F.broadcast(idx.scoring_params.select("avgdl")))
+        .select(
+            "doc_id",
+            bm25_term_score(
+                F.col("term_freq"),
+                F.col("doc_length"),
+                F.col("avgdl"),
+                F.col("idf"),
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 6).alias("total_score"))
+        .orderBy(F.desc("total_score"), F.asc("doc_id"))
+        .limit(NFC_K)
+    )
+
+
+def _nfc_topk_oracle() -> str:
+    from searchengine_spark.index.queries import B, K1, index_body_sql
+    from searchengine_spark.text.tokenizer import sql_tokens_expr
+
+    terms = ", ".join(f"'{t}'" for t in NFC_QUERY_TERMS)
+    return f"""{_MDOCS_CTE},
+ntok AS (
+  SELECT doc_id,
+         unnest({sql_tokens_expr(sql_normalize_expr('text'), unicode=True)}) AS word
+  FROM mdocs
+){index_body_sql('n')},
+scored AS (
+  SELECT ntf.doc_id,
+         nidf.idf * (ntf.term_freq * {K1 + 1.0}) /
+           (ntf.term_freq + {K1} * (1.0 - {B} + {B} * ndl.doc_length /
+             (SELECT avgdl FROM nparams))) AS term_score
+  FROM ntf
+  JOIN nidf ON ntf.word = nidf.word
+  JOIN ndl ON ntf.doc_id = ndl.doc_id
+  WHERE ntf.word IN ({terms})
+)
+SELECT doc_id, round(sum(term_score), 6) AS total_score
+FROM scored GROUP BY doc_id
+ORDER BY total_score DESC, doc_id ASC LIMIT {NFC_K}
+"""
+
+
+QUERIES["se_bm25_topk_nfc"] = q_bm25_topk_nfc
+ORACLES["se_bm25_topk_nfc"] = _nfc_topk_oracle()
+
 QUERIES["dedup_nfc_exact_audit"] = q_nfc_exact_audit
 ORACLES["dedup_nfc_exact_audit"] = f"""{_VARIANT_CTE}
     SELECT count(*)::BIGINT AS n_docs,

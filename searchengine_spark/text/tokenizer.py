@@ -50,6 +50,49 @@ STOPWORDS: tuple[str, ...] = (
 TOKEN_SPLIT_REGEX = "[^a-z]+"
 MIN_TOKEN_LEN = 2
 
+# Per-language stopword lists for the unicode mode (round-12 verdict
+# task 3): the English list alone leaves "и"/"le"/"der" as the hottest
+# terms of a multilingual index — high-df noise postings exactly where
+# BM25's idf discrimination matters at 100 TB. Compact public
+# function-word lists (the same public-knowledge family as NLTK's
+# shipped lists and text/langid.py's markers), deliberately small so
+# each inlines into oracle SQL; single quotes forbidden (SQL literal
+# embedding). "cjk" is empty by design: character bigrams have no
+# function-word list, and stopping is done by df at query time.
+STOPWORDS_BY_LANG: dict[str, tuple[str, ...]] = {
+    "en": STOPWORDS,
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "eine",
+           "ich", "sie", "mit", "auf", "dass", "von", "sich", "den",
+           "dem", "des", "im", "auch", "als", "an", "aus", "bei",
+           "nach", "wie", "zu", "es", "er", "war", "sind", "hat",
+           "oder", "aber", "wenn", "nur", "noch", "so", "um"),
+    "es": ("el", "la", "los", "las", "es", "una", "uno", "que", "con",
+           "para", "por", "como", "pero", "esta", "este", "ser", "se",
+           "no", "en", "un", "de", "del", "al", "lo", "su", "sus",
+           "fue", "son", "hay", "muy", "ya", "le"),
+    "fr": ("le", "la", "les", "est", "une", "des", "que", "qui",
+           "dans", "pour", "pas", "avec", "sur", "ce", "sont", "vous",
+           "un", "du", "de", "et", "il", "elle", "au", "aux", "ne",
+           "se", "son", "ses", "mais", "ou", "par"),
+    "ru": ("не", "на", "что", "он", "как", "это", "все", "она", "так",
+           "его", "но", "да", "ты", "же", "вы", "за", "бы", "по",
+           "только", "мне", "было", "вот", "от", "меня", "еще", "нет",
+           "из", "ему"),
+    "el": ("και", "το", "να", "του", "με", "για", "είναι", "από",
+           "στο", "που", "δεν", "ότι", "οι", "τον", "ήταν", "τη",
+           "την", "της", "τα", "ως", "θα", "ένα", "μια", "αν"),
+    "cjk": (),
+}
+
+
+def stopwords_for(lang: str | None) -> tuple[str, ...]:
+    """Stopword list for a language code; None or unknown -> the
+    English default (byte-identical to the pre-round-13 behavior)."""
+    if lang is None:
+        return STOPWORDS
+    return STOPWORDS_BY_LANG.get(lang, STOPWORDS)
+
+
 # Unicode mode (round-11 verdict item 3): a token is a maximal run of
 # Unicode LETTER codepoints (category L) — accented Latin, Cyrillic,
 # Greek, CJK all tokenize instead of vanishing. Java regex (Spark) and
@@ -62,23 +105,34 @@ UNICODE_TOKEN_SPLIT_REGEX = r"[^\p{L}]+"
 
 
 def tokens_column(
-    text: Column | str, *, stem: bool = False, unicode: bool = False
+    text: Column | str,
+    *,
+    stem: bool = False,
+    unicode: bool = False,
+    lang: str | None = None,
 ) -> Column:
     """Array-of-tokens Column from a text Column — all native ops.
 
     lowercase -> split on non-letters -> drop '' -> drop stopwords
     [-> Porter stem via pandas_udf when ``stem=True``].
     ``unicode=True`` splits on non-LETTER codepoints (\\p{L}) instead
-    of non-[a-z]; stopword list and length floor are unchanged.
+    of non-[a-z]; length floor unchanged. ``lang`` picks the stopword
+    list via :func:`stopwords_for` (None -> the English default,
+    byte-identical to the pre-lang behavior; "cjk" -> empty list, no
+    stopword filter).
     """
     col = F.col(text) if isinstance(text, str) else text
     toks = F.split(
         F.lower(col),
         UNICODE_TOKEN_SPLIT_REGEX if unicode else TOKEN_SPLIT_REGEX,
     )
-    toks = F.filter(
-        toks, lambda w: (F.length(w) >= MIN_TOKEN_LEN) & ~w.isin(*STOPWORDS)
-    )
+    stops = stopwords_for(lang)
+    if stops:
+        toks = F.filter(
+            toks, lambda w: (F.length(w) >= MIN_TOKEN_LEN) & ~w.isin(*stops)
+        )
+    else:
+        toks = F.filter(toks, lambda w: F.length(w) >= MIN_TOKEN_LEN)
     if stem:
         toks = stem_tokens_udf(toks)
     return toks
@@ -161,15 +215,23 @@ def sql_raw_tokens_expr(text_expr: str = "text", *, unicode: bool = False) -> st
     )
 
 
-def sql_tokens_expr(text_expr: str, *, unicode: bool = False) -> str:
+def sql_tokens_expr(
+    text_expr: str, *, unicode: bool = False, lang: str | None = None
+) -> str:
     """ANSI-SQL (DuckDB) twin of ``tokens_column`` for oracle queries.
 
     Returns an expression producing the token LIST; callers unnest it.
-    Must stay semantically identical to tokens_column().
+    Must stay semantically identical to tokens_column() — including
+    the ``lang`` stopword-list selection.
     """
-    stop = ", ".join(f"'{w}'" for w in STOPWORDS)
+    stops = stopwords_for(lang)
     regex = r"[^\p{L}]+" if unicode else "[^a-z]+"
+    if stops:
+        stop = ", ".join(f"'{w}'" for w in stops)
+        pred = f"length(w) >= {MIN_TOKEN_LEN} AND w NOT IN ({stop})"
+    else:
+        pred = f"length(w) >= {MIN_TOKEN_LEN}"
     return (
         f"list_filter(regexp_split_to_array(lower({text_expr}), '{regex}'), "
-        f"w -> length(w) >= {MIN_TOKEN_LEN} AND w NOT IN ({stop}))"
+        f"w -> {pred})"
     )
