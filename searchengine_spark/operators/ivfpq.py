@@ -895,7 +895,21 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     set grows with n_probe, but ADC quantization noise can let a
     new cell's candidate displace a true neighbor from the top-k
     (it does at sf0.001, n_probe 3 -> 4). Surfacing that dip is the
-    audit's value — it is the signal to raise PQ bits, not probes."""
+    audit's value — it is the signal to raise PQ bits, not probes.
+
+    One-pass shape (round-12 verdict task 5): the old loop re-ran the
+    probed ADC search per operating point — K full scan+agg+topk jobs
+    over the codes table. But each point's candidate ranking is a
+    PREFIX of the same ranked assignment: compute every vector's ADC
+    distance and its cell's probe rank ONCE (the K per-cell distance
+    tables ride along as one plan literal), fan out to the K probe
+    settings with a broadcast range join (rnk <= n_probe, <= K·n_vec
+    rows), and cut each setting's top-k with one window partitioned
+    by n_probe. One scan + one agg shuffle + one window replaces K
+    jobs; per-point results are identical (same (adc_dist, vec_id)
+    order, same exclusion), so the oracle is untouched."""
+    from pyspark.sql.window import Window
+
     from searchengine_spark.operators.ann_truth import (
         exact_truth,
         query_vectors,
@@ -909,15 +923,61 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("query_id") == PQ_QUERY_ID) & (F.col("rn") <= PQ_K))
         .select("vec_id")
     )
-    codes = codes.cache()
-    rows = []
-    for n in range(1, K + 1):
-        hits = ivfpq_search(
-            codes, cents, codebooks, qv, n_probe=n, exclude_id=PQ_QUERY_ID
-        ).select("vec_id")
-        rows.append((n, PQ_K, brute.join(hits, "vec_id", "left_semi").count()))
-    return spark.createDataFrame(
-        rows, "n_probe int, k bigint, n_caught bigint"
+    dim = len(qv)
+    ranked = [
+        j
+        for _, j in sorted(
+            (sum((qv[i] - c[i]) ** 2 for i in range(dim)), j)
+            for j, c in enumerate(cents)
+        )
+    ]
+    tables = []
+    for j in ranked:
+        qres = [qv[i] - cents[j][i] for i in range(dim)]
+        qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
+        tables.append(adc_distance_table(qsub, codebooks))
+    dt_lit = F.array(
+        *[
+            F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in t])
+            for t in tables
+        ]
+    )
+    rnk = F.lit(0)
+    for i, j in enumerate(ranked):
+        rnk = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(rnk)
+    cand = (
+        codes.filter(F.col("vec_id") != PQ_QUERY_ID)
+        .withColumn("_p", rnk)
+        .select(
+            "vec_id",
+            "_p",
+            F.element_at(
+                F.element_at(
+                    F.element_at(dt_lit, F.col("_p")), F.col("m") + 1
+                ),
+                F.col("code") + 1,
+            ).alias("_d"),
+        )
+        .groupBy("vec_id", "_p")
+        .agg(F.sum("_d").cast("bigint").alias("adc_dist"))
+    )
+    probes = spark.range(1, K + 1).select(
+        F.col("id").cast("int").alias("n_probe")
+    )
+    expanded = cand.join(F.broadcast(probes), F.col("_p") <= F.col("n_probe"))
+    w = Window.partitionBy("n_probe").orderBy("adc_dist", "vec_id")
+    topk = expanded.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= PQ_K
+    )
+    counts = (
+        topk.join(F.broadcast(brute), "vec_id", "left_semi")
+        .groupBy("n_probe")
+        .agg(F.count(F.lit(1)).alias("n_caught"))
+    )
+    return probes.join(counts, "n_probe", "left").select(
+        "n_probe",
+        F.lit(PQ_K).cast("bigint").alias("k"),
+        F.coalesce("n_caught", F.lit(0)).cast("bigint").alias("n_caught"),
     )
 
 
