@@ -348,6 +348,14 @@ HEADLINE = [
     "dedup_nfc_groups",
     "text_gopher_gate_unicode",
     "dedup_nfc_exact_audit",
+    # round-13: the language-routed multilingual path (NFC + langid
+    # routing + per-language stopwords + CJK bigrams) end-to-end, and
+    # the NFC-normalized BM25 index.
+    "text_routed_langs",
+    "text_unicode_tokens_stopworded",
+    "pipeline_curated_docs_multilingual",
+    "se_bm25_topk_routed",
+    "se_bm25_topk_nfc",
 ]
 
 # The representative subset inlined in the one-line stdout summary
@@ -380,6 +388,33 @@ SERVE_QUERIES = [
     "hash group filter",
     "customer order value",
 ]
+
+# Rotating sf0.1 coverage of the NON-headline registry (round-12
+# verdict task 4): ~119 of the registry's queries were
+# correctness-checked at sf0.01 but never timed at sf0.1, so a perf
+# regression there was invisible to the budget gate until the family
+# happened to be touched. Each round times one deterministic slot of
+# the non-headline pool (sorted-index mod n_cycles == round mod
+# n_cycles), so every registry name is timed at sf0.1 at least once
+# per cycle of ceil(pool/ROTATION_SIZE) rounds. Rotation timings are
+# recorded in a `rotation` section OUTSIDE `timings` (the serve_http
+# lesson: the headline total and the budget-gate baseline population
+# must stay round-over-round comparable).
+ROTATION_SIZE = 40
+
+
+def rotation_pool(all_names) -> list[str]:
+    return sorted(n for n in all_names if n not in HEADLINE)
+
+
+def rotation_slot_names(all_names, round_n: int) -> list[str]:
+    import math
+
+    pool = rotation_pool(all_names)
+    if not pool:
+        return []
+    n_cycles = max(1, math.ceil(len(pool) / ROTATION_SIZE))
+    return [n for i, n in enumerate(pool) if i % n_cycles == round_n % n_cycles]
 
 
 def main() -> None:
@@ -663,6 +698,25 @@ def main() -> None:
                 except Exception:  # noqa: BLE001 — keep the original time
                     pass
 
+    # Rotation slot (round-12 verdict task 4): time this round's slice
+    # of the non-headline registry at sf0.1. Outside `timings` by
+    # design — the headline total and budget-gate baselines stay
+    # comparable round-over-round; rotation regressions are caught by
+    # tests/test_bench_rotation.py against prior rotation samples.
+    round_info = _resolve_round()
+    rotation: dict[str, float] = {}
+    for name in rotation_slot_names(set(queries), round_info[0]):
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        t0 = time.perf_counter()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001
+            errors[f"rotation:{name}"] = f"{type(exc).__name__}: {exc}"[:200]
+            continue
+        rotation[name] = round(time.perf_counter() - t0, 3)
+
     calib_end = _calibrate()
     spark_calib_end = _spark_calibrate()
 
@@ -686,11 +740,22 @@ def main() -> None:
         out["nltk_parity_build_docs_per_sec"] = nltk_rate
     if serving:
         out["serving_slo"] = serving
+    if rotation:
+        import math
+
+        pool = rotation_pool(set(queries))
+        out["rotation"] = {
+            "slot": round_info[0] % max(1, math.ceil(len(pool) / ROTATION_SIZE)),
+            "cycle_rounds": max(1, math.ceil(len(pool) / ROTATION_SIZE)),
+            "pool_size": len(pool),
+            "total_sec": round(sum(rotation.values()), 3),
+            "queries": rotation,
+        }
     if errors:
         out["errors"] = errors
     if remeasured:
         out["remeasured"] = remeasured
-    detail_path = _write_detail(out)
+    detail_path = _write_detail(out, round_info)
     # Print ONE COMPACT line: every BENCH_rN.json through round 10 had
     # "parsed": null because the full dump (186 inline queries, >10 KB)
     # overflowed the driver's 2000-char stdout capture window. The full
@@ -721,6 +786,9 @@ def main() -> None:
         compact["nltk_parity_build_docs_per_sec"] = nltk_rate
     if serving:
         compact["serving_slo"] = serving
+    if rotation:
+        compact["rotation_n"] = len(rotation)
+        compact["rotation_total_sec"] = round(sum(rotation.values()), 3)
     print(json.dumps(compact))
     spark.stop()
 
@@ -771,69 +839,63 @@ def _budget_baseline() -> dict | None:
         return None
 
 
-def _write_detail(out: dict) -> str | None:
+def _resolve_round() -> tuple[int, str, bool]:
+    """(round_n, suffix, explicit) — the round this run stamps, shared
+    by the detail writer and the rotation slot so both agree. N comes
+    from SPARK_GRAFT_BENCH_ROUND (or a --round argv flag) when set.
+    Fallback: N = 1 + the highest round among CORRECTNESS_r*/BENCH_r*
+    files on disk, re-stamped to (N-1, "_driver") when the previous
+    round's CORRECTNESS snapshot is fresh (the driver runs bench
+    minutes AFTER writing it — this mis-stamped rounds 7, 8, 9 before
+    the freshness check)."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    n = _explicit_round()
+    if n is not None:
+        return n, "", True
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(here, "*_r*.json"))
+        if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
+    ]
+    n = max(rounds, default=0) + 1
+    suffix = ""
+    recent = float(os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT_WINDOW", "1800"))
+    prev_snap = os.path.join(here, f"CORRECTNESS_r{n - 1:02d}.json")
+    try:
+        snap_age = time.time() - os.path.getmtime(prev_snap)
+    except OSError:
+        snap_age = None
+    if snap_age is not None and snap_age < recent:
+        # Keep this SHORT (round-11 verdict item 8): the driver's
+        # capture window is 2000 chars and may merge streams — a
+        # long notice here crowds out the headline JSON line.
+        print(
+            f"bench: re-stamped r{n}->r{n - 1}_driver "
+            f"(snapshot {snap_age:.0f}s old)",
+            file=sys.stderr,
+        )
+        n -= 1
+        suffix = "_driver"
+    return n, suffix, False
+
+
+def _write_detail(out: dict, round_info: tuple[int, str, bool] | None = None) -> str | None:
     """Persist the FULL bench result as BENCH_DETAIL_r{N}.json next to
     this script. The driver's BENCH_r{N}.json keeps only the last
     2000 chars of stdout (~60 of the ~80 headline entries), so
     round-over-round regression detection was blind: r03∩r05 shared 3
-    query keys. N comes from SPARK_GRAFT_BENCH_ROUND (or a --round
-    argv flag) when set — the inference below assumes bench runs
-    BEFORE the driver writes the round's CORRECTNESS_r/BENCH_r files,
-    so a manual re-run AFTER the driver snapshot would stamp the NEXT
-    round's number and get silently overwritten next round. Fallback:
-    N = 1 + the highest round number among CORRECTNESS_r*/BENCH_r*
-    files on disk; re-runs within a round overwrite idempotently.
+    query keys. Round stamping: see _resolve_round (main computes it
+    once and passes it here so the rotation slot and the file stamp
+    cannot disagree); re-runs within a round overwrite idempotently.
     Compare rounds with scripts/bench_compare.py.
     """
-    import glob
-
     here = os.path.dirname(os.path.abspath(__file__))
-    n = None
-    explicit = os.environ.get("SPARK_GRAFT_BENCH_ROUND")
-    for i, a in enumerate(sys.argv):
-        if a == "--round" and i + 1 < len(sys.argv):
-            explicit = sys.argv[i + 1]
-        elif a.startswith("--round="):
-            explicit = a.split("=", 1)[1]
-    if explicit is not None:
-        try:
-            n = int(explicit)
-        except ValueError:
-            print(f"bench: ignoring non-integer round {explicit!r}", file=sys.stderr)
-    suffix = ""
-    if n is None:
-        rounds = [
-            int(m.group(1))
-            for p in glob.glob(os.path.join(here, "*_r*.json"))
-            if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
-        ]
-        n = max(rounds, default=0) + 1
-        # The driver runs bench minutes AFTER writing the round's
-        # CORRECTNESS snapshot, so the max+1 inference stamps the NEXT
-        # round (this mis-stamped rounds 7, 8, and 9, each needing a
-        # manual rename to _r{N}_driver). Detect that case by snapshot
-        # freshness: a CORRECTNESS_r{n-1}.json younger than the window
-        # means THIS run belongs to round n-1 and is the driver's —
-        # stamp it r{n-1}_driver directly (the name every prior rename
-        # converged on). An in-round agent run happens hours later (or
-        # passes --round) and is unaffected.
-        recent = float(os.environ.get("SPARK_GRAFT_BENCH_SNAPSHOT_WINDOW", "1800"))
-        prev_snap = os.path.join(here, f"CORRECTNESS_r{n - 1:02d}.json")
-        try:
-            snap_age = time.time() - os.path.getmtime(prev_snap)
-        except OSError:
-            snap_age = None
-        if snap_age is not None and snap_age < recent:
-            # Keep this SHORT (round-11 verdict item 8): the driver's
-            # capture window is 2000 chars and may merge streams — a
-            # long notice here crowds out the headline JSON line.
-            print(
-                f"bench: re-stamped r{n}->r{n - 1}_driver "
-                f"(snapshot {snap_age:.0f}s old)",
-                file=sys.stderr,
-            )
-            n -= 1
-            suffix = "_driver"
+    n, suffix, explicit_flag = (
+        round_info if round_info is not None else _resolve_round()
+    )
+    explicit = explicit_flag or None
     path = os.path.join(here, f"BENCH_DETAIL_r{n:02d}{suffix}.json")
     if explicit is None and os.path.exists(path):
         # The inference mis-stamps exactly once per round if bench runs
