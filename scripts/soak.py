@@ -266,6 +266,21 @@ QUERIES = (
     "se_bm25f_topk",
     "sample_kfold_balance",
     "events_bh_fdr",
+    # round-13 (r12 verdict task 8): the multilingual operators. The
+    # NFC pandas_udf is the one new Python boundary on the corpus
+    # scan — its Arrow-batched per-row cost must stay flat under
+    # replication; the unicode/CJK token stats are tokenize+agg
+    # canaries (linear), and the NFC dedup group-by is one hash
+    # shuffle keyed on the normalized string. The round-13
+    # language-routed frame (langid CASE + per-lang stop filter +
+    # bigram resegment, all map-side) and the full routed curation
+    # chain ride along as the composed-path canaries.
+    "text_unicode_tokens",
+    "text_cjk_bigram_tokens",
+    "text_normalize_stats",
+    "dedup_nfc_groups",
+    "text_routed_langs",
+    "pipeline_curated_docs_multilingual",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
@@ -609,6 +624,66 @@ def main() -> None:
         with open("/root/repo/SOAK.json", "w") as fh:
             json.dump(report, fh, indent=2)
         print(json.dumps(section))
+        spark.stop()
+        shutil.rmtree(SCRATCH, ignore_errors=True)
+        return
+
+    only: list[str] | None = None
+    for a in sys.argv:
+        if a.startswith("--only="):
+            only = [s for s in a.split("=", 1)[1].split(",") if s]
+    if only is not None:
+        # Targeted x1/x2/x5 pass for a named subset, merged into the
+        # existing SOAK.json (the full soak takes hours; newly added
+        # QUERIES entries are soakable the round they land).
+        unknown = [n for n in only if n not in queries]
+        if unknown:
+            raise SystemExit(f"--only names not in registry: {unknown}")
+        results = {name: {} for name in only}
+        for factor in FACTORS:
+            spark.catalog.clearCache()
+            sf_dir = build_scaled(spark, factor)
+            for name in only:
+                t0 = time.perf_counter()
+                try:
+                    queries[name](spark, sf_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    results[name][f"x{factor}"] = round(
+                        time.perf_counter() - t0, 3
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    results[name][f"x{factor}"] = -1.0
+                    results[name][f"x{factor}_err"] = (
+                        f"{type(exc).__name__}: {exc}"[:200]
+                    )
+        for name, r in results.items():
+            t1, t5 = r.get("x1"), r.get("x5")
+            if t1 and t5 and t1 > 0 and t5 > 0 and t5 / t1 > 5.0:
+                # min-of-2, same phantom-blowup rule as the broad set
+                for factor in (1, 5):
+                    spark.catalog.clearCache()
+                    sf_dir = build_scaled(spark, factor)
+                    t0 = time.perf_counter()
+                    try:
+                        queries[name](spark, sf_dir).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                        r[f"x{factor}"] = min(
+                            r[f"x{factor}"],
+                            round(time.perf_counter() - t0, 3),
+                        )
+                    except Exception:  # noqa: BLE001
+                        pass
+                r["remeasured"] = True
+            if r.get("x1", 0) > 0 and r.get("x5", 0) > 0:
+                r["ratio_x5"] = round(r["x5"] / r["x1"], 2)
+        with open("/root/repo/SOAK.json") as fh:
+            report = json.load(fh)
+        report["queries"].update(results)
+        with open("/root/repo/SOAK.json", "w") as fh:
+            json.dump(report, fh, indent=2)
+        print(json.dumps(results))
         spark.stop()
         shutil.rmtree(SCRATCH, ignore_errors=True)
         return
