@@ -120,6 +120,7 @@ def curate(
     text_col: str = "text",
     gate: str = "basic",
     max_bucket: int | None = CURATE_MAX_BUCKET,
+    multilingual: bool = False,
 ) -> DataFrame:
     """Returns the curated keep-list: (doc_id) surviving all gates.
 
@@ -129,6 +130,13 @@ def curate(
     stopword evidence, adjacent-dup ratio, lexical diversity) — the
     production-shaped quality pass; same map-only plan shape.
 
+    ``multilingual=True`` routes through the language-routed chain
+    (text/multilingual.py): NFC-normalize, per-document langid, the
+    doc's own language's stopword list, CJK character bigrams, exact
+    dedup keyed on the normalized text. The ASCII default drops every
+    non-Latin document's tokens (reference parity — English caselaw),
+    which is the wrong default for a mixed corpus.
+
     ``max_bucket`` (default CURATE_MAX_BUCKET) caps LSH bucket size in
     the near-dup stage: boilerplate groups larger than the cap are
     excluded from pair enumeration (and therefore KEPT — route them
@@ -136,6 +144,18 @@ def curate(
     :func:`curate_with_metrics`). ``max_bucket=None`` restores the
     uncapped round-1 behavior.
     """
+    if multilingual:
+        from searchengine_spark.text.multilingual import curate_multilingual
+
+        if gate != "basic":
+            raise ValueError(
+                "multilingual curation defines its own language-routed "
+                "gate; gate= is not combinable"
+            )
+        return curate_multilingual(
+            docs.select("doc_id", F.col(text_col).alias("text")),
+            max_bucket=max_bucket,
+        )
     quality, exact_keep, drop = _stages(
         docs, text_col=text_col, gate=gate, max_bucket=max_bucket
     )
