@@ -180,6 +180,73 @@ def test_stopworded_vocab_has_no_foreign_stopwords(spark, sf_dir):
     assert "機械" in vocab  # cjk bigram
 
 
+def test_routed_chain_cross_engine_parity_randomized(spark):
+    """150 pseudo-random multilingual documents, one batched compare:
+    the FULL routed chain (NFC normalize -> \\p{L} tokenize -> langid
+    argmax + CJK share -> per-language stop filter -> CJK bigram
+    resegment, with n_base/n_stop) must agree byte-for-byte between
+    Spark and the DuckDB CTE twin. Documents are sampled from the
+    marker/stopword/content vocabulary across all six languages plus
+    CJK runs, DECOMPOSED accent forms, and Cf characters (ZWSP, BOM,
+    soft hyphen) so NFC and the format-strip do real work; the known
+    engine-divergent case mappings (Turkish dotted I, final sigma)
+    are excluded, as documented in the tokenizer module."""
+    import random
+
+    import duckdb
+
+    rng = random.Random(20260817)
+    vocab: list[str] = []
+    for ws in ml.UNICODE_LANG_MARKERS.values():
+        vocab.extend(ws)
+    for ws in STOPWORDS_BY_LANG.values():
+        vocab.extend(ws)
+    vocab += [
+        "caf\u00e9", "cafe\u0301", "br\u00fbl\u00e9e",
+        "bru\u0302le\u0301e", "na\u00efvet\u00e9",
+        "donn\u00e9es", "donne\u0301es", "b\u00fasqueda",
+        "\u043f\u043e\u0438\u0441\u043a", "\u043c\u043e\u0434\u0435\u043b\u0438",
+        "\u03b4\u03b5\u03b4\u03bf\u03bc\u03ad\u03bd\u03b1",
+        "machine", "learning", "zero\u200bwidth",
+        "soft\u00adhyphen", "\u6a5f\u68b0\u5b66\u7fd2",
+        "\u8a13\u7df4\u30c7\u30fc\u30bf", "\u30e2\u30c7\u30eb",
+        "\u51e6\u7406\u306f\u9ad8\u901f",
+        "\u30c7\u30fc\u30bf\u5206\u6790\u3068\u691c\u8a3c",
+        "mixed\u6a5f\u68b0text", "x", "ab",
+    ]
+    seps = [" ", "  ", "\t", " \n ", ", ", ". ", " \u2014 ", "\u200b ", " \ufeff"]
+    strings = []
+    for _ in range(150):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        strings.append("".join(p + rng.choice(seps) for p in parts))
+
+    df = spark.createDataFrame(
+        list(enumerate(strings)), "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["lang"], list(r["words"]), r["n_base"], r["n_stop"])
+        for r in ml.routed_frame(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE src (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO src VALUES (?, ?)", list(enumerate(strings)))
+    sql = (
+        "WITH mldocs AS (SELECT doc_id, text FROM src)"
+        + ml._ROUTED_CTES
+        + "\nSELECT doc_id, lang, words, n_base, n_stop FROM mrouted"
+    )
+    want = {
+        row[0]: (row[1], list(row[2]), row[3], row[4])
+        for row in con.execute(sql).fetchall()
+    }
+    assert set(got) == set(want)
+    mism = {i: (got[i], want[i], strings[i]) for i in got if got[i] != want[i]}
+    assert not mism, f"{len(mism)} diverging docs; first: " + str(
+        next(iter(mism.items()))
+    )
+
+
 # ------------------------------------------------ NFC index (task 6)
 
 
