@@ -356,6 +356,8 @@ HEADLINE = [
     "pipeline_curated_docs_multilingual",
     "se_bm25_topk_routed",
     "se_bm25_topk_nfc",
+    "mix_routed_lang_resample",
+    "text_confusable_script_audit",
 ]
 
 # The representative subset inlined in the one-line stdout summary

@@ -23,6 +23,9 @@ PICKS = [
     ("se_bm25_topk_unicode", "multilingual index build + score: same broadcast/TakeOrdered shape as the ASCII path"),
     ("text_cjk_bigram_tokens", "\\p{L} tokenize + CJK bigram re-segmentation entirely map-side before one tf agg"),
     ("text_normalize_stats", "NFC pandas_udf + native regexp chain as one Arrow-batched map stage"),
+    ("pipeline_curated_docs_multilingual", "NFC + langid routing entirely map-side; then the same gate -> md5 dedup -> LSH near-dup shape as the ASCII curate chain"),
+    ("se_bm25_topk_routed", "language-routed index: per-doc stop-list CASE + CJK bigram resegment before the standard tf/idf broadcast score"),
+    ("emb_ivf_probe_recall_curve", "ONE ranked ADC assignment fanned to K probe settings via broadcast range join + one n_probe-partitioned window (replaced K scan+topk jobs)"),
     ("dedup_neardup_pairs", "LSH equi-self-join (no cartesian), barriers around expensive projections"),
     ("rel_interval_clicks_before_purchase", "equi hash join with time-range residual (no nested loop)"),
     ("sim_cosine_topk", "map-only fold + TakeOrderedAndProject (no shuffle before top-k)"),

@@ -598,14 +598,145 @@ WHERE doc_id NOT IN (SELECT doc_b FROM near)
 """
 )
 
+# ------------------------------------- routed-language temperature mix
+
+
+def q_routed_lang_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled resampling keyed on the DETECTED language —
+    the balancing step a real multilingual pipeline runs (mT5 §3.2 /
+    XLM-R): production corpora carry no language labels, so the
+    mixing weights p_l^alpha come from the langid route, and the
+    dominant languages (en + the two fr residues here) are
+    down-sampled toward the flattened distribution. Pure composition:
+    operators/mixture.temperature_resample over the routed frame —
+    |langs|-row aggregates, broadcast rate table, deterministic
+    hash-bucket keep decision per doc."""
+    from searchengine_spark.operators.mixture import temperature_resample
+
+    routed = _cached_routed(spark, sf_dir).select("doc_id", "lang")
+    return temperature_resample(routed, "lang", "doc_id").select(
+        "doc_id", "lang"
+    )
+
+
+def _routed_resample_oracle() -> str:
+    from searchengine_spark.operators.mixture import ALPHA, TEMP_SALT
+    from searchengine_spark.operators.sampling import N_BUCKETS, _bucket_sql
+
+    return f"""{_ROUTED_CHAIN},
+rl AS (SELECT doc_id, lang FROM mrouted),
+counts AS (SELECT lang, COUNT(*) AS n FROM rl GROUP BY lang),
+t AS (SELECT SUM(n) AS tot FROM counts),
+w AS (
+  SELECT lang, n, round(pow(n / t.tot, {ALPHA}), 6) AS wt
+  FROM counts, t
+),
+s AS (SELECT MIN(n / wt) AS scale FROM w),
+rates AS (
+  SELECT lang, CAST(floor(s.scale * wt / n * {N_BUCKETS}) AS BIGINT) AS cutoff
+  FROM w, s
+)
+SELECT d.doc_id, d.lang
+FROM rl d JOIN rates r USING (lang)
+WHERE {_bucket_sql("d.doc_id", TEMP_SALT)} < r.cutoff
+"""
+
+
+# ------------------------------------------ mixed-script (confusable)
+
+# UTS #39-flavored spoofing audit: a token mixing Latin with Cyrillic
+# or Greek letters is the classic homoglyph vector ("pаypal"
+# with a Cyrillic а) — a quality/security signal every web-scale
+# ingest wants BEFORE the text reaches dedup keys and the index.
+# Latin+CJK mixing is deliberately NOT flagged (legitimate and
+# routine in CJK text, cf. UTS #39 highly-restrictive profile).
+_CONFUSABLE_JAVA = (r"\p{IsLatin}", r"\p{IsCyrillic}", r"\p{IsGreek}")
+_CONFUSABLE_RE2 = (r"\p{Latin}", r"\p{Cyrillic}", r"\p{Greek}")
+
+# Planted suffix per doc_id % 4 (explicit escapes): residues 1 and 2
+# carry homoglyph-mixed tokens; 0 and 3 are clean single-script.
+CONFUSABLE_SUFFIXES: tuple[str, ...] = (
+    "paypal secure login",
+    "p\u0430ypal verify mos\u043aow",
+    "\u03b1lpha t\u0435st release",
+    "\u043f\u043e\u0438\u0441\u043a \u0434\u0430\u043d\u043d\u044b\u0445",
+)
+
+
+def q_confusable_script_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mixed-script token audit over the planted
+    fixture: n_mixed counts tokens whose letters span >= 2 of
+    {Latin, Cyrillic, Greek}; suspicious docs are the review queue.
+    Map-only: one \\p{L} tokenize + three rlike probes per token."""
+    docs = load_table(spark, sf_dir, "documents")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in CONFUSABLE_SUFFIXES]),
+        (F.col("doc_id") % len(CONFUSABLE_SUFFIXES) + 1).cast("int"),
+    )
+    fixture = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "), suffix
+        ).alias("text"),
+    )
+    toks = raw_tokens_column("text", unicode=True)
+    n_scripts = lambda w: sum(  # noqa: E731 — tiny local combinator
+        (w.rlike(p)).cast("int") for p in _CONFUSABLE_JAVA
+    )
+    base = ensure_min_partitions(fixture).select(
+        "doc_id", toks.alias("toks")
+    )
+    return base.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.size(F.filter("toks", lambda w: n_scripts(w) >= 2))
+        .cast("bigint")
+        .alias("n_mixed"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        "n_mixed",
+        (F.col("n_mixed") > 0).alias("suspicious"),
+    )
+
+
+def _confusable_oracle() -> str:
+    sfx = "[" + ", ".join(f"'{s}'" for s in CONFUSABLE_SUFFIXES) + "]"
+    probes = " + ".join(
+        f"CASE WHEN regexp_matches(w, '{p}') THEN 1 ELSE 0 END"
+        for p in _CONFUSABLE_RE2
+    )
+    return f"""
+WITH cdocs AS (
+  SELECT doc_id,
+         coalesce(text, '') || ' ' ||
+           ({sfx})[(doc_id % {len(CONFUSABLE_SUFFIXES)}) + 1] AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, {sql_raw_tokens_expr('text', unicode=True)} AS toks
+  FROM cdocs
+)
+SELECT doc_id,
+       len(toks)::BIGINT AS n_tokens,
+       len(list_filter(toks, w -> ({probes}) >= 2))::BIGINT AS n_mixed,
+       len(list_filter(toks, w -> ({probes}) >= 2)) > 0 AS suspicious
+FROM base
+"""
+
+
 QUERIES = {
     "text_routed_langs": q_routed_langs,
     "text_unicode_tokens_stopworded": q_unicode_tokens_stopworded,
     "pipeline_curated_docs_multilingual": q_curated_docs_multilingual,
     "se_bm25_topk_routed": q_bm25_topk_routed,
+    "mix_routed_lang_resample": q_routed_lang_resample,
+    "text_confusable_script_audit": q_confusable_script_audit,
 }
 
 ORACLES = {
+    "mix_routed_lang_resample": _routed_resample_oracle(),
+    "text_confusable_script_audit": _confusable_oracle(),
     "text_routed_langs": f"""{_ROUTED_CHAIN}
         SELECT doc_id, lang, n_base, n_stop, len(words)::BIGINT AS n_words
         FROM mrouted

@@ -180,6 +180,35 @@ def test_stopworded_vocab_has_no_foreign_stopwords(spark, sf_dir):
     assert "機械" in vocab  # cjk bigram
 
 
+def test_confusable_audit_flags_planted_residues(spark, sf_dir):
+    rows = ml.q_confusable_script_audit(spark, sf_dir).collect()
+    by_res = {}
+    for r in rows:
+        by_res.setdefault(r["doc_id"] % 4, []).append(r)
+    # residues 1 (Cyrillic-in-Latin homoglyphs) and 2 (Greek/Cyrillic
+    # in Latin) are suspicious on EVERY doc; 0 and 3 never are
+    assert all(r["suspicious"] for r in by_res[1])
+    assert all(r["suspicious"] for r in by_res[2])
+    assert not any(r["suspicious"] for r in by_res[0])
+    assert not any(r["suspicious"] for r in by_res[3])
+    assert all(r["n_mixed"] == 2 for r in by_res[1])  # pаypal, mosкow
+
+
+def test_routed_lang_resample_downsamples_dominant(spark, sf_dir):
+    routed = ml._cached_routed(spark, sf_dir).select("doc_id", "lang")
+    before = {r["lang"]: r["n"] for r in routed.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    after = {r["lang"]: r["n"] for r in ml.q_routed_lang_resample(
+        spark, sf_dir).groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    # fr is the dominant route (two residues) — its keep-rate must be
+    # the lowest; the rarest routes keep (nearly) everything
+    rates = {l: after.get(l, 0) / n for l, n in before.items()}
+    assert rates["fr"] == min(rates.values())
+    assert rates["fr"] < 1.0
+    assert max(rates.values()) > 0.9
+
+
 def test_routed_chain_cross_engine_parity_randomized(spark):
     """150 pseudo-random multilingual documents, one batched compare:
     the FULL routed chain (NFC normalize -> \\p{L} tokenize -> langid
