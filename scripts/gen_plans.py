@@ -141,7 +141,6 @@ PICKS = [
     ("events_cusum_changepoint", "one keyed count agg over events; CUSUM + argmax as integer windows over the calendar-bounded hourly frame"),
     ("text_lm_kneser_ney", "KN model = three keyed aggs over bigram types (vocab-bounded); scoring = two left joins, no window"),
     ("export_shard_integrity_manifest", "prefix-sum shard assignment + ONE keyed agg; the additive digest fold needs no per-shard sort to verify"),
-    ("emb_ivf_probe_recall_curve", "8 probed ADC searches on the frozen cached index: membership filter + table lookup + TakeOrdered each — serving cost only"),
     ("events_ab_power_mde", "one scan -> user-keyed cents agg -> 2-row variant fold -> 1-row release; z-quantiles are shared Python literals"),
     # round-10 (session 3)
     ("events_survival_km", "KM curve: two user-keyed aggs; risk-set suffix sum + product fold run over the horizon-bounded curve frame only"),

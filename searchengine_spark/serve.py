@@ -44,6 +44,7 @@ class SearchService:
         *,
         stem: bool = False,
         snippet_len: int = 200,
+        multilingual: bool = False,
     ) -> None:
         from searchengine_spark.index.builder import build_index
         from searchengine_spark.io import load_table
@@ -51,11 +52,33 @@ class SearchService:
         self._spark = spark
         self._stem = stem
         self._snippet_len = snippet_len
+        self._multilingual = multilingual
         self._docs = load_table(spark, sf_dir, "documents")
         # Serving cache at few partitions: interactive queries are
         # task-scheduling-bound (see InvertedIndex.coalesce) — 2x
         # lower per-query latency than the build-parallel layout.
-        self._index = build_index(self._docs, stem=stem).coalesce(4).cache()
+        if multilingual:
+            if stem:
+                raise ValueError(
+                    "stem applies to the English Porter pipeline; the "
+                    "multilingual index routes per-language instead"
+                )
+            # Language-routed index (text/multilingual.py): NFC +
+            # langid + per-language stopwords + CJK bigrams. Snippets
+            # still render from the ORIGINAL text — normalization is
+            # a matching key, not a display rewrite.
+            from pyspark.sql import functions as F
+
+            from searchengine_spark.text.multilingual import routed_frame
+
+            routed = routed_frame(self._docs).select("doc_id", "words")
+            self._index = (
+                build_index(routed, tokens=F.col("words"))
+                .coalesce(4)
+                .cache()
+            )
+        else:
+            self._index = build_index(self._docs, stem=stem).coalesce(4).cache()
         # embeddings power /similar; optional in custom datasets
         import os
 
@@ -83,7 +106,22 @@ class SearchService:
         from searchengine_spark.index.bm25 import highlight, search, snippets
 
         highlight_terms = [q]
-        if fuzzy:
+        if self._multilingual:
+            if fuzzy:
+                raise ValueError(
+                    "fuzzy correction is vocabulary-keyed to the English "
+                    "pipeline; not combinable with the routed index"
+                )
+            from searchengine_spark.text.multilingual import (
+                routed_query_terms,
+            )
+
+            terms = routed_query_terms(q)
+            hits = search(self._index, terms, k=k)
+            # every routed term (CJK bigrams included) is a literal
+            # substring of the original text, so highlight matches it
+            highlight_terms = terms
+        elif fuzzy:
             from searchengine_spark.index.phrase import search_with_correction
             from searchengine_spark.text.tokenizer import tokenize_query
 
@@ -296,10 +334,18 @@ def main() -> None:
     ap.add_argument("--port", type=int, default=8765)
     ap.add_argument("--stem", action="store_true")
     ap.add_argument("--repl", action="store_true")
+    ap.add_argument(
+        "--multilingual",
+        action="store_true",
+        help="serve the language-routed index (NFC + langid + "
+        "per-language stopwords + CJK bigrams)",
+    )
     args = ap.parse_args()
 
     spark = get_spark("searchengine-serve")
-    service = SearchService(spark, args.sf_dir, stem=args.stem)
+    service = SearchService(
+        spark, args.sf_dir, stem=args.stem, multilingual=args.multilingual
+    )
     if args.repl:
         repl(service)
     else:

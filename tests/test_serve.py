@@ -122,3 +122,24 @@ def test_similar_endpoint_hybrid_more_like_this(spark, sf_dir):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_multilingual_service_routed_queries(spark, sf_dir):
+    """Routed serving mode: the index is built from the language-
+    routed token stream; query terms go through routed_query_terms
+    (union-stopword drop + CJK bigrams). On the ASCII corpus the
+    English path still answers; a CJK query returns empty instead of
+    erroring; fuzzy is vocabulary-keyed to the English pipeline and
+    must refuse."""
+    import pytest as _pytest
+
+    from searchengine_spark.serve import SearchService
+
+    svc = SearchService(spark, sf_dir, multilingual=True)
+    hits = svc.query("data processing system", k=5)
+    assert hits and all("snippet" in h for h in hits)
+    assert svc.query("機械学習", k=5) == []  # no CJK docs in testdata
+    with _pytest.raises(ValueError):
+        svc.query("data", fuzzy=True)
+    with _pytest.raises(ValueError):
+        SearchService(spark, sf_dir, multilingual=True, stem=True)
