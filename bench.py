@@ -358,6 +358,8 @@ HEADLINE = [
     "se_bm25_topk_nfc",
     "mix_routed_lang_resample",
     "text_confusable_script_audit",
+    "dedup_boilerplate_lines",
+    "pipeline_line_scrubbed_docs",
 ]
 
 # The representative subset inlined in the one-line stdout summary

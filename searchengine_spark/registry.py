@@ -27,6 +27,7 @@ _MODULES = (
     "text.cjk",
     "text.normalize",
     "text.multilingual",
+    "text.boilerplate",
     "index.phrase",
     "index.incremental",
     "index.fuzzy",
