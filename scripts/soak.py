@@ -281,6 +281,18 @@ QUERIES = (
     "dedup_nfc_groups",
     "text_routed_langs",
     "pipeline_curated_docs_multilingual",
+    # round-13 session-2 shapes: detected-language resampling (keyed
+    # agg + broadcast rate table), the homoglyph audit (map-only
+    # rlike probes), and line-level boilerplate removal — the line
+    # explode + line-keyed distinct-doc count + order-preserving
+    # reassembly agg is the round's one new shuffle-bearing shape;
+    # replication grows line df linearly, so the boiler set (and its
+    # broadcast) must stay near-constant while the scrub scales with
+    # text volume.
+    "mix_routed_lang_resample",
+    "text_confusable_script_audit",
+    "dedup_boilerplate_lines",
+    "pipeline_line_scrubbed_docs",
 )
 KEY_OFFSET = 10_000_000  # disjoint id space per copy
 
