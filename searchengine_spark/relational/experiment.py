@@ -72,18 +72,31 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame) -> stack to B rows -> percentile over 32 rows. The B md5s
     per row ride the scan in whole-stage codegen.
     """
+    from searchengine_spark.io import ensure_min_partitions
+
     ev = load_table(spark, sf_dir, "events")
     cents = F.coalesce(
         F.round(F.col("value") * 100).cast("bigint"), F.lit(0)
     )
-    base = ev.select("event_id", cents.alias("c"))
 
-    def w(b: int):
-        # one md5 digest feeds TWO replicates (hex chars 1-13 and
-        # 14-26 are independent 52-bit uniforms) — the md5s are the
-        # dominant cost of the scan, and this halves them
+    # One md5 digest feeds TWO replicates (hex chars 1-13 and 14-26
+    # are independent 52-bit uniforms). Three plan-shape fixes over
+    # the original 2*B-wide single aggregate (r13 optimization round;
+    # guide §2.3, §1.2 — same math bit for bit, isolated 8.3s -> 4.7s
+    # cold / 4.0s -> 2.2s warm at sf0.1):
+    #  - the uniforms are PROJECTED once per row below the aggregate
+    #    instead of inlined into every CASE branch of every sum (the
+    #    old plan carried ~450 md5/conv instances across 66 aggregate
+    #    functions, far past what codegen CSE rescues);
+    #  - ensure_min_partitions first: the projection is the expensive
+    #    part of the scan and a single small parquet file otherwise
+    #    runs it on ONE core (no-op at real scale);
+    #  - replicates go through posexplode + ONE 3-function grouped
+    #    aggregate instead of 66 aggregate functions, whose generated
+    #    code alone took seconds to compile per run.
+    def u(b: int):
         pair, half = divmod(b, 2)
-        u = (
+        return (
             F.conv(
                 F.substring(
                     F.md5(
@@ -101,27 +114,36 @@ def q_events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("double")
             + F.lit(0.5)
         ) / F.lit(float(2**_BOOT_HASH_BITS))
+
+    def w_of(ucol):
         expr = F.lit(6)
         for k in range(len(_POIS_CDF) - 1, -1, -1):
-            expr = F.when(u < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(expr)
+            expr = F.when(ucol < F.lit(_POIS_CDF[k]), F.lit(k)).otherwise(
+                expr
+            )
         return expr
 
-    aggs = []
-    for b in range(BOOT_B):
-        wb = w(b)
-        aggs.append(F.sum(wb * F.col("c")).alias(f"_s{b}"))
-        aggs.append(F.sum(wb).alias(f"_n{b}"))
-    one = base.agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("c").alias("_sc"),
-        *aggs,
+    base = ensure_min_partitions(ev.select("event_id", "value")).select(
+        cents.alias("c"),
+        F.array(*[u(b) for b in range(BOOT_B)]).alias("_us"),
     )
-    stack = ", ".join(f"CAST({b} AS BIGINT), _s{b}, _n{b}" for b in range(BOOT_B))
-    reps = one.selectExpr(
-        "_n",
-        "_sc",
-        f"stack({BOOT_B}, {stack}) AS (b, sb, nb)",
-    ).select(
+    per_b = (
+        base.select(
+            "c",
+            F.posexplode(
+                F.transform(F.col("_us"), lambda x: w_of(x))
+            ).alias("b", "w"),
+        )
+        .groupBy("b")
+        .agg(
+            F.sum(F.col("w") * F.col("c")).alias("sb"),
+            F.sum("w").alias("nb"),
+        )
+    )
+    tot = ev.select(cents.alias("c")).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("c").alias("_sc")
+    )
+    reps = per_b.crossJoin(F.broadcast(tot)).select(
         "_n",
         "_sc",
         F.round(F.col("sb").cast("double") / F.col("nb") / 100.0, 6).alias(
