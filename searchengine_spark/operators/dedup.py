@@ -698,23 +698,52 @@ def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached LSH banding table over the cached shingles.
+
+    Every registry consumer of the default banding (the standalone
+    dedup queries, the graph/centrality family, the recall audit)
+    previously re-derived bands from the shingle cache per query —
+    re-hashing NUM_HASHES signatures per doc each time. Same
+    materialize-once policy as `_shingles` (r13 optimization round;
+    the first consumer in a session pays the build, the rest reuse)."""
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark, "minhash-bands", sf_dir,
+        lambda: minhash_bands(shingles=_shingles(spark, sf_dir)).cache(),
+    )
+
+
+def _capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached DEFAULT_MAX_BUCKET candidate pairs — the shared
+    input of the pair/centrality/audit family (8 registry queries
+    previously re-ran the band self-join + distinct each)."""
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark, "capped-cand-pairs", sf_dir,
+        lambda: neardup_candidate_pairs(_bands(spark, sf_dir)).cache(),
+    )
+
+
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
 
 
 def q_minhash_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_bands(shingles=_shingles(spark, sf_dir))
+    return _bands(spark, sf_dir)
 
 
 def q_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    return _capped_pairs(spark, sf_dir)
 
 
 def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transitive duplicate clusters over the LSH candidate pairs:
     (doc_id, component) where component = min doc_id reachable
     through the match graph."""
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    pairs = _capped_pairs(spark, sf_dir)
     return connected_components(pairs).select(
         F.col("node").alias("doc_id"), "component"
     )
@@ -722,7 +751,7 @@ def q_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_neardup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = _shingles(spark, sf_dir)
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    pairs = _capped_pairs(spark, sf_dir)
     return jaccard_pairs(None, pairs, shingles=sh)
 
 
@@ -738,7 +767,7 @@ def q_minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set joined twice against vocabulary-bounded per-doc
     frames — verification-stage sized, never corpus x corpus."""
     sh = _shingles(spark, sf_dir)
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=sh))
+    pairs = _capped_pairs(spark, sf_dir)
     sigs = sh.select(
         "doc_id", shingle_hashes(F.col("shingles")).alias("hashes")
     ).select(

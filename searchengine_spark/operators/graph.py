@@ -102,13 +102,9 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket would otherwise inject a B-clique — B^2/2 edges feeding
     every iteration's join — into the graph. The oracle mirrors the cap
     (dedup._CAPPED_CAND_CTE)."""
-    from searchengine_spark.operators.dedup import (
-        _shingles,
-        minhash_bands,
-        neardup_candidate_pairs,
-    )
+    from searchengine_spark.operators.dedup import _capped_pairs
 
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    pairs = _capped_pairs(spark, sf_dir)
     return pagerank_fixed_point(symmetrize(pairs)).select(
         F.col("node").alias("doc_id"), "rank_fp"
     )
@@ -164,13 +160,9 @@ def eigenvector_centrality(
 def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality over the LSH near-dup candidate graph
     (hot-bucket-capped input — see q_pagerank_centrality)."""
-    from searchengine_spark.operators.dedup import (
-        _shingles,
-        minhash_bands,
-        neardup_candidate_pairs,
-    )
+    from searchengine_spark.operators.dedup import _capped_pairs
 
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    pairs = _capped_pairs(spark, sf_dir)
     return eigenvector_centrality(symmetrize(pairs)).select(
         F.col("node").alias("doc_id"), "ec_fp"
     )
@@ -226,15 +218,9 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     into cubic work. With DEFAULT_MAX_BUCKET the per-bucket work is
     bounded at cap^3 regardless of corpus size
     (tests/test_graph_cap.py plants the hot bucket and proves it)."""
-    from searchengine_spark.operators.dedup import (
-        _shingles,
-        minhash_bands,
-        neardup_candidate_pairs,
-    )
+    from searchengine_spark.operators.dedup import _capped_pairs
 
-    pairs = neardup_candidate_pairs(
-        minhash_bands(shingles=_shingles(spark, sf_dir))
-    )
+    pairs = _capped_pairs(spark, sf_dir)
     return triangle_counts(pairs)
 
 
@@ -295,14 +281,10 @@ def q_bfs_contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same capped candidate graph as the centrality family; the oracle
     mirrors the cap and unrolls the BFS rounds as min-relaxation
     CTEs (equivalent to frontier BFS on unit weights)."""
-    from searchengine_spark.operators.dedup import (
-        _shingles,
-        minhash_bands,
-        neardup_candidate_pairs,
-    )
+    from searchengine_spark.operators.dedup import _capped_pairs
     from searchengine_spark.operators.sampling import hash_bucket
 
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    pairs = _capped_pairs(spark, sf_dir)
     edges = symmetrize(pairs)
     seeds = (
         edges.select("src")
@@ -412,14 +394,10 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     graded score a quarantine policy thresholds on. Same capped
     candidate graph and md5 seed flag as dedup_bfs_contamination_hops;
     the oracle unrolls the restart iterations as CTEs."""
-    from searchengine_spark.operators.dedup import (
-        _shingles,
-        minhash_bands,
-        neardup_candidate_pairs,
-    )
+    from searchengine_spark.operators.dedup import _capped_pairs
     from searchengine_spark.operators.sampling import hash_bucket
 
-    pairs = neardup_candidate_pairs(minhash_bands(shingles=_shingles(spark, sf_dir)))
+    pairs = _capped_pairs(spark, sf_dir)
     edges = symmetrize(pairs)
     seeds = (
         edges.select("src")

@@ -45,11 +45,24 @@ AUDIT_MAX_BUCKET = 64
 
 
 def lsh_recall(
-    shingles: DataFrame, *, max_bucket: int | None = AUDIT_MAX_BUCKET
+    shingles: DataFrame,
+    *,
+    max_bucket: int | None = AUDIT_MAX_BUCKET,
+    bands: DataFrame | None = None,
+    cands: DataFrame | None = None,
+    true_pairs: DataFrame | None = None,
 ) -> DataFrame:
-    true_pairs = prefix_jaccard_pairs(shingles).select("doc_a", "doc_b")
-    bands = minhash_bands(shingles=shingles)
-    cands = neardup_candidate_pairs(bands, max_bucket=max_bucket)
+    """``bands``/``cands``/``true_pairs``: pass precomputed (cached)
+    stages to share them with the rest of the dedup family — the
+    registry entry point reuses the session caches; callers passing
+    only ``shingles`` get the self-contained derivation."""
+    if true_pairs is None:
+        true_pairs = prefix_jaccard_pairs(shingles)
+    true_pairs = true_pairs.select("doc_a", "doc_b")
+    if bands is None:
+        bands = minhash_bands(shingles=shingles)
+    if cands is None:
+        cands = neardup_candidate_pairs(bands, max_bucket=max_bucket)
     caught = true_pairs.join(cands, ["doc_a", "doc_b"], "left_semi")
     n_true = true_pairs.agg(F.count(F.lit(1)).alias("n_true"))
     n_cand = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
@@ -79,9 +92,21 @@ def lsh_recall(
 
 
 def q_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from searchengine_spark.operators.dedup import _shingles
+    # AUDIT_MAX_BUCKET == dedup.DEFAULT_MAX_BUCKET (pinned by test),
+    # so the audited candidate set IS the shared session-cached one.
+    from searchengine_spark.operators.dedup import (
+        _bands,
+        _capped_pairs,
+        _shingles,
+    )
+    from searchengine_spark.operators.setjoin import _true_pairs
 
-    return lsh_recall(_shingles(spark, sf_dir))
+    return lsh_recall(
+        _shingles(spark, sf_dir),
+        bands=_bands(spark, sf_dir),
+        cands=_capped_pairs(spark, sf_dir),
+        true_pairs=_true_pairs(spark, sf_dir),
+    )
 
 
 _RECALL_SQL = f"""{_BANDS_CTE},

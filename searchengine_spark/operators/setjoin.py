@@ -118,10 +118,22 @@ def prefix_jaccard_pairs(
 # ------------------------------------------------------- registry glue
 
 
-def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached exact prefix-filtered Jaccard pairs over the
+    shared shingle cache — consumed by this query AND the LSH recall
+    audit's ground truth (each previously re-ran the full exact set
+    join)."""
+    from searchengine_spark.io import session_cached
     from searchengine_spark.operators.dedup import _shingles
 
-    return prefix_jaccard_pairs(_shingles(spark, sf_dir))
+    return session_cached(
+        spark, "prefix-jaccard-pairs", sf_dir,
+        lambda: prefix_jaccard_pairs(_shingles(spark, sf_dir)).cache(),
+    )
+
+
+def q_prefix_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _true_pairs(spark, sf_dir)
 
 
 QUERIES = {"dedup_prefix_jaccard_pairs": q_prefix_jaccard_pairs}

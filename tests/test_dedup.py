@@ -566,3 +566,24 @@ def test_minhash_accuracy_audit(spark, sf_dir):
         name="dedup_minhash_accuracy",
     )
     df.unpersist()
+
+
+def test_shared_stage_caches_identity(spark, sf_dir):
+    """The r13 shared-stage caches: bands/capped-pairs/true-pairs are
+    built once per (session, sf_dir) — the second call returns the
+    SAME frame object — and the cached pairs equal a from-scratch
+    derivation row for row."""
+    from searchengine_spark.operators import dedup as D
+    from searchengine_spark.operators.setjoin import _true_pairs
+
+    b1, b2 = D._bands(spark, sf_dir), D._bands(spark, sf_dir)
+    p1, p2 = D._capped_pairs(spark, sf_dir), D._capped_pairs(spark, sf_dir)
+    t1, t2 = _true_pairs(spark, sf_dir), _true_pairs(spark, sf_dir)
+    assert b1 is b2 and p1 is p2 and t1 is t2
+
+    fresh = D.neardup_candidate_pairs(
+        D.minhash_bands(shingles=D._shingles(spark, sf_dir))
+    )
+    assert sorted(map(tuple, p1.collect())) == sorted(
+        map(tuple, fresh.collect())
+    )
