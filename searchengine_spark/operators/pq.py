@@ -107,6 +107,87 @@ def _codebooks_literal(codebooks: list[list[list[int]]]) -> Column:
     )
 
 
+def _codebooks_arr(codebooks: list[list[list[int]]]) -> Column:
+    """The PQ codebook as ONE nested-array literal — array[m][j] of
+    cvec — built with a single F.lit call instead of M*KPQ*SUB_DIM
+    py4j round-trips (the struct-tagged variant `_codebooks_literal`
+    costs ~1.5k driver calls per use; plan-construction time, guide
+    §1 'measure first' finding r13). Codeword id == its 0-based
+    position, the same invariant `_codebooks_literal` encodes
+    explicitly in its `code` field. Cast to bigint so every distance
+    sum stays in exact int64 arithmetic."""
+    return F.lit([[list(map(int, cvec)) for cvec in book] for book in codebooks]).cast(
+        "array<array<array<bigint>>>"
+    )
+
+
+def _wide_subs(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m_count: int = M,
+    sub_dim: int = SUB_DIM,
+) -> DataFrame:
+    """(vec_id, subs array[m] of array<bigint>) — every subspace of a
+    vector in ONE row. The no-explode layout every per-vector pass
+    (encode, ADC scoring) consumes: downstream per-vector sums become
+    array folds instead of a groupBy(vec_id) shuffle of M rows per
+    vector (guide §2.4 — remove the shuffle outright)."""
+    slices = F.array(
+        *[
+            F.slice(fixed_point_vec(vec_col), m * sub_dim + 1, sub_dim)
+            for m in range(m_count)
+        ]
+    )
+    return emb.select(F.col(id_col).alias("vec_id"), slices.alias("subs"))
+
+
+def _assign_codes_wide(
+    wide: DataFrame, codebooks: list[list[list[int]]]
+) -> DataFrame:
+    """Map-only nearest-codeword per subspace on the WIDE layout:
+    adds aligned arrays (codes, dists). Same argmin + (dist, code)
+    lexicographic tie-break as `_assign_codes` (array_min on the
+    (dist, position) struct), so codes/dists are bit-identical to the
+    exploded path and the unrolled SQL twins."""
+    cbs = _codebooks_arr(codebooks)
+    best = F.transform(
+        F.col("subs"),
+        lambda sub, i: F.array_min(
+            F.transform(
+                F.element_at(cbs, i + F.lit(1)),
+                lambda cvec, j: F.struct(
+                    _sq_dist(sub, cvec).alias("dist"),
+                    j.cast("int").alias("code"),
+                ),
+            )
+        ),
+    )
+    return (
+        wide.withColumn("_best", best)
+        .withColumn("codes", F.col("_best").getField("code"))
+        .withColumn("dists", F.col("_best").getField("dist"))
+        .drop("_best")
+    )
+
+
+def _explode_wide_codes(wide: DataFrame) -> DataFrame:
+    """WIDE codes frame -> the long (vec_id, m, code, dist, sub)
+    contract the oracles and the incremental consumers use. Pure
+    map-side posexplode of the already-materialized wide frame."""
+    return wide.select(
+        "vec_id",
+        F.posexplode(F.arrays_zip("codes", "dists", "subs")).alias("m", "_z"),
+    ).select(
+        "vec_id",
+        "m",
+        F.col("_z.codes").alias("code"),
+        F.col("_z.dists").alias("dist"),
+        F.col("_z.subs").alias("sub"),
+    )
+
+
 def _assign_codes(subs: DataFrame, codebooks: list[list[list[int]]]) -> DataFrame:
     """Map-only nearest-codeword per (vec_id, m): adds (code, dist).
     argmin with (dist, code) lexicographic tie-break — identical to
@@ -182,6 +263,67 @@ def _pq_lloyd_driver(
     ]
 
 
+def train_wide_codebooks(
+    wide: DataFrame,
+    *,
+    smod: int,
+    iters: int = PQ_ITERS,
+) -> list[list[list[int]]]:
+    """Deterministic PQ codebook training over any WIDE subspace
+    frame (vec_id, subs). Init = the first KPQ PRESENT ids (ordered)
+    with dense positional code labels; Lloyd runs driver-side over
+    the deterministic hash-sample — both identical to the long-format
+    path, but ids + init subvectors arrive in ONE bounded collect
+    instead of two, and the sample collect ships one array row per
+    vector instead of M exploded rows."""
+    init = wide.orderBy("vec_id").limit(KPQ).collect()
+    m_count = len(init[0]["subs"]) if init else M
+    sub_dim = len(init[0]["subs"][0]) if init else SUB_DIM
+    codebooks: list[list[list[int]]] = [
+        [[0] * sub_dim for _ in range(KPQ)] for _ in range(m_count)
+    ]
+    for j, r in enumerate(init):
+        for m, sub in enumerate(r["subs"]):
+            codebooks[m][j] = [int(v) for v in sub]
+    train = (
+        wide.filter(train_sample_filter(smod, "vec_id")) if smod > 1 else wide
+    )
+    sub_rows = [
+        (m, [int(v) for v in sub])
+        for r in train.select("subs").collect()
+        for m, sub in enumerate(r["subs"])
+    ]
+    return _pq_lloyd_driver(sub_rows, codebooks, iters)
+
+
+def pq_train_wide(
+    emb: DataFrame,
+    *,
+    iters: int = PQ_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_target: int = TRAIN_SAMPLE_TARGET,
+) -> tuple[DataFrame, list[list[list[int]]]]:
+    """Deterministic PQ training on the WIDE layout; returns
+    (wide codes frame (vec_id, subs, codes, dists), codebooks).
+    Same init / hash-sampled driver Lloyd / full-corpus encode as the
+    historical long-format trainer (bit-identical codebooks and
+    codes), with zero explode: one encode pass over one row per
+    vector."""
+    wide = _wide_subs(
+        emb, id_col=id_col, vec_col=vec_col
+    ).persist()
+    try:
+        smod = train_sample_mod(wide.count(), sample_target)
+        codebooks = train_wide_codebooks(wide, smod=smod, iters=iters)
+        final = _assign_codes_wide(wide, codebooks)
+        from searchengine_spark.operators.dedup import _cut_lineage
+
+        return _cut_lineage(final), codebooks
+    finally:
+        wide.unpersist()
+
+
 def pq_train(
     emb: DataFrame,
     *,
@@ -192,58 +334,23 @@ def pq_train(
 ) -> tuple[DataFrame, list[list[list[int]]]]:
     """Deterministic PQ training; returns (codes frame, codebooks).
 
-    codes frame: (vec_id, m, code, dist) under the final codebooks —
-    one row per subspace, the long-format PQ encoding. Codebook m is
-    initialized from the m-th subvectors of the first KPQ ids
-    (ordered), mirroring kmeans_fit_assign's init. The iterated Lloyd
-    updates run on the deterministic hash-sample of vectors
-    (kmeans.train_sample_filter — O(sample) per pass); init and the
-    final full-corpus encode are unchanged."""
-    subs = _sub_frame(emb, id_col=id_col, vec_col=vec_col).persist()
-    train = None
-    try:
-        smod = train_sample_mod(emb.count(), sample_target)
-        train = (
-            subs.filter(train_sample_filter(smod, "vec_id")).coalesce(4).persist()
-            if smod > 1
-            else subs
-        )
-        # init = the first KPQ PRESENT ids with dense positional code
-        # labels (identical to `id < KPQ` on a contiguous corpus,
-        # correct on filtered inputs — incremental-ANN base split)
-        ids = [
-            r[0]
-            for r in emb.select(F.col(id_col))
-            .orderBy(id_col)
-            .limit(KPQ)
-            .collect()
-        ]
-        code_of = {v: i for i, v in enumerate(ids)}
-        init = (
-            subs.filter(F.col("vec_id").isin(ids))
-            .orderBy("vec_id", "m")
-            .collect()
-        )
-        codebooks: list[list[list[int]]] = [
-            [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
-        ]
-        for r in init:
-            codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
-        sub_rows = [
-            (r["m"], [int(v) for v in r["sub"]])
-            for r in train.select("m", "sub").collect()
-        ]
-        codebooks = _pq_lloyd_driver(sub_rows, codebooks, iters)
-        final = _assign_codes(subs, codebooks).select(
-            "vec_id", "m", "code", "dist"
-        )
-        from searchengine_spark.operators.dedup import _cut_lineage
-
-        return _cut_lineage(final), codebooks
-    finally:
-        if train is not None and train is not subs:
-            train.unpersist()
-        subs.unpersist()
+    codes frame: (vec_id, m, code, dist, sub) under the final
+    codebooks — one row per subspace, the long-format PQ encoding
+    (posexploded from the wide trainer; `sub` rides along so residual
+    consumers need no re-derive join). Codebook m is initialized from
+    the m-th subvectors of the first KPQ ids (ordered), mirroring
+    kmeans_fit_assign's init. The iterated Lloyd updates run on the
+    deterministic hash-sample of vectors (kmeans.train_sample_filter
+    — O(sample) per pass); init and the final full-corpus encode are
+    unchanged."""
+    wide, codebooks = pq_train_wide(
+        emb,
+        iters=iters,
+        id_col=id_col,
+        vec_col=vec_col,
+        sample_target=sample_target,
+    )
+    return _explode_wide_codes(wide), codebooks
 
 
 def adc_distance_table(
@@ -271,8 +378,8 @@ def pq_search(
     """ADC top-k over the long-format codes frame: per-row table
     lookup, one groupBy(vec_id) sum of M partials, then
     TakeOrderedAndProject(k). No join, no float math."""
-    dt = F.array(
-        *[F.array(*[F.lit(int(d)) for d in row]) for row in dtable]
+    dt = F.lit([[int(d) for d in row] for row in dtable]).cast(
+        "array<array<bigint>>"
     )
     looked = codes.select(
         "vec_id",
@@ -290,15 +397,55 @@ def pq_search(
     )
 
 
+def pq_search_wide(
+    wide_codes: DataFrame,
+    dtable: list[list[int]],
+    *,
+    k: int = PQ_K,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ADC top-k over the WIDE codes frame: the per-vector distance is
+    an array fold over the codes column — a pure map feeding
+    TakeOrderedAndProject(k) with ZERO exchange (the long path's
+    groupBy(vec_id) shuffled M rows per corpus vector; guide §2.4)."""
+    dt = F.lit([[int(d) for d in row] for row in dtable]).cast(
+        "array<array<bigint>>"
+    )
+    looked = wide_codes.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(
+                    F.element_at(dt, i + F.lit(1)), c + F.lit(1)
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("adc_dist"),
+    )
+    if exclude_id is not None:
+        looked = looked.filter(F.col("vec_id") != exclude_id)
+    return looked.orderBy("adc_dist", "vec_id").limit(k)
+
+
 # --------------------------------------------------------------- queries
 
-def _cached_pq(spark: SparkSession, sf_dir: str):
+def _cached_pq_wide(spark: SparkSession, sf_dir: str):
+    """Session-shared WIDE PQ encoding — the one training every PQ
+    consumer (codes/ADC queries, the residual-refinement audit)
+    derives from. pq_train_wide already cuts lineage
+    (localCheckpoint), so the cached frame is materialized."""
+
     def build():
-        # pq_train already cuts lineage (localCheckpoint), so the
-        # cached frame is materialized — no extra persist needed.
-        return pq_train(load_table(spark, sf_dir, "embeddings"))
+        return pq_train_wide(load_table(spark, sf_dir, "embeddings"))
 
     return session_cached(spark, "pq_train", sf_dir, build)
+
+
+def _cached_pq(spark: SparkSession, sf_dir: str):
+    wide, codebooks = _cached_pq_wide(spark, sf_dir)
+    return _explode_wide_codes(wide), codebooks
 
 
 def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,14 +453,14 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     embeddings table after PQ_ITERS exact Lloyd rounds, hash-checked
     against the unrolled-CTE DuckDB twin."""
     codes, _ = _cached_pq(spark, sf_dir)
-    return codes
+    return codes.select("vec_id", "m", "code", "dist")
 
 
 def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 for the fixed query vector (vec_id=PQ_QUERY_ID) in
     the COMPRESSED domain: exact-integer distance-table lookups, so
     the result hash-matches the SQL twin row for row."""
-    codes, codebooks = _cached_pq(spark, sf_dir)
+    wide, codebooks = _cached_pq_wide(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = (
         emb.filter(F.col("vec_id") == PQ_QUERY_ID)
@@ -322,8 +469,8 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     qv = [int(v) for v in qrow["qv"]]
     qsub = [qv[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
-    return pq_search(
-        codes,
+    return pq_search_wide(
+        wide,
         adc_distance_table(qsub, codebooks),
         k=PQ_K,
         exclude_id=PQ_QUERY_ID,

@@ -58,8 +58,6 @@ from pyspark.sql import functions as F
 from searchengine_spark.io import load_table
 from searchengine_spark.operators.kmeans import (
     TRAIN_SAMPLE_TARGET,
-    fixed_point_vec,
-    train_sample_filter,
     train_sample_mod,
     train_sample_sql,
 )
@@ -68,9 +66,6 @@ from searchengine_spark.operators.pq import (
     M,
     PQ_ITERS,
     SUB_DIM,
-    _assign_codes,
-    _codebooks_literal,
-    _pq_lloyd_driver,
     _sq_dist,
 )
 
@@ -81,62 +76,6 @@ SUB_DIM2 = 4
 from searchengine_spark.operators.ann_truth import AUDIT_QUERY_IDS as QUERY_IDS  # noqa: E402
 R_SHORT = 64       # stage-1 ADC shortlist re-ranked by the refinement
 RK = 10            # recall@RK
-
-
-def _subs_of(emb: DataFrame, m_count: int, sub_dim: int) -> DataFrame:
-    """(vec_id, m, sub array<bigint>) for an arbitrary (M, SUB_DIM)
-    split — operators/pq.py:_sub_frame generalized beyond the module
-    constants."""
-    slices = F.array(
-        *[
-            F.slice(fixed_point_vec("embedding"), m * sub_dim + 1, sub_dim)
-            for m in range(m_count)
-        ]
-    )
-    return emb.select(
-        F.col("vec_id"), F.posexplode(slices).alias("m", "sub")
-    )
-
-
-def _train_subs(
-    subs: DataFrame,
-    *,
-    n_vecs: int,
-    m_count: int,
-    sub_dim: int,
-    init_ids: list[int],
-    iters: int = PQ_ITERS,
-    sample_target: int = TRAIN_SAMPLE_TARGET,
-) -> tuple[DataFrame, list[list[list[int]]]]:
-    """operators/pq.py:pq_train generalized to any pre-built subspace
-    frame (stage-2 trains on RESIDUAL subvectors, which have no
-    embedding column to re-derive). Same contract: deterministic
-    first-KPQ-ids init, driver-side exact Lloyd over the hash-sample,
-    one full-corpus encode pass. Returns (codes frame with the sub
-    column retained, codebooks)."""
-    smod = train_sample_mod(n_vecs, sample_target)
-    train = (
-        subs.filter(train_sample_filter(smod, "vec_id"))
-        if smod > 1
-        else subs
-    )
-    code_of = {v: i for i, v in enumerate(init_ids)}
-    init = (
-        subs.filter(F.col("vec_id").isin(init_ids))
-        .orderBy("vec_id", "m")
-        .collect()
-    )
-    codebooks: list[list[list[int]]] = [
-        [[0] * sub_dim for _ in range(KPQ)] for _ in range(m_count)
-    ]
-    for r in init:
-        codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
-    sub_rows = [
-        (r["m"], [int(v) for v in r["sub"]])
-        for r in train.select("m", "sub").collect()
-    ]
-    codebooks = _pq_lloyd_driver(sub_rows, codebooks, iters)
-    return _assign_codes(subs, codebooks), codebooks
 
 
 def _adc_table(
@@ -155,135 +94,128 @@ def _adc_table(
     ]
 
 
-def _cvec_at(codebooks_lit, m_col, code_col):
-    return F.element_at(
-        F.element_at(codebooks_lit, m_col + 1), code_col + 1
-    )["cvec"]
-
-
-def _sub_of_query(qfp: dict[int, list[int]], m_count: int, sub_dim: int):
-    """Literal array[qi][m] of query subvectors (bounded: 8 queries)."""
-    return F.array(
-        *[
-            F.array(
-                *[
-                    F.array(
-                        *[
-                            F.lit(int(v))
-                            for v in qfp[qid][m * sub_dim : (m + 1) * sub_dim]
-                        ]
-                    )
-                    for m in range(m_count)
-                ]
-            )
+def _sub_of_query_lit(qfp: dict[int, list[int]], m_count: int, sub_dim: int):
+    """Literal array[qi][m][d] of query subvectors (bounded: 8
+    queries), one nested F.lit in exact-bigint arithmetic."""
+    return F.lit(
+        [
+            [
+                [int(v) for v in qfp[qid][m * sub_dim : (m + 1) * sub_dim]]
+                for m in range(m_count)
+            ]
             for qid in QUERY_IDS
         ]
-    )
+    ).cast("array<array<array<bigint>>>")
 
 
-def _topk_per_query(dists: DataFrame, k: int) -> DataFrame:
+def _topk_per_query(dists: DataFrame, k: int, *, buckets: int = 64) -> DataFrame:
     """(qi, vec_id, dist) -> rows with rank rn <= k per query, the
-    (dist, vec_id) lexicographic tie-break both engines share."""
+    (dist, vec_id) lexicographic tie-break both engines share.
+
+    Two-level: a first window over (qi, pmod(vec_id, buckets)) keeps
+    each bucket's top-k, the final window ranks the <= k*buckets
+    survivors. The per-qi top-k is EXACT (a global top-k row is its
+    bucket's top-k), but no single reducer ever sorts a corpus-scale
+    partition — the audit has only |QUERY_IDS| distinct qi values, so
+    a flat partitionBy("qi") window funnels n rows through 8 tasks at
+    any scale (guide §2.5: partitioning keys with too few distinct
+    values)."""
+    b = F.pmod(F.col("vec_id"), F.lit(buckets))
+    w1 = Window.partitionBy("qi", b).orderBy("dist", "vec_id")
+    pruned = (
+        dists.withColumn("_rb", F.row_number().over(w1))
+        .filter(F.col("_rb") <= k)
+        .drop("_rb")
+    )
     w = Window.partitionBy("qi").orderBy("dist", "vec_id")
-    return dists.withColumn("rn", F.row_number().over(w)).filter(
+    return pruned.withColumn("rn", F.row_number().over(w)).filter(
         F.col("rn") <= k
     )
 
 
-def _sum_by_query(partials: DataFrame) -> DataFrame:
-    """(vec_id, ds array[qi]) rows -> (vec_id, qi, dist): elementwise
-    array sum per vector, then posexplode; the query's own row is
-    excluded. One shuffle on vec_id."""
-    n_q = len(QUERY_IDS)
-    zero = F.array(*[F.lit(0).cast("bigint") for _ in range(n_q)])
-    summed = partials.groupBy("vec_id").agg(
-        F.aggregate(
-            F.collect_list("ds"),
-            zero,
-            lambda acc, v: F.zip_with(acc, v, lambda a, b: a + b),
-        ).alias("ds")
-    )
-    return summed.select(
-        "vec_id", F.posexplode("ds").alias("qi", "dist")
-    ).filter(
-        F.col("vec_id")
-        != F.element_at(
-            F.array(*[F.lit(q) for q in QUERY_IDS]), F.col("qi") + 1
-        )
-    )
-
-
-def _adc_partials(codes: DataFrame, dtables: list[list[list[int]]]):
-    """codes (vec_id, m, code) + per-query ADC tables -> per-row
-    array of partial distances, one slot per query."""
-    dt = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(int(d)) for d in row])
-                    for row in dtables[qi]
-                ]
-            )
-            for qi in range(len(QUERY_IDS))
-        ]
-    )
-    return codes.select(
-        "vec_id",
-        F.transform(
-            dt,
-            lambda per_q: F.element_at(
-                F.element_at(per_q, F.col("m") + 1), F.col("code") + 1
+def _adc_dists_wide(
+    wide_codes: DataFrame, dtables: list[list[list[int]]]
+) -> DataFrame:
+    """WIDE codes frame + per-query ADC tables -> (vec_id, qi, dist)
+    with the query's own row excluded. The per-vector distance is an
+    array fold over the codes column — a pure map stage with ZERO
+    shuffle (the long-format path shuffled M rows per vector into a
+    groupBy(vec_id) array-sum; guide §2.4)."""
+    dt = F.lit(
+        [[[int(d) for d in row] for row in t] for t in dtables]
+    ).cast("array<array<array<bigint>>>")
+    qid_lit = F.lit([int(q) for q in QUERY_IDS]).cast("array<bigint>")
+    ds = F.transform(
+        dt,
+        lambda per_q: F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(
+                    F.element_at(per_q, i + F.lit(1)), c + F.lit(1)
+                ),
             ),
-        ).alias("ds"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ),
     )
+    return wide_codes.select(
+        "vec_id", F.posexplode(ds).alias("qi", "dist")
+    ).filter(F.col("vec_id") != F.element_at(qid_lit, F.col("qi") + 1))
 
 
 def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-query recall@10 of three ANN variants against the exact
     ground truth, all in hash-provable integer arithmetic — see the
-    module docstring for the audited claims."""
+    module docstring for the audited claims.
+
+    Execution shape (r13 optimization round; guide §1.2 step 1 / §2.4
+    / §3.3): everything per-vector runs on the WIDE codes layout —
+    the stage-1 encoding is the session-shared pq_train_wide frame,
+    the residual subvectors are an array expression over it (the old
+    path re-exploded the corpus and equi-joined it back), both
+    full-scan ADC baselines are map-only array folds feeding windowed
+    top-k (no groupBy(vec_id) shuffle of M rows per vector), and the
+    two-stage refinement encodes and re-ranks ONLY the <= R_SHORT *
+    |queries| shortlisted rows — the "read only the R stored code
+    rows" promise of the Jégou et al. construction, which the
+    previous plan paid a full corpus pass for."""
+    from searchengine_spark.operators.pq import (
+        _assign_codes_wide,
+        _cached_pq_wide,
+        _codebooks_arr,
+        _wide_subs,
+        train_wide_codebooks,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    init_ids = [
-        r[0]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(KPQ).collect()
-    ]
+    wide1, cb1 = _cached_pq_wide(spark, sf_dir)
+    # wide1 is lineage-cut + session-cached: the count is a cheap
+    # materialized-partition scan, not a training re-run.
+    smod = train_sample_mod(wide1.count(), TRAIN_SAMPLE_TARGET)
 
-    subs8 = _subs_of(emb, M, SUB_DIM).persist()
-    subs16 = _subs_of(emb, M2, SUB_DIM2).persist()
-    cached = [subs8, subs16]
+    wide16 = _wide_subs(emb, m_count=M2, sub_dim=SUB_DIM2).persist()
+    cached = [wide16]
     try:
-        # Stage-1 is EXACTLY operators/pq.py's training (same M/
-        # SUB_DIM/KPQ/iters, same first-KPQ init, same hash sample,
-        # same Lloyd) — reuse its session-cached result instead of
-        # retraining, and rejoin the sub column _train_subs would
-        # have retained (the residual stage needs it). The pqrefine
-        # oracle restates the full training chain, so the driver's
-        # hash compare proves the shared codebooks are identical.
-        from searchengine_spark.operators.pq import _cached_pq
-
-        codes_pq, cb1 = _cached_pq(spark, sf_dir)
-        codes1 = subs8.join(
-            codes_pq.select("vec_id", "m", "code"), ["vec_id", "m"]
-        ).persist()
-        cached.append(codes1)
-        res_subs = codes1.select(
+        # --- stage-2 residual training: rsubs = subs - cvec1[codes]
+        # as one array expression over the cached wide stage-1 frame.
+        cb1_arr = _codebooks_arr(cb1)
+        res = wide1.select(
             "vec_id",
-            "m",
-            F.zip_with(
-                "sub",
-                _cvec_at(_codebooks_literal(cb1), F.col("m"), F.col("code")),
-                lambda x, y: x - y,
-            ).alias("sub"),
+            F.col("codes").alias("codes1"),
+            F.transform(
+                "subs",
+                lambda sub, i: F.zip_with(
+                    sub,
+                    F.element_at(
+                        F.element_at(cb1_arr, i + F.lit(1)),
+                        F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1),
+                    ),
+                    lambda x, y: x - y,
+                ),
+            ).alias("subs"),
         )
-        codes2, cb2 = _train_subs(
-            res_subs, n_vecs=n, m_count=M, sub_dim=SUB_DIM,
-            init_ids=init_ids,
-        )
-        codes16, cb16 = _train_subs(
-            subs16, n_vecs=n, m_count=M2, sub_dim=SUB_DIM2,
-            init_ids=init_ids,
-        )
+        cb2 = train_wide_codebooks(res, smod=smod)
+        cb16 = train_wide_codebooks(wide16, smod=smod)
 
         from searchengine_spark.operators.ann_truth import (
             exact_truth,
@@ -310,57 +242,66 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for qid in QUERY_IDS
             ]
 
-        # --- flat 64-bit re-layout, full-scan ADC
+        # --- flat 64-bit re-layout, full-scan ADC (map-only fold)
         dt16 = [
             _adc_table(qs, cb16) for qs in qsubs(M2, SUB_DIM2)
         ]
         flat_top = _topk_per_query(
-            _sum_by_query(_adc_partials(codes16, dt16)), RK
+            _adc_dists_wide(_assign_codes_wide(wide16, cb16), dt16), RK
         ).select("qi", "vec_id")
 
         # --- base 32-bit ADC: top-RK variant + top-R shortlist
         dt8 = [_adc_table(qs, cb1) for qs in qsubs(M, SUB_DIM)]
         base_ranked = _topk_per_query(
-            _sum_by_query(_adc_partials(codes1, dt8)), R_SHORT
+            _adc_dists_wide(wide1, dt8), R_SHORT
         ).persist()
         cached.append(base_ranked)
         base_top = base_ranked.filter(F.col("rn") <= RK).select(
             "qi", "vec_id"
         )
 
-        # --- refined: two-stage reconstruction distance on the shortlist
-        rec = codes1.select("vec_id", "m", "code").join(
-            codes2.select(
-                "vec_id", "m", F.col("code").alias("code2")
-            ),
-            ["vec_id", "m"],
+        # --- refined: two-stage reconstruction distance, computed for
+        # the SHORTLISTED vectors only (<= R_SHORT * |queries| rows) —
+        # stage-2 encode included. The inner join with base_ranked
+        # restricts each query to its own shortlist exactly as before;
+        # pre-filtering by the shortlist id-set only avoids encoding
+        # and scoring vectors no query shortlisted.
+        short_ids = base_ranked.select("vec_id").distinct()
+        enc2 = _assign_codes_wide(
+            res.join(F.broadcast(short_ids), "vec_id"), cb2
         )
-        qs8 = _sub_of_query(qfp, M, SUB_DIM)
-        rec_part = rec.select(
-            "vec_id",
-            F.transform(
-                qs8,
-                lambda per_q: _sq_dist(
-                    F.element_at(per_q, F.col("m") + 1),
-                    F.zip_with(
-                        _cvec_at(
-                            _codebooks_literal(cb1),
-                            F.col("m"),
-                            F.col("code"),
+        qs8 = _sub_of_query_lit(qfp, M, SUB_DIM)
+        cb2_arr = _codebooks_arr(cb2)
+        rec_ds = F.transform(
+            qs8,
+            lambda per_q: F.aggregate(
+                F.transform(
+                    F.col("codes1"),
+                    lambda c1, i: _sq_dist(
+                        F.element_at(per_q, i + F.lit(1)),
+                        F.zip_with(
+                            F.element_at(
+                                F.element_at(cb1_arr, i + F.lit(1)),
+                                c1 + F.lit(1),
+                            ),
+                            F.element_at(
+                                F.element_at(cb2_arr, i + F.lit(1)),
+                                F.element_at(F.col("codes"), i + F.lit(1))
+                                + F.lit(1),
+                            ),
+                            lambda a, b: a + b,
                         ),
-                        _cvec_at(
-                            _codebooks_literal(cb2),
-                            F.col("m"),
-                            F.col("code2"),
-                        ),
-                        lambda a, b: a + b,
                     ),
                 ),
-            ).alias("ds"),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ),
+        )
+        rec_dists = enc2.select(
+            "vec_id", F.posexplode(rec_ds).alias("qi", "dist")
         )
         refined = _topk_per_query(
-            _sum_by_query(rec_part)
-            .join(
+            rec_dists.join(
                 base_ranked.select("qi", "vec_id"), ["qi", "vec_id"]
             ),
             RK,

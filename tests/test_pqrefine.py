@@ -37,38 +37,40 @@ def test_audit_shape(audit):
 
 def test_stage2_codebooks_are_residual_scaled(spark, sf_dir):
     """Stage-2 codewords quantize RESIDUALS: their magnitude must be
-    far below the stage-1 codewords', which carry the data scale."""
+    far below the stage-1 codewords', which carry the data scale.
+    Exercises the wide-layout training path the r13-optimized audit
+    uses (pq_train_wide frame -> residual array expression ->
+    train_wide_codebooks)."""
     from searchengine_spark.io import load_table
-    from searchengine_spark.operators.pq import KPQ, M, SUB_DIM
-    from searchengine_spark.operators.pqrefine import (
-        _codebooks_literal,
-        _cvec_at,
-        _subs_of,
-        _train_subs,
+    from searchengine_spark.operators.kmeans import (
+        TRAIN_SAMPLE_TARGET,
+        train_sample_mod,
+    )
+    from searchengine_spark.operators.pq import (
+        _codebooks_arr,
+        pq_train_wide,
+        train_wide_codebooks,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    init_ids = [
-        r[0]
-        for r in emb.select("vec_id").orderBy("vec_id").limit(KPQ).collect()
-    ]
-    subs8 = _subs_of(emb, M, SUB_DIM)
-    codes1, cb1 = _train_subs(
-        subs8, n_vecs=n, m_count=M, sub_dim=SUB_DIM, init_ids=init_ids
-    )
-    res = codes1.select(
+    wide1, cb1 = pq_train_wide(emb)
+    smod = train_sample_mod(wide1.count(), TRAIN_SAMPLE_TARGET)
+    cb1_arr = _codebooks_arr(cb1)
+    res = wide1.select(
         "vec_id",
-        "m",
-        F.zip_with(
-            "sub",
-            _cvec_at(_codebooks_literal(cb1), F.col("m"), F.col("code")),
-            lambda x, y: x - y,
-        ).alias("sub"),
+        F.transform(
+            "subs",
+            lambda sub, i: F.zip_with(
+                sub,
+                F.element_at(
+                    F.element_at(cb1_arr, i + F.lit(1)),
+                    F.element_at(F.col("codes"), i + F.lit(1)) + F.lit(1),
+                ),
+                lambda x, y: x - y,
+            ),
+        ).alias("subs"),
     )
-    _codes2, cb2 = _train_subs(
-        res, n_vecs=n, m_count=M, sub_dim=SUB_DIM, init_ids=init_ids
-    )
+    cb2 = train_wide_codebooks(res, smod=smod)
 
     def mean_abs(cb):
         vals = [abs(v) for book in cb for cvec in book for v in cvec]
