@@ -59,6 +59,7 @@ from searchengine_spark.operators.pq import (
     PQ_QUERY_ID,
     SUB_DIM,
     _assign_codes,
+    _assign_codes_wide,
     _pq_lloyd_driver,
     adc_distance_table,
 )
@@ -66,13 +67,17 @@ from searchengine_spark.operators.pq import (
 N_PROBE = 3  # cells probed out of K=8 — ~3/8 of the index scanned
 
 
-def residual_subs(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
-    """(vec_id, cluster, m, sub): each vector's cell plus its
-    RESIDUAL subvectors — one zip_with against the centroid literal
-    indexed by the row's cluster, then the subspace explode. Input is
-    the fixed-point (vec_id, qvec) frame."""
+def residual_wide(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cluster, subs array[m] of array<bigint>): each
+    vector's cell plus ALL its residual subvectors in ONE row — the
+    no-explode layout (r13 optimization; guide §2.4): one zip_with
+    against the centroid literal indexed by the row's cluster, then
+    an array of slices. Input is the fixed-point (vec_id, qvec)
+    frame."""
     assigned = _assign(quant, cents)
-    cent_lit = F.array(*[F.array(*[F.lit(int(v)) for v in c]) for c in cents])
+    cent_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
+        "array<array<bigint>>"
+    )
     res = assigned.select(
         "vec_id",
         "cluster",
@@ -85,33 +90,72 @@ def residual_subs(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
     slices = F.array(
         *[F.slice("rvec", m * SUB_DIM + 1, SUB_DIM) for m in range(M)]
     )
-    return res.select(
-        "vec_id", "cluster", F.posexplode(slices).alias("m", "sub")
+    return res.select("vec_id", "cluster", slices.alias("subs"))
+
+
+def residual_subs(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
+    """(vec_id, cluster, m, sub): the long-format residual frame —
+    now a map-side posexplode of the wide layout (kept for the
+    distortion test and any long-format consumer)."""
+    return residual_wide(quant, cents).select(
+        "vec_id", "cluster", F.posexplode("subs").alias("m", "sub")
     )
 
 
-def ivfpq_train(
+def _explode_wide_codes_ivfpq(wide: DataFrame, *, keep_dist: bool = False) -> DataFrame:
+    """WIDE ivfpq codes frame -> the long (vec_id, cluster, m, code
+    [, dist]) contract the append query, the disk layout and the
+    batch-search path use. Pure map-side posexplode."""
+    out = wide.select(
+        "vec_id",
+        "cluster",
+        F.posexplode(F.arrays_zip("codes", "dists")).alias("m", "_z"),
+    ).select(
+        "vec_id",
+        "cluster",
+        "m",
+        F.col("_z.codes").alias("code"),
+        F.col("_z.dists").alias("dist"),
+    )
+    return out if keep_dist else out.drop("dist")
+
+
+def _argmin_cluster(vec: list[int], cents: list[list[int]]) -> int:
+    """Driver-side exact nearest centroid, first occurrence on ties
+    (= the (dist, cluster) lexicographic tie-break of _assign)."""
+    best_j = 0
+    best_d: int | None = None
+    for j, c in enumerate(cents):
+        d = sum((vec[i] - c[i]) ** 2 for i in range(len(vec)))
+        if best_d is None or d < best_d:
+            best_j, best_d = j, d
+    return best_j
+
+
+def ivfpq_train_wide(
     emb: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     sample_target: int = TRAIN_SAMPLE_TARGET,
 ) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
-    """Returns (codes, coarse_centroids, pq_codebooks) where codes =
-    (vec_id, cluster, m, code): each vector's cell plus the PQ
-    encoding of its residual.
+    """Returns (wide codes, coarse_centroids, pq_codebooks) where the
+    wide frame is (vec_id, cluster, subs, codes, dists) — one row per
+    vector, lineage-cut.
 
-    Both Lloyd loops (coarse and residual-PQ) train on the
-    deterministic hash-sample (kmeans.train_sample_filter), so
-    training cost is O(sample) per iteration; the residual frame and
-    final encode still cover the full corpus in ONE assignment pass —
-    the fit/transform split FAISS uses at billion scale."""
+    r13 optimization shape (guide §1.2 step 1): both Lloyd loops run
+    driver-side over the SAME two bounded collects (init rows +
+    hash-sampled vectors) — the sampled RESIDUAL subvectors are
+    derived on the driver from the already-collected sample with the
+    identical integer argmin/subtract arithmetic, killing the old
+    path's full-corpus exploded residual persist and its two extra
+    sample collects. The full-corpus work is exactly ONE map-only
+    pass: assign cell -> residual -> nearest codeword, all on the
+    wide no-explode layout."""
     quant = emb.select(
         F.col(id_col).alias("vec_id"), fixed_point_vec(vec_col).alias("qvec")
     ).persist()
     train = None
-    subs = None
-    subs_train = None
     try:
         smod = train_sample_mod(quant.count(), sample_target)
         # bounded sample -> few cached partitions (kmeans.py note)
@@ -125,8 +169,6 @@ def ivfpq_train(
         # filtered inputs (the incremental-ANN base split)
         init = quant.orderBy("vec_id").limit(max(K, KPQ)).collect()
         cents = [[int(v) for v in r["qvec"]] for r in init[:K]]
-        cb_ids = [int(r["vec_id"]) for r in init[:KPQ]]
-        code_of = {v: i for i, v in enumerate(cb_ids)}
         # K (=8) is always in the flat-argmin regime: one bounded
         # collect + driver Lloyd, bit-identical to the Spark loop
         # (kmeans._lloyd_driver), transform stays distributed
@@ -134,41 +176,50 @@ def ivfpq_train(
             [int(v) for v in r["qvec"]] for r in train.select("qvec").collect()
         ]
         cents = _lloyd_driver(train_vecs, cents, ITERS)
-        subs = residual_subs(quant, cents).persist()
-        subs_train = (
-            subs.filter(train_sample_filter(smod)).coalesce(4).persist()
-            if smod > 1
-            else subs
-        )
-        cb_init = (
-            subs.filter(F.col("vec_id").isin(cb_ids))
-            .orderBy("vec_id", "m")
-            .collect()
-        )
+
+        # residual subvectors of a vector under the FINAL centroids —
+        # same argmin tie-break and exact integer subtraction as the
+        # distributed residual_wide path
+        def res_subs(vec: list[int]) -> list[list[int]]:
+            c = cents[_argmin_cluster(vec, cents)]
+            r = [vec[i] - c[i] for i in range(len(vec))]
+            return [r[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
+
         codebooks: list[list[list[int]]] = [
             [[0] * SUB_DIM for _ in range(KPQ)] for _ in range(M)
         ]
-        for r in cb_init:
-            codebooks[r["m"]][code_of[r["vec_id"]]] = [int(v) for v in r["sub"]]
+        for j, r in enumerate(init[:KPQ]):
+            for m, sub in enumerate(res_subs([int(v) for v in r["qvec"]])):
+                codebooks[m][j] = sub
         sub_rows = [
-            (r["m"], [int(v) for v in r["sub"]])
-            for r in subs_train.select("m", "sub").collect()
+            (m, sub) for vec in train_vecs for m, sub in enumerate(res_subs(vec))
         ]
         codebooks = _pq_lloyd_driver(sub_rows, codebooks, PQ_ITERS)
-        codes = _assign_codes(subs, codebooks).select(
-            "vec_id", "cluster", "m", "code"
-        )
+        wide = _assign_codes_wide(residual_wide(quant, cents), codebooks)
         from searchengine_spark.operators.dedup import _cut_lineage
 
-        return _cut_lineage(codes), cents, codebooks
+        return _cut_lineage(wide), cents, codebooks
     finally:
         if train is not None and train is not quant:
             train.unpersist()
         quant.unpersist()
-        if subs_train is not None and subs_train is not subs:
-            subs_train.unpersist()
-        if subs is not None:
-            subs.unpersist()
+
+
+def ivfpq_train(
+    emb: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sample_target: int = TRAIN_SAMPLE_TARGET,
+) -> tuple[DataFrame, list[list[int]], list[list[list[int]]]]:
+    """Returns (codes, coarse_centroids, pq_codebooks) where codes =
+    (vec_id, cluster, m, code): each vector's cell plus the PQ
+    encoding of its residual — the long contract, posexploded from
+    the wide trainer."""
+    wide, cents, codebooks = ivfpq_train_wide(
+        emb, id_col=id_col, vec_col=vec_col, sample_target=sample_target
+    )
+    return _explode_wide_codes_ivfpq(wide), cents, codebooks
 
 
 def ivfpq_search(
@@ -198,12 +249,9 @@ def ivfpq_search(
         qres = [qv[i] - cents[j][i] for i in range(dim)]
         qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
         tables.append(adc_distance_table(qsub, codebooks))
-    dt_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in t])
-            for t in tables
-        ]
-    )
+    dt_lit = F.lit(
+        [[[int(d) for d in row] for row in t] for t in tables]
+    ).cast("array<array<array<bigint>>>")
     # Membership as a plain `cluster IN (literals)` filter FIRST —
     # on a cluster-partitioned index layout this is what plans as
     # PartitionFilters (file-listing-time pruning); the 1-based
@@ -230,6 +278,63 @@ def ivfpq_search(
         .orderBy("adc_dist", "vec_id")
         .limit(k)
     )
+
+
+def ivfpq_search_wide(
+    wide_codes: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    qv: list[int],
+    *,
+    k: int = PQ_K,
+    n_probe: int = N_PROBE,
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """ivfpq_search over the WIDE codes frame: same driver-side probe
+    pick and per-cell ADC tables (one nested literal), but the
+    per-vector distance is an array fold over the codes column — a
+    pure map feeding TakeOrderedAndProject with ZERO exchange (the
+    long path shuffles M rows per probed vector into a
+    groupBy(vec_id); guide §2.4)."""
+    dim = len(qv)
+    cell_d = sorted(
+        (sum((qv[i] - c[i]) ** 2 for i in range(dim)), j)
+        for j, c in enumerate(cents)
+    )
+    probed = [j for _, j in cell_d[:n_probe]]
+    tables = []
+    for j in probed:
+        qres = [qv[i] - cents[j][i] for i in range(dim)]
+        qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
+        tables.append(adc_distance_table(qsub, codebooks))
+    dt_lit = F.lit(
+        [[[int(d) for d in row] for row in t] for t in tables]
+    ).cast("array<array<array<bigint>>>")
+    pos = F.lit(0)
+    for i, j in enumerate(probed):
+        pos = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(pos)
+    looked = wide_codes.filter(F.col("cluster").isin(probed)).withColumn(
+        "_p", pos
+    )
+    if exclude_id is not None:
+        looked = looked.filter(F.col("vec_id") != exclude_id)
+    scored = looked.select(
+        "vec_id",
+        F.aggregate(
+            F.transform(
+                F.col("codes"),
+                lambda c, i: F.element_at(
+                    F.element_at(
+                        F.element_at(dt_lit, F.col("_p")), i + F.lit(1)
+                    ),
+                    c + F.lit(1),
+                ),
+            ),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("adc_dist"),
+    )
+    return scored.orderBy("adc_dist", "vec_id").limit(k)
 
 
 def ivfpq_batch_search(
@@ -363,14 +468,27 @@ def ivfpq_encode(
     existing cells/codes and the partitioned layout stays valid.
     ``keep_dist`` additionally returns each subspace's exact integer
     quantization distortion (the drift audit's raw signal)."""
+    return _explode_wide_codes_ivfpq(
+        ivfpq_encode_wide(emb, cents, codebooks, id_col=id_col, vec_col=vec_col),
+        keep_dist=keep_dist,
+    )
+
+
+def ivfpq_encode_wide(
+    emb: DataFrame,
+    cents: list[list[int]],
+    codebooks: list[list[list[int]]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The wide-layout encode: (vec_id, cluster, subs, codes, dists)
+    in ONE map-only pass — nearest cell, residual, nearest codeword
+    as array expressions, nothing exploded or shuffled."""
     quant = emb.select(
         F.col(id_col).alias("vec_id"), fixed_point_vec(vec_col).alias("qvec")
     )
-    enc = _assign_codes(residual_subs(quant, cents), codebooks)
-    cols = ["vec_id", "cluster", "m", "code"]
-    if keep_dist:
-        cols.append("dist")
-    return enc.select(*cols)
+    return _assign_codes_wide(residual_wide(quant, cents), codebooks)
 
 
 def write_ivfpq_index(codes: DataFrame, path: str) -> None:
@@ -388,18 +506,28 @@ def read_ivfpq_index(spark: SparkSession, path: str) -> DataFrame:
 
 # --------------------------------------------------------------- queries
 
-def _cached(spark: SparkSession, sf_dir: str):
+def _cached_wide(spark: SparkSession, sf_dir: str):
+    """Session-shared WIDE IVF-PQ index — the one training every
+    family member (single/batch/curve/recall queries) derives from.
+    ivfpq_train_wide already cuts lineage, so the frame is
+    materialized."""
+
     def build():
-        return ivfpq_train(load_table(spark, sf_dir, "embeddings"))
+        return ivfpq_train_wide(load_table(spark, sf_dir, "embeddings"))
 
     return session_cached(spark, "ivfpq_train", sf_dir, build)
+
+
+def _cached(spark: SparkSession, sf_dir: str):
+    wide, cents, codebooks = _cached_wide(spark, sf_dir)
+    return _explode_wide_codes_ivfpq(wide), cents, codebooks
 
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ top-10 for the fixed query vector: coarse cells,
     residual PQ codes, N_PROBE probed cells, per-cell ADC tables —
     hash-checked end to end against the unrolled SQL twin."""
-    codes, cents, codebooks = _cached(spark, sf_dir)
+    wide, cents, codebooks = _cached_wide(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     qrow = (
         emb.filter(F.col("vec_id") == PQ_QUERY_ID)
@@ -407,8 +535,8 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     qv = [int(v) for v in qrow["qv"]]
-    return ivfpq_search(
-        codes, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
+    return ivfpq_search_wide(
+        wide, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
     )
 
 
@@ -454,12 +582,17 @@ def _append_split(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     return emb.filter(~is_batch), emb.filter(is_batch)
 
 
-def _cached_base_train(spark: SparkSession, sf_dir: str):
+def _cached_base_train_wide(spark: SparkSession, sf_dir: str):
     def build():
         base, _ = _append_split(load_table(spark, sf_dir, "embeddings"))
-        return ivfpq_train(base)
+        return ivfpq_train_wide(base)
 
     return session_cached(spark, "ivfpq_train_base", sf_dir, build)
+
+
+def _cached_base_train(spark: SparkSession, sf_dir: str):
+    wide, cents, codebooks = _cached_base_train_wide(spark, sf_dir)
+    return _explode_wide_codes_ivfpq(wide), cents, codebooks
 
 
 def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -472,7 +605,7 @@ def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     appended file set, and a query's probe pruning keeps working
     unchanged. Complements incremental BM25 (index/incremental.py)
     and incremental near-dup (dedup.py) with the embedding side."""
-    _, cents, codebooks = _cached_base_train(spark, sf_dir)
+    _, cents, codebooks = _cached_base_train_wide(spark, sf_dir)
     _, batch = _append_split(load_table(spark, sf_dir, "embeddings"))
     return ivfpq_encode(batch, cents, codebooks)
 
@@ -485,16 +618,27 @@ def q_ivf_append_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     `drifted` flags cells past DRIFT_GROWTH_BOUND — the retrain
     trigger a production pipeline watches. A shifted batch (planted
     test) trips it; an in-distribution batch stays ~1.0."""
-    _, cents, codebooks = _cached_base_train(spark, sf_dir)
-    base, batch = _append_split(load_table(spark, sf_dir, "embeddings"))
-    be = ivfpq_encode(base, cents, codebooks, keep_dist=True)
-    ne = ivfpq_encode(batch, cents, codebooks, keep_dist=True)
+    base_wide, cents, codebooks = _cached_base_train_wide(spark, sf_dir)
+    _, batch = _append_split(load_table(spark, sf_dir, "embeddings"))
+    # The base-side encode IS the cached training frame: the trainer's
+    # final pass is _assign_codes_wide(residual_wide(base), codebooks)
+    # — identical to ivfpq_encode_wide(base, ...) under the frozen
+    # artifacts, so the audit re-encodes only the BATCH (r13; guide
+    # §1.2 step 1 — don't recompute what a sibling already computed).
+    be = base_wide
+    ne = ivfpq_encode_wide(batch, cents, codebooks)
 
     def stats(enc: DataFrame, n_name: str, mean_name: str) -> DataFrame:
+        # wide layout: one row per vector — n is a plain count, and
+        # the per-(vec, m) mean divides the same exact integer sum by
+        # the same n*M row count as the long path did
+        total = F.aggregate(
+            F.col("dists"), F.lit(0).cast("bigint"), lambda a, v: a + v
+        )
         return enc.groupBy("cluster").agg(
-            F.count_distinct("vec_id").cast("bigint").alias(n_name),
+            F.count(F.lit(1)).cast("bigint").alias(n_name),
             F.round(
-                F.sum("dist").cast("double") / F.count(F.lit(1)), 6
+                F.sum(total).cast("double") / (F.count(F.lit(1)) * M), 6
             ).alias(mean_name),
         )
 
@@ -801,7 +945,7 @@ def q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vectors,
     )
 
-    codes, cents, codebooks = _cached(spark, sf_dir)
+    wide, cents, codebooks = _cached_wide(spark, sf_dir)
     qv = query_vectors(spark, sf_dir)[PQ_QUERY_ID]
     # Session-shared exact truth (ann_truth.py): self already
     # excluded, rank by (dist, vec_id) — identical to the inline
@@ -811,8 +955,8 @@ def q_ivfpq_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("query_id") == PQ_QUERY_ID) & (F.col("rn") <= PQ_K))
         .select("vec_id")
     )
-    hits = ivfpq_search(
-        codes, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
+    hits = ivfpq_search_wide(
+        wide, cents, codebooks, qv, exclude_id=PQ_QUERY_ID
     ).select("vec_id")
     caught = brute.join(hits, "vec_id", "left_semi")
     n_true = brute.agg(F.count(F.lit(1)).alias("n_true"))
@@ -915,7 +1059,7 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         query_vectors,
     )
 
-    codes, cents, codebooks = _cached(spark, sf_dir)
+    wide, cents, codebooks = _cached_wide(spark, sf_dir)
     qv = query_vectors(spark, sf_dir)[PQ_QUERY_ID]
     # Session-shared exact truth (ann_truth.py; already cached there).
     brute = (
@@ -936,30 +1080,35 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         qres = [qv[i] - cents[j][i] for i in range(dim)]
         qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
         tables.append(adc_distance_table(qsub, codebooks))
-    dt_lit = F.array(
-        *[
-            F.array(*[F.array(*[F.lit(int(d)) for d in row]) for row in t])
-            for t in tables
-        ]
-    )
+    dt_lit = F.lit(
+        [[[int(d) for d in row] for row in t] for t in tables]
+    ).cast("array<array<array<bigint>>>")
     rnk = F.lit(0)
     for i, j in enumerate(ranked):
         rnk = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(rnk)
+    # wide layout: the per-vector ADC distance is an array fold — one
+    # row per vector already, so the old groupBy(vec_id, _p) shuffle
+    # is gone (r13; guide §2.4)
     cand = (
-        codes.filter(F.col("vec_id") != PQ_QUERY_ID)
+        wide.filter(F.col("vec_id") != PQ_QUERY_ID)
         .withColumn("_p", rnk)
         .select(
             "vec_id",
             "_p",
-            F.element_at(
-                F.element_at(
-                    F.element_at(dt_lit, F.col("_p")), F.col("m") + 1
+            F.aggregate(
+                F.transform(
+                    F.col("codes"),
+                    lambda c, i: F.element_at(
+                        F.element_at(
+                            F.element_at(dt_lit, F.col("_p")), i + F.lit(1)
+                        ),
+                        c + F.lit(1),
+                    ),
                 ),
-                F.col("code") + 1,
-            ).alias("_d"),
+                F.lit(0).cast("bigint"),
+                lambda acc, v: acc + v,
+            ).alias("adc_dist"),
         )
-        .groupBy("vec_id", "_p")
-        .agg(F.sum("_d").cast("bigint").alias("adc_dist"))
     )
     probes = spark.range(1, K + 1).select(
         F.col("id").cast("int").alias("n_probe")
