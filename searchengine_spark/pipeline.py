@@ -57,10 +57,26 @@ def _stages(
     text_col: str = "text",
     gate: str = "basic",
     max_bucket: int | None = CURATE_MAX_BUCKET,
+    shared_shingles: DataFrame | None = None,
+    shared_bands: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(quality, exact_keep_ids, near_drop_ids) — the pipeline's three
     decision frames, shared by curate() (keep-list) and
-    q_drop_reasons() (per-doc provenance)."""
+    q_drop_reasons() (per-doc provenance).
+
+    ``shared_shingles``/``shared_bands`` (r13 optimization; guide
+    §1.2 step 1): when the caller already holds the FULL-corpus
+    shingle and LSH-band caches for these same ``docs`` (the dedup
+    family's session-shared stages), the survivor chain derives its
+    frames by a left-semi filter on doc_id instead of re-running the
+    tokenize -> shingle -> hash -> signature pipeline over the
+    survivors. Equivalent by construction: shingles and band
+    signatures are per-doc functions of that doc's text alone, so
+    bands(survivors) == bands(corpus) restricted to survivor ids,
+    and the bucket-size cap still runs on the restricted band set
+    exactly as before. Jaccard verification joins the candidate
+    pairs against the full cached shingle frame — per-pair values
+    are functions of the two docs' shingles only."""
     base = ensure_min_partitions(docs).select(
         "doc_id",
         F.col(text_col),
@@ -103,10 +119,15 @@ def _stages(
         "doc_id", F.col(text_col)
     )
 
-    sh = shingle_frame(survivors, text_col=text_col).cache()
-    pairs = neardup_candidate_pairs(
-        minhash_bands(shingles=sh), max_bucket=max_bucket
-    )
+    if shared_bands is not None:
+        bands = shared_bands.join(
+            survivors.select("doc_id"), "doc_id", "left_semi"
+        )
+        sh = shared_shingles
+    else:
+        sh = shingle_frame(survivors, text_col=text_col).cache()
+        bands = minhash_bands(shingles=sh)
+    pairs = neardup_candidate_pairs(bands, max_bucket=max_bucket)
     near = jaccard_pairs(None, pairs, shingles=sh).filter(
         F.col("jaccard") >= JACCARD_CUT
     )
@@ -266,8 +287,17 @@ def _cached_stages(spark: SparkSession, sf_dir: str, *, gate: str = "basic"):
     from searchengine_spark.operators.dedup import _cut_lineage
 
     def build():
+        # Derive the near-dup frames from the dedup family's
+        # session-shared full-corpus shingle/band caches (same
+        # documents table): the survivor chain becomes a semi-join
+        # filter instead of a second tokenize+MinHash pass per gate.
+        from searchengine_spark.operators.dedup import _bands, _shingles
+
         quality, exact_keep, drop = _stages(
-            load_table(spark, sf_dir, "documents"), gate=gate
+            load_table(spark, sf_dir, "documents"),
+            gate=gate,
+            shared_shingles=_shingles(spark, sf_dir),
+            shared_bands=_bands(spark, sf_dir),
         )
         return (
             _cut_lineage(quality),
