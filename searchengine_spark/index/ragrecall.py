@@ -46,14 +46,26 @@ def _chunk_index(spark: SparkSession, sf_dir: str):
     from searchengine_spark.text.chunking import chunk_documents
 
     def _build():
-        chunks = chunk_documents(load_table(spark, sf_dir, "documents"))
+        from searchengine_spark.text.tokenizer import MIN_TOKEN_LEN, STOPWORDS
+
+        chunks = chunk_documents(
+            load_table(spark, sf_dir, "documents"), with_tokens=True
+        )
         as_docs = chunks.select(
             (F.col("doc_id") * CHUNK_GID_BASE + F.col("chunk_id"))
             .cast("bigint")
             .alias("doc_id"),
-            F.col("chunk_text").alias("text"),
+            F.col("chunk_toks"),
         )
-        return build_index(as_docs).coalesce(8).cache()
+        # chunk_toks are the raw tokens chunk_text was joined from, so
+        # applying the tokenizer's filter chain to them is identical
+        # to tokens_column(chunk_text) — minus the second regexp split
+        # over the chunk corpus (r13 optimization).
+        toks = F.filter(
+            F.col("chunk_toks"),
+            lambda w: (F.length(w) >= MIN_TOKEN_LEN) & ~w.isin(*STOPWORDS),
+        )
+        return build_index(as_docs, tokens=toks).coalesce(8).cache()
 
     return session_cached(spark, "chunk_index", sf_dir, _build)
 
@@ -63,11 +75,11 @@ def q_chunk_retrieval_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the chunk-level top-``RAG_CHUNK_K``; recall = fraction of the
     doc-level top-k recovered through chunks."""
     from searchengine_spark.index.bm25 import search_many
-    from searchengine_spark.index.queries import BATCH_QUERIES, BM25_K, _index
+    from searchengine_spark.index.queries import BATCH_QUERIES, batch_top
 
-    doc_top = search_many(
-        _index(spark, sf_dir), dict(BATCH_QUERIES), k=BM25_K, round_scores=6
-    ).select("query_id", "doc_id")
+    # Doc-level side = the session-shared se_bm25_batch result (same
+    # search_many call; computed once per session — r13 optimization).
+    doc_top = batch_top(spark, sf_dir).select("query_id", "doc_id")
     chunk_top = search_many(
         _chunk_index(spark, sf_dir),
         dict(BATCH_QUERIES),

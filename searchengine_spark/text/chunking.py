@@ -35,12 +35,20 @@ def chunk_documents(
     chunk_size: int = CHUNK_SIZE,
     overlap: int = OVERLAP,
     persist_dir: str | None = None,
+    with_tokens: bool = False,
 ) -> DataFrame:
     """(doc_id, chunk_id, n_tokens, chunk_text) — one row per window.
 
     ``persist_dir`` (default $SPARK_GRAFT_PERSIST_DIR): stage barrier
     via persisted parquet instead of a full shuffle (see
     io.materialize_barrier) — the build-scale default.
+
+    ``with_tokens``: additionally emit the window's raw token array
+    as ``chunk_toks``. chunk_text is ``array_join(chunk_toks, ' ')``
+    and raw tokens never contain the delimiter, so re-splitting
+    chunk_text reproduces chunk_toks exactly — consumers that only
+    need tokens (the chunk BM25 index) can skip that second regexp
+    pass over the chunk corpus (r13 optimization, guide §1.2 step 1).
     """
     if not 0 <= overlap < chunk_size:
         raise ValueError("need 0 <= overlap < chunk_size")
@@ -70,12 +78,15 @@ def chunk_documents(
             )
         ).alias("chunk_id", "chunk_toks"),
     )
-    return chunks.select(
-        "doc_id",
-        "chunk_id",
+    out = [
+        F.col("doc_id"),
+        F.col("chunk_id"),
         F.size("chunk_toks").cast("bigint").alias("n_tokens"),
         F.array_join("chunk_toks", " ").alias("chunk_text"),
-    )
+    ]
+    if with_tokens:
+        out.append(F.col("chunk_toks"))
+    return chunks.select(*out)
 
 
 PACK_CAPACITY = 512
