@@ -199,3 +199,43 @@ def test_batch_topk_matches_oracle(spark, sf_dir):
         sf_dir,
         name="emb_ivfpq_batch_topk",
     )
+
+
+def test_wide_and_long_search_paths_agree(trained, spark, sf_dir):
+    """r13 optimization invariant: the fold-based wide search returns
+    exactly what the long-format (disk-layout) search returns — same
+    rows, same order, same exact integer distances."""
+    codes, cents, codebooks = trained
+    emb = load_table(spark, sf_dir, "embeddings")
+    wide, w_cents, w_cbs = ivfpq.ivfpq_train_wide(emb)
+    assert w_cents == cents and w_cbs == codebooks
+    qv = [
+        int(v)
+        for v in emb.filter(F.col("vec_id") == pq.PQ_QUERY_ID)
+        .select(pq.fixed_point_vec("embedding").alias("qv"))
+        .collect()[0]["qv"]
+    ]
+    long_hits = [
+        (r.vec_id, r.adc_dist)
+        for r in ivfpq.ivfpq_search(
+            codes, cents, codebooks, qv, exclude_id=pq.PQ_QUERY_ID
+        ).collect()
+    ]
+    wide_hits = [
+        (r.vec_id, r.adc_dist)
+        for r in ivfpq.ivfpq_search_wide(
+            wide, cents, codebooks, qv, exclude_id=pq.PQ_QUERY_ID
+        ).collect()
+    ]
+    assert wide_hits == long_hits and len(wide_hits) == pq.PQ_K
+    # and the long contract really is the exploded wide frame
+    a = sorted(
+        tuple(r) for r in codes.select("vec_id", "cluster", "m", "code").collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in ivfpq._explode_wide_codes_ivfpq(wide)
+        .select("vec_id", "cluster", "m", "code")
+        .collect()
+    )
+    assert a == b

@@ -13,3 +13,26 @@ def test_filter_agreement_confusion_table(spark, sf_dir):
     # (<= only ties inflate it)
     kept = sum(r.n_docs for r in rows if r.lm_keep)
     assert kept >= total // 2
+
+
+def test_shared_stage_path_matches_self_contained(spark, sf_dir):
+    """r13 optimization invariant: _stages fed the session-shared
+    full-corpus shingle/band caches returns row-identical decision
+    frames to the self-contained derivation, for both gates."""
+    from searchengine_spark.io import load_table
+    from searchengine_spark.operators.dedup import _bands, _shingles
+    from searchengine_spark.pipeline import _stages
+
+    docs = load_table(spark, sf_dir, "documents")
+    for gate in ("basic", "gopher"):
+        plain = _stages(docs, gate=gate)
+        shared = _stages(
+            docs,
+            gate=gate,
+            shared_shingles=_shingles(spark, sf_dir),
+            shared_bands=_bands(spark, sf_dir),
+        )
+        for a, b, key in zip(plain, shared, ("quality", "exact", "drop")):
+            ra = sorted(r["doc_id"] for r in a.select("doc_id").collect())
+            rb = sorted(r["doc_id"] for r in b.select("doc_id").collect())
+            assert ra == rb, f"{gate}/{key} diverged"
