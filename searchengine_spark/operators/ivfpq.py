@@ -519,8 +519,21 @@ def _cached_wide(spark: SparkSession, sf_dir: str):
 
 
 def _cached(spark: SparkSession, sf_dir: str):
-    wide, cents, codebooks = _cached_wide(spark, sf_dir)
-    return _explode_wide_codes_ivfpq(wide), cents, codebooks
+    """Long-contract view of the cached wide index. The exploded
+    frame is itself lineage-cut and session-shared: leaving the
+    posexplode lazy re-ran it inside every consumer plan and measured
+    3x slower on the batch-search join (bench r13 opt round,
+    isolate-reproduced) — the materialized frame is M rows per vector
+    of 4 small columns, the same footprint the pre-r13 code cached."""
+    from searchengine_spark.io import session_cached
+
+    def build():
+        from searchengine_spark.operators.dedup import _cut_lineage
+
+        wide, cents, codebooks = _cached_wide(spark, sf_dir)
+        return _cut_lineage(_explode_wide_codes_ivfpq(wide)), cents, codebooks
+
+    return session_cached(spark, "ivfpq_train_long", sf_dir, build)
 
 
 def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -591,8 +604,19 @@ def _cached_base_train_wide(spark: SparkSession, sf_dir: str):
 
 
 def _cached_base_train(spark: SparkSession, sf_dir: str):
-    wide, cents, codebooks = _cached_base_train_wide(spark, sf_dir)
-    return _explode_wide_codes_ivfpq(wide), cents, codebooks
+    from searchengine_spark.io import session_cached
+
+    def build():
+        from searchengine_spark.operators.dedup import _cut_lineage
+
+        wide, cents, codebooks = _cached_base_train_wide(spark, sf_dir)
+        return (
+            _cut_lineage(_explode_wide_codes_ivfpq(wide)),
+            cents,
+            codebooks,
+        )
+
+    return session_cached(spark, "ivfpq_train_base_long", sf_dir, build)
 
 
 def q_ivf_append_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
