@@ -135,6 +135,7 @@ def eigenvector_centrality(
     from searchengine_spark.operators.dedup import _cut_lineage
 
     ed = edges.persist()
+    cached: list[DataFrame] = []
     try:
         v = (
             ed.select(F.col("src").alias("node"))
@@ -142,19 +143,31 @@ def eigenvector_centrality(
             .withColumn("r", F.lit(int(scale)).cast("bigint"))
         )
         for _ in range(iters):
+            # Persist the round's sum frame: it feeds BOTH the next
+            # round's scan side AND the 1-row max broadcast, and the
+            # broadcast boundary blocks subexpression sharing — left
+            # lazy, round i's subtree is embedded twice in round i+1
+            # (2^iters re-executions of the edge join by the end;
+            # pagerank has no per-round global agg, which is why it
+            # never showed this; r13 optimization, guide §5).
             s = (
                 ed.join(v, ed.src == v.node)
                 .groupBy("dst")
                 .agg(F.sum("r").alias("s"))
-            )
+            ).persist()
+            cached.append(s)
             m = s.agg(F.max("s").alias("mx"))
             v = s.crossJoin(F.broadcast(m)).select(
                 F.col("dst").alias("node"),
                 F.expr(f"CAST(s * {scale} DIV mx AS BIGINT)").alias("r"),
             )
+        # _cut_lineage is eager (localCheckpoint), so the persisted
+        # rounds are safe to release in the finally below.
         return _cut_lineage(v.select("node", F.col("r").alias("ec_fp")))
     finally:
         ed.unpersist()
+        for s in cached:
+            s.unpersist()
 
 
 def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
