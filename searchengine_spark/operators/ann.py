@@ -519,15 +519,30 @@ def _neardup_oracle_sql() -> str:
 HARD_NEG_K = 3
 
 
+def _session_hard_negatives(spark, sf_dir: str) -> DataFrame:
+    """Session-cached hard-negative table (k rows per anchor, tiny):
+    consumed verbatim by emb_hard_negatives AND emb_training_triplets
+    — each previously re-ran the bucket join + window (guide §1.2
+    step 1)."""
+    from searchengine_spark.io import load_table, session_cached
+
+    return session_cached(
+        spark,
+        "ann-hard-negatives",
+        sf_dir,
+        lambda: hard_negative_mine(
+            load_table(spark, sf_dir, "embeddings"),
+            dim=EMB_DIM,
+            k=HARD_NEG_K,
+            dup_threshold=NEARDUP_COS,
+        ).cache(),
+    )
+
+
 def q_hard_negatives(spark, sf_dir: str) -> DataFrame:
     """Per-anchor top-3 hard negatives (bucket-mates just below the
     near-dup threshold) over the embeddings table."""
-    from searchengine_spark.io import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return hard_negative_mine(
-        emb, dim=EMB_DIM, k=HARD_NEG_K, dup_threshold=NEARDUP_COS
-    )
+    return _session_hard_negatives(spark, sf_dir)
 
 
 def _hard_negatives_oracle_sql() -> str:
@@ -608,6 +623,10 @@ def mutual_nn_pairs(
             ),
         )
     )
+    # Persisted: nn (one row per vector) feeds BOTH sides of the
+    # mutual filter — left lazy, the bucket self-join + per-pair
+    # cosine subtree executes twice (guide §5 caching note). Tiny
+    # frame, stays persisted for the session like the bucket caches.
     nn = cand.groupBy("id_a").agg(
         F.max(F.struct(F.col("cosine"), (-F.col("id_b")).alias("_nid")))
         .alias("_best")
@@ -615,7 +634,7 @@ def mutual_nn_pairs(
         "id_a",
         (-F.col("_best._nid")).alias("nn_id"),
         F.col("_best.cosine").alias("cosine"),
-    )
+    ).persist()
     rev = nn.select(
         F.col("id_a").alias("nn_id"), F.col("nn_id").alias("id_a")
     )
@@ -626,11 +645,24 @@ def mutual_nn_pairs(
     )
 
 
-def q_mutual_nn_pairs(spark, sf_dir: str) -> DataFrame:
-    from searchengine_spark.io import load_table
+def _session_mutual_nn(spark, sf_dir: str) -> DataFrame:
+    """Session-cached mutual-NN pairs (bounded by |vectors|/2 rows):
+    consumed verbatim by emb_mutual_nn_pairs AND
+    emb_training_triplets."""
+    from searchengine_spark.io import load_table, session_cached
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return mutual_nn_pairs(emb, dim=EMB_DIM)
+    return session_cached(
+        spark,
+        "ann-mutual-nn",
+        sf_dir,
+        lambda: mutual_nn_pairs(
+            load_table(spark, sf_dir, "embeddings"), dim=EMB_DIM
+        ).cache(),
+    )
+
+
+def q_mutual_nn_pairs(spark, sf_dir: str) -> DataFrame:
+    return _session_mutual_nn(spark, sf_dir)
 
 
 def _mutual_nn_oracle_sql() -> str:
@@ -680,10 +712,7 @@ def q_training_triplets(spark, sf_dir: str) -> DataFrame:
     no new corpus scan, no new join topology; anchors without any
     sub-threshold bucket-mate drop out (nothing to contrast against).
     """
-    from searchengine_spark.io import load_table
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    pos = mutual_nn_pairs(emb, dim=EMB_DIM)
+    pos = _session_mutual_nn(spark, sf_dir)
     anchors = pos.select(
         F.col("id_a").alias("anchor_id"),
         F.col("id_b").alias("positive_id"),
@@ -695,9 +724,7 @@ def q_training_triplets(spark, sf_dir: str) -> DataFrame:
             F.col("cosine").alias("pos_cosine"),
         )
     )
-    negs = hard_negative_mine(
-        emb, dim=EMB_DIM, k=HARD_NEG_K, dup_threshold=NEARDUP_COS
-    )
+    negs = _session_hard_negatives(spark, sf_dir)
     picked = (
         anchors.join(negs, "anchor_id")
         .filter(F.col("neg_id") != F.col("positive_id"))

@@ -35,6 +35,27 @@ MAX_SHINGLE_DF = 10
 MIN_SHARED = 2
 
 
+def discriminative_shingles(
+    shingles: DataFrame, *, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
+    """(s) — the df-capped discriminative shingle set. Independent of
+    the eval split (df counts ALL docs), so both decontam queries
+    consume it VERBATIM — and the Bloom variant reads it on both its
+    eval and train sides. The session cache in _session_keep makes
+    that one corpus-wide aggregation instead of three per bench
+    (guide §1.2 step 1); a production pipeline precomputes this table
+    once per corpus snapshot alongside the index."""
+    return (
+        shingles.select(
+            "doc_id", F.explode(F.array_distinct("shingles")).alias("s")
+        )
+        .groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= max_shingle_df)
+        .select("s")
+    )
+
+
 def contamination_pairs(
     shingles: DataFrame,
     *,
@@ -42,6 +63,7 @@ def contamination_pairs(
     salt: str = EVAL_SALT,
     max_shingle_df: int = MAX_SHINGLE_DF,
     min_shared: int = MIN_SHARED,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """(train_doc_id, eval_doc_id, n_shared) from a (doc_id,
     shingles) frame; eval membership by salted hash bucket."""
@@ -51,12 +73,8 @@ def contamination_pairs(
         (hash_bucket(F.col("doc_id"), salt=salt) < cutoff).alias("is_eval"),
         F.explode(F.array_distinct("shingles")).alias("s"),
     )
-    keep = (
-        flat.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("s")
-    )
+    if keep is None:
+        keep = discriminative_shingles(shingles, max_shingle_df=max_shingle_df)
     flat = flat.join(keep, "s")
     train = flat.filter(~F.col("is_eval")).select(
         F.col("doc_id").alias("train_doc_id"), "s"
@@ -72,8 +90,23 @@ def contamination_pairs(
     )
 
 
+def _session_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-cached discriminative shingle set over the shared
+    shingle cache (see discriminative_shingles)."""
+    from searchengine_spark.io import session_cached
+
+    return session_cached(
+        spark,
+        "decontam-keep",
+        sf_dir,
+        lambda: discriminative_shingles(_shingles(spark, sf_dir)).cache(),
+    )
+
+
 def q_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return contamination_pairs(_shingles(spark, sf_dir))
+    return contamination_pairs(
+        _shingles(spark, sf_dir), keep=_session_keep(spark, sf_dir)
+    )
 
 
 def bloom_contamination_pairs(
@@ -83,6 +116,7 @@ def bloom_contamination_pairs(
     salt: str = EVAL_SALT,
     max_shingle_df: int = MAX_SHINGLE_DF,
     min_shared: int = MIN_SHARED,
+    keep: DataFrame | None = None,
 ) -> DataFrame:
     """contamination_pairs with the PRODUCTION-scale topology: the
     benchmark (eval) side's df-capped shingle set — small and fixed by
@@ -108,16 +142,16 @@ def bloom_contamination_pairs(
         (hash_bucket(F.col("doc_id"), salt=salt) < cutoff).alias("is_eval"),
         F.explode(F.array_distinct("shingles")).alias("s"),
     )
-    keep = (
-        flat.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= max_shingle_df)
-        .select("s")
-    )
+    if keep is None:
+        keep = discriminative_shingles(shingles, max_shingle_df=max_shingle_df)
+    # ev is read twice — the Bloom build aggregates it eagerly, the
+    # exact join reads it again — and it is tiny by construction
+    # (eval_fraction of docs, df-capped), so persist it.
     ev = (
         flat.filter(F.col("is_eval"))
         .join(keep, "s")
         .select(F.col("doc_id").alias("eval_doc_id"), "s")
+        .persist()
     )
     words, m_bits = bloom_build(ev, "s")
     train = bloom_prefilter(
@@ -137,7 +171,9 @@ def bloom_contamination_pairs(
 
 
 def q_bloom_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return bloom_contamination_pairs(_shingles(spark, sf_dir))
+    return bloom_contamination_pairs(
+        _shingles(spark, sf_dir), keep=_session_keep(spark, sf_dir)
+    )
 
 
 _TOKS = sql_tokens_expr("text")

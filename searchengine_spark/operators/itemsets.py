@@ -46,23 +46,25 @@ def doc_items_frame(docs: DataFrame) -> DataFrame:
     )
 
 
-def frequent_pairs(
+def mined_pairs(
     docs: DataFrame,
     *,
     min_support: int = MIN_SUPPORT,
     items: DataFrame | None = None,
-) -> DataFrame:
-    """(w1, w2, n_pair, lift) for every token pair co-occurring in
-    >= min_support docs; w1 < w2 lexicographically.
-
-    lift = P(w1,w2) / (P(w1) P(w2)) = n_pair * n_docs / (n_1 * n_2):
-    > 1 means the words attract, < 1 means they repel. n_docs counts
-    ALL docs (empty ones dilute P's — they are real baskets).
-    """
+) -> tuple[DataFrame, DataFrame]:
+    """(freq, pairs) — the a-priori mining stages consumed VERBATIM by
+    both frequent_pairs and association_rules (each previously re-ran
+    the full item-count + prune + self-join pipeline; guide §1.2 step
+    1 — don't recompute what a sibling already computed). freq is
+    vocabulary-bounded, pairs is support-filtered — both tiny relative
+    to the corpus — and the pruned doc-item table is persisted because
+    the pair self-join reads it twice. Frames stay persisted (results'
+    lineage reads them); registry queries hold them per session via
+    io.session_cached, like the shingle cache."""
     doc_items = items if items is not None else doc_items_frame(docs)
     item_df = doc_items.groupBy("w").agg(F.count(F.lit(1)).alias("n_item"))
-    freq = item_df.filter(F.col("n_item") >= min_support)
-    pruned = doc_items.join(F.broadcast(freq.select("w")), "w")
+    freq = item_df.filter(F.col("n_item") >= min_support).persist()
+    pruned = doc_items.join(F.broadcast(freq.select("w")), "w").persist()
 
     a, b = pruned.alias("a"), pruned.alias("b")
     pairs = (
@@ -74,6 +76,29 @@ def frequent_pairs(
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
+        .persist()
+    )
+    return freq, pairs
+
+
+def frequent_pairs(
+    docs: DataFrame,
+    *,
+    min_support: int = MIN_SUPPORT,
+    items: DataFrame | None = None,
+    mined: tuple[DataFrame, DataFrame] | None = None,
+) -> DataFrame:
+    """(w1, w2, n_pair, lift) for every token pair co-occurring in
+    >= min_support docs; w1 < w2 lexicographically.
+
+    lift = P(w1,w2) / (P(w1) P(w2)) = n_pair * n_docs / (n_1 * n_2):
+    > 1 means the words attract, < 1 means they repel. n_docs counts
+    ALL docs (empty ones dilute P's — they are real baskets).
+    """
+    freq, pairs = (
+        mined
+        if mined is not None
+        else mined_pairs(docs, min_support=min_support, items=items)
     )
 
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -99,17 +124,29 @@ def frequent_pairs(
 
 # --------------------------------------------------------------- queries
 
-def q_frequent_pairs(spark, sf_dir: str) -> DataFrame:
+def _session_mined(spark, sf_dir: str, docs: DataFrame):
+    """Session-shared (freq, pairs) over the shared doc-item cache —
+    text_frequent_pairs and text_association_rules consume the SAME
+    mining stages; only their (cheap, pairs-bounded) readouts differ."""
     from searchengine_spark.io import session_cached
 
-    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
     items = session_cached(
         spark,
         "itemsets_doc_items",
         sf_dir,
         lambda: doc_items_frame(docs).cache(),
     )
-    return frequent_pairs(docs, items=items)
+    return session_cached(
+        spark,
+        "itemsets_mined_pairs",
+        sf_dir,
+        lambda: mined_pairs(docs, items=items),
+    )
+
+
+def q_frequent_pairs(spark, sf_dir: str) -> DataFrame:
+    docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
+    return frequent_pairs(docs, mined=_session_mined(spark, sf_dir, docs))
 
 
 
@@ -124,29 +161,20 @@ def association_rules(
     min_support: int = MIN_SUPPORT,
     min_confidence: float = MIN_CONFIDENCE,
     items: DataFrame | None = None,
+    mined: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Directed rules (antecedent -> consequent) from the frequent
     pairs: confidence = P(consequent | antecedent) = n_pair / n_ante,
     lift shared with the undirected pair. The classic market-basket
     readout on top of the a-priori mining above — each frequent pair
     yields at most two rules, so this adds ZERO new joins over the
-    corpus: it reruns the pair pipeline and re-broadcasts the
-    (vocabulary-bounded) item dfs to direct the rules."""
-    doc_items = items if items is not None else doc_items_frame(docs)
-    item_df = doc_items.groupBy("w").agg(F.count(F.lit(1)).alias("n_item"))
-    freq = item_df.filter(F.col("n_item") >= min_support)
-    pruned = doc_items.join(F.broadcast(freq.select("w")), "w")
-
-    a, b = pruned.alias("a"), pruned.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.w") < F.col("b.w")),
-        )
-        .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
-        .agg(F.count(F.lit(1)).alias("n_pair"))
-        .filter(F.col("n_pair") >= min_support)
+    corpus: it reads the SAME mined (freq, pairs) stages as
+    frequent_pairs and re-broadcasts the (vocabulary-bounded) item
+    dfs to direct the rules."""
+    freq, pairs = (
+        mined
+        if mined is not None
+        else mined_pairs(docs, min_support=min_support, items=items)
     )
     directed = pairs.selectExpr(
         "w1 AS ante", "w2 AS cons", "n_pair"
@@ -180,16 +208,8 @@ def association_rules(
 
 
 def q_association_rules(spark, sf_dir: str) -> DataFrame:
-    from searchengine_spark.io import session_cached
-
     docs = ensure_min_partitions(load_table(spark, sf_dir, "documents"))
-    items = session_cached(
-        spark,
-        "itemsets_doc_items",
-        sf_dir,
-        lambda: doc_items_frame(docs).cache(),
-    )
-    return association_rules(docs, items=items)
+    return association_rules(docs, mined=_session_mined(spark, sf_dir, docs))
 
 
 QUERIES = {

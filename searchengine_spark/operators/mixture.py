@@ -442,13 +442,19 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus-sized is ever sorted or collected.
     """
     docs = load_table(spark, sf_dir, "documents")
-    gb = dsir_bucketed_grams(docs)
+    # Persisted: the hashed-bigram stream (an md5 per bigram
+    # occurrence) feeds the bucket model AND the per-doc scoring —
+    # left lazy the tokenize+md5 scan re-executes per consumer
+    # (guide §5 caching note; §1.2 step 1).
+    gb = dsir_bucketed_grams(docs).persist()
     is_t = F.col("source").isin(*DSIR_TARGET_SOURCES).cast("long")
     per_b = gb.groupBy("b").agg(
         F.count(F.lit(1)).alias("cr"), F.sum(is_t).alias("ct")
     )
-    tot = gb.agg(
-        F.count(F.lit(1)).alias("nr"), F.sum(is_t).alias("nt")
+    # The corpus totals are exactly the column sums of the 512-row
+    # bucket table — same integers, one full corpus aggregation saved.
+    tot = per_b.agg(
+        F.sum("cr").alias("nr"), F.sum("ct").alias("nt")
     )
     bf = float(DSIR_B)
     lr = F.log((F.col("ct") + 1.0) / (F.col("nt") + bf)) - F.log(
@@ -481,7 +487,10 @@ def q_dsir_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("bigint")
     u = (h.cast("double") + F.lit(0.5)) / F.lit(float(2**_DSIR_HASH_BITS))
     gi = F.round(-F.log(-F.log(u)) * 1e6).cast("bigint")
-    keyed = scored.withColumn("key_i", F.col("li_sum") + gi)
+    # Persisted: keyed (|docs| rows) feeds both the percentile
+    # threshold and the final projection — without it the bucket-join
+    # + per-doc aggregate subtree runs twice.
+    keyed = scored.withColumn("key_i", F.col("li_sum") + gi).persist()
     th = keyed.agg(
         F.percentile(F.col("key_i").cast("double"), F.lit(DSIR_SELECT_Q)).alias(
             "_t"

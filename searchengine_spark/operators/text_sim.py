@@ -110,13 +110,21 @@ def tfidf_shingle_pairs(
 ) -> DataFrame:
     """(doc_a, doc_b, shared_features, cosine) for pairs with
     cosine >= min_cos; candidates only through shared features."""
+    # Persisted: the weight frame feeds BOTH candidate-join sides and
+    # both norm lookups, and tf additionally feeds the df aggregation
+    # inside _weights — left lazy, the explode -> groupBy(doc, feature)
+    # subtree re-executes once per consumer (~6 corpus passes for one
+    # result; guide §5 caching note, same policy as setjoin's `sets`).
+    # Stays persisted: the result's lineage reads it; registry queries
+    # hold it only for the session, like the shingle cache upstream.
     tf = (
         shingles.select("doc_id", F.explode("shingles").alias("feature"))
         .groupBy("doc_id", "feature")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    w = _weights(tf, n_docs)
-    norms = _norms(w)
+    w = _weights(tf, n_docs).persist()
+    norms = _norms(w).persist()
     a = w.select(
         F.col("doc_id").alias("doc_a"), "feature", F.col("w").alias("wa")
     )
@@ -164,15 +172,20 @@ def tfidf_probe_topk(
     cosine. The probe's weight vector is a broadcast side; scoring is
     one equi-join on the term plus one groupBy(doc) — linear."""
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    # Same persist rationale as tfidf_shingle_pairs: w feeds norms,
+    # the probe vector, and the scoring join (3 evals of the tokenize
+    # -> groupBy subtree left lazy); norms feeds the probe norm and
+    # the ranking join.
     tf = (
         docs.select(
             "doc_id", F.explode(tokens_column("text")).alias("feature")
         )
         .groupBy("doc_id", "feature")
         .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
     )
-    w = _weights(tf, n_docs, df_cap=None)
-    norms = _norms(w)
+    w = _weights(tf, n_docs, df_cap=None).persist()
+    norms = _norms(w).persist()
     probe_w = w.filter(F.col("doc_id") == probe_doc_id).select(
         "feature", F.col("w").alias("wp")
     )
