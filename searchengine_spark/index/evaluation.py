@@ -76,9 +76,13 @@ def q_eval_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     matched = idx.term_frequencies.join(F.broadcast(qterms), "word")
     # Graded relevance: distinct query terms present (tf is unique on
     # (doc_id, word), so count(*) counts distinct matched terms).
+    # Persisted: rel feeds the top-k join, the ideal-DCG ranking AND
+    # the n_rel count — left lazy its tf-join + aggregation subtree
+    # executes three times (guide §5 caching note). Small: matched
+    # (query, doc) pairs only.
     rel = matched.groupBy("query_id", "doc_id").agg(
         F.count("*").alias("rel_grade")
-    )
+    ).persist()
 
     scored = (
         matched.join(F.broadcast(idx.idf_values.select("word", "idf")), "word")

@@ -448,13 +448,21 @@ def cross_doc_spans(
         F.col("s.pos").cast("long").alias("pos"),
         F.md5(F.col("s.shingle").cast("binary")).alias("sh_hash"),
     )
+    # Persisted: sh (an md5 per positional shingle occurrence) feeds
+    # the df aggregation AND the candidate join; cand (df-capped,
+    # small by construction) feeds BOTH sides of the pair self-join.
+    # Left lazy the tokenize+md5 scan re-executes 3-4x per result
+    # (guide §5 caching note; §1.2 step 1). Stays persisted — the
+    # result is session-cached by _spans, so these pin once per
+    # session like the shingle cache.
+    sh = sh.persist()
     shared = (
         sh.groupBy("sh_hash")
         .agg(F.countDistinct("doc_id").alias("df"))
         .filter((F.col("df") >= 2) & (F.col("df") <= df_cap))
         .select("sh_hash")
     )
-    cand = sh.join(shared, "sh_hash")
+    cand = sh.join(shared, "sh_hash").persist()
     pairs = (
         cand.alias("a")
         .join(cand.alias("b"), "sh_hash")

@@ -64,6 +64,10 @@ def dirty_entities(docs: DataFrame) -> DataFrame:
 def link_blocked(clean: DataFrame, dirty: DataFrame) -> DataFrame:
     """Union of prefix-BLOCK and suffix-BLOCK blocking passes, then
     Levenshtein <= MAX_DIST verification; pairs deduped across passes."""
+    # Persisted: each side feeds BOTH blocking passes — left lazy the
+    # full-text regexp-normalize scan executes twice per side (4x per
+    # result; guide §5 caching note). Narrow frames: id + 24-char name
+    # + two 6-char keys.
     c = clean.select(
         "doc_id",
         "name",
@@ -71,7 +75,7 @@ def link_blocked(clean: DataFrame, dirty: DataFrame) -> DataFrame:
         F.col("name").substr(
             F.length("name") - BLOCK + 1, F.lit(BLOCK)
         ).alias("bs"),
-    )
+    ).persist()
     d = dirty.select(
         "dirty_id",
         "dirty_name",
@@ -79,7 +83,7 @@ def link_blocked(clean: DataFrame, dirty: DataFrame) -> DataFrame:
         F.col("dirty_name").substr(
             F.length("dirty_name") - BLOCK + 1, F.lit(BLOCK)
         ).alias("bs"),
-    )
+    ).persist()
     pairs = (
         d.join(c, on="bp").select("dirty_id", "doc_id", "dirty_name", "name")
         .unionByName(

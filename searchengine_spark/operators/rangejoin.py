@@ -105,10 +105,13 @@ def q_session_spike_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(ts_s).alias("s_start"), F.max(ts_s).alias("s_end"))
     )
 
+    # Persisted: hours (one row per time bin) feeds both the total
+    # aggregate and the spike filter — one events scan instead of two.
     hours = (
         ev.select(_bin(event_time_seconds(ev, "ts"), BIN_SECONDS).alias("hb"))
         .groupBy("hb")
         .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
     )
     tot = hours.agg(
         F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_hours")

@@ -76,12 +76,15 @@ def prefix_jaccard_pairs(
     )
     # prefix length = size - ceil(t*size) + 1, with ceil done in
     # integers: ceil(n*s/d) = (n*s + d - 1) div d
+    # Persisted like `sets`: prefix feeds BOTH sides of the candidate
+    # self-join — left lazy, the df-count join + per-doc ranking
+    # window execute twice (guide §5 caching note).
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("size")
         - F.expr(f"({t_num} * size + {t_den - 1}) div {t_den}")
         + F.lit(1)
-    ).select("doc_id", "size", "tok")
+    ).select("doc_id", "size", "tok").persist()
 
     a = prefix.select(
         F.col("doc_id").alias("doc_a"), F.col("size").alias("size_a"), "tok"
