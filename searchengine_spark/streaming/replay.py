@@ -130,6 +130,16 @@ def q_stream_hll_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from searchengine_spark.io import load_table
 
+    # Persisted: the audit join pushes IsNotNull(window_start) into
+    # this side, and without a barrier the pushdown SUBSTITUTES the
+    # whole window-start derivation (instant lift -> window -> NTZ
+    # lower, with make_timestamp_ntz re-deriving it per datetime
+    # field) into the scan-stage filter — a several-thousand-node
+    # expression evaluated per input row (measured: the join step
+    # alone cost 15-37s at sf0.1 vs ~2s for the aggregate itself;
+    # same pathology class as the shingle_frame pushdown note). The
+    # persist plans the pushed filter against the |windows x types|
+    # cached output instead.
     exact = (
         with_instant_ts(load_table(spark, sf_dir, "events"), "ts")
         .groupBy(F.window("ts", "1 hour"), "event_type")
@@ -139,6 +149,7 @@ def q_stream_hll_rollup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_users",
         )
+        .persist()
     )
     return (
         spark.table(name)
