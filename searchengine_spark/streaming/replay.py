@@ -474,9 +474,9 @@ def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle states the batch semantics (band everything,
     split, cap, join) — the hash compare IS the stream/batch parity
     proof, same convention as every replay here."""
-    from searchengine_spark.io import load_table
     from searchengine_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET,
+        _bands,
         minhash_bands,
     )
     from searchengine_spark.operators.sampling import hash_bucket
@@ -486,8 +486,16 @@ def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash_bucket(F.col("doc_id"), n_buckets=STREAM_ND_MOD, salt=STREAM_ND_SALT)
         == 0
     )
-    corpus = load_table(spark, sf_dir, "documents").filter(~is_new)
-    cb = minhash_bands(corpus)
+    # The static side reads the session-shared corpus band cache
+    # restricted to the already-indexed split: band signatures are a
+    # per-doc pure function of the doc's text, and the arrival split
+    # is keyed on doc_id alone, so bands(corpus minus arrivals) ==
+    # bands(corpus) filtered by the same doc_id predicate — one corpus
+    # band build per session instead of one per replay (guide §1.2
+    # step 1; same restriction argument as the pipeline near-dup
+    # stages). The bucket-size cap below still runs on the restricted
+    # set, exactly as before.
+    cb = _bands(spark, sf_dir).filter(~is_new)
     keep = (
         cb.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("_bsz"))
