@@ -64,15 +64,17 @@ def exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrays use)."""
 
     def build() -> DataFrame:
+        from searchengine_spark.io import int_array_lit
+
         qfp = query_vectors(spark, sf_dir)
         emb = load_table(spark, sf_dir, "embeddings")
-        qlits = F.array(
-            *[
-                F.array(*[F.lit(v) for v in qfp[qid]])
-                for qid in AUDIT_QUERY_IDS
-            ]
+        qlits = int_array_lit(
+            [[int(v) for v in qfp[qid]] for qid in AUDIT_QUERY_IDS],
+            "array<array<bigint>>",
         )
-        qid_lit = F.array(*[F.lit(q) for q in AUDIT_QUERY_IDS])
+        qid_lit = int_array_lit(
+            [int(q) for q in AUDIT_QUERY_IDS], "array<bigint>"
+        )
         ds = emb.select(
             "vec_id",
             F.posexplode(

@@ -75,8 +75,10 @@ def residual_wide(quant: DataFrame, cents: list[list[int]]) -> DataFrame:
     an array of slices. Input is the fixed-point (vec_id, qvec)
     frame."""
     assigned = _assign(quant, cents)
-    cent_lit = F.lit([[int(v) for v in c] for c in cents]).cast(
-        "array<array<bigint>>"
+    from searchengine_spark.io import int_array_lit
+
+    cent_lit = int_array_lit(
+        [[int(v) for v in c] for c in cents], "array<array<bigint>>"
     )
     res = assigned.select(
         "vec_id",
@@ -249,9 +251,12 @@ def ivfpq_search(
         qres = [qv[i] - cents[j][i] for i in range(dim)]
         qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
         tables.append(adc_distance_table(qsub, codebooks))
-    dt_lit = F.lit(
-        [[[int(d) for d in row] for row in t] for t in tables]
-    ).cast("array<array<array<bigint>>>")
+    from searchengine_spark.io import int_array_lit
+
+    dt_lit = int_array_lit(
+        [[[int(d) for d in row] for row in t] for t in tables],
+        "array<array<array<bigint>>>",
+    )
     # Membership as a plain `cluster IN (literals)` filter FIRST —
     # on a cluster-partitioned index layout this is what plans as
     # PartitionFilters (file-listing-time pruning); the 1-based
@@ -307,9 +312,12 @@ def ivfpq_search_wide(
         qres = [qv[i] - cents[j][i] for i in range(dim)]
         qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
         tables.append(adc_distance_table(qsub, codebooks))
-    dt_lit = F.lit(
-        [[[int(d) for d in row] for row in t] for t in tables]
-    ).cast("array<array<array<bigint>>>")
+    from searchengine_spark.io import int_array_lit
+
+    dt_lit = int_array_lit(
+        [[[int(d) for d in row] for row in t] for t in tables],
+        "array<array<array<bigint>>>",
+    )
     pos = F.lit(0)
     for i, j in enumerate(probed):
         pos = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(pos)
@@ -1104,9 +1112,12 @@ def q_ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         qres = [qv[i] - cents[j][i] for i in range(dim)]
         qsub = [qres[m * SUB_DIM : (m + 1) * SUB_DIM] for m in range(M)]
         tables.append(adc_distance_table(qsub, codebooks))
-    dt_lit = F.lit(
-        [[[int(d) for d in row] for row in t] for t in tables]
-    ).cast("array<array<array<bigint>>>")
+    from searchengine_spark.io import int_array_lit
+
+    dt_lit = int_array_lit(
+        [[[int(d) for d in row] for row in t] for t in tables],
+        "array<array<array<bigint>>>",
+    )
     rnk = F.lit(0)
     for i, j in enumerate(ranked):
         rnk = F.when(F.col("cluster") == j, F.lit(i + 1)).otherwise(rnk)

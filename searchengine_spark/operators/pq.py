@@ -115,9 +115,15 @@ def _codebooks_arr(codebooks: list[list[list[int]]]) -> Column:
     §1 'measure first' finding r13). Codeword id == its 0-based
     position, the same invariant `_codebooks_literal` encodes
     explicitly in its `code` field. Cast to bigint so every distance
-    sum stays in exact int64 arithmetic."""
-    return F.lit([[list(map(int, cvec)) for cvec in book] for book in codebooks]).cast(
-        "array<array<array<bigint>>>"
+    sum stays in exact int64 arithmetic. Rendered via io.int_array_lit
+    (one parsed SQL expression) — the element-wise F.lit conversion
+    cost ~1.3 s of py4j traffic per call for the 1k-entry codebook
+    (r14 measurement; guide §1.2 step 2, driver-side per-task work)."""
+    from searchengine_spark.io import int_array_lit
+
+    return int_array_lit(
+        [[list(map(int, cvec)) for cvec in book] for book in codebooks],
+        "array<array<array<bigint>>>",
     )
 
 
@@ -378,8 +384,10 @@ def pq_search(
     """ADC top-k over the long-format codes frame: per-row table
     lookup, one groupBy(vec_id) sum of M partials, then
     TakeOrderedAndProject(k). No join, no float math."""
-    dt = F.lit([[int(d) for d in row] for row in dtable]).cast(
-        "array<array<bigint>>"
+    from searchengine_spark.io import int_array_lit
+
+    dt = int_array_lit(
+        [[int(d) for d in row] for row in dtable], "array<array<bigint>>"
     )
     looked = codes.select(
         "vec_id",
@@ -408,8 +416,10 @@ def pq_search_wide(
     an array fold over the codes column — a pure map feeding
     TakeOrderedAndProject(k) with ZERO exchange (the long path's
     groupBy(vec_id) shuffled M rows per corpus vector; guide §2.4)."""
-    dt = F.lit([[int(d) for d in row] for row in dtable]).cast(
-        "array<array<bigint>>"
+    from searchengine_spark.io import int_array_lit
+
+    dt = int_array_lit(
+        [[int(d) for d in row] for row in dtable], "array<array<bigint>>"
     )
     looked = wide_codes.select(
         "vec_id",

@@ -66,7 +66,6 @@ from searchengine_spark.operators.pq import (
     M,
     PQ_ITERS,
     SUB_DIM,
-    _sq_dist,
 )
 
 M2 = 16            # flat 64-bit re-layout subspaces
@@ -96,16 +95,19 @@ def _adc_table(
 
 def _sub_of_query_lit(qfp: dict[int, list[int]], m_count: int, sub_dim: int):
     """Literal array[qi][m][d] of query subvectors (bounded: 8
-    queries), one nested F.lit in exact-bigint arithmetic."""
-    return F.lit(
+    queries), one parsed array literal in exact-bigint arithmetic."""
+    from searchengine_spark.io import int_array_lit
+
+    return int_array_lit(
         [
             [
                 [int(v) for v in qfp[qid][m * sub_dim : (m + 1) * sub_dim]]
                 for m in range(m_count)
             ]
             for qid in QUERY_IDS
-        ]
-    ).cast("array<array<array<bigint>>>")
+        ],
+        "array<array<array<bigint>>>",
+    )
 
 
 def _topk_per_query(dists: DataFrame, k: int, *, buckets: int = 64) -> DataFrame:
@@ -141,10 +143,13 @@ def _adc_dists_wide(
     array fold over the codes column — a pure map stage with ZERO
     shuffle (the long-format path shuffled M rows per vector into a
     groupBy(vec_id) array-sum; guide §2.4)."""
-    dt = F.lit(
-        [[[int(d) for d in row] for row in t] for t in dtables]
-    ).cast("array<array<array<bigint>>>")
-    qid_lit = F.lit([int(q) for q in QUERY_IDS]).cast("array<bigint>")
+    from searchengine_spark.io import int_array_lit
+
+    dt = int_array_lit(
+        [[[int(d) for d in row] for row in t] for t in dtables],
+        "array<array<array<bigint>>>",
+    )
+    qid_lit = int_array_lit([int(q) for q in QUERY_IDS], "array<bigint>")
     ds = F.transform(
         dt,
         lambda per_q: F.aggregate(
@@ -270,27 +275,49 @@ def q_pq_refine_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         enc2 = _assign_codes_wide(
             res.join(F.broadcast(short_ids), "vec_id"), cb2
         )
-        qs8 = _sub_of_query_lit(qfp, M, SUB_DIM)
-        cb2_arr = _codebooks_arr(cb2)
+        # Two-stage reconstruction distance as ONE driver-computed
+        # lookup table dt2[qi][m][c1][c2] = sum_d (q_d - (c1_d+c2_d))^2
+        # over exact Python ints — the same per-subspace decomposition
+        # the stage-1 ADC tables use, extended to the (code1, code2)
+        # pair. The r13 form evaluated the identical formula per ROW
+        # as a zip_with over two nested codebook literals inside a
+        # fold: a huge interpreted expression tree whose analysis +
+        # per-row evaluation dominated the refined stage (guide §1.2
+        # step 2 / §7.3 plan-size; |dt2| = |queries|*M*KPQ^2 = 16384
+        # bigints, one parsed literal).
+        from searchengine_spark.io import int_array_lit
+
+        dt2_lit = int_array_lit(
+            [
+                [
+                    [
+                        [
+                            sum(
+                                (q - (a + b)) ** 2
+                                for q, a, b in zip(qs_m[m], cv1, cv2)
+                            )
+                            for cv2 in cb2[m]
+                        ]
+                        for cv1 in cb1[m]
+                    ]
+                    for m in range(M)
+                ]
+                for qs_m in qsubs(M, SUB_DIM)
+            ],
+            "array<array<array<array<bigint>>>>",
+        )
         rec_ds = F.transform(
-            qs8,
+            dt2_lit,
             lambda per_q: F.aggregate(
                 F.transform(
                     F.col("codes1"),
-                    lambda c1, i: _sq_dist(
-                        F.element_at(per_q, i + F.lit(1)),
-                        F.zip_with(
-                            F.element_at(
-                                F.element_at(cb1_arr, i + F.lit(1)),
-                                c1 + F.lit(1),
-                            ),
-                            F.element_at(
-                                F.element_at(cb2_arr, i + F.lit(1)),
-                                F.element_at(F.col("codes"), i + F.lit(1))
-                                + F.lit(1),
-                            ),
-                            lambda a, b: a + b,
+                    lambda c1, i: F.element_at(
+                        F.element_at(
+                            F.element_at(per_q, i + F.lit(1)),
+                            c1 + F.lit(1),
                         ),
+                        F.element_at(F.col("codes"), i + F.lit(1))
+                        + F.lit(1),
                     ),
                 ),
                 F.lit(0).cast("bigint"),
