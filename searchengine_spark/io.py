@@ -197,6 +197,33 @@ def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def cut_lineage(df: DataFrame) -> DataFrame:
+    """Eager lineage cut: localCheckpoint by default, a RELIABLE
+    checkpoint under $SPARK_GRAFT_PERSIST_DIR when set (the
+    cluster-grade opt-in — localCheckpoint blocks do not survive
+    executor loss; see operators/dedup._cut_lineage, which this
+    replaces as the shared implementation).
+
+    Beyond iterative loops, this is the r14 session-cache policy: a
+    `.cache()`d shared stage KEEPS its full analyzed plan, and every
+    downstream persist/cache-lookup/AQE step re-canonicalizes that
+    subtree — with the MinHash band pipeline (128 signature
+    expressions) as the cached child, the graph family measured
+    5-8 s of pure driver time per query against a ~500-row graph;
+    cutting the lineage at the cache boundary took the same BFS from
+    8.1 s to 1.2 s and its re-consume from 4.0 s to 0.08 s (drill,
+    equal calib). The cut frame is a LogicalRDD leaf: planning cost
+    downstream becomes independent of how the shared stage was
+    derived, at any scale."""
+    persist = default_persist_dir()
+    if persist:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is None:
+            sc.setCheckpointDir(os.path.join(persist, "cc-checkpoints"))
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 _SESSION_CACHE: dict[tuple, object] = {}
 _SESSION_CACHE_MAX = 64
 

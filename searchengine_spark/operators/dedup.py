@@ -380,15 +380,9 @@ def _cut_lineage(df: DataFrame) -> DataFrame:
     ``<dir>/cc-checkpoints`` is used instead — survives executor
     loss, the cluster-grade path for 100 TB runs.
     """
-    persist = default_persist_dir()
-    if persist:
-        import os
+    from searchengine_spark.io import cut_lineage
 
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is None:
-            sc.setCheckpointDir(os.path.join(persist, "cc-checkpoints"))
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    return cut_lineage(df)
 
 
 CROSS_DOC_SHINGLE_K = 10  # tokens per positional shingle (Lee et al. use
@@ -700,9 +694,16 @@ def connected_components(
 def _shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.io import session_cached
 
+    from searchengine_spark.io import cut_lineage
+
     return session_cached(
         spark, "shingles", sf_dir,
-        lambda: shingle_frame(load_table(spark, sf_dir, "documents")).cache(),
+        # lineage-cut at the cache boundary (r14): every downstream
+        # plan re-canonicalized the tokenize->shingle subtree per
+        # persist/cache-lookup otherwise — see io.cut_lineage.
+        lambda: cut_lineage(
+            shingle_frame(load_table(spark, sf_dir, "documents"))
+        ),
     )
 
 
@@ -717,9 +718,11 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first consumer in a session pays the build, the rest reuse)."""
     from searchengine_spark.io import session_cached
 
+    from searchengine_spark.io import cut_lineage
+
     return session_cached(
         spark, "minhash-bands", sf_dir,
-        lambda: minhash_bands(shingles=_shingles(spark, sf_dir)).cache(),
+        lambda: cut_lineage(minhash_bands(shingles=_shingles(spark, sf_dir))),
     )
 
 
@@ -729,9 +732,11 @@ def _capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     previously re-ran the band self-join + distinct each)."""
     from searchengine_spark.io import session_cached
 
+    from searchengine_spark.io import cut_lineage
+
     return session_cached(
         spark, "capped-cand-pairs", sf_dir,
-        lambda: neardup_candidate_pairs(_bands(spark, sf_dir)).cache(),
+        lambda: cut_lineage(neardup_candidate_pairs(_bands(spark, sf_dir))),
     )
 
 
@@ -913,9 +918,13 @@ def _spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shingle caches).
     from searchengine_spark.io import session_cached
 
+    from searchengine_spark.io import cut_lineage
+
     return session_cached(
         spark, "cross-doc-spans", sf_dir,
-        lambda: cross_doc_spans(load_table(spark, sf_dir, "documents")).cache(),
+        lambda: cut_lineage(
+            cross_doc_spans(load_table(spark, sf_dir, "documents"))
+        ),
     )
 
 

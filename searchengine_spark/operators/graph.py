@@ -44,23 +44,77 @@ def symmetrize(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFram
     return fwd.unionByName(rev).distinct()
 
 
+def _session_graph(spark: SparkSession, sf_dir: str):
+    """(edges, deg, ed, seeds) of the capped near-dup candidate graph,
+    persisted ONCE per session and shared by the whole centrality /
+    BFS / restart-walk family (r14; guide §1.2 step 1 + §5 — the five
+    graph queries each re-derived the same symmetrize distinct, the
+    same degree aggregate, and the same md5 seed filter from the
+    session-cached pair list, paying one shuffle + its planning per
+    frame per query).
+
+    edges: symmetric distinct edge list; deg: (src, deg); ed:
+    edges joined with deg on src (the per-iteration scan side
+    pagerank and the restart walk share); seeds: the BFS_SEED_MOD
+    md5-flag node subset bfs/ppr both read. All four are
+    |graph|-bounded, far below the corpus, and live for the session
+    like every other session-cached stage."""
+    from searchengine_spark.io import session_cached
+    from searchengine_spark.operators.dedup import _capped_pairs
+    from searchengine_spark.operators.sampling import hash_bucket
+
+    def build():
+        from searchengine_spark.io import cut_lineage
+
+        pairs = _capped_pairs(spark, sf_dir)
+        # Every frame is lineage-cut, not just persisted: downstream
+        # iterative consumers re-reference these in every round, and a
+        # cached-but-uncut frame makes each round's planning re-walk
+        # the derivation (io.cut_lineage has the measurements).
+        edges = cut_lineage(symmetrize(pairs))
+        deg = cut_lineage(
+            edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ed = cut_lineage(edges.join(deg, "src"))
+        seeds = cut_lineage(
+            edges.select("src")
+            .distinct()
+            .filter(
+                hash_bucket(
+                    F.col("src"), n_buckets=BFS_SEED_MOD, salt=BFS_SEED_SALT
+                )
+                == 0
+            )
+            .select(F.col("src").alias("node"))
+        )
+        return edges, deg, ed, seeds
+
+    return session_cached(spark, "neardup-graph", sf_dir, build)
+
+
 def pagerank_fixed_point(
     edges: DataFrame,
     *,
     iters: int = PR_ITERS,
     scale: int = PR_SCALE,
+    shared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(node, rank_fp) after ``iters`` damped power-method rounds in
     scale-``scale`` integer arithmetic. ``edges`` must be symmetric
-    (see symmetrize) so every node keeps receiving mass."""
+    (see symmetrize) so every node keeps receiving mass. ``shared``
+    optionally passes an already-persisted (deg, ed) pair (the
+    _session_graph frames); those are NOT unpersisted here."""
     from searchengine_spark.operators.dedup import _cut_lineage
 
     # Persist the loop-invariant frames: without this, iteration i's
     # lineage embeds the edge-derivation subtree (here: the whole LSH
     # banding pipeline) once per join per round — ~8 re-executions at
     # 3 iterations (measured 21 s -> ~3 s at sf0.1).
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    ed = edges.join(deg, "src").persist()
+    if shared is not None:
+        deg, ed = shared
+    else:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+        ed = edges.join(deg, "src").persist()
     try:
         n = deg.agg(F.count(F.lit(1)).alias("n"))
 
@@ -86,8 +140,9 @@ def pagerank_fixed_point(
             )
         return _cut_lineage(ranks.select("node", F.col("r").alias("rank_fp")))
     finally:
-        ed.unpersist()
-        deg.unpersist()
+        if shared is None:
+            ed.unpersist()
+            deg.unpersist()
 
 
 # ------------------------------------------------------- registry glue
@@ -102,10 +157,8 @@ def q_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket would otherwise inject a B-clique — B^2/2 edges feeding
     every iteration's join — into the graph. The oracle mirrors the cap
     (dedup._CAPPED_CAND_CTE)."""
-    from searchengine_spark.operators.dedup import _capped_pairs
-
-    pairs = _capped_pairs(spark, sf_dir)
-    return pagerank_fixed_point(symmetrize(pairs)).select(
+    edges, deg, ed, _seeds = _session_graph(spark, sf_dir)
+    return pagerank_fixed_point(edges, shared=(deg, ed)).select(
         F.col("node").alias("doc_id"), "rank_fp"
     )
 
@@ -115,7 +168,11 @@ EC_ITERS = 3
 
 
 def eigenvector_centrality(
-    edges: DataFrame, *, iters: int = EC_ITERS, scale: int = EC_SCALE
+    edges: DataFrame,
+    *,
+    iters: int = EC_ITERS,
+    scale: int = EC_SCALE,
+    materialized: bool = False,
 ) -> DataFrame:
     """(node, ec_fp): power-iteration eigenvector centrality in exact
     scaled integers. Complements PageRank on the same graph: no
@@ -131,10 +188,12 @@ def eigenvector_centrality(
     same in Spark `div` and DuckDB `//` on positives). Renormalizing
     each round bounds values at scale*deg_max, so the whole loop
     stays in bigint — no float norm anywhere, the driver hash-checks
-    the full iteration against the unrolled twin."""
+    the full iteration against the unrolled twin. ``materialized=True``
+    marks ``edges`` as an externally persisted shared frame (the
+    _session_graph edge list): it is used as-is and not unpersisted."""
     from searchengine_spark.operators.dedup import _cut_lineage
 
-    ed = edges.persist()
+    ed = edges if materialized else edges.persist()
     cached: list[DataFrame] = []
     try:
         v = (
@@ -165,7 +224,8 @@ def eigenvector_centrality(
         # rounds are safe to release in the finally below.
         return _cut_lineage(v.select("node", F.col("r").alias("ec_fp")))
     finally:
-        ed.unpersist()
+        if not materialized:
+            ed.unpersist()
         for s in cached:
             s.unpersist()
 
@@ -173,10 +233,8 @@ def eigenvector_centrality(
 def q_eigenvector_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Eigenvector centrality over the LSH near-dup candidate graph
     (hot-bucket-capped input — see q_pagerank_centrality)."""
-    from searchengine_spark.operators.dedup import _capped_pairs
-
-    pairs = _capped_pairs(spark, sf_dir)
-    return eigenvector_centrality(symmetrize(pairs)).select(
+    edges, _deg, _ed, _seeds = _session_graph(spark, sf_dir)
+    return eigenvector_centrality(edges, materialized=True).select(
         F.col("node").alias("doc_id"), "ec_fp"
     )
 
@@ -246,37 +304,54 @@ BFS_SEED_SALT = "bfs-seed-v1"
 
 
 def bfs_hops(
-    edges: DataFrame, seeds: DataFrame, *, iters: int = BFS_HOPS
+    edges: DataFrame,
+    seeds: DataFrame,
+    *,
+    iters: int = BFS_HOPS,
+    materialized: bool = False,
 ) -> DataFrame:
     """(node, hops): minimum hop distance <= ``iters`` from any seed,
-    by frontier-only multi-source BFS. ``edges`` must be symmetric.
+    by bounded-depth min-relaxation. ``edges`` must be symmetric.
 
-    Scale shape per round: one equi-join FRONTIER⋈edges on src (the
-    frontier shrinks as the wavefront settles — nodes already
-    reached never re-propagate, unlike full min-relaxation which
-    rescans every settled node every round) and one keyed min to
-    settle the new level. For unit edge weights frontier BFS and
-    full relaxation provably agree, so the unrolled-CTE oracle can
-    state either form. Bounded depth keeps lineage shallow (the
-    PR_ITERS=3 convention); a deeper search would reuse
-    dedup._cut_lineage."""
-    edges = edges.persist()
+    Scale shape per round (r14 restructure; guide §2.4): ONE equi-join
+    level⋈edges on src and ONE keyed min — the relaxation form the
+    unrolled-CTE oracle itself states. The previous frontier-only
+    form computed identical rows (provably, on unit weights) but paid
+    a distinct AND an anti-join per round on top of the edge join —
+    ~2x the shuffle boundaries, each a scheduled AQE stage. The
+    monotone union bound: a settled node's level never increases, so
+    per-round state stays |reached nodes| and the keyed min is a
+    partial-aggregating shuffle of (node, hops) pairs only.
+
+    Each round's level frame is persisted (it feeds both the next
+    join and the next union — left lazy the lineage doubles per
+    round); the FINAL level is materialized with one count and every
+    intermediate released before returning (r14 persist-hygiene
+    sweep), so callers see a single bounded cached frame, not
+    iters*2 pinned intermediates. ``materialized=True`` marks
+    ``edges`` as an externally persisted shared frame (not
+    re-persisted, not unpersisted)."""
+    edges = edges if materialized else edges.persist()
+    rounds: list[DataFrame] = []
     dist = seeds.select("node", F.lit(0).cast("int").alias("hops")).persist()
-    frontier = dist
-    # persisted frames (2 per round, bounded by iters) unpin at session GC
-    for i in range(1, iters + 1):
-        reached = (
-            edges.join(frontier, edges.src == frontier.node)
-            .select(F.col("dst").alias("node"))
-            .distinct()
+    rounds.append(dist)
+    for _ in range(1, iters + 1):
+        cand = edges.join(dist, edges.src == dist.node).select(
+            F.col("dst").alias("node"),
+            (F.col("hops") + F.lit(1)).cast("int").alias("hops"),
         )
-        nxt = (
-            reached.join(dist.select("node"), "node", "left_anti")
-            .select("node", F.lit(i).cast("int").alias("hops"))
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("hops").cast("int").alias("hops"))
             .persist()
         )
-        dist = dist.unionByName(nxt).persist()
-        frontier = nxt
+        rounds.append(dist)
+    dist.count()  # materialize the final level through the chain
+    for frame in rounds[:-1]:
+        frame.unpersist()
+    if not materialized:
+        edges.unpersist()
     return dist
 
 
@@ -291,24 +366,12 @@ def q_bfs_contamination_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     external flag list (blocklist hits, eval-set matches); swapping
     in a real list changes one filter.
 
-    Same capped candidate graph as the centrality family; the oracle
-    mirrors the cap and unrolls the BFS rounds as min-relaxation
-    CTEs (equivalent to frontier BFS on unit weights)."""
-    from searchengine_spark.operators.dedup import _capped_pairs
-    from searchengine_spark.operators.sampling import hash_bucket
-
-    pairs = _capped_pairs(spark, sf_dir)
-    edges = symmetrize(pairs)
-    seeds = (
-        edges.select("src")
-        .distinct()
-        .filter(
-            hash_bucket(F.col("src"), n_buckets=BFS_SEED_MOD, salt=BFS_SEED_SALT)
-            == 0
-        )
-        .select(F.col("src").alias("node"))
-    )
-    return bfs_hops(edges, seeds, iters=BFS_HOPS).select(
+    Same capped candidate graph as the centrality family (the shared
+    _session_graph edges + seeds); the oracle mirrors the cap and
+    unrolls the BFS rounds as min-relaxation CTEs (equivalent to
+    frontier BFS on unit weights)."""
+    edges, _deg, _ed, seeds = _session_graph(spark, sf_dir)
+    return bfs_hops(edges, seeds, iters=BFS_HOPS, materialized=True).select(
         F.col("node").alias("doc_id"), F.col("hops").cast("bigint").alias("hops")
     )
 
@@ -321,6 +384,7 @@ def personalized_pagerank(
     *,
     iters: int = PR_ITERS,
     scale: int = PR_SCALE,
+    shared: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """(node, rank_fp): random-walk-with-restart scores — PageRank
     whose teleport mass lands ONLY on ``seeds`` (topic-sensitive
@@ -333,11 +397,17 @@ def personalized_pagerank(
     ``assert_true`` (round-10 ADVICE: Spark's integer ``div`` by 0
     yields NULL ranks while the DuckDB twin's ``//`` raises, so the
     engines would otherwise degrade differently; the guard costs no
-    extra job, unlike a driver-side count)."""
+    extra job, unlike a driver-side count). ``shared`` optionally
+    passes the already-persisted (deg, ed) _session_graph pair (used
+    as-is, not unpersisted here)."""
     from searchengine_spark.operators.dedup import _cut_lineage
 
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
-    ed = edges.join(deg, "src").persist()
+    if shared is not None:
+        deg, ed = shared
+    else:
+        deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg")).persist()
+        ed = edges.join(deg, "src").persist()
+    bases = None
     try:
         ns = seeds.agg(F.count(F.lit(1)).alias("ns")).select(
             F.expr(
@@ -393,8 +463,13 @@ def personalized_pagerank(
         out = _cut_lineage(ranks.select("node", F.col("r").alias("rank_fp")))
         return out
     finally:
-        ed.unpersist()
-        deg.unpersist()
+        if shared is None:
+            ed.unpersist()
+            deg.unpersist()
+        if bases is not None:
+            # _cut_lineage is eager, so the restart-base frame can be
+            # released here (r14 persist-hygiene sweep).
+            bases.unpersist()
 
 
 def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -405,23 +480,11 @@ def q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mass reaches this doc" — mass decays geometrically with distance
     and accumulates across multiple contamination paths, which is the
     graded score a quarantine policy thresholds on. Same capped
-    candidate graph and md5 seed flag as dedup_bfs_contamination_hops;
-    the oracle unrolls the restart iterations as CTEs."""
-    from searchengine_spark.operators.dedup import _capped_pairs
-    from searchengine_spark.operators.sampling import hash_bucket
-
-    pairs = _capped_pairs(spark, sf_dir)
-    edges = symmetrize(pairs)
-    seeds = (
-        edges.select("src")
-        .distinct()
-        .filter(
-            hash_bucket(F.col("src"), n_buckets=BFS_SEED_MOD, salt=BFS_SEED_SALT)
-            == 0
-        )
-        .select(F.col("src").alias("node"))
-    )
-    return personalized_pagerank(edges, seeds).select(
+    candidate graph and md5 seed flag as dedup_bfs_contamination_hops
+    (the shared _session_graph frames); the oracle unrolls the
+    restart iterations as CTEs."""
+    edges, deg, ed, seeds = _session_graph(spark, sf_dir)
+    return personalized_pagerank(edges, seeds, shared=(deg, ed)).select(
         F.col("node").alias("doc_id"), "rank_fp"
     )
 
