@@ -56,6 +56,24 @@ class InvertedIndex:
             df.cache()
         return self
 
+    def materialized(self) -> "InvertedIndex":
+        """Lineage-cut every component frame (io.cut_lineage, r14):
+        a session-cached index whose tables keep the tokenize lineage
+        makes every downstream search plan re-canonicalize that
+        subtree per cache lookup — the se_* family pays it once per
+        query. The cut stores each table once (localCheckpoint /
+        reliable checkpoint) and hands consumers LogicalRDD leaves."""
+        from searchengine_spark.io import cut_lineage
+
+        return InvertedIndex(
+            term_frequencies=cut_lineage(self.term_frequencies),
+            doc_lengths=cut_lineage(self.doc_lengths),
+            idf_values=cut_lineage(self.idf_values),
+            inverted_index=cut_lineage(self.inverted_index),
+            scoring_params=cut_lineage(self.scoring_params),
+            flat_words=cut_lineage(self.flat_words),
+        )
+
     def coalesce(self, n: int) -> "InvertedIndex":
         """Serving layout: shrink the core tables to ``n`` partitions
         before caching. An interactive query over a cached index is

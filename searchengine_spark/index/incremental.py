@@ -133,7 +133,7 @@ def _incremental_index(spark: SparkSession, sf_dir: str) -> InvertedIndex:
         docs = load_table(spark, sf_dir, "documents")
         base = build_index(docs.filter(F.col("doc_id") % APPEND_MOD != 0))
         batch = docs.filter(F.col("doc_id") % APPEND_MOD == 0)
-        return append_to_index(base, batch).cache()
+        return append_to_index(base, batch).materialized()
 
     return session_cached(spark, "inc_index", sf_dir, build)
 

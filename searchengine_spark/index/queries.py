@@ -43,7 +43,7 @@ def _index(spark: SparkSession, sf_dir: str):
         # scheduling-bound over this index (see InvertedIndex.coalesce)
         lambda: build_index(load_table(spark, sf_dir, "documents"))
         .coalesce(8)
-        .cache(),
+        .materialized(),
     )
 
 
@@ -224,7 +224,7 @@ def q_bm25_topk_stemmed(spark: SparkSession, sf_dir: str) -> DataFrame:
             load_table(spark, sf_dir, "documents"), stem=True
         )
         .coalesce(8)
-        .cache(),
+        .materialized(),
     )
     res = search(idx, STEMMED_QUERY, k=BM25_K + 20, stem=True)
     return (

@@ -65,7 +65,7 @@ def _chunk_index(spark: SparkSession, sf_dir: str):
             F.col("chunk_toks"),
             lambda w: (F.length(w) >= MIN_TOKEN_LEN) & ~w.isin(*STOPWORDS),
         )
-        return build_index(as_docs, tokens=toks).coalesce(8).cache()
+        return build_index(as_docs, tokens=toks).coalesce(8).materialized()
 
     return session_cached(spark, "chunk_index", sf_dir, _build)
 

@@ -89,7 +89,7 @@ def _uindex(spark: SparkSession, sf_dir: str):
             tokens=tokens_column("text", unicode=True),
         )
         .coalesce(8)
-        .cache(),
+        .materialized(),
     )
 
 

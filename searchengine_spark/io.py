@@ -224,6 +224,20 @@ def cut_lineage(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def cut_and_release(df: DataFrame, *intermediates: DataFrame) -> DataFrame:
+    """Eagerly cut ``df``'s lineage, then unpersist the persisted
+    ``intermediates`` that only existed to build it (r14
+    persist-hygiene sweep / r13 ADVICE: library operators that
+    persist() scratch frames with no handle pin MEMORY_AND_DISK
+    blocks for the session on every call outside the session-cached
+    registry path). The cut materializes the result first, so the
+    releases cannot force a recompute."""
+    out = cut_lineage(df)
+    for frame in intermediates:
+        frame.unpersist()
+    return out
+
+
 _SESSION_CACHE: dict[tuple, object] = {}
 _SESSION_CACHE_MAX = 64
 

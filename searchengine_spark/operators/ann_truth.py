@@ -85,7 +85,11 @@ def exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("qi", "dist"),
         ).filter(F.col("vec_id") != F.element_at(qid_lit, F.col("qi") + 1))
         w = Window.partitionBy("qi").orderBy("dist", "vec_id")
-        truth = (
+        from searchengine_spark.io import cut_lineage
+
+        # lineage-cut (r14): 8 x TRUTH_K rows, materialized once —
+        # consumers' plans see a leaf, not the corpus-scan window.
+        return cut_lineage(
             ds.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") <= TRUTH_K)
             .select(
@@ -95,9 +99,6 @@ def exact_truth(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dist",
                 "rn",
             )
-            .cache()
         )
-        truth.count()  # materialize once; 8 x TRUTH_K rows
-        return truth
 
     return session_cached(spark, "ann-truth-topk", sf_dir, build)

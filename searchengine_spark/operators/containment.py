@@ -74,7 +74,9 @@ def containment_pairs(
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         # integer-exact threshold: inter/|A| >= n/d <=> d*inter >= n*|A|
@@ -85,7 +87,8 @@ def containment_pairs(
             F.round(
                 inter.cast("double") / F.size("sh_a").cast("double"), 6
             ).alias("containment"),
-        )
+        ),
+        sets,
     )
 
 

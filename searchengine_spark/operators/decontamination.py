@@ -93,13 +93,13 @@ def contamination_pairs(
 def _session_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached discriminative shingle set over the shared
     shingle cache (see discriminative_shingles)."""
-    from searchengine_spark.io import session_cached
+    from searchengine_spark.io import cut_lineage, session_cached
 
     return session_cached(
         spark,
         "decontam-keep",
         sf_dir,
-        lambda: discriminative_shingles(_shingles(spark, sf_dir)).cache(),
+        lambda: cut_lineage(discriminative_shingles(_shingles(spark, sf_dir))),
     )
 
 
@@ -162,11 +162,14 @@ def bloom_contamination_pairs(
         words,
         m_bits,
     ).join(keep, "s")
-    return (
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(
         train.join(ev, "s")
         .groupBy("train_doc_id", "eval_doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= min_shared)
+        .filter(F.col("n_shared") >= min_shared),
+        ev,
     )
 
 

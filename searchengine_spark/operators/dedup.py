@@ -469,7 +469,7 @@ def cross_doc_spans(
         )
     )
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
-    return (
+    out = (
         pairs.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
         .withColumn("island", F.col("pos_a") - F.row_number().over(w))
         .groupBy("doc_a", "doc_b", "diag", "island")
@@ -480,6 +480,9 @@ def cross_doc_spans(
         )
         .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
     )
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(out, sh, cand)
 
 
 def remove_cross_doc_spans(

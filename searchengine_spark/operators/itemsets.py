@@ -61,6 +61,8 @@ def mined_pairs(
     the pair self-join reads it twice. Frames stay persisted (results'
     lineage reads them); registry queries hold them per session via
     io.session_cached, like the shingle cache."""
+    from searchengine_spark.io import cut_and_release, cut_lineage
+
     doc_items = items if items is not None else doc_items_frame(docs)
     item_df = doc_items.groupBy("w").agg(F.count(F.lit(1)).alias("n_item"))
     freq = item_df.filter(F.col("n_item") >= min_support).persist()
@@ -76,9 +78,13 @@ def mined_pairs(
         .groupBy(F.col("a.w").alias("w1"), F.col("b.w").alias("w2"))
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .filter(F.col("n_pair") >= min_support)
-        .persist()
     )
-    return freq, pairs
+    # Cut both outputs eagerly, then release the scratch persists
+    # (r14 hygiene sweep — the old persisted handles pinned blocks for
+    # the session on every out-of-registry call).
+    freq_out = cut_lineage(freq)
+    pairs_out = cut_and_release(pairs, freq, pruned)
+    return freq_out, pairs_out
 
 
 def frequent_pairs(
@@ -130,11 +136,13 @@ def _session_mined(spark, sf_dir: str, docs: DataFrame):
     mining stages; only their (cheap, pairs-bounded) readouts differ."""
     from searchengine_spark.io import session_cached
 
+    from searchengine_spark.io import cut_lineage
+
     items = session_cached(
         spark,
         "itemsets_doc_items",
         sf_dir,
-        lambda: doc_items_frame(docs).cache(),
+        lambda: cut_lineage(doc_items_frame(docs)),
     )
     return session_cached(
         spark,

@@ -91,11 +91,17 @@ def link_blocked(clean: DataFrame, dirty: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    return pairs.select(
-        "dirty_id",
-        F.col("doc_id").alias("clean_id"),
-        F.levenshtein("dirty_name", "name").alias("dist"),
-    ).filter(F.col("dist") <= MAX_DIST)
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(
+        pairs.select(
+            "dirty_id",
+            F.col("doc_id").alias("clean_id"),
+            F.levenshtein("dirty_name", "name").alias("dist"),
+        ).filter(F.col("dist") <= MAX_DIST),
+        c,
+        d,
+    )
 
 
 def q_record_linkage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

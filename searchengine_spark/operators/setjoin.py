@@ -109,12 +109,16 @@ def prefix_jaccard_pairs(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union.cast("double")
-    return (
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         # integer-exact threshold: jac >= n/d  <=>  d*inter >= n*union
         .filter(t_den * inter >= t_num * union)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard")),
+        sets,
+        prefix,
     )
 
 
@@ -129,9 +133,11 @@ def _true_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.io import session_cached
     from searchengine_spark.operators.dedup import _shingles
 
+    from searchengine_spark.io import cut_lineage
+
     return session_cached(
         spark, "prefix-jaccard-pairs", sf_dir,
-        lambda: prefix_jaccard_pairs(_shingles(spark, sf_dir)).cache(),
+        lambda: cut_lineage(prefix_jaccard_pairs(_shingles(spark, sf_dir))),
     )
 
 

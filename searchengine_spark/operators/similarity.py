@@ -193,6 +193,91 @@ def q_tiered_rerank_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_K12_SCALE = 10.0**12
+
+
+def _k12(x: Column) -> Column:
+    """Exact scaled-bigint view of round(x, 12): the unscaled value of
+    CAST(round(x,12) AS DECIMAL(28,12)) for |x| << 1e3. Proof sketch:
+    round(x,12) is the double nearest k*1e-12, whose exact decimal
+    expansion differs from k*1e-12 by <= ulp/2 ~ 7e-15 < 0.5e-12, so
+    the decimal cast yields k; multiplying by the exactly-representable
+    1e12 gives k +- ~1e-2 in double, and round() recovers k. Summing
+    these bigints and dividing by 1e12 in double (both operands exact,
+    IEEE division correctly rounded) is therefore bit-identical to
+    summing the decimals and casting to double — the centroid-audit
+    float discipline — while folding per ROW instead of aggregating
+    a decimal column across an exploded shuffle (r14; guide §2.3)."""
+    return F.round(F.round(x, 12) * F.lit(_K12_SCALE)).cast("bigint")
+
+
+def _label_centroid_arrays(comp: DataFrame) -> DataFrame:
+    """(label_c, carr, cnorm) — each label's 9-decimal centroid mean
+    vector as ONE pos-ordered array row plus its norm, derived from
+    the exploded component frame exactly as the per-(label, pos)
+    centroid aggregate does. |labels| rows; meant for broadcast."""
+    centroid = comp.groupBy("label", "pos").agg(
+        F.round(
+            F.sum(F.col("vd").cast("decimal(38,12)")).cast("double")
+            / F.count(F.lit(1)),
+            9,
+        ).alias("c")
+    )
+    return (
+        centroid.groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: s["c"],
+            ).alias("carr")
+        )
+        .select(
+            F.col("label").alias("label_c"),
+            "carr",
+            F.sqrt(
+                F.aggregate(
+                    F.col("carr"),
+                    F.lit(0).cast("bigint"),
+                    lambda a, c: a + _k12(c * c),
+                ).cast("double")
+                / F.lit(_K12_SCALE)
+            ).alias("cnorm"),
+        )
+    )
+
+
+def _vd_array(emb: DataFrame) -> DataFrame:
+    return emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("vda"),
+    )
+
+
+def _dot12(vda: Column | str, carr: Column | str) -> Column:
+    """Scaled-bigint fold of sum(round(vd*c, 12)) over aligned arrays,
+    returned as the identical double the decimal aggregate yields."""
+    return (
+        F.aggregate(
+            F.zip_with(vda, carr, lambda v, c: _k12(v * c)),
+            F.lit(0).cast("bigint"),
+            lambda a, x: a + x,
+        ).cast("double")
+        / F.lit(_K12_SCALE)
+    )
+
+
+def _vv12(vda: Column | str) -> Column:
+    return (
+        F.aggregate(
+            F.col(vda) if isinstance(vda, str) else vda,
+            F.lit(0).cast("bigint"),
+            lambda a, v: a + _k12(v * v),
+        ).cast("double")
+        / F.lit(_K12_SCALE)
+    )
+
+
 OUTLIER_Q = 0.05  # bottom 5% cosine-to-centroid per label
 
 
@@ -210,41 +295,31 @@ def q_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-independent; the per-label cutoff is an exact percentile
     rounded to 6 BEFORE the comparison (both engines).
 
-    Scale shape: one posexplode scan -> (label, pos) centroid agg
-    (|labels| x dim rows, broadcast back) -> per-vector keyed agg on
-    the uniform vec_id key -> |labels|-row cutoff table broadcast.
-    Nothing corpus-sized is sorted or collected."""
+    Scale shape (r14 restructure; guide §2.3/§2.4): one posexplode
+    scan feeds only the |labels| x dim centroid aggregate; the
+    per-vector dot/norm sums are scaled-bigint ARRAY FOLDS against
+    the broadcast per-label centroid array (see _k12 for the
+    bit-equality argument with the decimal aggregates) — the exploded
+    corpus no longer shuffles into a (vec_id, label) aggregate at
+    all. Then a |labels|-row cutoff table broadcast. Nothing
+    corpus-sized is sorted, shuffled, or collected."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("vd", F.col("v").cast("double"))
-    dec = "decimal(28,12)"
-    centroid = comp.groupBy("label", "pos").agg(
-        F.round(
-            F.sum(F.col("vd").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)),
-            9,
-        ).alias("c")
-    )
-    cn = centroid.groupBy("label").agg(
-        F.sqrt(
-            F.sum(F.round(F.col("c") * F.col("c"), 12).cast(dec)).cast("double")
-        ).alias("cnorm")
-    )
-    pv = (
-        comp.join(F.broadcast(centroid), ["label", "pos"])
-        .groupBy("vec_id", "label")
-        .agg(
-            F.sum(F.round(F.col("vd") * F.col("c"), 12).cast(dec))
-            .cast("double")
-            .alias("dot"),
-            F.sum(F.round(F.col("vd") * F.col("vd"), 12).cast(dec))
-            .cast("double")
-            .alias("vv"),
-        )
+    cents = _label_centroid_arrays(comp).withColumnRenamed(
+        "label_c", "label"
     )
     cosd = (
-        pv.join(F.broadcast(cn), "label")
+        _vd_array(emb)
+        .join(F.broadcast(cents), "label")
+        .select(
+            "vec_id",
+            "label",
+            _dot12("vda", "carr").alias("dot"),
+            _vv12("vda").alias("vv"),
+            "cnorm",
+        )
         .filter(F.col("vv") > 0)
         .select(
             "vec_id",
@@ -289,49 +364,33 @@ def q_label_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     the per-label centroid audit, never vector x vector.
 
     Float discipline: identical to sim_centroid_outliers (9-decimal
-    centroid means, 12-decimal rounded products into DECIMAL(28,12)
-    sums, cosine rounded to 6 BEFORE any comparison); s is computed
-    from rounded-6 a/b, the per-label mean folds DECIMAL(28,6)-cast
-    s values (order-independent)."""
+    centroid means, 12-decimal rounded products into exact scaled-
+    bigint sums — _k12 proves the bit-equality with the historical
+    DECIMAL(28,12) aggregates — cosine rounded to 6 BEFORE any
+    comparison); s is computed from rounded-6 a/b, the per-label mean
+    folds DECIMAL(28,6)-cast s values (order-independent).
+
+    Scale shape (r14 restructure; guide §2.3): the old plan joined
+    the EXPLODED corpus to all label centroids on pos — an
+    n*dim*|labels|-row stream into a 3-key aggregate. Now the
+    |labels| centroid ARRAYS broadcast onto one row per vector
+    (n*|labels| rows, no dim factor), and dot/vv are per-row array
+    folds; the per-dim fan-out never exists."""
     emb = load_table(spark, sf_dir, "embeddings")
     comp = emb.select(
         "vec_id", "label", F.posexplode("embedding").alias("pos", "v")
     ).withColumn("vd", F.col("v").cast("double"))
-    dec = "decimal(28,12)"
-    centroid = comp.groupBy("label", "pos").agg(
-        F.round(
-            F.sum(F.col("vd").cast("decimal(38,12)")).cast("double")
-            / F.count(F.lit(1)),
-            9,
-        ).alias("c")
-    )
-    cn = centroid.groupBy("label").agg(
-        F.sqrt(
-            F.sum(F.round(F.col("c") * F.col("c"), 12).cast(dec)).cast("double")
-        ).alias("cnorm")
-    )
-    cents = centroid.select(
-        F.col("label").alias("label_c"), "pos", "c"
-    )
-    dots = (
-        comp.join(F.broadcast(cents), "pos")
-        .groupBy("vec_id", "label", "label_c")
-        .agg(
-            F.sum(F.round(F.col("vd") * F.col("c"), 12).cast(dec))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    vv = comp.groupBy("vec_id").agg(
-        F.sum(F.round(F.col("vd") * F.col("vd"), 12).cast(dec))
-        .cast("double")
-        .alias("vv")
-    )
+    cents = _label_centroid_arrays(comp)
     cosd = (
-        dots.join(vv, "vec_id")
-        .join(
-            F.broadcast(cn.select(F.col("label").alias("label_c"), "cnorm")),
+        _vd_array(emb)
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "vec_id",
+            "label",
             "label_c",
+            _dot12("vda", "carr").alias("dot"),
+            _vv12("vda").alias("vv"),
+            "cnorm",
         )
         .filter(F.col("vv") > 0)
         .select(

@@ -142,7 +142,9 @@ def tfidf_shingle_pairs(
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
-    return (
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(
         dots.join(na, "doc_a")
         .join(nb, "doc_b")
         .select(
@@ -158,7 +160,10 @@ def tfidf_shingle_pairs(
                 6,
             ).alias("cosine"),
         )
-        .filter(F.col("cosine") >= F.lit(min_cos))
+        .filter(F.col("cosine") >= F.lit(min_cos)),
+        tf,
+        w,
+        norms,
     )
 
 
@@ -168,9 +173,28 @@ def tfidf_probe_topk(
     probe_doc_id: int = PROBE_DOC_ID,
     k: int = TOP_K,
 ) -> DataFrame:
+    """Eager wrapper over :func:`tfidf_probe_topk_plan`: cut the
+    k-row result's lineage and release the scratch persists (r14
+    hygiene sweep — see io.cut_and_release)."""
+    from searchengine_spark.io import cut_and_release
+
+    out, scratch = tfidf_probe_topk_plan(
+        docs, probe_doc_id=probe_doc_id, k=k
+    )
+    return cut_and_release(out, *scratch)
+
+
+def tfidf_probe_topk_plan(
+    docs: DataFrame,
+    *,
+    probe_doc_id: int = PROBE_DOC_ID,
+    k: int = TOP_K,
+) -> tuple[DataFrame, tuple[DataFrame, ...]]:
     """Rank the corpus against one probe document on unigram TF-IDF
     cosine. The probe's weight vector is a broadcast side; scoring is
-    one equi-join on the term plus one groupBy(doc) — linear."""
+    one equi-join on the term plus one groupBy(doc) — linear.
+    Returns (lazy result, persisted scratch frames) — the plan-shape
+    tests read the lazy side."""
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     # Same persist rationale as tfidf_shingle_pairs: w feeds norms,
     # the probe vector, and the scoring join (3 evals of the tokenize
@@ -198,7 +222,7 @@ def tfidf_probe_topk(
         .groupBy("doc_id")
         .agg(F.sum(F.col("w") * F.col("wp")).alias("dot"))
     )
-    return (
+    out = (
         dots.join(norms, "doc_id")
         .crossJoin(F.broadcast(probe_n))
         .select(
@@ -215,6 +239,7 @@ def tfidf_probe_topk(
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(k)
     )
+    return out, (tf, w, norms)
 
 
 # --------------------------------------------------------------- queries

@@ -565,8 +565,10 @@ def q_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate = gopher_gate(docs.select("doc_id", "text")).select(
         "doc_id", F.col("passes").alias("gate_pass")
     )
+    from searchengine_spark.io import cut_lineage
+
     bg = session_cached(
-        spark, "lm-bigrams", sf_dir, lambda: _doc_bigrams(docs).cache()
+        spark, "lm-bigrams", sf_dir, lambda: cut_lineage(_doc_bigrams(docs))
     )
     ppl = score_perplexity(docs, bigrams=bg).select("doc_id", "ppl")
     med = ppl.agg(F.round(F.percentile(F.col("ppl"), F.lit(0.5)), 6).alias("med"))

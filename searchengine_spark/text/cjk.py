@@ -132,7 +132,7 @@ def _cjk_index(spark: SparkSession, sf_dir: str):
             tokens=cjk_bigram_tokens_column("text"),
         )
         .coalesce(8)
-        .cache(),
+        .materialized(),
     )
 
 

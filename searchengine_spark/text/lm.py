@@ -278,8 +278,10 @@ def q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cached bigram frame per (session, sf_dir): feeds BOTH the
     # model lineage and the scoring lineage (same bounded-cache policy
     # as the index / shingle / span caches — no per-call cache leak).
+    from searchengine_spark.io import cut_lineage
+
     bg = session_cached(
-        spark, "lm-bigrams", sf_dir, lambda: _doc_bigrams(docs).cache()
+        spark, "lm-bigrams", sf_dir, lambda: cut_lineage(_doc_bigrams(docs))
     )
     return score_perplexity(docs, bigrams=bg)
 
@@ -340,8 +342,10 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from searchengine_spark.io import load_table, session_cached
 
     docs = load_table(spark, sf_dir, "documents")
+    from searchengine_spark.io import cut_lineage
+
     bg = session_cached(
-        spark, "lm-bigrams", sf_dir, lambda: _doc_bigrams(docs).cache()
+        spark, "lm-bigrams", sf_dir, lambda: cut_lineage(_doc_bigrams(docs))
     )
     return ccnet_perplexity_buckets(
         docs, ppl=score_perplexity(docs, bigrams=bg)

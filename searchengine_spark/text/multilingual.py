@@ -437,7 +437,7 @@ def _ml_index(spark: SparkSession, sf_dir: str):
             tokens=F.col("words"),
         )
         .coalesce(8)
-        .cache(),
+        .materialized(),
     )
 
 

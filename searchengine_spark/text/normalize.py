@@ -258,7 +258,7 @@ def _nfc_index(spark: SparkSession, sf_dir: str):
             normalize=True,
         )
         .coalesce(8)
-        .cache(),
+        .materialized(),
     )
 
 

@@ -99,13 +99,16 @@ def test_df_cap_drops_boilerplate_features(spark):
 def test_probe_plan_broadcasts_probe_vector(spark, sf_dir):
     from searchengine_spark.io import load_table
 
+    from searchengine_spark.operators.text_sim import tfidf_probe_topk_plan
+
     docs = load_table(spark, sf_dir, "documents")
-    plan = (
-        tfidf_probe_topk(docs)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # plan-shape assertion reads the LAZY side; the public
+    # tfidf_probe_topk eagerly cuts lineage and releases scratch
+    # persists (r14), so its returned plan is a checkpoint scan.
+    lazy, scratch = tfidf_probe_topk_plan(docs)
+    plan = lazy._jdf.queryExecution().executedPlan().toString()
+    for frame in scratch:
+        frame.unpersist()
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
 
