@@ -57,21 +57,29 @@ class InvertedIndex:
         return self
 
     def materialized(self) -> "InvertedIndex":
-        """Lineage-cut every component frame (io.cut_lineage, r14):
+        """Lineage-cut the core serving tables (io.cut_lineage, r14):
         a session-cached index whose tables keep the tokenize lineage
         makes every downstream search plan re-canonicalize that
         subtree per cache lookup — the se_* family pays it once per
         query. The cut stores each table once (localCheckpoint /
-        reliable checkpoint) and hands consumers LogicalRDD leaves."""
+        reliable checkpoint) and hands consumers LogicalRDD leaves.
+
+        Scope matches what ``cache()`` cached: term_frequencies,
+        doc_lengths, idf_values, scoring_params. inverted_index and
+        flat_words stay LAZY — they were never cached, only a couple
+        of queries read them, and eagerly materializing them in the
+        build charged every index-building slot two extra corpus
+        passes (measured: se_term_frequencies 4.4 -> 5.9 s before
+        this scoping)."""
         from searchengine_spark.io import cut_lineage
 
         return InvertedIndex(
             term_frequencies=cut_lineage(self.term_frequencies),
             doc_lengths=cut_lineage(self.doc_lengths),
             idf_values=cut_lineage(self.idf_values),
-            inverted_index=cut_lineage(self.inverted_index),
+            inverted_index=self.inverted_index,
             scoring_params=cut_lineage(self.scoring_params),
-            flat_words=cut_lineage(self.flat_words),
+            flat_words=self.flat_words,
         )
 
     def coalesce(self, n: int) -> "InvertedIndex":

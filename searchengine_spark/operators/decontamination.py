@@ -90,16 +90,25 @@ def contamination_pairs(
     )
 
 
-def _session_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _session_keep(
+    spark: SparkSession, sf_dir: str, *, max_shingle_df: int = MAX_SHINGLE_DF
+) -> DataFrame:
     """Session-cached discriminative shingle set over the shared
-    shingle cache (see discriminative_shingles)."""
+    shingle cache (see discriminative_shingles). The df cap is part
+    of the cache key (r13 ADVICE: a parameterized builder memoized
+    under a parameter-blind tag silently returns the default build
+    to a non-default caller)."""
     from searchengine_spark.io import cut_lineage, session_cached
 
     return session_cached(
         spark,
-        "decontam-keep",
+        f"decontam-keep:{max_shingle_df}",
         sf_dir,
-        lambda: cut_lineage(discriminative_shingles(_shingles(spark, sf_dir))),
+        lambda: cut_lineage(
+            discriminative_shingles(
+                _shingles(spark, sf_dir), max_shingle_df=max_shingle_df
+            )
+        ),
     )
 
 

@@ -729,6 +729,13 @@ def _bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def session_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public session-shared LSH band table (r13 ADVICE: streaming/
+    replay.py imported the private _bands, coupling the streaming
+    module to another module's internals)."""
+    return _bands(spark, sf_dir)
+
+
 def _capped_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-cached DEFAULT_MAX_BUCKET candidate pairs — the shared
     input of the pair/centrality/audit family (8 registry queries

@@ -90,7 +90,7 @@ def mined_pairs(
 def frequent_pairs(
     docs: DataFrame,
     *,
-    min_support: int = MIN_SUPPORT,
+    min_support: int | None = None,
     items: DataFrame | None = None,
     mined: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
@@ -101,10 +101,23 @@ def frequent_pairs(
     > 1 means the words attract, < 1 means they repel. n_docs counts
     ALL docs (empty ones dilute P's — they are real baskets).
     """
+    if mined is not None and (min_support is not None or items is not None):
+        # r13 ADVICE: a precomputed `mined` tuple carries its own
+        # support filter and item table — silently ignoring explicit
+        # arguments here returned results filtered by the tuple's
+        # support, not the caller's.
+        raise ValueError(
+            "frequent_pairs: pass either `mined` or "
+            "`min_support`/`items`, not both"
+        )
     freq, pairs = (
         mined
         if mined is not None
-        else mined_pairs(docs, min_support=min_support, items=items)
+        else mined_pairs(
+            docs,
+            min_support=MIN_SUPPORT if min_support is None else min_support,
+            items=items,
+        )
     )
 
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -130,13 +143,14 @@ def frequent_pairs(
 
 # --------------------------------------------------------------- queries
 
-def _session_mined(spark, sf_dir: str, docs: DataFrame):
+def _session_mined(
+    spark, sf_dir: str, docs: DataFrame, *, min_support: int = MIN_SUPPORT
+):
     """Session-shared (freq, pairs) over the shared doc-item cache —
     text_frequent_pairs and text_association_rules consume the SAME
-    mining stages; only their (cheap, pairs-bounded) readouts differ."""
-    from searchengine_spark.io import session_cached
-
-    from searchengine_spark.io import cut_lineage
+    mining stages; only their (cheap, pairs-bounded) readouts differ.
+    The support threshold is part of the cache key (r13 ADVICE)."""
+    from searchengine_spark.io import cut_lineage, session_cached
 
     items = session_cached(
         spark,
@@ -146,9 +160,9 @@ def _session_mined(spark, sf_dir: str, docs: DataFrame):
     )
     return session_cached(
         spark,
-        "itemsets_mined_pairs",
+        f"itemsets_mined_pairs:{min_support}",
         sf_dir,
-        lambda: mined_pairs(docs, items=items),
+        lambda: mined_pairs(docs, min_support=min_support, items=items),
     )
 
 
@@ -166,7 +180,7 @@ RULES_TOP = 50
 def association_rules(
     docs: DataFrame,
     *,
-    min_support: int = MIN_SUPPORT,
+    min_support: int | None = None,
     min_confidence: float = MIN_CONFIDENCE,
     items: DataFrame | None = None,
     mined: tuple[DataFrame, DataFrame] | None = None,
@@ -179,10 +193,19 @@ def association_rules(
     corpus: it reads the SAME mined (freq, pairs) stages as
     frequent_pairs and re-broadcasts the (vocabulary-bounded) item
     dfs to direct the rules."""
+    if mined is not None and (min_support is not None or items is not None):
+        raise ValueError(
+            "association_rules: pass either `mined` or "
+            "`min_support`/`items`, not both"
+        )
     freq, pairs = (
         mined
         if mined is not None
-        else mined_pairs(docs, min_support=min_support, items=items)
+        else mined_pairs(
+            docs,
+            min_support=MIN_SUPPORT if min_support is None else min_support,
+            items=items,
+        )
     )
     directed = pairs.selectExpr(
         "w1 AS ante", "w2 AS cons", "n_pair"

@@ -476,8 +476,8 @@ def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     proof, same convention as every replay here."""
     from searchengine_spark.operators.dedup import (
         DEFAULT_MAX_BUCKET,
-        _bands,
         minhash_bands,
+        session_bands,
     )
     from searchengine_spark.operators.sampling import hash_bucket
     from searchengine_spark.streaming.events import read_table_stream
@@ -495,7 +495,7 @@ def q_stream_neardup_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     # step 1; same restriction argument as the pipeline near-dup
     # stages). The bucket-size cap below still runs on the restricted
     # set, exactly as before.
-    cb = _bands(spark, sf_dir).filter(~is_new)
+    cb = session_bands(spark, sf_dir).filter(~is_new)
     keep = (
         cb.groupBy("band", "band_hash")
         .agg(F.count(F.lit(1)).alias("_bsz"))
