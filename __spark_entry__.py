@@ -7,6 +7,16 @@ order-insensitive value-hash -> CORRECTNESS_r{N}.json).
 
 All real logic lives in the searchengine_spark package; this module
 only adapts it to the driver's interface.
+
+Test tiers (r14, verdict item 2 — the full ~1150-test suite takes
+~20-30 min and did not finish inside the r13 driver's window):
+
+    python -m pytest -m smoke tests/ -q     # ~5-6 min on local[8]
+    python -m pytest tests/ -q              # full suite
+
+The ``smoke`` tier (pytest.ini) runs every registry query against its
+DuckDB oracle at sf0.001 plus this module's entry() contract — one
+end-to-end case per operator, so a meaningful signal fits any window.
 """
 
 from __future__ import annotations

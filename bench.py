@@ -649,6 +649,17 @@ def main() -> None:
             for k, b in base_doc.get("queries", {}).items()
             if isinstance(b, (int, float)) and b > 0
         }
+        # Own-profile floor (r14, verdict item 7): a query whose
+        # PREVIOUS-round time was itself stall-inflated gets a budget
+        # no transient can breach (r14 before-run: emb_pq_refine at
+        # 25.0 s vs its stable ~8 s profile slipped under the 3x(prev)
+        # budget because prev was high). Tighten each baseline to the
+        # MINIMUM of the query's times across the last few detail
+        # files — a robust per-query profile the same 3x factor then
+        # applies to.
+        for k, mn in _profile_mins(sf).items():
+            if k in bases:
+                bases[k] = min(bases[k], mn)
         # Iterate to a fixed point (<=3 passes): re-timing the stalled
         # queries LOWERS the median host factor, which lowers every
         # budget, which can push previously-marginal queries over the
@@ -808,6 +819,45 @@ def _explicit_round() -> int | None:
         return int(explicit) if explicit is not None else None
     except ValueError:
         return None
+
+
+def _profile_mins(sf: float, n_files: int = 3) -> dict[str, float]:
+    """Per-query MIN time across the last ``n_files`` bench details at
+    the same sf (any round below this run's). Minima across runs are
+    robust to one-run stalls; used to tighten the in-run re-time
+    budgets (r14, verdict item 7). Raw seconds, not host-normalized —
+    the caller's median host factor handles that."""
+    import glob
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    n = _explicit_round()
+    if n is None:
+        rounds = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(here, "*_r*.json"))
+            if (m := re.search(r"(?:CORRECTNESS|BENCH)_r(\d+)\.json$", p))
+        ]
+        n = max(rounds, default=0) + 1
+    files: dict[int, str] = {}
+    for p in sorted(glob.glob(os.path.join(here, "BENCH_DETAIL_r*.json"))):
+        m = re.search(r"BENCH_DETAIL_r(\d+)(_driver)?\.json$", p)
+        if m and int(m.group(1)) < n and (
+            m.group(2) or int(m.group(1)) not in files
+        ):
+            files[int(m.group(1))] = p
+    mins: dict[str, float] = {}
+    for r in sorted(files)[-n_files:]:
+        try:
+            with open(files[r]) as fh:
+                doc = json.load(fh)
+        except (OSError, json.JSONDecodeError):
+            continue
+        if doc.get("sf") != sf:
+            continue
+        for k, v in doc.get("queries", {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                mins[k] = min(mins.get(k, v), v)
+    return mins
 
 
 def _budget_baseline() -> dict | None:

@@ -3,7 +3,11 @@ session and produce a stable schema."""
 
 import sys
 
+import pytest
+
 sys.path.insert(0, "/root/repo")
+
+pytestmark = pytest.mark.smoke
 
 
 def test_entry_returns_scored_snippets(spark):

@@ -5,6 +5,11 @@ import pytest
 
 from searchengine_spark.registry import all_oracles, all_queries
 
+# The whole file is the core of the `smoke` tier: one parametrized
+# case per registry query, each checked against its DuckDB oracle —
+# every operator module exercised end-to-end in ~5 minutes.
+pytestmark = pytest.mark.smoke
+
 QUERIES = all_queries()
 ORACLES = all_oracles()
 
