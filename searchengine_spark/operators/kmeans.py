@@ -470,18 +470,35 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic term by the largest cluster, which is the entire point
     of SemDeDup at scale. Cosine runs on the ORIGINAL float vectors
     (rounded to 6, same fold order both engines)."""
+    from searchengine_spark.operators.similarity import norm_expr
+
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = _cached_assignment(spark, sf_dir).select("vec_id", "cluster")
-    vecs = emb.select("vec_id", "embedding").join(assigned, "vec_id")
+    # Per-vector norm computed ONCE on the linear side (r14; guide
+    # §1.2 step 2): cosine_expr evaluated per candidate PAIR folds
+    # dot(a,b), dot(a,a) and dot(b,b) — the two norm folds repeat
+    # per pair what one map pass computes per vector. dot/(na*nb)
+    # applies the identical double operations in the identical order,
+    # so the rounded-6 cosine is bit-unchanged (oracle hash green).
+    vecs = emb.select(
+        "vec_id", "embedding", norm_expr(F.col("embedding")).alias("nrm")
+    ).join(assigned, "vec_id")
     a = vecs.select(
         F.col("vec_id").alias("a_id"),
         F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_nrm"),
         "cluster",
     )
     b = vecs.select(
         F.col("vec_id").alias("b_id"),
         F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_nrm"),
         F.col("cluster").alias("b_cluster"),
+    )
+    from searchengine_spark.operators.similarity import dot_expr
+
+    cos_ab = dot_expr(F.col("a_vec"), F.col("b_vec")) / (
+        F.col("a_nrm") * F.col("b_nrm")
     )
     dup_counts = (
         a.join(
@@ -489,10 +506,7 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster") == F.col("b_cluster"))
             & (F.col("a_id") < F.col("b_id")),
         )
-        .filter(
-            F.round(cosine_expr(F.col("a_vec"), F.col("b_vec")), 6)
-            >= F.lit(SEMDEDUP_THETA)
-        )
+        .filter(F.round(cos_ab, 6) >= F.lit(SEMDEDUP_THETA))
         .groupBy(F.col("b_id").alias("vec_id"))
         .agg(F.count(F.lit(1)).alias("n_dup_lower"))
     )

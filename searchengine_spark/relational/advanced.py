@@ -424,8 +424,17 @@ def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Column-profiling operator: one output row per profiled column
     with null count, distinct count, min/max (as strings — one schema
     for every column type). All columns profile in a single scan
-    (one multi-agg), then unpivot driver-free via stack()."""
-    orders = load_table(spark, sf_dir, "orders")
+    (one multi-agg), then unpivot driver-free via stack().
+
+    ensure_min_partitions (r14; guide §2.5 input skew): the orders
+    table is one parquet file at bench scale, so the 20-function
+    multi-agg — including the 5-way countDistinct Expand — ran its
+    entire partial-aggregation pass on ONE core (measured 3.5-4.4 s
+    of single-task time). The repartition costs one round-robin
+    exchange of the scan and parallelizes everything above it."""
+    from searchengine_spark.io import ensure_min_partitions
+
+    orders = ensure_min_partitions(load_table(spark, sf_dir, "orders"))
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
     aggs = []
     for c in cols:

@@ -63,11 +63,15 @@ def q_events_conformal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     by_time = Window.partitionBy("event_type").orderBy("hour_idx")
     per_type = Window.partitionBy("event_type")
+    # Persisted (r14; guide §5 / §1.2 step 1): the split frame feeds
+    # cal AND test, test itself feeds TWO aggregates and thresh two
+    # joins — left lazy, the hourly aggregate + seasonal join + both
+    # windows re-execute 4-6x inside one result plan.
     split = (
         scores.withColumn("r", F.row_number().over(by_time))
         .withColumn("n", F.count(F.lit(1)).over(per_type))
         .withColumn("is_cal", F.col("r") <= F.floor(F.col("n") / 2))
-    )
+    ).persist()
     cal = split.filter(F.col("is_cal"))
     test = split.filter(~F.col("is_cal"))
 
@@ -89,8 +93,8 @@ def q_events_conformal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_cal").cast("bigint").alias("n_cal"),
             F.col("score").alias("q_hat"),
         )
-    )
-    return (
+    ).persist()
+    out = (
         test.groupBy("event_type")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_test"))
         .join(thresh, "event_type", "left")
@@ -118,6 +122,9 @@ def q_events_conformal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    from searchengine_spark.io import cut_and_release
+
+    return cut_and_release(out, split, thresh)
 
 
 _CONF_SQL = f"""
