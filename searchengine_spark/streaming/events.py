@@ -42,7 +42,17 @@ def read_table_stream(
     if table in _NANOS_TS_COLS:
         enable_nanos_long_compat(spark)
     path = table_path(sf_dir, table)
-    raw_schema = spark.read.parquet(path).schema
+    # Schema from a static footer read, memoized per (session, table):
+    # every one of the ~12 bench replays re-ran this driver-side read
+    # (r14; each is pure fixed cost on the replay floor).
+    from searchengine_spark.io import session_cached
+
+    raw_schema = session_cached(
+        spark,
+        f"stream-schema:{table}",
+        sf_dir,
+        lambda: spark.read.parquet(path).schema,
+    )
     if os.path.isfile(path):
         # The file stream source requires a directory basePath; a
         # trailing one-char glob class makes Spark treat the parent
